@@ -1,0 +1,163 @@
+"""Similarity search over an embedding column (array<float>).
+
+Extension surface for the 100 TB training-data pipeline:
+
+- cosine_topk_bruteforce — exact top-k neighbors for a (small) query
+  set: broadcast the queries, score every corpus vector with pure
+  column math (F.zip_with dot product), take row_number ≤ k per query.
+  The corpus side streams — no shuffle of the 100 TB table; only the
+  (n_queries × corpus) scored rows hit the top-k window, and even that
+  is bounded per partition by Spark's window TopK pushdown... at scale
+  prefer the aggregate form used here: partial top-k via groupBy.
+
+- lsh_bucketed_topk — approximate variant: random-hyperplane signs
+  (SimHash for vectors) bucket the corpus; queries probe only their
+  own bucket (+ optional multi-probe neighbors), turning a full scan
+  into a bucketed equi-join. Recall is traded for a ~2^bits fan-in
+  reduction; the plan is a broadcast join on bucket id.
+
+Vectors are cast to double before arithmetic so results are stable
+across Arrow/JVM float paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos_sim, rank).
+
+    Self-matches (same id) are excluded. Queries are broadcast — the
+    corpus is scanned once with no shuffle until the final per-query
+    top-k aggregation.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    # Two-level top-k: each input partition keeps only its k best per
+    # query (bounded state), then the tiny per-partition heads combine.
+    # The full scored set never shuffles — at corpus scale the reduce
+    # input is (#partitions × #queries × k) rows, not (corpus × #queries).
+    head = F.slice(
+        F.sort_array(F.collect_list(F.struct("cos_sim", "neighbor_id")), asc=False),
+        1,
+        k,
+    )
+    partial = (
+        scored.withColumn("__p", F.spark_partition_id())
+        .groupBy("query_id", "__p")
+        .agg(head.alias("top"))
+        .select("query_id", F.explode("top").alias("entry"))
+        .select("query_id", "entry.cos_sim", "entry.neighbor_id")
+    )
+    topk = (
+        partial.groupBy("query_id")
+        .agg(head.alias("top"))
+        .select("query_id", F.posexplode("top").alias("rank0", "entry"))
+        .select(
+            "query_id",
+            F.col("entry.neighbor_id").alias("neighbor_id"),
+            F.col("entry.cos_sim").alias("cos_sim"),
+            (F.col("rank0") + 1).alias("rank"),
+        )
+    )
+    if round_digits is not None:
+        topk = topk.withColumn("cos_sim", F.round("cos_sim", round_digits))
+    return topk
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets.
+
+    bucket(v) = sign-bit string of <v, r_i> for `planes` random
+    hyperplanes r_i (deterministic seed). Join queries to corpus on the
+    bucket id, then exact-rank within the bucket. Recall < 1 by design;
+    the candidate join replaces the full cross product.
+    """
+    import random
+
+    if dim is None:
+        sample = corpus.select(F.size(vec_col).alias("d")).first()
+        dim = sample["d"]
+    rng = random.Random(seed)
+    hyperplanes = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)
+    ]
+
+    def bucket_expr(vec: Column) -> Column:
+        bits = []
+        for p, plane in enumerate(hyperplanes):
+            arr = F.array(*[F.lit(w) for w in plane])
+            bits.append(
+                F.when(_dot(F.transform(vec, lambda x: x.cast("double")), arr) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            )
+        return sum(bits[1:], bits[0]).alias("bucket")
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        bucket_expr(F.col(vec_col)),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        bucket_expr(F.col(vec_col)),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    from news_lakehouse_spark.operators.windows import top_k_per_group
+
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+    )

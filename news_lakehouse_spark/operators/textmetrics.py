@@ -1,0 +1,124 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+Extension surface (BASELINE.json north star) over the `documents`
+table. Everything is built-in column math — regexp, split, array
+higher-order functions — so it whole-stage-codegens and runs at scan
+speed; there is no Python in any of these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from news_lakehouse_spark.operators.dedupe import normalized_text
+
+# Tiny per-language function-word lists for the n-gram/stopword
+# language heuristic. Deliberately deterministic + SQL-expressible so
+# the operator has an exact oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "por"),
+    "fr": ("le", "la", "et", "les", "des", "est", "pas", "que"),
+    "vi": ("của", "và", "là", "có", "trong", "được", "cho", "không"),
+}
+
+_PUNCT_RE = r"[\p{P}\p{S}]"
+# BPE-ish token regex: word pieces, numbers, or single non-space symbols.
+TOKEN_RE = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """BPE-ish tokenization: letters runs, digit runs, single symbols."""
+    # idx=0: whole-match extraction (the pattern has no capture groups)
+    return F.regexp_extract_all(_c(col), F.lit(TOKEN_RE), 0)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    return F.size(F.split(F.trim(_c(col)), r"\s+"))
+
+
+def language_scores(
+    df: DataFrame, id_col: str, text_col: str, markers: dict[str, tuple[str, ...]] | None = None
+) -> DataFrame:
+    """Per-language marker-word hit ratio + argmax language guess.
+
+    score(lang) = |words ∩ markers(lang)| / |words|, computed with
+    array_intersect on the distinct word set — one pass, no explode,
+    no shuffle.
+    """
+    markers = markers or LANG_MARKERS
+    words = F.array_distinct(F.split(normalized_text(text_col), " "))
+    score_cols = [
+        (
+            F.size(F.array_intersect(words, F.array(*[F.lit(m) for m in ms])))
+            / F.greatest(F.size(words), F.lit(1))
+        ).alias(f"score_{lang}")
+        for lang, ms in markers.items()
+    ]
+    scored = df.select(F.col(id_col), *score_cols)
+    # argmax via greatest + chained when (deterministic: first max wins
+    # in dict order)
+    langs = list(markers)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    guess = None
+    for l in langs:
+        cond = F.col(f"score_{l}") == best
+        guess = F.when(cond, F.lit(l)) if guess is None else guess.when(cond, F.lit(l))
+    return scored.withColumn("lang_guess", guess)
+
+
+def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Length / punctuation / stopword / repetition quality signals.
+
+    Columns: n_chars, n_words, avg_word_len, punct_ratio,
+    stopword_ratio (en markers), uniq_word_ratio, quality_score — a
+    simple monotone combination in [0, 1].
+    """
+    t = _c(text_col)
+    words = F.split(normalized_text(text_col), " ")
+    n_chars = F.length(t)
+    n_words = F.size(words)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(_PUNCT_RE), 0))
+    stop = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
+    n_uniq = F.size(F.array_distinct(words))
+    safe_words = F.greatest(n_words, F.lit(1))
+    out = df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        ((n_chars - n_words + 1) / safe_words.cast("double")).alias("avg_word_len"),
+        (n_punct / F.greatest(n_chars, F.lit(1)).cast("double")).alias("punct_ratio"),
+        (n_stop / safe_words.cast("double")).alias("stopword_ratio"),
+        (n_uniq / safe_words.cast("double")).alias("uniq_word_ratio"),
+    )
+    score = (
+        F.least(F.col("n_words") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (1.0 - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))) * 0.2
+        + F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 0.2
+        + F.col("uniq_word_ratio") * 0.2
+    )
+    return out.withColumn("quality_score", F.round(score, 6))
+
+
+def document_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Canonical content fingerprint: sha2-256 of the normalized text.
+
+    The whitespace/case/punctuation-insensitive identity used by exact
+    dedup; pairs with simhash_signatures for the fuzzy variant.
+    """
+    return df.select(
+        F.col(id_col),
+        F.sha2(normalized_text(text_col), 256).alias("fingerprint"),
+    )

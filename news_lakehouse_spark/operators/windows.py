@@ -1,0 +1,51 @@
+"""Window-based operators: deterministic dedup + top-k per group.
+
+The reference dedupes with dropDuplicates (arbitrary survivor —
+SURVEY §2.5 W1) before every MERGE to avoid cardinality violations
+(gcs_bronze_to_silver.py:426-446). Our engine offers the deterministic
+variant: row_number over (partition by keys, order by tiebreak) == 1,
+so re-runs and oracle comparisons are stable.
+
+Scale note: both are a single hash-shuffle on the key columns; the
+window variant additionally sorts within each partition. At 100 TB
+prefer the window form only when survivor identity matters — otherwise
+dropDuplicates lets AQE use partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedupe_latest(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+) -> DataFrame:
+    """Keep exactly one row per key: first row under ``order_by``."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_by: list[str],
+    order_by: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows per group (reference O2: first-N comments per article).
+
+    row_number (not rank) so ties never inflate k; callers must include
+    a unique tiebreaker in ``order_by`` for determinism.
+    """
+    w = Window.partitionBy(*group_by).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

@@ -1,0 +1,885 @@
+"""Driver-contract query suite.
+
+One named query per implemented operator family from SURVEY.md §2 plus
+the LLM-pipeline extensions, each runnable as fn(spark, sf_dir) over
+the test corpus, with a DuckDB oracle twin in ORACLES (omitted only
+for ops whose semantics SQL can't express — xxhash64 surrogate keys,
+approximate LSH similarity — which the driver checks rows-only).
+
+Column-name/type discipline: every computed column is aliased
+identically in the Spark plan and the oracle SQL; DuckDB aggregate
+types are cast to Spark's (count/sum → BIGINT, row_number → INT).
+Floating-point aggregates are rounded on both sides (sums → 2 digits,
+ratios/averages → 6) so engine-order summation differences can't flip
+the value hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from news_lakehouse_spark.functions.jsonmap import int_map_values, parse_json_map
+from news_lakehouse_spark.functions.keys import sha2_key, surrogate_key_safe
+from news_lakehouse_spark.functions.text import normalize_blank, read_time_minutes, word_count
+from news_lakehouse_spark.functions.timestamps import parse_timestamp_any
+from news_lakehouse_spark.operators.dedupe import (
+    exact_dedupe_deterministic,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from news_lakehouse_spark.operators.merge import merge_insert_only, merge_upsert
+from news_lakehouse_spark.operators.similarity import cosine_topk_bruteforce, lsh_bucketed_topk
+from news_lakehouse_spark.operators.textmetrics import (
+    LANG_MARKERS,
+    document_fingerprint,
+    language_scores,
+    quality_metrics,
+    token_count,
+    whitespace_token_count,
+)
+from news_lakehouse_spark.operators.windows import dedupe_latest, top_k_per_group
+from news_lakehouse_spark.sources.readers import read_table
+from news_lakehouse_spark.streaming.windows import sessionize, windowed_event_counts
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Shared normalization fragment for DuckDB oracles (mirrors
+# operators.dedupe.normalized_text):
+_NT = (
+    "trim(regexp_replace(regexp_replace(lower({c}),"
+    " '[^\\p{{L}}\\p{{N}}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+
+# --- reference-surface queries -------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter → groupBy → 8 aggregates → sort.
+
+    Exercises A-family aggregation (SURVEY §2.4) at fact scale; the
+    plan must be scan + partial/final hash agg, no extra shuffle.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def s2_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/P1/P2: declared-schema scan with pushed filter + pruned columns."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 30) & (F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+
+
+_S2_SQL = """
+SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'
+"""
+
+
+def p3_normalize_blank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: trim + blank→NULL normalization (with injected dirty rows)."""
+    d = read_table(spark, sf_dir, "documents")
+    dirty = F.when(F.col("doc_id") % 10 == 0, F.lit("   ")).otherwise(
+        F.concat(F.lit("  "), F.col("source"), F.lit(" "))
+    )
+    return d.select(
+        "doc_id", normalize_blank(dirty).alias("source_norm")
+    )
+
+
+_P3_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 10 = 0 THEN NULL ELSE trim('  ' || source || ' ') END
+           AS source_norm
+FROM documents
+"""
+
+
+def a1_count_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+J2: pre-aggregated child counts left-joined to the parent
+    (reference keyword/reference counts per article, s2g:566-572)."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_orderkey").agg(F.count("*").alias("item_count"))
+    return orders.join(
+        cnt, orders.o_orderkey == cnt.l_orderkey, "left"
+    ).select(
+        "o_orderkey",
+        F.coalesce(F.col("item_count"), F.lit(0)).alias("item_count"),
+    )
+
+
+_A1_SQL = """
+SELECT o_orderkey,
+       CAST(coalesce(c.item_count, 0) AS BIGINT) AS item_count
+FROM orders LEFT JOIN (
+    SELECT l_orderkey, count(*) AS item_count FROM lineitem GROUP BY l_orderkey
+) c ON o_orderkey = c.l_orderkey
+"""
+
+
+def a2_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 + extension: exact content dedup, deterministic survivor."""
+    d = read_table(spark, sf_dir, "documents")
+    return exact_dedupe_deterministic(d, "text", "doc_id")
+
+
+_A2_SQL = f"""
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY sha256({_NT.format(c='text')})
+"""
+
+
+def j1_left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: broadcast left equi-join dim enrichment (subtopics⟕topics)."""
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left"
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+_J1_SQL = """
+SELECT n_nationkey, n_name, r_name
+FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def j4_three_way_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: 3-way inner join + aggregation (interactions⨝comments⨝articles)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+_J4_SQL = """
+SELECT c_mktsegment,
+       count(DISTINCT o_orderkey) AS n_orders,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def j6_flat_serving_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/S14: denormalized serving view — fact ⟕ three dims, all
+    broadcast (reference vw_articles_flat, g2bq:185-209)."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    return (
+        o.filter(F.col("o_orderkey") % 100 == 0)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "c_name",
+            "c_mktsegment",
+            "n_name",
+            "r_name",
+        )
+    )
+
+
+_J6_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice, c_name, c_mktsegment, n_name, r_name
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderkey % 100 = 0
+"""
+
+
+def s8_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: MERGE upsert semantics (update-all + insert) as relational
+    composition — source wins, unmatched target survives."""
+    o = read_table(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").alias("price"),
+    )
+    # ×2 is exact in binary floating point — no cross-engine rounding
+    # ambiguity in the "updated" measure
+    source = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("price"),
+    )
+    return merge_upsert(target, source, ["o_orderkey"])
+
+
+_S8_SQL = """
+WITH target AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 3 <> 0
+), source AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS price
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT * FROM source
+UNION ALL
+SELECT t.* FROM target t
+WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+"""
+
+
+def s9_merge_insert_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: insert-only MERGE (link tables) = target ∪ (source ∖ target)."""
+    o = read_table(spark, sf_dir, "orders")
+    target = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_custkey", "o_orderpriority")
+        .dropDuplicates()
+    )
+    source = o.select("o_custkey", "o_orderpriority").dropDuplicates()
+    return merge_insert_only(target, source, ["o_custkey", "o_orderpriority"])
+
+
+_S9_SQL = """
+WITH target AS (
+  SELECT DISTINCT o_custkey, o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+), source AS (
+  SELECT DISTINCT o_custkey, o_orderpriority FROM orders
+)
+SELECT * FROM target
+UNION ALL
+SELECT s.* FROM source s
+WHERE NOT EXISTS (
+  SELECT 1 FROM target t
+  WHERE t.o_custkey = s.o_custkey AND t.o_orderpriority = s.o_orderpriority
+)
+"""
+
+
+def u1_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: unionByName with allowMissingColumns (dim_author sourcing)."""
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.lit("customer").alias("entity"),
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("entity"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+_U1_SQL = """
+SELECT c_name AS name, c_acctbal AS acctbal, c_mktsegment AS mktsegment,
+       'customer' AS entity
+FROM customer
+UNION ALL
+SELECT s_name, s_acctbal, NULL, 'supplier' FROM supplier
+"""
+
+
+def w1_dedupe_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: deterministic dedup — latest event per user via row_number."""
+    e = read_table(spark, sf_dir, "events")
+    return dedupe_latest(
+        e, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select("user_id", "event_id", "ts", "event_type")
+
+
+_W1_SQL = """
+SELECT user_id, event_id, ts, event_type
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def o2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: top-k per group (first-N comments per article analog)."""
+    o = read_table(spark, sf_dir, "orders")
+    return top_k_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    )
+
+
+_O2_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def f5_sha2_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4+F5: content-hash identity — sha2-256 over '||'-joined parts."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        sha2_key(F.col("source"), F.col("doc_id").cast("string")).alias("content_id"),
+    )
+
+
+_F5_SQL = """
+SELECT doc_id,
+       sha256(concat_ws('||', trim(source), trim(CAST(doc_id AS VARCHAR))))
+           AS content_id
+FROM documents
+"""
+
+
+def f7_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7+M1: word count, char count, estimated read time."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        word_count("text").alias("n_words"),
+        F.length("text").alias("n_chars_calc"),
+        F.round(read_time_minutes("text"), 6).alias("read_minutes"),
+    )
+
+
+_F7_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ')) AS INT)
+           AS n_words,
+       CAST(length(text) AS INT) AS n_chars_calc,
+       round(len(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ')) / 220.0, 6)
+           AS read_minutes
+FROM documents
+"""
+
+
+def d1_timestamp_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1+D2: multi-format cascade + epoch disambiguation, round-trip.
+
+    Serializes each event ts into one of 4 dirty formats by id, then
+    parses back through the full reference cascade (epoch → VN → the
+    11-format coalesce). The oracle knows the true value: whole-second
+    truncation in every branch (reference epoch math drops sub-seconds).
+    """
+    e = read_table(spark, sf_dir, "events")
+    mod = F.col("event_id") % 4
+    s = (
+        F.when(mod == 0, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(mod == 1, F.date_format("ts", "dd/MM/yyyy HH:mm:ss"))
+        .when(mod == 2, F.unix_timestamp("ts").cast("string"))
+        .otherwise(F.unix_millis("ts").cast("string"))
+    )
+    return e.select(
+        "event_id",
+        s.alias("raw"),
+        parse_timestamp_any(s).alias("parsed_ts"),
+    )
+
+
+_D1_SQL = """
+SELECT event_id,
+       CASE CAST(event_id % 4 AS INT)
+         WHEN 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+         WHEN 1 THEN strftime(ts, '%d/%m/%Y %H:%M:%S')
+         WHEN 2 THEN CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR)
+         ELSE CAST(epoch_ms(date_trunc('milliseconds', ts)) AS VARCHAR)
+       END AS raw,
+       CASE CAST(event_id % 4 AS INT)
+         WHEN 1 THEN date_trunc('minute', ts)
+         ELSE date_trunc('second', ts)
+       END AS parsed_ts
+FROM events
+"""
+
+
+def d5_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5+D6: calendar dimension derivation (dim_date, s2g:355-371)."""
+    o = read_table(spark, sf_dir, "orders")
+    d = F.col("full_date")
+    return (
+        o.select(F.to_date("o_orderdate").alias("full_date"))
+        .distinct()
+        .select(
+            (F.year(d) * 10000 + F.month(d) * 100 + F.dayofmonth(d))
+            .cast("int")
+            .alias("date_key"),
+            "full_date",
+            F.date_format(d, "EEEE").alias("day_name"),
+            F.dayofmonth(d).alias("day_of_month"),
+            F.dayofyear(d).alias("day_of_year"),
+            F.date_format(d, "MMMM").alias("month_name"),
+            F.month(d).alias("month_num"),
+            F.quarter(d).alias("quarter"),
+            F.year(d).alias("year"),
+        )
+    )
+
+
+_D5_SQL = """
+SELECT CAST(year(full_date) * 10000 + month(full_date) * 100
+            + dayofmonth(full_date) AS INT) AS date_key,
+       full_date,
+       dayname(full_date) AS day_name,
+       CAST(dayofmonth(full_date) AS INT) AS day_of_month,
+       CAST(dayofyear(full_date) AS INT) AS day_of_year,
+       monthname(full_date) AS month_name,
+       CAST(month(full_date) AS INT) AS month_num,
+       CAST(quarter(full_date) AS INT) AS quarter,
+       CAST(year(full_date) AS INT) AS year
+FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS full_date FROM orders)
+"""
+
+
+def n4_json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4-N6: stringified-JSON map → typed map → exploded entries
+    (reference interaction_details pattern, b2s:371-385)."""
+    e = read_table(spark, sf_dir, "events")
+    m = e.select(
+        "event_id", int_map_values(parse_json_map("props")).alias("m")
+    )
+    return m.select(
+        "event_id", F.explode_outer(F.map_entries("m")).alias("entry")
+    ).select(
+        "event_id",
+        F.col("entry.key").alias("prop_key"),
+        F.col("entry.value").alias("prop_value"),
+    )
+
+
+_N4_SQL = """
+SELECT e.event_id, k.key AS prop_key,
+       coalesce(try_cast(json_extract_string(e.props, '$."' || k.key || '"') AS INT), 0)
+           AS prop_value
+FROM events e, unnest(json_keys(e.props)) AS k(key)
+"""
+
+
+def m3_surrogate_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3/F6: xxhash64 surrogate keys with NULL→-1 sentinel.
+
+    No DuckDB xxhash64 exists, so this is a rows-only check; unit
+    tests pin the sentinel/NULL semantics exactly.
+    """
+    n = read_table(spark, sf_dir, "nation")
+    nk = F.when(F.col("n_nationkey") % 5 != 0, F.col("n_name"))
+    return n.select(
+        "n_nationkey",
+        nk.alias("nation_nk"),
+        surrogate_key_safe(nk).alias("nation_key"),
+    )
+
+
+def t_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-extension: tumbling event-time window aggregation (the
+    streaming operator, batch-evaluated — F.window works in both)."""
+    e = read_table(spark, sf_dir, "events")
+    return windowed_event_counts(e, "5 minutes")
+
+
+_T_SQL = """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+       time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(value) AS DOUBLE), 6) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap-based session sequence per user (lag + cumsum)."""
+    e = read_table(spark, sf_dir, "events")
+    s = sessionize(e, gap_seconds=1800)
+    return s.select(
+        "event_id", "user_id", "ts", F.col("session_seq").cast("long").alias("session_seq")
+    )
+
+
+_SESSIONIZE_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
+              WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT)
+                   > 1800 THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+)
+"""
+
+
+# --- LLM-pipeline extension queries --------------------------------------
+
+
+def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard-verified at ≥0.8.
+
+    Oracle is the exact all-candidate Jaccard — LSH (32 bands × 4
+    rows) has ~1.0 recall at this threshold, so the outputs coincide;
+    any miss shows up as a hash mismatch and fails loudly.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        d, "doc_id", "text", n=3, num_hashes=128, bands=32, threshold=0.8
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _jaccard_oracle(n: int, threshold: float) -> str:
+    gram = " || ' ' || ".join(f"ws[i+{j}]" if j else "ws[i]" for j in range(n))
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split({_NT.format(c='text')}, ' ') AS ws FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct([{gram} for i in generate_series(1, greatest(len(ws) - {n - 1}, 0))])
+             AS sh
+  FROM w WHERE len(ws) >= {n}
+), inv AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM s
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+  FROM inv a JOIN inv b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (SELECT doc_id, len(sh) AS n_sh FROM s)
+SELECT id_a, id_b,
+       round(nc / (sa.n_sh + sb.n_sh - nc), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE nc / (sa.n_sh + sb.n_sh - nc) >= {threshold}
+"""
+
+
+def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs via shingle inverted index (n=2)."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit signatures (rows-only: xxhash64 not in DuckDB)."""
+    d = read_table(spark, sf_dir, "documents")
+    return simhash_signatures(d, "doc_id", "text")
+
+
+def x_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for query vectors (vec_id < 5)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_bruteforce(emb, q, k=10)
+
+
+_SIM_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+             AS cs
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, cs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cs DESC, neighbor_id DESC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def x_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate LSH-bucketed top-k (rows-only: recall < 1 by design)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return lsh_bucketed_topk(emb, q, k=10, planes=8)
+
+
+def x_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise centroid per label: posexplode → groupBy(label, dim)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim_idx", "v"))
+        .groupBy("label", "dim_idx")
+        .agg(F.round(F.avg("v"), 6).alias("centroid_v"))
+    )
+
+
+_CENTROID_SQL = """
+SELECT label, CAST(g.i - 1 AS INT) AS dim_idx,
+       round(avg(embedding[g.i]), 6) AS centroid_v
+FROM embeddings, generate_series(1, 64) g(i)
+GROUP BY label, dim_idx
+"""
+
+
+def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language scores + argmax guess."""
+    d = read_table(spark, sf_dir, "documents")
+    return language_scores(d, "doc_id", "text")
+
+
+def _lang_sql() -> str:
+    nt = _NT.format(c="text")
+    score_exprs = []
+    for lang, ms in LANG_MARKERS.items():
+        arr = "[" + ", ".join(f"'{m}'" for m in ms) + "]"
+        score_exprs.append(
+            f"len(list_intersect(ws, {arr})) / greatest(len(ws), 1) AS score_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    guess = "CASE " + " ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""
+WITH w AS (
+  SELECT doc_id, list_distinct(string_split({nt}, ' ')) AS ws FROM documents
+), s AS (
+  SELECT doc_id, {", ".join(score_exprs)} FROM w
+)
+SELECT doc_id, {", ".join(f"score_{l}" for l in langs)}, {guess} AS lang_guess
+FROM s
+"""
+
+
+def x_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/punct/stopword/uniqueness quality signals + combined score."""
+    d = read_table(spark, sf_dir, "documents")
+    return quality_metrics(d, "doc_id", "text")
+
+
+def _quality_sql() -> str:
+    nt = _NT.format(c="text")
+    stop = "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS["en"]) + "]"
+    return f"""
+WITH w AS (
+  SELECT doc_id, text, string_split({nt}, ' ') AS ws FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(len(ws) AS INT) AS n_words,
+         (length(text) - len(ws) + 1) / CAST(greatest(len(ws), 1) AS DOUBLE)
+             AS avg_word_len,
+         len(regexp_extract_all(text, '[\\p{{P}}\\p{{S}}]'))
+             / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+         len(list_filter(ws, x -> list_contains({stop}, x)))
+             / CAST(greatest(len(ws), 1) AS DOUBLE) AS stopword_ratio,
+         len(list_distinct(ws)) / CAST(greatest(len(ws), 1) AS DOUBLE)
+             AS uniq_word_ratio
+  FROM w
+)
+SELECT doc_id, n_chars, n_words, avg_word_len, punct_ratio, stopword_ratio,
+       uniq_word_ratio,
+       round(least(n_words / 100.0, 1.0) * 0.4
+             + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2
+             + least(stopword_ratio * 4.0, 1.0) * 0.2
+             + uniq_word_ratio * 0.2, 6) AS quality_score
+FROM m
+"""
+
+
+def x_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token count + whitespace token count."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        whitespace_token_count("text").alias("n_ws_tokens"),
+    )
+
+
+_TOKEN_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]')) AS INT)
+           AS n_tokens,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_ws_tokens
+FROM documents
+"""
+
+
+def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint: sha2-256 of normalized text."""
+    d = read_table(spark, sf_dir, "documents")
+    return document_fingerprint(d, "doc_id", "text")
+
+
+_FP_SQL = f"""
+SELECT doc_id, sha256({_NT.format(c='text')}) AS fingerprint FROM documents
+"""
+
+
+def x_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: text → binary payload → Arrow-batched
+    mapInPandas "decoder" (deterministic stand-in for image/audio decode
+    — real codecs aren't in this container; the Spark-side schema,
+    batching and partitioning are the part under test).
+    """
+    import pandas as pd
+
+    d = read_table(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def decode_batch(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "head_hex": pdf["payload"].map(lambda b: bytes(b[:8]).hex()),
+                }
+            )
+
+    return payloads.mapInPandas(
+        decode_batch, schema="doc_id long, n_bytes int, head_hex string"
+    )
+
+
+# NOTE: substring-then-encode equals first-8-bytes only for
+# single-byte text; the corpus is ASCII (verified), and the Spark side
+# is the byte-true implementation.
+_MM_SQL = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       lower(hex(encode(substring(text, 1, 8)))) AS head_hex
+FROM documents
+"""
+
+
+# --- registry -------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "s2_scan_filter_project": s2_scan_filter_project,
+    "p3_normalize_blank": p3_normalize_blank,
+    "a1_count_left_join": a1_count_left_join,
+    "a2_dedup_exact": a2_dedup_exact,
+    "j1_left_join_enrich": j1_left_join_enrich,
+    "j4_three_way_agg": j4_three_way_agg,
+    "j6_flat_serving_view": j6_flat_serving_view,
+    "s8_merge_upsert": s8_merge_upsert,
+    "s9_merge_insert_only": s9_merge_insert_only,
+    "u1_union_by_name": u1_union_by_name,
+    "w1_dedupe_latest": w1_dedupe_latest,
+    "o2_topk_per_group": o2_topk_per_group,
+    "f5_sha2_identity": f5_sha2_identity,
+    "f7_text_stats": f7_text_stats,
+    "d1_timestamp_cascade": d1_timestamp_cascade,
+    "d5_date_dimension": d5_date_dimension,
+    "n4_json_map_explode": n4_json_map_explode,
+    "m3_surrogate_sentinel": m3_surrogate_sentinel,
+    "t_windowed_agg": t_windowed_agg,
+    "x_sessionize": x_sessionize,
+    "x_dedup_minhash_lsh": x_dedup_minhash_lsh,
+    "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
+    "x_dedup_simhash": x_dedup_simhash,
+    "x_sim_topk_bruteforce": x_sim_topk_bruteforce,
+    "x_sim_lsh_topk": x_sim_lsh_topk,
+    "x_embed_centroid": x_embed_centroid,
+    "x_lang_id": x_lang_id,
+    "x_quality_metrics": x_quality_metrics,
+    "x_token_count": x_token_count,
+    "x_fingerprint": x_fingerprint,
+    "x_multimodal_bytes": x_multimodal_bytes,
+}
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": _Q1_SQL,
+    "s2_scan_filter_project": _S2_SQL,
+    "p3_normalize_blank": _P3_SQL,
+    "a1_count_left_join": _A1_SQL,
+    "a2_dedup_exact": _A2_SQL,
+    "j1_left_join_enrich": _J1_SQL,
+    "j4_three_way_agg": _J4_SQL,
+    "j6_flat_serving_view": _J6_SQL,
+    "s8_merge_upsert": _S8_SQL,
+    "s9_merge_insert_only": _S9_SQL,
+    "u1_union_by_name": _U1_SQL,
+    "w1_dedupe_latest": _W1_SQL,
+    "o2_topk_per_group": _O2_SQL,
+    "f5_sha2_identity": _F5_SQL,
+    "f7_text_stats": _F7_SQL,
+    "d1_timestamp_cascade": _D1_SQL,
+    "d5_date_dimension": _D5_SQL,
+    "n4_json_map_explode": _N4_SQL,
+    # m3_surrogate_sentinel: rows-only (xxhash64 has no DuckDB twin)
+    "t_windowed_agg": _T_SQL,
+    "x_sessionize": _SESSIONIZE_SQL,
+    "x_dedup_minhash_lsh": _jaccard_oracle(3, 0.8),
+    "x_dedup_ngram_jaccard": _jaccard_oracle(2, 0.5),
+    # x_dedup_simhash: rows-only
+    "x_sim_topk_bruteforce": _SIM_SQL,
+    # x_sim_lsh_topk: rows-only (approximate by design)
+    "x_embed_centroid": _CENTROID_SQL,
+    "x_lang_id": _lang_sql(),
+    "x_quality_metrics": _quality_sql(),
+    "x_token_count": _TOKEN_SQL,
+    "x_fingerprint": _FP_SQL,
+    "x_multimodal_bytes": _MM_SQL,
+}

@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+The reference builds one session per job with catalog + connector conf
+(spark_jobs/gcs_bronze_to_silver.py:47-67, gcs_silver_to_gold.py:42-88).
+It also force-disables vectorized parquet readers, whole-stage codegen
+and Arrow as a local-stability workaround (gcs_silver_to_gold.py:60-64)
+— we deliberately do NOT inherit that: vectorization + codegen stay on.
+
+Scale posture (local[N] test box vs 1000-executor cluster):
+- AQE on (runtime coalescing, skew-join splitting) so the same plan
+  survives a 100× scale-up without hand-tuned shuffle partition counts.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count;
+  on a real cluster AQE's coalescing makes the initial number a ceiling,
+  not a tuning knob.
+- Session timezone pinned to UTC so timestamp semantics are stable and
+  comparable against external engines (DuckDB oracles are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 8
+
+
+def build_session(
+    app_name: str = "news_lakehouse_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with scale-sane defaults."""
+    cores = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cores, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Reference used legacy (non-ANSI) Spark 3.5 semantics; we keep
+        # ANSI off so dirty-input casts degrade to NULL like the
+        # reference's PERMISSIVE ingest expects, and use try_* forms
+        # where we want the intent explicit anyway.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

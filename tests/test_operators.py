@@ -1,0 +1,132 @@
+"""Operator-level unit tests: merge semantics, dedup, windows, keys."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from news_lakehouse_spark.functions.keys import (
+    date_key,
+    sha2_key,
+    surrogate_key_safe,
+)
+from news_lakehouse_spark.operators.dedupe import (
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from news_lakehouse_spark.operators.merge import merge_insert_only, merge_upsert
+from news_lakehouse_spark.operators.windows import dedupe_latest, top_k_per_group
+
+
+def test_merge_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    source = spark.createDataFrame(
+        [(2, "B"), (4, "D"), (4, "D2")], ["k", "v"]
+    )
+    out = merge_upsert(
+        target, source, ["k"], order_by=[F.col("v").desc()]
+    )
+    got = {(r["k"], r["v"]) for r in out.collect()}
+    # source wins on 2; 4 deduped to the first under order_by (D2 > D)
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "D2")}
+
+
+def test_merge_insert_only_semantics(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    source = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"])
+    out = merge_insert_only(target, source, ["k"])
+    got = {(r["k"], r["v"]) for r in out.collect()}
+    # 2 keeps the target value (no update branch), 3 inserted
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_merge_drops_null_keys(spark):
+    target = spark.createDataFrame([(1, "a")], ["k", "v"])
+    source = spark.createDataFrame(
+        [(None, "x"), (2, "b")], "k int, v string"
+    )
+    out = merge_upsert(target, source, ["k"])
+    assert {(r["k"], r["v"]) for r in out.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_surrogate_key_sentinel(spark):
+    df = spark.createDataFrame(
+        [("a",), ("",), ("   ",), (None,)], "nk string"
+    )
+    rows = df.select(
+        "nk", surrogate_key_safe("nk").alias("key")
+    ).collect()
+    by_nk = {r["nk"]: r["key"] for r in rows}
+    assert by_nk[""] == -1
+    assert by_nk["   "] == -1  # trimmed blank → sentinel
+    assert by_nk[None] == -1
+    assert by_nk["a"] != -1
+    # deterministic and equal to xxhash64 of the trimmed key
+    expected = df.select(F.xxhash64(F.lit("a")).alias("h")).first()["h"]
+    assert by_nk["a"] == expected
+
+
+def test_sha2_key_matches_concat_ws(spark):
+    df = spark.createDataFrame([(" a ", None, "b")], "x string, y string, z string")
+    got = df.select(sha2_key("x", "y", "z").alias("k")).first()["k"]
+    exp = df.select(
+        F.sha2(F.concat_ws("||", F.lit("a"), F.lit("b")), 256).alias("k")
+    ).first()["k"]
+    # NULL parts are skipped by concat_ws (reference id contract)
+    assert got == exp
+
+
+def test_date_key(spark):
+    df = spark.createDataFrame([("2024-03-07",), (None,)], "d string")
+    rows = df.select(
+        date_key(F.col("d").cast("date")).alias("k")
+    ).collect()
+    assert {r["k"] for r in rows} == {20240307, -1}
+
+
+def test_dedupe_latest_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (1, 20, "y"), (2, 5, "z")], ["k", "ts", "v"]
+    )
+    out = dedupe_latest(df, ["k"], [F.col("ts").desc()])
+    assert {(r["k"], r["v"]) for r in out.collect()} == {(1, "y"), (2, "z")}
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("g", i, float(100 - i)) for i in range(10)], ["g", "i", "v"]
+    )
+    out = top_k_per_group(df, ["g"], [F.col("v").desc(), F.col("i")], 3)
+    assert sorted(r["i"] for r in out.collect()) == [0, 1, 2]
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog again and again today " * 5
+    for i in range(20):
+        rows.append((i, f"unrelated document number {i} with its own words {'filler %d ' % i * 30}"))
+    rows.append((100, base))
+    rows.append((101, base + " extra tail"))  # near-dup of 100
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = minhash_near_duplicates(df, "doc_id", "text", threshold=0.8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (100, 101) in got
+    exact = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.8)
+    assert {(r["id_a"], r["id_b"]) for r in exact.collect()} == got
+
+
+def test_simhash_close_for_near_dups(spark):
+    a = "spark makes big data processing fast and expressive " * 10
+    df = spark.createDataFrame(
+        [(1, a), (2, a + " tiny change"), (3, "completely different words here entirely")],
+        ["doc_id", "text"],
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df, "doc_id", "text").collect()}
+
+    def hamming(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(sigs[1], sigs[2]) <= 6
+    assert hamming(sigs[1], sigs[3]) > 10

@@ -1,0 +1,144 @@
+"""End-to-end bronze→silver→gold pipeline tests on synthetic news
+fixtures (schema mirrors FIXTURES.md §B / reference spark_jobs/schema.py)."""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pytest
+
+from news_lakehouse_spark.plans.gold import (
+    build_gold_dimensions,
+    build_gold_facts,
+    unknown_dimension_rows,
+)
+from news_lakehouse_spark.plans.flat_view import articles_flat_view
+from news_lakehouse_spark.plans.silver import build_silver_tables
+from news_lakehouse_spark.schemas import NEWS_SCHEMA
+
+TOPICS = ["thoi-su", "the-gioi", "kinh-doanh", None, "  "]
+DATES = [
+    "2024-01-02T03:04:05+07:00",
+    "Thứ sáu, 10/10/2025, 14:27 (GMT+7)",
+    "1700000000",
+    "1700000000123",
+    "02/03/2024 10:11",
+    "garbage",
+]
+
+
+def make_raw_rows(n=200, seed=7):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        url = None if i % 50 == 3 else f"https://news.example/{i % 180}"
+        rows.append(
+            {
+                "title": f"Title {i}" if i % 20 else "",
+                "url": url,
+                "author": rng.choice(["  An ", "Binh", "Chi", None]),
+                "topic": rng.choice(TOPICS),
+                "sub_topic": rng.choice(["chinh-tri", "bong-da", None]),
+                "publish_date": rng.choice(DATES),
+                "description": f"desc {i}",
+                "main_content": ("word " * rng.randint(0, 300)).strip(),
+                "keywords": rng.sample(["ai", "vn", "tech", "", "econ"], k=rng.randint(0, 4)),
+                "references": rng.sample(["vne", "afp", "reuters"], k=rng.randint(0, 2)),
+                "comment_count": rng.randint(0, 50),
+                "top_comments": [
+                    {
+                        "commenter_name": f"user{c}",
+                        "comment_content": f"comment {c} on {i}",
+                        "total_likes": rng.randint(0, 99),
+                        "interaction_details": json.dumps(
+                            {"like": str(rng.randint(0, 20)), "love": "x" if c % 7 == 0 else "2"}
+                        )
+                        if c % 5
+                        else "not json",
+                    }
+                    for c in range(rng.randint(0, 4))
+                ],
+                "ingested_at": "2025-01-01T00:00:00",
+                "year": 2025,
+                "month": 1,
+                "day": 1,
+            }
+        )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def silver(spark):
+    raw = spark.createDataFrame(make_raw_rows(), NEWS_SCHEMA)
+    tables = build_silver_tables(raw)
+    for df in tables.values():
+        df.persist()
+    yield tables
+    for df in tables.values():
+        df.unpersist()
+
+
+def test_silver_row_gate(spark, silver):
+    # blank-url rows are dropped; article ids unique
+    arts = silver["articles"]
+    assert arts.count() == arts.select("ArticleID").distinct().count()
+    assert arts.filter(arts.URL.isNull()).count() == 0
+
+
+def test_silver_keys_unique(silver):
+    for name, keys in {
+        "authors": ["AuthorID"],
+        "topics": ["TopicID"],
+        "subtopics": ["SubTopicID"],
+        "keywords": ["KeywordID"],
+        "references_table": ["ReferenceID"],
+        "comments": ["CommentID"],
+        "comment_interactions": ["CommentInteractionID"],
+        "article_keywords": ["ArticleID", "KeywordID"],
+        "article_references": ["ArticleID", "ReferenceID"],
+    }.items():
+        df = silver[name]
+        assert df.count() == df.select(*keys).distinct().count(), name
+
+
+def test_comment_interactions_parse(silver):
+    ci = silver["comment_interactions"]
+    rows = ci.collect()
+    assert rows, "no interactions parsed"
+    # non-numeric values coalesce to 0, keys are lowercase
+    assert all(r["InteractionCount"] >= 0 for r in rows)
+    assert all(r["InteractionType"] == r["InteractionType"].lower() for r in rows)
+
+
+def test_gold_star_schema(spark, silver):
+    dims = build_gold_dimensions(silver)
+    facts = build_gold_facts(silver)
+    dims = unknown_dimension_rows(spark, dims)
+    # every dim has the -1 member (except dim_date)
+    for name, df in dims.items():
+        if name == "dim_date":
+            continue
+        key_col = df.columns[0]
+        assert df.filter(df[key_col] == -1).count() == 1, name
+    # FK integrity: every fact AuthorKey exists in dim_author
+    fap = facts["fact_article_publication"]
+    missing = (
+        fap.join(
+            dims["dim_author"].select("AuthorKey"), "AuthorKey", "left_anti"
+        ).count()
+    )
+    assert missing == 0
+    # flat view row count == fact row count (left joins preserve grain)
+    flat = articles_flat_view(
+        fap, dims["dim_author"], dims["dim_topic"], dims["dim_sub_topic"]
+    )
+    assert flat.count() == fap.count()
+
+
+def test_gold_date_key_shape(silver):
+    dd = build_gold_dimensions(silver)["dim_date"]
+    rows = dd.collect()
+    for r in rows:
+        d = r["FullDateAlternateKey"]
+        assert r["DateKey"] == d.year * 10000 + d.month * 100 + d.day
