@@ -32,6 +32,31 @@ def dedupe_latest(
     )
 
 
+def asof_last(
+    df: DataFrame,
+    partition_by: list[str],
+    ts_col: str,
+    condition: Column,
+    value: Column,
+    out_col: str,
+) -> DataFrame:
+    """As-of lookup: latest ``value`` (rows where ``condition``) at or
+    before each row's ``ts_col``, per partition key.
+
+    Spark has no native as-of join; the scalable form is a single
+    window scan over the interleaved stream — one shuffle on the
+    partition key, O(n) per partition — instead of the quadratic
+    inequality join (guide: as-of via bucketize/merge_asof; this is
+    the pure-DataFrame variant).
+    """
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(F.col(ts_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(out_col, F.max(F.when(condition, value)).over(w))
+
+
 def top_k_per_group(
     df: DataFrame,
     group_by: list[str],

@@ -41,7 +41,11 @@ from news_lakehouse_spark.operators.textmetrics import (
     token_count,
     whitespace_token_count,
 )
-from news_lakehouse_spark.operators.windows import dedupe_latest, top_k_per_group
+from news_lakehouse_spark.operators.windows import (
+    asof_last,
+    dedupe_latest,
+    top_k_per_group,
+)
 from news_lakehouse_spark.sources.readers import read_table
 from news_lakehouse_spark.streaming.windows import sessionize, windowed_event_counts
 
@@ -571,6 +575,165 @@ FROM (
 """
 
 
+def o1_sort_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O3: global recency sort + limit (crawler upload ordering)."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.select("event_id", "ts", "event_type")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(100)
+    )
+
+
+_O1_SQL = """
+SELECT event_id, ts, event_type FROM events
+ORDER BY ts DESC, event_id DESC LIMIT 100
+"""
+
+
+def j7_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins (EXISTS / NOT EXISTS) — SURVEY §2.3 notes the
+    reference leaves these implicit in MERGE; the engine exposes both."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").select("o_custkey")
+    has = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", F.lit(True).alias("has_orders")
+    )
+    hasnt = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.lit(False).alias("has_orders")
+    )
+    return has.unionByName(hasnt)
+
+
+_J7_SQL = """
+SELECT c_custkey, TRUE AS has_orders FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+UNION ALL
+SELECT c_custkey, FALSE FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+"""
+
+
+def u2_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops beyond union: INTERSECT and EXCEPT (distinct forms)."""
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = c.intersect(s).withColumn("set_op", F.lit("intersect"))
+    # subtract = distinct EXCEPT (exceptAll is the multiset form, which
+    # would keep keys that appear in both when the left has duplicates)
+    only_c = c.subtract(s).withColumn("set_op", F.lit("except"))
+    return both.unionByName(only_c)
+
+
+_U2_SQL = """
+SELECT nationkey, 'intersect' AS set_op FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT nationkey, 'except' AS set_op FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT
+  SELECT s_nationkey FROM supplier
+)
+"""
+
+
+def a4_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (extension beyond the reference's aggs)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_A4_SQL = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def a5_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+_A5_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def a6_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (linestatus → columns)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+_A6_SQL = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) per group — rows-only check (the
+    sketch estimate is engine-specific); tests pin <5% error vs exact."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest signup at-or-before each purchase, per user.
+
+    Linear window-scan implementation (one shuffle on user_id); the
+    oracle states the same semantics as the quadratic inequality join.
+    """
+    e = read_table(spark, sf_dir, "events")
+    enriched = asof_last(
+        e,
+        ["user_id"],
+        "ts",
+        F.col("event_type") == "signup",
+        F.col("ts"),
+        "asof_signup_ts",
+    )
+    return enriched.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "asof_signup_ts"
+    )
+
+
+_ASOF_SQL = """
+SELECT p.event_id, p.user_id, p.ts, max(s.ts) AS asof_signup_ts
+FROM events p
+LEFT JOIN events s
+  ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+
 # --- LLM-pipeline extension queries --------------------------------------
 
 
@@ -780,38 +943,25 @@ SELECT doc_id, sha256({_NT.format(c='text')}) AS fingerprint FROM documents
 
 
 def x_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal column plumbing: text → binary payload → Arrow-batched
-    mapInPandas "decoder" (deterministic stand-in for image/audio decode
-    — real codecs aren't in this container; the Spark-side schema,
-    batching and partitioning are the part under test).
-    """
-    import pandas as pd
+    """Multimodal column plumbing: binary payload + typed metadata →
+    Arrow-batched mapInPandas feature extraction (deterministic
+    stand-in for image/audio decode — see operators.multimodal)."""
+    from news_lakehouse_spark.operators.multimodal import (
+        extract_features,
+        with_binary_payload,
+    )
 
     d = read_table(spark, sf_dir, "documents")
-    payloads = d.select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
-    )
-
-    def decode_batch(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": pdf["payload"].map(len).astype("int32"),
-                    "head_hex": pdf["payload"].map(lambda b: bytes(b[:8]).hex()),
-                }
-            )
-
-    return payloads.mapInPandas(
-        decode_batch, schema="doc_id long, n_bytes int, head_hex string"
-    )
+    return extract_features(with_binary_payload(d))
 
 
 # NOTE: substring-then-encode equals first-8-bytes only for
 # single-byte text; the corpus is ASCII (verified), and the Spark side
 # is the byte-true implementation.
 _MM_SQL = """
-SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+SELECT doc_id, 'text' AS modality,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       sha256(text) AS content_sha,
        lower(hex(encode(substring(text, 1, 8)))) AS head_hex
 FROM documents
 """
@@ -839,6 +989,14 @@ QUERIES: dict[str, QueryFn] = {
     "d5_date_dimension": d5_date_dimension,
     "n4_json_map_explode": n4_json_map_explode,
     "m3_surrogate_sentinel": m3_surrogate_sentinel,
+    "o1_sort_recency": o1_sort_recency,
+    "j7_semi_anti": j7_semi_anti,
+    "u2_intersect_except": u2_intersect_except,
+    "a4_rollup": a4_rollup,
+    "a5_cube": a5_cube,
+    "a6_pivot": a6_pivot,
+    "x_approx_distinct": x_approx_distinct,
+    "x_asof_join": x_asof_join,
     "t_windowed_agg": t_windowed_agg,
     "x_sessionize": x_sessionize,
     "x_dedup_minhash_lsh": x_dedup_minhash_lsh,
@@ -874,6 +1032,14 @@ ORACLES: dict[str, str] = {
     "d5_date_dimension": _D5_SQL,
     "n4_json_map_explode": _N4_SQL,
     # m3_surrogate_sentinel: rows-only (xxhash64 has no DuckDB twin)
+    "o1_sort_recency": _O1_SQL,
+    "j7_semi_anti": _J7_SQL,
+    "u2_intersect_except": _U2_SQL,
+    "a4_rollup": _A4_SQL,
+    "a5_cube": _A5_SQL,
+    "a6_pivot": _A6_SQL,
+    # x_approx_distinct: rows-only (sketch estimates are engine-specific)
+    "x_asof_join": _ASOF_SQL,
     "t_windowed_agg": _T_SQL,
     "x_sessionize": _SESSIONIZE_SQL,
     "x_dedup_minhash_lsh": _jaccard_oracle(3, 0.8),

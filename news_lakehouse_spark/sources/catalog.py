@@ -1,0 +1,97 @@
+"""Catalog / table-management layer.
+
+Reference parity:
+- S6 DDL & namespace management (CREATE NAMESPACE / CREATE TABLE IF
+  NOT EXISTS ... USING iceberg, b2s:73-158, s2g:150-322) → managed
+  parquet table directories under a warehouse root + registered views.
+- S7 existence probe (DESCRIBE + limit(1) in try/except,
+  s2g:100-109) → spark.catalog.tableExists / filesystem probe.
+- S5 FS directory listing for topic autodetect (b2s:216-237, via
+  JVM Hadoop FileSystem) → plain listing of child dirs.
+- S12 temp-view staging for MERGE sources (b2s:453-454) →
+  create/drop temp views.
+
+The reference's Iceberg catalog is a jar we don't ship offline; a
+warehouse of partitioned parquet directories + the merge layer in
+operators.merge reproduces the same table semantics (SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ParquetWarehouse:
+    """A namespace of managed parquet tables rooted at a directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def create_namespace(self) -> None:
+        os.makedirs(self.root, exist_ok=True)
+
+    def list_tables(self) -> list[str]:
+        """S5 analog: child-directory listing of the namespace."""
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+        )
+
+    def table_exists(self, table: str) -> bool:
+        """S7: cheap existence probe without reading data."""
+        p = self.path(table)
+        if not os.path.isdir(p):
+            return False
+        try:
+            self.spark.read.parquet(p).schema
+            return True
+        except Exception:
+            return False
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def write(
+        self,
+        table: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.path(table))
+
+    def upsert(
+        self,
+        table: str,
+        source: DataFrame,
+        keys: list[str],
+        partition_by: list[str] | None = None,
+        insert_only: bool = False,
+    ) -> None:
+        from news_lakehouse_spark.operators.merge import upsert_parquet_table
+
+        upsert_parquet_table(
+            self.spark,
+            source,
+            self.path(table),
+            keys,
+            partition_by=partition_by,
+            insert_only=insert_only,
+        )
+
+    def register_views(self, prefix: str = "") -> None:
+        """S12 analog: expose every table as a temp view for spark.sql."""
+        for t in self.list_tables():
+            self.read(t).createOrReplaceTempView(f"{prefix}{t}")

@@ -75,7 +75,7 @@ def read_bronze_stream(
 
 def with_path_provenance(
     df: DataFrame,
-    pattern: str = r"/(?:vnexpress|bronze)/([^/]+)/",
+    pattern: str = r"/vnexpress/([^/]+)/",
     col_name: str = "topic",
 ) -> DataFrame:
     """Derive a provenance column from the source file path (S4)."""

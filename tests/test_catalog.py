@@ -1,0 +1,63 @@
+"""Catalog layer (S3, S5-S7, S12), provenance (S4), serving export (S13)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from news_lakehouse_spark.sources.catalog import ParquetWarehouse
+from news_lakehouse_spark.sources.readers import (
+    read_bronze_batch,
+    with_path_provenance,
+)
+from news_lakehouse_spark.sources.writers import serving_export
+
+
+def test_warehouse_lifecycle(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path / "warehouse"))
+    wh.create_namespace()
+    assert wh.list_tables() == []
+    assert not wh.table_exists("t1")
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    wh.write("t1", df)
+    assert wh.list_tables() == ["t1"]
+    assert wh.table_exists("t1")
+    assert wh.read("t1").count() == 2
+
+    # upsert path (S8 through the catalog)
+    delta = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"])
+    wh.upsert("t1", delta, keys=["k"])
+    got = {(r["k"], r["v"]) for r in wh.read("t1").collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+    # S12: views
+    wh.register_views()
+    assert spark.sql("SELECT count(*) c FROM t1").first()["c"] == 3
+
+
+def test_path_provenance(spark, tmp_path):
+    import json
+
+    d = tmp_path / "bronze" / "vnexpress" / "the-gioi" / "2024"
+    d.mkdir(parents=True)
+    rec = {"title": "x", "url": "https://e/1"}
+    (d / "a.json").write_text(json.dumps(rec))
+    df = read_bronze_batch(spark, str(tmp_path / "bronze"))
+    out = with_path_provenance(df)
+    assert out.first()["topic"] == "the-gioi"
+
+
+def test_serving_export(spark, tmp_path, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    out = str(tmp_path / "serving")
+    serving_export(
+        orders, out, partition_by=["status"], sort_within_by=["o_orderkey"]
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    # partition pruning works on the partition column
+    pruned = back.filter(F.col("status") == "O")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or pruned.count() > 0
