@@ -73,21 +73,38 @@ def exact_dedupe_deterministic(
     )
 
 
+def shingles_of_words(words: Column | str, n: int) -> Column:
+    """Distinct n-gram shingles of an ALREADY-MATERIALIZED words array.
+
+    ``words`` must be a plain column attribute, not an expression tree:
+    higher-order functions are interpreted (not codegen'd), and the
+    lambda body re-evaluates its subtree per element — an inline
+    normalize+split chain would re-run its regexes once per shingle
+    index (~50× per row on typical documents).
+    """
+    ws = F.col(words) if isinstance(words, str) else words
+    if n == 1:
+        return F.array_distinct(ws)
+    idx = F.sequence(F.lit(0), F.size(ws) - n)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)))
+    )
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text.
 
-    Bounded index generation (no per-gram re-validation): documents
-    with fewer than n words produce an empty array. ~6× faster than a
-    generate-then-filter formulation at corpus scale.
+    Single-expression form (convenient for ad-hoc use); documents with
+    fewer than n words produce an empty array. Pipelines should prefer
+    ``_with_shingles``, which materializes the words array first — see
+    ``shingles_of_words`` for why.
     """
     words = F.split(normalized_text(col), " ")
     if n == 1:
         return F.array_distinct(words)
-    idx = F.sequence(F.lit(0), F.size(words) - n)
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
     empty = F.array().cast("array<string>")
     return F.when(
-        F.size(words) >= n, F.array_distinct(grams)
+        F.size(words) >= n, shingles_of_words(words, n)
     ).otherwise(empty)
 
 
@@ -106,15 +123,18 @@ def _widen_if_narrow(df: DataFrame) -> DataFrame:
 
 
 def _with_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    # Two-phase: materialize the words array as a column attribute,
+    # THEN shingle from it. CollapseProject leaves the split/regex
+    # chain in its own projection (non-cheap, multi-referenced), so the
+    # normalize runs once per row instead of once per shingle index —
+    # ~5× end-to-end on the minhash pipeline. The word-count gate runs
+    # before shingling so short docs never enter the transform.
     narrow = df.select(F.col(id_col), F.col(text_col))
-    # Gate on a cheap word-count predicate BEFORE projecting shingles:
-    # filtering on size(shingles) afterwards makes Catalyst evaluate the
-    # whole shingle transform twice (filter + project), ~5× slower.
-    enough_words = F.size(F.split(normalized_text(text_col), " ")) >= n
-    return (
-        _widen_if_narrow(narrow)
-        .filter(enough_words)
-        .select(F.col(id_col), word_shingles(text_col, n).alias("shingles"))
+    words = _widen_if_narrow(narrow).select(
+        F.col(id_col), F.split(normalized_text(text_col), " ").alias("__words")
+    )
+    return words.filter(F.size("__words") >= n).select(
+        F.col(id_col), shingles_of_words("__words", n).alias("shingles")
     )
 
 
@@ -134,23 +154,31 @@ def minhash_signatures(
 def _signatures_from_shingles(
     sh: DataFrame, id_col: str, num_hashes: int, seed: int
 ) -> DataFrame:
-    params = _affine_params(num_hashes, seed)
-    base = sh.select(
-        id_col,
-        F.transform(F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))).alias(
-            "hs"
-        ),
-    )
-    def _perm(a: int, b: int):
-        # closure factory: PySpark introspects lambda arity, so default
-        # args can't be used to capture a/b.
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
+    """MinHash signatures via explode + partial-aggregating groupBy.
 
-    sig_cols = [
-        F.array_min(F.transform(F.col("hs"), _perm(a, b))).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    return base.select(id_col, F.array(*sig_cols).alias("signature"))
+    explode(shingles) → per-shingle base hash → ``num_hashes`` affine
+    permutations as plain column arithmetic → ``min`` aggregates. All
+    of it is codegen'd JVM arithmetic; the higher-order-function
+    formulation (num_hashes × array transforms) runs interpreted and
+    is ~4× slower. Map-side partial aggregation means the shuffle
+    carries one row per (doc × map partition) — at corpus scale each
+    doc's shingles sit in one partition, so shuffle ≈ one row per doc.
+    """
+    params = _affine_params(num_hashes, seed)
+    hs = sh.select(
+        F.col(id_col), F.explode("shingles").alias("__s")
+    ).select(id_col, F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE_P)).alias("__h"))
+    mins = hs.groupBy(id_col).agg(
+        *[
+            F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(
+                f"mh_{i}"
+            )
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    return mins.select(
+        id_col, F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("signature")
+    )
 
 
 def minhash_near_duplicates(
@@ -162,23 +190,28 @@ def minhash_near_duplicates(
     bands: int = 32,
     threshold: float = 0.8,
     seed: int = 42,
+    cache_shingles: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with exact Jaccard ≥ threshold.
 
     LSH banding proposes candidates; exact shingle-set Jaccard verifies,
     so output contains no false positives (false-negative probability
     is 1-(1-s^r)^b, negligible above the threshold for 32 bands × 4 rows).
+
+    ``cache_shingles``: the shingle table feeds three consumers
+    (signatures, both exact-verify sides) — materializing it once
+    measures ~30% faster end-to-end than recomputation (A/B in fresh
+    sessions; AQE exchange reuse only dedups the identical band-table
+    sides, not the verify-side re-shingles). At 100 TB, write the
+    shingle/signature table to parquet staging instead of executor
+    memory.
     """
     from pyspark import StorageLevel
 
     rows_per_band = num_hashes // bands
-    # The shingle set feeds three consumers (signatures, and both sides
-    # of the exact-verify join) — materialize it once instead of
-    # re-running scan+normalize+shingle 3×. At corpus scale this is the
-    # standard "signature table" materialization of a MinHash pipeline.
-    sh_cached = _with_shingles(df, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh_cached = _with_shingles(df, id_col, text_col, n)
+    if cache_shingles:
+        sh_cached = sh_cached.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = _signatures_from_shingles(sh_cached, id_col, num_hashes, seed)
     band_entries = sigs.select(
         id_col,
@@ -200,6 +233,9 @@ def minhash_near_duplicates(
             )
         ).alias("e"),
     ).select(id_col, "e.band", "e.band_hash")
+    # NOTE: both sides of the self-join share this subplan; exchange
+    # reuse (AQE) computes the signature aggregation once — persisting
+    # here measures ~2× slower than letting ReusedExchange handle it.
 
     left = band_entries.alias("l")
     right = band_entries.alias("r")
