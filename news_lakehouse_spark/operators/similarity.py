@@ -161,3 +161,86 @@ def lsh_bucketed_topk(
         [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
         k,
     )
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    blocks: int = 8,
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (id_a < id_b, cos ≥ τ).
+
+    Blocked all-pairs: rows hash into ``blocks`` blocks; every row is
+    replicated to the block *pairs* it participates in (B copies), and
+    each of the B(B+1)/2 pair-groups scores its two blocks with one
+    Arrow-batched numpy matmul (`applyInPandas`). Total work is the
+    exact n²/2 — the blocking makes it *distributed* (tasks of
+    (n/B)² each) instead of single-node, and each pair of vectors
+    meets in exactly one group, so no dedup pass is needed.
+
+    Scale path: exact all-pairs is O(n²) no matter how it's blocked —
+    past ~10M vectors, swap the candidate generator for
+    ``lsh_bucketed_topk``'s hyperplane buckets (recall < 1) and keep
+    the numpy verify. Math in float64 for oracle-stable rounding.
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = int(blocks)
+    tagged = corpus.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(B)).alias("__blk"),
+    )
+    # A row in block b replicated over k=0..B-1 lands in pair
+    # (min(b,k), max(b,k)): once per off-diagonal pair it belongs to,
+    # once in the diagonal (b,b) — no duplicates by construction.
+    rep = (
+        tagged.withColumn("__k", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+        .withColumn("__bi", F.least("__blk", "__k"))
+        .withColumn("__bj", F.greatest("__blk", "__k"))
+        .drop("__k")
+    )
+
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "cos_sim": pd.Series(dtype="float64"),
+        }
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        bi = int(pdf["__bi"].iloc[0])
+        bj = int(pdf["__bj"].iloc[0])
+        left = pdf[pdf["__blk"] == bi]
+        right = pdf[pdf["__blk"] == bj] if bi != bj else left
+        if left.empty or right.empty:
+            return empty
+        X = np.stack(left["__vec"].to_numpy()).astype("float64")
+        Y = np.stack(right["__vec"].to_numpy()).astype("float64")
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        Yn = Y / np.linalg.norm(Y, axis=1, keepdims=True)
+        S = Xn @ Yn.T
+        ia, ib = np.where(S >= threshold)
+        ids_a = left["__id"].to_numpy()[ia]
+        ids_b = right["__id"].to_numpy()[ib]
+        sims = S[ia, ib]
+        if bi == bj:
+            # each unordered pair appears as (x,y) and (y,x); the
+            # ordered filter also drops self-pairs (cos = 1)
+            keep = ids_a < ids_b
+            lo, hi, sims = ids_a[keep], ids_b[keep], sims[keep]
+        else:
+            # blocks are disjoint: each pair appears once — reorder
+            lo = np.minimum(ids_a, ids_b)
+            hi = np.maximum(ids_a, ids_b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": sims})
+
+    return (
+        rep.groupBy("__bi", "__bj")
+        .applyInPandas(score, schema="id_a long, id_b long, cos_sim double")
+        .withColumn("cos_sim", F.round("cos_sim", 6))
+    )

@@ -1,0 +1,82 @@
+"""Skew mitigation: salted aggregation and salted join.
+
+At 100 TB a groupBy key with 3 distinct values (or one viral join key)
+sends entire key populations to single reducers. AQE skew-join
+splitting handles sort-merge joins; these operators cover the cases it
+doesn't:
+
+- ``salted_aggregate`` — two-stage decomposable aggregation: stage 1
+  groups on (keys, salt) so every reducer sees ≤ 1/salt of a hot key,
+  stage 2 combines the per-salt partials. count/sum/min/max decompose
+  exactly (count re-sums, avg = sum/count at the end).
+- ``salted_join`` — left-side rows get a salt in [0, salt); the right
+  side is replicated salt× with each copy tagged. The hot key's rows
+  then spread over `salt` reducers. Results are identical to the
+  plain join (salt is a partitioning artifact, joined on key+salt).
+
+Salts derive from per-row plan-stable values, not rand(): identical
+results on task retry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def _row_salt(df: DataFrame, salt: int) -> Column:
+    # plan-stable pseudo-random per-row value; any distribution works,
+    # the join/agg result does not depend on it.
+    return F.pmod(
+        F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+        F.lit(salt),
+    )
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    sums: list[str] | None = None,
+    count_alias: str = "n_rows",
+    salt: int = 16,
+) -> DataFrame:
+    """groupBy(keys) with count + sums, skew-safe via two-stage salt.
+
+    Equivalent to ``df.groupBy(keys).agg(count(*), sum(c)...)`` — the
+    salt only bounds per-reducer key volume. (Spark's own partial
+    aggregation already combines map-side; explicit salting matters
+    when the per-key *distinct-value* state of later stages, or a
+    non-combinable agg, concentrates on few reducers.)
+    """
+    sums = sums or []
+    stage1 = df.withColumn(_SALT, _row_salt(df, salt)).groupBy(*keys, _SALT).agg(
+        F.count("*").alias("__cnt"),
+        *[F.sum(c).alias(f"__sum_{c}") for c in sums],
+    )
+    return stage1.groupBy(*keys).agg(
+        F.sum("__cnt").alias(count_alias),
+        *[F.sum(f"__sum_{c}").alias(f"sum_{c}") for c in sums],
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the left (large, skewed) side salted and the
+    right side replicated ``salt``×.
+
+    Use when the right side is too big to broadcast and a handful of
+    join keys dominate the left. Right-side blow-up is salt×, so keep
+    the right side the smaller input.
+    """
+    l_salted = left.withColumn(_SALT, _row_salt(left, salt))
+    r_replicated = right.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>"))
+    )
+    return l_salted.join(r_replicated, [*on, _SALT], how).drop(_SALT)

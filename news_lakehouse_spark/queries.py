@@ -32,7 +32,13 @@ from news_lakehouse_spark.operators.dedupe import (
     simhash_signatures,
 )
 from news_lakehouse_spark.operators.merge import merge_insert_only, merge_upsert
-from news_lakehouse_spark.operators.similarity import cosine_topk_bruteforce, lsh_bucketed_topk
+from news_lakehouse_spark.operators.rangejoin import range_join_bucketed
+from news_lakehouse_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    embedding_near_duplicates,
+    lsh_bucketed_topk,
+)
+from news_lakehouse_spark.operators.skew import salted_aggregate, salted_join
 from news_lakehouse_spark.operators.textmetrics import (
     LANG_MARKERS,
     document_fingerprint,
@@ -967,6 +973,109 @@ FROM documents
 """
 
 
+
+
+def x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (absent in reference, SURVEY §2.3): purchases inside
+    each signup's 30-minute window, via bucketized equi-join — no
+    BroadcastNestedLoopJoin, skew handled like any other join."""
+    e = read_table(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("s_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("s_end"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("p_ts")
+    )
+    joined = range_join_bucketed(
+        purchases, signups, "p_ts", "s_ts", "s_end", bucket_width_seconds=1800
+    )
+    counts = joined.groupBy("signup_id").agg(F.count("*").alias("n_purchases"))
+    return (
+        signups.join(counts, "signup_id", "left")
+        .select(
+            "signup_id",
+            F.coalesce("n_purchases", F.lit(0)).cast("long").alias("n_purchases"),
+        )
+    )
+
+
+_RANGE_SQL = """
+WITH s AS (SELECT event_id AS signup_id, ts AS s_ts FROM events
+           WHERE event_type = 'signup'),
+     p AS (SELECT ts AS p_ts FROM events WHERE event_type = 'purchase')
+SELECT s.signup_id,
+       CAST(count(p.p_ts) AS BIGINT) AS n_purchases
+FROM s LEFT JOIN p
+  ON p.p_ts >= s.s_ts AND p.p_ts < s.s_ts + INTERVAL 30 MINUTE
+GROUP BY s.signup_id
+"""
+
+
+def x_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation: lineitem has 3 returnflag
+    values — at 100 TB each plain groupBy key is a whole-reducer hot
+    spot; the salt stage bounds per-reducer key volume."""
+    li = read_table(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li, ["l_returnflag"], sums=["l_quantity"], count_alias="n_rows", salt=16
+    )
+    return out.select(
+        "l_returnflag", "n_rows", F.round("sum_l_quantity", 2).alias("sum_qty")
+    )
+
+
+_SALTED_AGG_SQL = """
+SELECT l_returnflag, count(*) AS n_rows,
+       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def x_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (left salted, right replicated) — result
+    identical to the plain join; the salt spreads hot keys across
+    reducers when the right side is too big to broadcast."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), o, ["o_orderkey"], salt=8
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+_SALTED_JOIN_SQL = """
+SELECT o_orderstatus, count(*) AS n_items,
+       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs — EXACT blocked all-pairs
+    (numpy over applyInPandas); threshold tuned to the synthetic
+    corpus (random vectors top out near cos 0.5-0.6)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        emb, "vec_id", "embedding", threshold=0.42, blocks=8
+    )
+
+
+_EMB_COS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.42
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -1010,6 +1119,10 @@ QUERIES: dict[str, QueryFn] = {
     "x_token_count": x_token_count,
     "x_fingerprint": x_fingerprint,
     "x_multimodal_bytes": x_multimodal_bytes,
+    "x_range_join": x_range_join,
+    "x_salted_agg": x_salted_agg,
+    "x_salted_join": x_salted_join,
+    "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
 }
 
 ORACLES: dict[str, str] = {
@@ -1053,4 +1166,8 @@ ORACLES: dict[str, str] = {
     "x_token_count": _TOKEN_SQL,
     "x_fingerprint": _FP_SQL,
     "x_multimodal_bytes": _MM_SQL,
+    "x_range_join": _RANGE_SQL,
+    "x_salted_agg": _SALTED_AGG_SQL,
+    "x_salted_join": _SALTED_JOIN_SQL,
+    "x_dedup_embedding_cosine": _EMB_COS_SQL,
 }

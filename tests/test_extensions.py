@@ -86,3 +86,95 @@ def test_multimodal_stub_contract(spark, sf_dir):
         decode_image(b"abcdef")
     with pytest.raises(NotImplementedError):
         decode_audio(b"abcdef")
+
+
+# --- range join / skew / embedding near-dup -------------------------------
+
+
+def test_range_join_matches_naive(spark, sf_dir):
+    from news_lakehouse_spark.operators.rangejoin import range_join_bucketed
+
+    e = read_table(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("sid"),
+        F.col("ts").alias("s_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("s_end"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(F.col("ts").alias("p_ts"))
+    fast = range_join_bucketed(p, s, "p_ts", "s_ts", "s_end", 1800)
+    naive = p.join(s, (F.col("p_ts") >= F.col("s_ts")) & (F.col("p_ts") < F.col("s_end")))
+    key = lambda r: (r["sid"], r["p_ts"])
+    assert sorted(map(key, fast.collect())) == sorted(map(key, naive.collect()))
+
+
+def test_range_join_exclusive_end_on_bucket_boundary(spark):
+    from news_lakehouse_spark.operators.rangejoin import range_join_bucketed
+
+    # range [10:00, 10:30) with bucket width 1800s: a point at exactly
+    # 10:30 sits in the next bucket AND is excluded by the predicate;
+    # a point at exactly 10:00 is included.
+    s = spark.createDataFrame(
+        [("r1", "2024-01-01 10:00:00", "2024-01-01 10:30:00")],
+        "rid string, s_ts string, s_end string",
+    ).select("rid", F.col("s_ts").cast("timestamp"), F.col("s_end").cast("timestamp"))
+    p = spark.createDataFrame(
+        [("p0", "2024-01-01 10:00:00"), ("p1", "2024-01-01 10:29:59"), ("p2", "2024-01-01 10:30:00")],
+        "pid string, p_ts string",
+    ).select("pid", F.col("p_ts").cast("timestamp"))
+    got = {r["pid"] for r in range_join_bucketed(p, s, "p_ts", "s_ts", "s_end", 1800).collect()}
+    assert got == {"p0", "p1"}
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    from news_lakehouse_spark.operators.skew import salted_aggregate
+
+    li = read_table(spark, sf_dir, "lineitem")
+    salted = {
+        r["l_returnflag"]: (r["n_rows"], round(r["sum_l_quantity"], 2))
+        for r in salted_aggregate(li, ["l_returnflag"], sums=["l_quantity"]).collect()
+    }
+    plain = {
+        r["l_returnflag"]: (r["n"], round(r["s"], 2))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("s"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from news_lakehouse_spark.operators.skew import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    salted_n = salted_join(li, o, ["o_orderkey"], salt=4).count()
+    plain_n = li.join(o, "o_orderkey").count()
+    assert salted_n == plain_n
+
+
+def test_embedding_near_dup_finds_planted_duplicate(spark, sf_dir):
+    from news_lakehouse_spark.operators.similarity import embedding_near_duplicates
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dup = emb.filter(F.col("vec_id") == 3).select(
+        F.lit(100003).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    pairs = embedding_near_duplicates(
+        emb.unionByName(dup), threshold=0.999, blocks=4
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(3, 100003)}
+    assert all(abs(r["cos_sim"] - 1.0) < 1e-6 for r in pairs)
+
+
+def test_embedding_near_dup_cross_block_order(spark):
+    from news_lakehouse_spark.operators.similarity import embedding_near_duplicates
+
+    # ids chosen so the higher id hashes to the *lower* block for some
+    # (id, block) combination — pairs must still come out (min, max)
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_duplicates(df, threshold=0.99, blocks=3).collect()
+    assert len(pairs) == 12 * 11 // 2
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
