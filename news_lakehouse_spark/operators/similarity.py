@@ -244,3 +244,128 @@ def embedding_near_duplicates(
         .applyInPandas(score, schema="id_a long, id_b long, cos_sim double")
         .withColumn("cos_sim", F.round("cos_sim", 6))
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: spherical k-means cells.
+
+    Train: deterministic sample of ``n_centroids`` corpus vectors
+    (smallest xxhash64(id, seed)), then ``iters`` Lloyd rounds — assign
+    every vector to its max-dot centroid (centroids broadcast; argmax
+    via max_by, no shuffle of the corpus beyond the tiny re-mean agg),
+    re-mean, re-normalize. Centroids round-trip through the driver each
+    round: n_centroids × dim doubles — the standard k-means control
+    flow; everything row-scale stays distributed. At 100 TB, train on
+    a sample and run the final assignment once.
+
+    Search: each query probes its ``n_probe`` nearest cells and exact-
+    ranks only those cells' vectors. n_probe = n_centroids degrades to
+    exact brute force (the recall test pins this identity).
+    """
+    from pyspark import StorageLevel
+
+    norm_corpus = (
+        corpus.select(
+            F.col(id_col).cast("long").alias("__id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("__v"),
+        )
+        .withColumn("__v", F.transform("__v", lambda x: x / _norm(F.col("__v"))))
+        # init + every Lloyd round + the final assignment each re-scan
+        # this — materialize once (at 100 TB: a parquet staging table)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    spark = corpus.sparkSession
+    init = (
+        norm_corpus.withColumn("__h", F.xxhash64("__id", F.lit(seed)))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .select("__v")
+        .collect()
+    )
+    centroids = [(i, list(r["__v"])) for i, r in enumerate(init)]
+
+    import numpy as np
+    import pandas as pd
+
+    def assigned_df(cents: list[tuple[int, list[float]]]):
+        # argmax over the (tiny) centroid matrix as one numpy matmul
+        # per Arrow batch — no row blow-up, no per-element lambdas.
+        order = [c[0] for c in cents]
+        mat = np.array([c[1] for c in cents], dtype="float64")
+
+        def fn(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.stack(pdf["__v"].to_numpy())
+                best = np.argmax(X @ mat.T, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "__id": pdf["__id"],
+                        "cell": [order[i] for i in best],
+                        "__v": pdf["__v"],
+                    }
+                )
+
+        return norm_corpus.mapInPandas(fn, "__id long, cell int, __v array<double>")
+
+    for _ in range(iters):
+        means = (
+            assigned_df(centroids)
+            .select("cell", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("entries"))
+            .select("cell", F.transform("entries", lambda e: e["m"]).alias("c_vec"))
+            .withColumn("c_vec", F.transform("c_vec", lambda x: x / _norm(F.col("c_vec"))))
+            .collect()
+        )
+        centroids = [(r["cell"], list(r["c_vec"])) for r in means]
+
+    def centroid_df():
+        return F.broadcast(
+            spark.createDataFrame(centroids, "cell int, c_vec array<double>")
+        )
+
+    cells = assigned_df(centroids).select(
+        F.col("__id").alias("neighbor_id"), "cell", F.col("__v").alias("c_vec_n")
+    )
+    q_norm = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("q_v"),
+    ).withColumn("q_v", F.transform("q_v", lambda x: x / _norm(F.col("q_v"))))
+    from news_lakehouse_spark.operators.windows import top_k_per_group
+
+    probes = top_k_per_group(
+        q_norm.crossJoin(centroid_df()).withColumn(
+            "__dot", _dot(F.col("q_v"), F.col("c_vec"))
+        ),
+        ["query_id"],
+        [F.col("__dot").desc(), F.col("cell").asc()],
+        n_probe,
+    ).select("query_id", "q_v", "cell")
+
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(_dot(F.col("q_v"), F.col("c_vec_n")), 6))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+    )

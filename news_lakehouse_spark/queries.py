@@ -36,6 +36,7 @@ from news_lakehouse_spark.operators.rangejoin import range_join_bucketed
 from news_lakehouse_spark.operators.similarity import (
     cosine_topk_bruteforce,
     embedding_near_duplicates,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 from news_lakehouse_spark.operators.skew import salted_aggregate, salted_join
@@ -1076,6 +1077,42 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+
+
+def x_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest-neighbor: spherical k-means cells,
+    n_probe-cell search. Rows-only (approximate by design); the unit
+    test pins n_probe = n_centroids ≡ exact brute force."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, q, k=10, n_centroids=16, n_probe=4, iters=2)
+
+
+def x_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op (applyInPandasWithState): per-user
+    running (count, sum, max ts) drained with Trigger.AvailableNow.
+    The final state equals the batch aggregate — the oracle below IS
+    that batch aggregate."""
+    import tempfile
+    import uuid
+
+    from news_lakehouse_spark.streaming.stateful import run_user_stats_over_dir
+
+    name = f"user_stats_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_user_stats_")
+    return run_user_stats_over_dir(
+        spark, f"{sf_dir}/events.parquet", ckpt, query_name=name
+    )
+
+
+_STREAM_STATEFUL_SQL = """
+SELECT user_id, count(*) AS n_events,
+       round(CAST(sum(value) AS DOUBLE), 6) AS sum_value,
+       max(CAST(ts AS TIMESTAMP)) AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -1123,6 +1160,8 @@ QUERIES: dict[str, QueryFn] = {
     "x_salted_agg": x_salted_agg,
     "x_salted_join": x_salted_join,
     "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
+    "x_sim_ivf_topk": x_sim_ivf_topk,
+    "x_stream_stateful": x_stream_stateful,
 }
 
 ORACLES: dict[str, str] = {
@@ -1170,4 +1209,6 @@ ORACLES: dict[str, str] = {
     "x_salted_agg": _SALTED_AGG_SQL,
     "x_salted_join": _SALTED_JOIN_SQL,
     "x_dedup_embedding_cosine": _EMB_COS_SQL,
+    # x_sim_ivf_topk: rows-only (approximate by design)
+    "x_stream_stateful": _STREAM_STATEFUL_SQL,
 }

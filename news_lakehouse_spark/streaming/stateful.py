@@ -1,0 +1,159 @@
+"""Custom stateful streaming operator: applyInPandasWithState.
+
+The reference's streaming is stateless per-epoch upsert (SURVEY §2.8 —
+no stateful map/flatMapGroupsWithState anywhere); this module adds the
+capability the category implies: arbitrary per-key running state with
+Structured Streaming semantics (exactly-once via checkpoint, state
+store persistence, Arrow-batched Python).
+
+`running_user_stats` keeps (n_events, sum_value, last_ts, update_seq)
+per user and emits the updated row each micro-batch — the streaming
+twin of `groupBy(user).agg(count, sum, max)`: after the stream drains,
+the latest emission per user equals the batch aggregate, which is what
+the oracle checks.
+
+Scale: state lives in the executor state store partitioned by key —
+constant per-key size here, so 10⁹ users is a state-store sizing
+question, not an operator redesign. Python work is Arrow-batched per
+key-group.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("last_ts_us", LongType()),
+        StructField("update_seq", LongType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("last_ts_us", LongType()),
+        StructField("update_seq", LongType()),
+    ]
+)
+
+
+def _update_user(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, s, last_us, seq = state.get if state.exists else (0, 0.0, None, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum(skipna=True))
+        ts_max = pdf["ts_us"].max(skipna=True)
+        if not pd.isna(ts_max):
+            last_us = int(ts_max) if last_us is None else max(last_us, int(ts_max))
+    seq += 1
+    state.update((n, s, last_us, seq))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value": [s],
+            "last_ts_us": [last_us],
+            "update_seq": [seq],
+        }
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum(value), max(ts)) over a stream.
+
+    ``events`` must be a streaming DataFrame with user_id, value, and
+    ts (timestamp). Emits the updated totals for each user touched by
+    each micro-batch (output mode: update).
+    """
+    prepared = events.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("value").cast("double").alias("value"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _update_user,
+        _OUT_SCHEMA,
+        _STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_user_stats_over_dir(
+    spark: SparkSession,
+    parquet_path: str,
+    checkpoint_dir: str,
+    query_name: str = "user_stats",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drain a parquet directory through the stateful operator
+    (Trigger.AvailableNow) into a memory sink; return the final
+    per-user rows (latest update_seq wins).
+
+    events.ts is parquet TIMESTAMP(NANOS) — read as raw nanos and
+    truncate to micros, same contract as sources.readers.read_table.
+    """
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(parquet_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    # The file stream source requires a directory; a single-file path
+    # (the test corpus layout) streams via its parent + a glob filter.
+    if os.path.isfile(parquet_path.replace("file://", "")):
+        reader = reader.option("pathGlobFilter", os.path.basename(parquet_path))
+        stream = reader.parquet(os.path.dirname(parquet_path))
+    else:
+        stream = reader.parquet(parquet_path)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+    stats = running_user_stats(stream)
+    q = (
+        stats.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from pyspark.sql.window import Window as W
+
+    all_updates = spark.table(query_name)
+    latest = (
+        all_updates.withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.col("update_seq").desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+            F.timestamp_micros(F.col("last_ts_us")).alias("last_ts"),
+        )
+    )
+    return latest

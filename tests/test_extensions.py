@@ -178,3 +178,20 @@ def test_embedding_near_dup_cross_block_order(spark):
     pairs = embedding_near_duplicates(df, threshold=0.99, blocks=3).collect()
     assert len(pairs) == 12 * 11 // 2
     assert all(r["id_a"] < r["id_b"] for r in pairs)
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
+    from news_lakehouse_spark.operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk_bruteforce(emb, q, k=5).collect()
+    }
+    # probing every cell degrades IVF to exact search
+    ivf = ivf_topk(emb, q, k=5, n_centroids=8, n_probe=8, iters=1)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"] for r in ivf.collect()
+    }
+    assert got == exact
