@@ -1,0 +1,65 @@
+"""Pin the scale-relevant physical-plan properties (PLANS.md's claims).
+
+Each assertion is a regression guard for a plan property that matters
+at 100 TB: dim joins must broadcast, the range join must not be a
+nested loop, scans must prune and push down, per-group top-k must use
+the WindowGroupLimit pushdown, Python must appear only at deliberate
+Arrow boundaries.
+"""
+
+from __future__ import annotations
+
+from news_lakehouse_spark.plans.audit import audit_plan, final_plan_blocks, formatted_plan
+from news_lakehouse_spark.queries import QUERIES
+
+
+def _audit(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    df.collect()  # AQE final plan
+    plan = formatted_plan(df)
+    return audit_plan(plan), plan
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    a, _ = _audit(spark, sf_dir, "j1_left_join_enrich")
+    assert a["bhj"] >= 1 and a["smj"] == 0 and a["nlj"] == 0
+    # broadcast join: the fact side needs no exchange at all
+    assert a["exchanges"] == 0
+
+
+def test_flat_view_all_dims_broadcast(spark, sf_dir):
+    a, _ = _audit(spark, sf_dir, "j6_flat_serving_view")
+    assert a["bhj"] == 3 and a["smj"] == 0 and a["exchanges"] == 0
+
+
+def test_q1_scan_prunes_and_pushes(spark, sf_dir):
+    a, _ = _audit(spark, sf_dir, "q1_pricing_summary")
+    assert a["scans"] == 1
+    assert a["scans_with_pushdown"] == 1  # l_shipdate <= ... reaches the scan
+    assert a["read_cols"][0] <= 7  # 7 of lineitem's 16 columns
+    assert a["exchanges"] <= 2  # partial+final agg, then sort
+
+
+def test_range_join_is_not_nested_loop(spark, sf_dir):
+    a, _ = _audit(spark, sf_dir, "x_range_join")
+    assert a["nlj"] == 0
+
+
+def test_topk_uses_window_group_limit(spark, sf_dir):
+    _, plan = _audit(spark, sf_dir, "o2_topk_per_group")
+    heads = [b.splitlines()[0] for b in final_plan_blocks(plan)]
+    assert any("WindowGroupLimit" in h for h in heads)
+
+
+def test_python_only_at_arrow_boundaries(spark, sf_dir):
+    for name in ("q1_pricing_summary", "x_dedup_minhash_lsh", "x_token_count",
+                 "d1_timestamp_cascade", "x_lang_id"):
+        a, _ = _audit(spark, sf_dir, name)
+        assert a["python_ops"] == 0, name
+    a, _ = _audit(spark, sf_dir, "x_multimodal_bytes")
+    assert a["python_ops"] == 1
+
+
+def test_salted_agg_is_two_stage(spark, sf_dir):
+    a, _ = _audit(spark, sf_dir, "x_salted_agg")
+    assert a["exchanges"] == 2
