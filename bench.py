@@ -36,6 +36,9 @@ HEADLINE = [
     "x_quality_metrics",
     "x_token_count",
     "x_embed_centroid",
+    "x_range_join",
+    "x_salted_join",
+    "x_dedup_embedding_cosine",
 ]
 
 

@@ -88,3 +88,79 @@ def extract_features(payloads: DataFrame) -> DataFrame:
             )
 
     return payloads.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, height int, width int, pixels binary"
+
+
+def resize_images(
+    df: DataFrame, height: int = 8, width: int = 8, codec: str = "fake"
+) -> DataFrame:
+    """Arrow-batched image resize over (doc_id, payload).
+
+    Real path (``codec="real"``) needs PIL/opencv — absent here, so it
+    raises inside the worker exactly where a real decoder would run.
+    The fake codec is a deterministic byte-grid downsample: payload
+    bytes strided to height×width — cardinality, schema, and batch
+    shape identical to the real operator.
+    """
+    import pandas as pd
+
+    n_out = height * width
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if codec != "fake":
+                decode_image(b"", codec)  # raises NotImplementedError
+            pixels = []
+            for b in pdf["payload"]:
+                raw = bytes(b) or b"\x00"
+                stride = max(len(raw) // n_out, 1)
+                px = (raw[::stride] + raw * (n_out // len(raw) + 1))[:n_out]
+                pixels.append(px)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "height": height,
+                    "width": width,
+                    "pixels": pixels,
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame bytes".replace("bytes", "binary")
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int = 4, codec: str = "fake"
+) -> DataFrame:
+    """Uniform frame sampling over a (doc_id, payload) 'video' column.
+
+    Emits one row per sampled frame — mapInPandas legitimately changes
+    cardinality, which is the point: a 100 TB video corpus fans out to
+    frames *inside* the scan partition, with no shuffle and no driver
+    involvement. Fake codec: the payload split into n_frames chunks.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if codec != "fake":
+                raise NotImplementedError(
+                    "video codecs not available in this container"
+                )
+            ids, idxs, frames = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b) or b"\x00"
+                chunk = max(len(raw) // n_frames, 1)
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(raw[i * chunk : (i + 1) * chunk] or raw[-1:])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)

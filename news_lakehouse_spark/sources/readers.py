@@ -82,3 +82,23 @@ def with_path_provenance(
     return df.withColumn(
         col_name, F.regexp_extract(F.input_file_name(), pattern, 1)
     )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    header: bool = True,
+    delimiter: str = ",",
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """CSV scan with a declared schema (never inferSchema — at 100 TB
+    inference is a full extra pass). PERMISSIVE mirrors the JSON
+    ingest contract: malformed rows become nulls, not job failures."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("mode", mode)
+        .csv(path)
+    )

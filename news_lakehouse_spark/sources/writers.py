@@ -27,3 +27,26 @@ def serving_export(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_by: list[str],
+    n_buckets: int = 32,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (and optionally sorted) managed table.
+
+    Bucketing pre-shuffles the data ONCE at write time: two tables
+    bucketed on the same key with the same bucket count join with NO
+    exchange on either side — at 100 TB this converts the nightly
+    fact-fact join from a full network shuffle into a zipped local
+    join (tests/test_bucketing.py pins the exchange-free plan).
+    Sorting within buckets additionally removes the join's sort step.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.format("parquet").saveAsTable(table_name)

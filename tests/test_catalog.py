@@ -61,3 +61,29 @@ def test_serving_export(spark, tmp_path, sf_dir):
     pruned = back.filter(F.col("status") == "O")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or pruned.count() > 0
+
+
+def test_csv_roundtrip_with_declared_schema(spark, tmp_path):
+    from news_lakehouse_spark.sources.readers import read_csv
+
+    p = str(tmp_path / "csv_out")
+    df = spark.createDataFrame(
+        [(1, "a,b", 2.5), (2, None, -1.0)], "id long, s string, v double"
+    )
+    df.write.option("header", "true").csv(p)
+    back = read_csv(spark, p, "id long, s string, v double")
+    assert sorted((r["id"], r["s"], r["v"]) for r in back.collect()) == [
+        (1, "a,b", 2.5),
+        (2, None, -1.0),
+    ]
+
+
+def test_csv_permissive_malformed_rows(spark, tmp_path):
+    from news_lakehouse_spark.sources.readers import read_csv
+
+    f = tmp_path / "bad.csv"
+    f.write_text("id,v\n1,2.5\nnot_a_number,xyz\n3,1.0\n")
+    back = read_csv(spark, str(f), "id long, v double").collect()
+    vals = [(r["id"], r["v"]) for r in back]
+    assert (1, 2.5) in vals and (3, 1.0) in vals
+    assert any(r["id"] is None for r in back)  # malformed → nulls, no failure

@@ -195,3 +195,41 @@ def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
         (r["query_id"], r["rank"]): r["neighbor_id"] for r in ivf.collect()
     }
     assert got == exact
+
+
+def test_resize_images_shape_and_determinism(spark, sf_dir):
+    from news_lakehouse_spark.operators.multimodal import resize_images
+
+    d = read_table(spark, sf_dir, "documents").limit(20)
+    payloads = with_binary_payload(d)
+    out = resize_images(payloads, height=4, width=4).collect()
+    assert len(out) == 20
+    assert all(len(r["pixels"]) == 16 for r in out)
+    again = resize_images(payloads, height=4, width=4).collect()
+    assert {r["doc_id"]: bytes(r["pixels"]) for r in out} == {
+        r["doc_id"]: bytes(r["pixels"]) for r in again
+    }
+
+
+def test_resize_real_codec_raises(spark, sf_dir):
+    from py4j.protocol import Py4JJavaError
+    from news_lakehouse_spark.operators.multimodal import resize_images
+
+    d = read_table(spark, sf_dir, "documents").limit(1)
+    with pytest.raises(Exception) as e:
+        resize_images(with_binary_payload(d), codec="real").collect()
+    assert "NotImplementedError" in str(e.value) or isinstance(
+        e.value, NotImplementedError
+    )
+
+
+def test_sample_frames_cardinality(spark, sf_dir):
+    from news_lakehouse_spark.operators.multimodal import sample_frames
+
+    d = read_table(spark, sf_dir, "documents").limit(10)
+    out = sample_frames(with_binary_payload(d), n_frames=3).collect()
+    assert len(out) == 30
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 1, 2] for v in per_doc.values())
