@@ -73,3 +73,49 @@ def sessionize(
         ),
     )
     return flagged.drop("_new_session")
+
+
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Native session windows (F.session_window): per-user sessions
+    closed after ``gap`` of inactivity.
+
+    The streaming twin of ``sessionize`` — in streaming mode the
+    watermark both admits late data and lets the state store evict
+    closed sessions (bounded state at any stream rate). Works in batch
+    too, which is how the oracle checks it.
+    """
+    src = events
+    if watermark:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), user_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedupe_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming dedup with bounded state: dropDuplicatesWithinWatermark.
+
+    Plain streaming dropDuplicates keeps every key seen forever —
+    unbounded state at 100 TB/day. The watermark variant evicts keys
+    older than the bound: exact dedup for any duplicate arriving
+    within the watermark, bounded state always.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
