@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 
@@ -56,9 +57,20 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
-    from news_lakehouse_spark.session import build_session
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # driver-realism: plain session, ANSI on, no engine confs
+        from pyspark.sql import SparkSession
 
-    spark = build_session("verify_oracle")
+        spark = (
+            SparkSession.builder.master("local[16]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.shuffle.partitions", "16")
+            .getOrCreate()
+        )
+    else:
+        from news_lakehouse_spark.session import build_session
+
+        spark = build_session("verify_oracle")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
