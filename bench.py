@@ -39,6 +39,9 @@ HEADLINE = [
     "x_range_join",
     "x_salted_join",
     "x_dedup_embedding_cosine",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "t_session_window",
 ]
 
 

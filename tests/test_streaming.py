@@ -107,3 +107,23 @@ def test_windowed_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM win_out").collect()
     }
     assert got == batch_out
+
+
+def test_bronze_permissive_malformed_json(spark, tmp_path):
+    """PERMISSIVE ingest contract: malformed records become null rows,
+    never job failures (reference reads with mode=PERMISSIVE —
+    gcs_bronze_to_silver.py:516)."""
+    from news_lakehouse_spark.sources.readers import read_bronze_batch
+
+    p = tmp_path / "bronze"
+    p.mkdir()
+    (p / "good.json").write_text(
+        '{"url": "https://e.vn/a1", "title": "t", "publish_time": "2024-01-01T00:00:00"}\n'
+    )
+    (p / "bad.json").write_text('{"url": "https://e.vn/a2", "title": INVALID!!\n')
+    df = read_bronze_batch(spark, str(p))
+    rows = df.collect()
+    assert len(rows) == 2  # both files produce rows
+    urls = {r["url"] for r in rows}
+    assert "https://e.vn/a1" in urls
+    assert None in urls or "https://e.vn/a2" not in urls  # malformed → nulls
