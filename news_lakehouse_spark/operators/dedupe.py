@@ -138,6 +138,43 @@ def _with_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     )
 
 
+def hashed_shingles_of_words(words: Column | str, n: int) -> Column:
+    """Distinct 64-bit hashes of the word n-grams — no shingle strings.
+
+    Multi-argument ``xxhash64(w_i, …, w_{i+n-1})`` hashes the n-gram
+    directly (field-sequenced, so ("a","bc") ≠ ("ab","c")): the
+    concatenated shingle string is never built, array_distinct works
+    on 8-byte longs, and the downstream set algebra (intersect/union
+    for Jaccard) runs on longs. Distinct-hash ≡ distinct-shingle up to
+    64-bit collisions (~n²/2⁶⁴ per doc — negligible at any corpus
+    size that fits on hardware).
+    """
+    ws = F.col(words) if isinstance(words, str) else words
+    if n == 1:
+        return F.array_distinct(F.transform(ws, lambda w: F.xxhash64(w)))
+    idx = F.sequence(F.lit(0), F.size(ws) - n)
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(*[F.element_at(ws, i + j + 1) for j in range(n)]),
+        )
+    )
+
+
+def _with_hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, shingles: array<long>) — same two-phase shape as
+    ``_with_shingles`` with hashed n-grams (see hashed_shingles_of_words)."""
+    narrow = df.select(F.col(id_col), F.col(text_col))
+    words = _widen_if_narrow(narrow).select(
+        F.col(id_col), F.split(normalized_text(text_col), " ").alias("__words")
+    )
+    return words.filter(F.size("__words") >= n).select(
+        F.col(id_col), hashed_shingles_of_words("__words", n).alias("shingles")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -165,9 +202,14 @@ def _signatures_from_shingles(
     doc's shingles sit in one partition, so shuffle ≈ one row per doc.
     """
     params = _affine_params(num_hashes, seed)
+    base = (
+        F.pmod(F.col("__s"), F.lit(_MERSENNE_P))
+        if dict(sh.dtypes)["shingles"] == "array<bigint>"
+        else F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE_P))
+    )
     hs = sh.select(
         F.col(id_col), F.explode("shingles").alias("__s")
-    ).select(id_col, F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE_P)).alias("__h"))
+    ).select(id_col, base.alias("__h"))
     mins = hs.groupBy(id_col).agg(
         *[
             F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(
@@ -209,7 +251,10 @@ def minhash_near_duplicates(
     from pyspark import StorageLevel
 
     rows_per_band = num_hashes // bands
-    sh_cached = _with_shingles(df, id_col, text_col, n)
+    # hashed shingles end-to-end: signatures permute the 64-bit gram
+    # hashes, and the exact verify intersects long arrays — shingle
+    # strings are never materialized (see hashed_shingles_of_words).
+    sh_cached = _with_hashed_shingles(df, id_col, text_col, n)
     if cache_shingles:
         sh_cached = sh_cached.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = _signatures_from_shingles(sh_cached, id_col, num_hashes, seed)
@@ -327,8 +372,11 @@ def ngram_jaccard_pairs(
     from pyspark import StorageLevel
 
     # shingle set feeds both the inverted index and the size lookup —
-    # materialize once (same rationale as minhash_near_duplicates)
-    sh = _with_shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize once (same rationale as minhash_near_duplicates);
+    # hashed grams: the inverted index shuffles 8-byte longs, not strings
+    sh = _with_hashed_shingles(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
     inv = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     l = inv.select(F.col(id_col).alias("id_a"), "shingle")
