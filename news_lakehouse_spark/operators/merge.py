@@ -65,6 +65,89 @@ def merge_insert_only(
     return target.unionByName(new_rows)
 
 
+def scd2_merge(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    effective_col: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge (extension; absent in the
+    reference, whose gold dims are overwrite-style MERGEs —
+    gcs_silver_to_gold.py:373-541).
+
+    ``target`` is versioned: ``keys + attrs + valid_from + valid_to +
+    is_current``. ``source`` is a change batch: ``keys + attrs +
+    effective_col``. For each key, if any attribute differs from the
+    current version (null-safe), the current row is closed
+    (``valid_to = effective``, ``is_current = false``) and a new open
+    version is inserted; unchanged matches and unmatched target rows
+    pass through; unseen keys insert a first version. History rows
+    (``is_current = false``) never rejoin — they union straight through.
+
+    Join shape chosen for 100 TB: a *left-outer* join (current slice ⟕
+    change batch) plus a *left-anti* probe for unseen keys — never a
+    full-outer, which Spark cannot broadcast (it would force a
+    sort-merge join shuffling the full dimension). With a small change
+    batch both joins broadcast the batch and the current slice streams
+    through map-side with zero shuffle; both output rows of a changed
+    key come from `inline`-ing a per-row struct array, so the joined
+    plan is traversed once.
+    """
+    cur = target.filter(F.col(current_col))
+    hist = target.filter(~F.col(current_col))
+    src = _guard_source(
+        source.select(*keys, *attrs, effective_col),
+        keys,
+        [F.col(effective_col).desc()],
+    )
+
+    out_cols = [*keys, *attrs, valid_from_col, valid_to_col, current_col]
+    vf_type = dict(cur.dtypes)[valid_from_col]
+    vt_type = dict(cur.dtypes)[valid_to_col]
+
+    j = cur.alias("t").join(src.alias("s"), on=keys, how="left")
+    s_exists = F.col(f"s.{effective_col}").isNotNull()
+    attr_diff = ~F.lit(True)
+    for a in attrs:
+        attr_diff = attr_diff | ~F.col(f"t.{a}").eqNullSafe(F.col(f"s.{a}"))
+    changed = s_exists & attr_diff
+
+    old_row = F.struct(
+        *[F.col(f"t.{a}").alias(a) for a in attrs],
+        F.col(f"t.{valid_from_col}").alias(valid_from_col),
+        F.when(changed, F.col(f"s.{effective_col}").cast(vt_type))
+        .otherwise(F.col(f"t.{valid_to_col}"))
+        .alias(valid_to_col),
+        (~changed).alias(current_col),
+    )
+    new_row = F.struct(
+        *[F.col(f"s.{a}").alias(a) for a in attrs],
+        F.col(f"s.{effective_col}").cast(vf_type).alias(valid_from_col),
+        F.lit(None).cast(vt_type).alias(valid_to_col),
+        F.lit(True).alias(current_col),
+    )
+    existing = j.select(
+        *keys, F.inline(F.when(changed, F.array(old_row, new_row)).otherwise(F.array(old_row)))
+    )
+
+    first_version = src.join(cur.select(*keys), on=keys, how="left_anti").select(
+        *keys,
+        *attrs,
+        F.col(effective_col).cast(vf_type).alias(valid_from_col),
+        F.lit(None).cast(vt_type).alias(valid_to_col),
+        F.lit(True).alias(current_col),
+    )
+    return (
+        hist.select(*out_cols)
+        .unionByName(existing.select(*out_cols))
+        .unionByName(first_version)
+    )
+
+
 def upsert_parquet_table(
     spark: SparkSession,
     source: DataFrame,

@@ -112,6 +112,89 @@ def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return out.withColumn("quality_score", F.round(score, 6))
 
 
+def repetition_metrics(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Word n-gram repetition signals (Gopher-style quality rules).
+
+    Per document with ≥ n words: ``n_grams`` (total n-gram count),
+    ``top_gram_frac`` (share of the single most repeated n-gram) and
+    ``dup_gram_frac`` (1 − distinct/total) — high values flag
+    boilerplate and degenerate generations.
+
+    Shape: per-doc gram explode → two-stage hash agg. The first
+    groupBy(id, gram) partially aggregates map-side, so the shuffle
+    carries one row per *distinct* (doc, gram), not per occurrence —
+    on repetitive documents (the interesting ones) that is the
+    compressed representation.
+    """
+    words = df.select(
+        F.col(id_col), F.split(normalized_text(text_col), " ").alias("__ws")
+    ).filter(F.size("__ws") >= n)
+    idx = F.sequence(F.lit(0), F.size("__ws") - n)
+    grams = words.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("__ws", i + j + 1) for j in range(n)]
+                ),
+            )
+        ).alias("__gram"),
+    )
+    counts = grams.groupBy(id_col, "__gram").agg(F.count("*").alias("__cnt"))
+    agg = counts.groupBy(id_col).agg(
+        F.sum("__cnt").alias("n_grams"),
+        F.max("__cnt").alias("__top"),
+        F.count("*").alias("__distinct"),
+    )
+    total = F.col("n_grams").cast("double")
+    return agg.select(
+        F.col(id_col),
+        "n_grams",
+        F.round(F.col("__top") / total, 6).alias("top_gram_frac"),
+        F.round(1 - F.col("__distinct") / total, 6).alias("dup_gram_frac"),
+    )
+
+
+# PII patterns constrained to the Java-regex ∩ RE2 subset so the Spark
+# plan and the DuckDB oracle compile the same automaton.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "phone": (r"\+\d{1,3} \d{3} \d{3} \d{3}", "[PHONE]"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Detect-and-mask PII spans (emails, phones, IPv4) in one scan.
+
+    Emits per-pattern match counts (on the original text) plus
+    ``redacted_text`` with every span replaced by its placeholder,
+    applied in dict order (email first, so the numeric patterns never
+    see addresses). Pure regexp column ops — whole-stage codegen, no
+    Python, no shuffle.
+    """
+    patterns = patterns or PII_PATTERNS
+    t = _c(text_col)
+    count_cols = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, (pat, _) in patterns.items()
+    ]
+    red = t
+    for pat, repl in patterns.values():
+        red = F.regexp_replace(red, pat, repl)
+    return df.select(
+        F.col(id_col), *count_cols, red.alias("redacted_text")
+    )
+
+
 def document_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Canonical content fingerprint: sha2-256 of the normalized text.
 

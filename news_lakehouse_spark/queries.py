@@ -31,7 +31,11 @@ from news_lakehouse_spark.operators.dedupe import (
     ngram_jaccard_pairs,
     simhash_signatures,
 )
-from news_lakehouse_spark.operators.merge import merge_insert_only, merge_upsert
+from news_lakehouse_spark.operators.merge import (
+    merge_insert_only,
+    merge_upsert,
+    scd2_merge,
+)
 from news_lakehouse_spark.operators.rangejoin import range_join_bucketed
 from news_lakehouse_spark.operators.similarity import (
     cosine_topk_bruteforce,
@@ -45,6 +49,8 @@ from news_lakehouse_spark.operators.textmetrics import (
     document_fingerprint,
     language_scores,
     quality_metrics,
+    redact_pii,
+    repetition_metrics,
     token_count,
     whitespace_token_count,
 )
@@ -1229,6 +1235,175 @@ FROM numbered GROUP BY user_id, session_seq
 """
 
 
+def x_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge: apply a change batch to a versioned customer dim.
+
+    Target = current snapshot of `customer` (one open version per key,
+    valid from 2020-01-01). Change batch: every 7th key moves to a new
+    segment (close + new version), every 7th+1 re-sends its existing
+    segment (no-op), and every 7th+2 arrives under an unseen key
+    (first version). One full-outer join on the key, change rows
+    emitted via inline() so the join runs once.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    target = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.to_date(F.lit("2020-01-01")).alias("valid_from"),
+        F.to_date(F.lit(None)).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    eff = F.to_date(F.lit("2024-06-01"))
+    changed = c.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.concat(F.lit("SEG_"), (F.col("c_custkey") % 3).cast("string")).alias(
+            "segment"
+        ),
+        eff.alias("effective"),
+    )
+    unchanged = c.filter(F.col("c_custkey") % 7 == 1).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        eff.alias("effective"),
+    )
+    brand_new = c.filter(F.col("c_custkey") % 7 == 2).select(
+        (F.col("c_custkey") + 10_000_000).alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        eff.alias("effective"),
+    )
+    source = changed.unionByName(unchanged).unionByName(brand_new)
+    return scd2_merge(
+        target, source, keys=["custkey"], attrs=["segment"], effective_col="effective"
+    )
+
+
+_SCD2_SQL = """
+WITH target AS (
+  SELECT c_custkey AS custkey, c_mktsegment AS segment,
+         DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+         true AS is_current
+  FROM customer
+), src AS (
+  SELECT c_custkey AS custkey, 'SEG_' || CAST(c_custkey % 3 AS VARCHAR) AS segment,
+         DATE '2024-06-01' AS effective
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, DATE '2024-06-01'
+  FROM customer WHERE c_custkey % 7 = 1
+  UNION ALL
+  SELECT c_custkey + 10000000, c_mktsegment, DATE '2024-06-01'
+  FROM customer WHERE c_custkey % 7 = 2
+), j AS (
+  SELECT coalesce(t.custkey, s.custkey) AS custkey,
+         t.segment AS t_seg, t.valid_from AS t_vf, t.valid_to AS t_vt,
+         s.segment AS s_seg, s.effective AS s_eff,
+         t.custkey IS NOT NULL AS t_exists,
+         s.custkey IS NOT NULL AS s_exists,
+         (t.custkey IS NOT NULL AND s.custkey IS NOT NULL
+          AND t.segment IS DISTINCT FROM s.segment) AS chg
+  FROM target t FULL OUTER JOIN src s ON t.custkey = s.custkey
+)
+SELECT custkey, t_seg AS segment, t_vf AS valid_from,
+       CASE WHEN chg THEN s_eff ELSE t_vt END AS valid_to,
+       NOT chg AS is_current
+FROM j WHERE t_exists
+UNION ALL
+SELECT custkey, s_seg, s_eff, CAST(NULL AS DATE), true
+FROM j WHERE s_exists AND (NOT t_exists OR chg)
+"""
+
+
+def x_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-2-gram repetition signals (Gopher-style boilerplate flags)."""
+    d = read_table(spark, sf_dir, "documents")
+    return repetition_metrics(d, "doc_id", "text", n=2)
+
+
+_REPETITION_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split({_NT.format(c='text')}, ' ') AS ws FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest([ws[i] || ' ' || ws[i+1]
+                 for i in generate_series(1, len(ws) - 1)]) AS gram
+  FROM w WHERE len(ws) >= 2
+), c AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_grams,
+       round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 6) AS top_gram_frac,
+       round(1 - count(*) / CAST(sum(cnt) AS DOUBLE), 6) AS dup_gram_frac
+FROM c GROUP BY doc_id
+"""
+
+
+def x_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect-and-mask over documents with injected spans.
+
+    The corpus has no organic PII, so deterministic emails / phones /
+    IPv4s are appended by doc_id residue before redaction — the query
+    checks counts and the masked text against the oracle's RE2 twin.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    k = F.col("doc_id").cast("string")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" mail u"), k, F.lit("@ex"), (F.col("doc_id") % 7).cast("string"), F.lit(".org")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(" tel +84 912 345 "), (100 + F.col("doc_id") % 900).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" ip 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                ((F.col("doc_id") * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return redact_pii(
+        d.select("doc_id", dirty.alias("text")), "doc_id", "text"
+    )
+
+
+_PII_SQL = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@ex'
+                      || CAST(doc_id % 7 AS VARCHAR) || '.org'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' tel +84 912 345 ' || CAST(100 + doc_id % 900 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                      || CAST((doc_id * 7) % 256 AS VARCHAR)
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(text,
+            '\+\d{1,3} \d{3} \d{3} \d{3}')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(text,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+       regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\+\d{1,3} \d{3} \d{3} \d{3}', '[PHONE]', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted_text
+FROM dirty
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -1281,6 +1456,9 @@ QUERIES: dict[str, QueryFn] = {
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "t_session_window": t_session_window,
+    "x_scd2_dimension": x_scd2_dimension,
+    "x_repetition_metrics": x_repetition_metrics,
+    "x_pii_redaction": x_pii_redaction,
 }
 
 ORACLES: dict[str, str] = {
@@ -1333,4 +1511,7 @@ ORACLES: dict[str, str] = {
     "q3_shipping_priority": _Q3_SQL,
     "q5_local_supplier_volume": _Q5_SQL,
     "t_session_window": _SESSION_WINDOW_SQL,
+    "x_scd2_dimension": _SCD2_SQL,
+    "x_repetition_metrics": _REPETITION_SQL,
+    "x_pii_redaction": _PII_SQL,
 }
