@@ -195,6 +195,37 @@ def redact_pii(
     )
 
 
+# Default thresholds for the composite corpus filter (C4/Gopher-style
+# keep/drop rules). Ordered: the first failing rule names the drop.
+CORPUS_FILTER_RULES: tuple[tuple[str, str], ...] = (
+    ("too_short", "n_words < 10"),
+    ("too_long", "n_words > 20000"),
+    ("word_len", "avg_word_len < 2.0 OR avg_word_len > 12.0"),
+    ("punct", "punct_ratio > 0.2"),
+    ("low_uniq", "uniq_word_ratio < 0.3"),
+)
+
+
+def corpus_filter(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite keep/drop corpus gate (C4/Gopher-style rule chain).
+
+    Evaluates `quality_metrics` signals against fixed thresholds and
+    emits ``keep`` plus ``drop_reason`` (the FIRST failing rule in
+    `CORPUS_FILTER_RULES` order, null when kept). One scan, all
+    codegen; rules are SQL fragments shared verbatim with the DuckDB
+    oracle so the gate semantics are independently checkable.
+    """
+    m = quality_metrics(df, id_col, text_col)
+    chain = F.when(F.expr(CORPUS_FILTER_RULES[0][1]), F.lit(CORPUS_FILTER_RULES[0][0]))
+    for name, cond in CORPUS_FILTER_RULES[1:]:
+        chain = chain.when(F.expr(cond), F.lit(name))
+    return m.select(
+        F.col(id_col),
+        "n_words",
+        chain.alias("drop_reason"),
+    ).withColumn("keep", F.col("drop_reason").isNull())
+
+
 def document_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Canonical content fingerprint: sha2-256 of the normalized text.
 

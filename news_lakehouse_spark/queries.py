@@ -45,7 +45,9 @@ from news_lakehouse_spark.operators.similarity import (
 )
 from news_lakehouse_spark.operators.skew import salted_aggregate, salted_join
 from news_lakehouse_spark.operators.textmetrics import (
+    CORPUS_FILTER_RULES,
     LANG_MARKERS,
+    corpus_filter,
     document_fingerprint,
     language_scores,
     quality_metrics,
@@ -1404,6 +1406,315 @@ FROM dirty
 """
 
 
+def w2_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order analytics: lag, running sum, moving average.
+
+    Window-family extension (SURVEY §2.5 notes the reference has no
+    window functions at all). One `partitionBy(o_custkey)` shuffle
+    feeds all three frames — Catalyst collapses same-spec windows into
+    a single Window node, so adding frames costs no extra exchange.
+    Orders are tie-broken by o_orderkey for determinism.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_ma = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).cast("int").alias("order_seq"),
+        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_spend"),
+        F.round(F.avg("o_totalprice").over(w_ma), 6).alias("moving_avg3"),
+    )
+
+
+_W2_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(row_number() OVER w AS INT) AS order_seq,
+       round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+       round(sum(o_totalprice) OVER
+             (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_spend,
+       round(avg(o_totalprice) OVER
+             (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+           AS moving_avg3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def a7_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS aggregation with grouping() indicator columns.
+
+    Extension beyond rollup/cube (a4/a5): an explicit sets list
+    ((status, priority), (status), ()) — one shuffle, expanded
+    map-side by Catalyst's Expand operator.
+    """
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+_A7_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+"""
+
+
+def a8_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev, covariance, corr, percentiles.
+
+    The second moments are computed from exact DECIMAL(38,4) partial
+    sums (inputs have ≤2 decimals, so squares/products have exactly 4)
+    and combined driver-side with one fixed double formula — fully
+    map-side decomposable (the 100 TB shape) AND bit-identical across
+    engines, unlike engine-native covar/corr whose summation order
+    differs. Exact median/p90 stay sort-based; at 100 TB swap them for
+    approx_percentile and keep the moment columns unchanged.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    dec = "decimal(38,4)"
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast(dec)).alias("sx"),
+        F.sum(y.cast(dec)).alias("sy"),
+        F.sum((x * x).cast(dec)).alias("sxx"),
+        F.sum((y * y).cast(dec)).alias("syy"),
+        F.sum((x * y).cast(dec)).alias("sxy"),
+        F.median("l_extendedprice").alias("median_price"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    mxx = sxx - sx * sx / n
+    myy = syy - sy * sy / n
+    mxy = sxy - sx * sy / n
+    # No final round(): both engines hold bit-identical doubles here
+    # (exact decimal sums + one shared formula), and round() itself
+    # disagrees across engines on .xx5 boundary values.
+    return agg.select(
+        "l_returnflag",
+        F.sqrt(myy / (n - 1)).alias("std_price"),
+        (mxy / (n - 1)).alias("covar_qty_price"),
+        (mxy / F.sqrt(mxx * myy)).alias("corr_qty_price"),
+        "median_price",
+        "p90_price",
+    ).orderBy("l_returnflag")
+
+
+_A8_SQL = """
+WITH a AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(l_quantity AS DECIMAL(38,4))) AS sx,
+         sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS sy,
+         sum(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS sxx,
+         sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS syy,
+         sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS sxy,
+         quantile_cont(l_extendedprice, 0.5) AS median_price,
+         quantile_cont(l_extendedprice, 0.9) AS p90_price
+  FROM lineitem GROUP BY l_returnflag
+), d AS (
+  SELECT l_returnflag, median_price, p90_price,
+         CAST(n AS DOUBLE) AS n,
+         CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+         CAST(sxy AS DOUBLE) AS sxy
+  FROM a
+)
+SELECT l_returnflag,
+       sqrt((syy - sy * sy / n) / (n - 1)) AS std_price,
+       (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
+       (sxy - sx * sy / n)
+           / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+           AS corr_qty_price,
+       median_price, p90_price
+FROM d
+ORDER BY l_returnflag
+"""
+
+
+def u3_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide numeric columns to (attr, val) long form.
+
+    Narrow transform — Catalyst Expand, no shuffle; the inverse of
+    a6_pivot.
+    """
+    p = read_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    return p.unpivot("p_partkey", ["size", "retailprice"], "attr", "val")
+
+
+_U3_SQL = """
+SELECT p_partkey, attr, val
+FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
+             p_retailprice AS retailprice
+      FROM part)
+UNPIVOT (val FOR attr IN (size, retailprice))
+"""
+
+
+def d8_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue with a generated date spine filling gap days.
+
+    Time-series gap-fill: sequence(min, max) explode → left join of
+    the (tiny) spine against the (small) daily aggregate — AQE
+    broadcasts whichever side is smaller; zero-count days coalesce
+    to 0.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"), "o_totalprice"
+    )
+    spine = (
+        o.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    daily = o.groupBy("day").agg(
+        F.count("*").alias("n"), F.sum("o_totalprice").alias("rev")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n_orders"),
+        F.round(F.coalesce("rev", F.lit(0.0)), 2).alias("revenue"),
+    )
+
+
+_D8_SQL = """
+WITH o AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, o_totalprice FROM orders
+), b AS (
+  SELECT min(day) AS d0, max(day) AS d1 FROM o
+), spine AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM b
+), daily AS (
+  SELECT day, count(*) AS n, sum(o_totalprice) AS rev FROM o GROUP BY day
+)
+SELECT s.day,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_orders,
+       round(coalesce(rev, 0), 2) AS revenue
+FROM spine s LEFT JOIN daily USING (day)
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+
+    lineitem('R') ⨝ orders(3-month window) ⨝ customer ⨝ nation —
+    nation broadcast, the fact-side joins shuffle on their keys; the
+    final top-20 is a TakeOrderedAndProject, not a full sort. Ordered
+    on the ROUNDED revenue with custkey tiebreak so the limit edge is
+    deterministic across engines.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    rev = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            # Exact fixed-point sum: ext*(1-disc) has exactly 4
+            # decimals, so sum ten-thousandths as BIGINT and divide
+            # once — bit-identical across engines, no rounding edge.
+            (
+                F.sum(
+                    F.round(
+                        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                        * 10000,
+                        0,
+                    ).cast("bigint")
+                )
+                / 10000.0
+            ).alias("revenue")
+        )
+    )
+    return rev.orderBy(F.desc("revenue"), "c_custkey").limit(20)
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000)
+                AS BIGINT)) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def x_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite corpus keep/drop gate with per-rule drop reasons."""
+    d = read_table(spark, sf_dir, "documents")
+    return corpus_filter(d, "doc_id", "text")
+
+
+def _corpus_filter_sql() -> str:
+    nt = _NT.format(c="text")
+    reason = "CASE " + " ".join(
+        f"WHEN {cond} THEN '{name}'" for name, cond in CORPUS_FILTER_RULES
+    ) + " END"
+    return f"""
+WITH w AS (
+  SELECT doc_id, text, string_split({nt}, ' ') AS ws FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(ws) AS INT) AS n_words,
+         (length(text) - len(ws) + 1) / CAST(greatest(len(ws), 1) AS DOUBLE)
+             AS avg_word_len,
+         len(regexp_extract_all(text, '[\\p{{P}}\\p{{S}}]'))
+             / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+         len(list_distinct(ws)) / CAST(greatest(len(ws), 1) AS DOUBLE)
+             AS uniq_word_ratio
+  FROM w
+)
+SELECT doc_id, n_words, {reason} AS drop_reason,
+       ({reason}) IS NULL AS keep
+FROM m
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -1459,6 +1770,13 @@ QUERIES: dict[str, QueryFn] = {
     "x_scd2_dimension": x_scd2_dimension,
     "x_repetition_metrics": x_repetition_metrics,
     "x_pii_redaction": x_pii_redaction,
+    "w2_window_analytics": w2_window_analytics,
+    "a7_grouping_sets": a7_grouping_sets,
+    "a8_stats_agg": a8_stats_agg,
+    "u3_unpivot": u3_unpivot,
+    "d8_date_spine_gapfill": d8_date_spine_gapfill,
+    "q10_returned_items": q10_returned_items,
+    "x_corpus_filter": x_corpus_filter,
 }
 
 ORACLES: dict[str, str] = {
@@ -1514,4 +1832,11 @@ ORACLES: dict[str, str] = {
     "x_scd2_dimension": _SCD2_SQL,
     "x_repetition_metrics": _REPETITION_SQL,
     "x_pii_redaction": _PII_SQL,
+    "w2_window_analytics": _W2_SQL,
+    "a7_grouping_sets": _A7_SQL,
+    "a8_stats_agg": _A8_SQL,
+    "u3_unpivot": _U3_SQL,
+    "d8_date_spine_gapfill": _D8_SQL,
+    "q10_returned_items": _Q10_SQL,
+    "x_corpus_filter": _corpus_filter_sql(),
 }
