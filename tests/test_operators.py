@@ -117,6 +117,48 @@ def test_minhash_finds_planted_near_dups(spark):
     assert {(r["id_a"], r["id_b"]) for r in exact.collect()} == got
 
 
+def test_minhash_arrow_kernel_matches_codegen(spark):
+    """The numpy kernel and the explode+groupBy aggregation must produce
+    bit-identical signatures — the LSH band hashes depend on it."""
+    from news_lakehouse_spark.operators.dedupe import (
+        _signatures_from_shingles,
+        _signatures_from_shingles_arrow,
+        _with_hashed_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta number {i} " * 4) for i in range(8)],
+        ["doc_id", "text"],
+    )
+    import news_lakehouse_spark.operators.dedupe as dd
+
+    sh = _with_hashed_shingles(df, "doc_id", "text", 3)
+    sig_arrow = {
+        r["doc_id"]: r["signature"]
+        for r in _signatures_from_shingles_arrow(sh, "doc_id", 128, 42).collect()
+    }
+    # codegen reference: the explode+groupBy aggregation, written out
+    # (the public _signatures_from_shingles dispatches bigint inputs to
+    # the arrow kernel, so the groupBy body is replicated here verbatim)
+    params = dd._affine_params(128, 42)
+    p = F.lit(dd._MERSENNE_P)
+    hs = sh.select(F.col("doc_id"), F.explode("shingles").alias("__s")).select(
+        "doc_id", F.pmod(F.col("__s"), p).alias("__h")
+    )
+    ref = (
+        hs.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), p)).alias(f"mh_{i}")
+                for i, (a, b) in enumerate(params)
+            ]
+        )
+        .select("doc_id", F.array(*[f"mh_{i}" for i in range(128)]).alias("signature"))
+    )
+    sig_ref = {r["doc_id"]: r["signature"] for r in ref.collect()}
+    assert sig_arrow == sig_ref
+
+
 def test_simhash_close_for_near_dups(spark):
     a = "spark makes big data processing fast and expressive " * 10
     df = spark.createDataFrame(

@@ -52,11 +52,15 @@ def test_topk_uses_window_group_limit(spark, sf_dir):
 
 
 def test_python_only_at_arrow_boundaries(spark, sf_dir):
-    for name in ("q1_pricing_summary", "x_dedup_minhash_lsh", "x_token_count",
+    for name in ("q1_pricing_summary", "x_token_count",
                  "d1_timestamp_cascade", "x_lang_id"):
         a, _ = _audit(spark, sf_dir, name)
         assert a["python_ops"] == 0, name
     a, _ = _audit(spark, sf_dir, "x_multimodal_bytes")
+    assert a["python_ops"] == 1
+    # minhash: exactly one Arrow boundary — the vectorized signature
+    # kernel (shuffle-free numpy minhash); everything else stays JVM-side
+    a, _ = _audit(spark, sf_dir, "x_dedup_minhash_lsh")
     assert a["python_ops"] == 1
 
 
