@@ -148,6 +148,32 @@ def scd2_merge(
     )
 
 
+def _delete_partition_dirs(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str],
+    parts: list[dict],
+) -> None:
+    """Remove partition directories emptied by an upsert (keys moved out).
+
+    Uses the Hadoop FileSystem API so the same code path works on HDFS /
+    object stores, and Spark's own path-name escaping so values with
+    special characters resolve to the directory Spark wrote.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    try:
+        esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    except Exception:  # pragma: no cover - fallback for API drift
+        esc = lambda s: s  # noqa: E731
+    for p in parts:
+        suffix = "/".join(f"{c}={esc(str(p[c]))}" for c in partition_by)
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{suffix}")
+        fs = jpath.getFileSystem(hconf)
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+
+
 def upsert_parquet_table(
     spark: SparkSession,
     source: DataFrame,
@@ -180,9 +206,24 @@ def upsert_parquet_table(
         return
 
     if partition_by:
-        # Restrict the rewrite to partitions the source touches.
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        parts = [r.asDict() for r in source.select(*partition_by).distinct().collect()]
+        # Affected partitions = partitions the source writes into UNION
+        # partitions where the source's merge keys currently live in the
+        # target. The second set matters when an update moves a key to a
+        # different partition: the old row must be anti-joined away and
+        # its (now smaller) partition rewritten, or the key would exist
+        # twice across partitions — Iceberg MERGE has no such gap, so
+        # neither do we. Both collects are bounded by partition count
+        # (dates), never row count.
+        src_keys = source.dropna(subset=keys).select(*keys).distinct()
+        new_parts = source.select(*partition_by).distinct()
+        old_parts = (
+            target.join(F.broadcast(src_keys), on=keys, how="left_semi")
+            .select(*partition_by)
+            .distinct()
+        )
+        parts = [
+            r.asDict() for r in new_parts.unionByName(old_parts).distinct().collect()
+        ]
         cond = None
         for p in parts:
             c = None
@@ -198,10 +239,23 @@ def upsert_parquet_table(
             else fn(affected_target, source, keys, order_by)
         )
         # localCheckpoint breaks the read-from/write-to-same-path cycle.
-        merged.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
-            *partition_by
-        ).parquet(path)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        staged = merged.localCheckpoint(eager=True)
+        prior_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            staged.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior_mode)
+        # Dynamic overwrite only rewrites partitions present in the
+        # output — a partition emptied by a key moving out keeps its
+        # stale files. Drop those directories explicitly.
+        written = {
+            tuple(r.asDict()[c] for c in partition_by)
+            for r in staged.select(*partition_by).distinct().collect()
+        }
+        emptied = [p for p in parts if tuple(p[c] for c in partition_by) not in written]
+        if emptied:
+            _delete_partition_dirs(spark, path, partition_by, emptied)
     else:
         fn = merge_insert_only if insert_only else merge_upsert
         merged = (

@@ -74,7 +74,19 @@ def salted_join(
     Use when the right side is too big to broadcast and a handful of
     join keys dominate the left. Right-side blow-up is salt×, so keep
     the right side the smaller input.
+
+    ``how`` is restricted to flavors where replicating the right side
+    preserves plain-join semantics: with right/full outer joins each
+    unmatched right row would surface once per salt copy (salt×
+    duplicates), so those are rejected rather than silently wrong.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} only; "
+            f"'{how}' would duplicate unmatched right rows salt x"
+        )
     l_salted = left.withColumn(_SALT, _row_salt(left, salt))
     r_replicated = right.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>"))

@@ -39,6 +39,7 @@ def asof_last(
     condition: Column,
     value: Column,
     out_col: str,
+    tiebreak: list[Column] | None = None,
 ) -> DataFrame:
     """As-of lookup: latest ``value`` (rows where ``condition``) at or
     before each row's ``ts_col``, per partition key.
@@ -48,13 +49,22 @@ def asof_last(
     partition key, O(n) per partition — instead of the quadratic
     inequality join (guide: as-of via bucketize/merge_asof; this is
     the pure-DataFrame variant).
+
+    Uses last(..., ignorenulls) so the *most recent* qualifying value
+    wins regardless of whether ``value`` is monotone in ``ts_col``
+    (max() would silently pick the largest, not the latest). Ordering
+    ties on ``ts_col`` are not deterministic — pass extra ordering
+    columns via ``tiebreak`` (e.g. a unique id) when duplicates exist.
     """
+    order = [F.col(ts_col), *(tiebreak or [])]
     w = (
         Window.partitionBy(*partition_by)
-        .orderBy(F.col(ts_col))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return df.withColumn(out_col, F.max(F.when(condition, value)).over(w))
+    return df.withColumn(
+        out_col, F.last(F.when(condition, value), ignorenulls=True).over(w)
+    )
 
 
 def top_k_per_group(

@@ -63,6 +63,23 @@ def test_asof_last(spark):
     assert got[5] is None  # user 2 never signed up
 
 
+def test_asof_last_non_monotone_value(spark):
+    # The looked-up value DECREASES over time: latest-qualifying must win,
+    # not the max (regression for the max(when(...)) formulation).
+    rows = [
+        (1, 1, "price", 100, 90.0),
+        (2, 1, "price", 200, 50.0),  # latest price is LOWER
+        (3, 1, "trade", 250, None),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "kind", "t", "px"]
+    ).withColumn("ts", F.timestamp_seconds("t"))
+    out = asof_last(
+        df, ["user_id"], "ts", F.col("kind") == "price", F.col("px"), "asof_px"
+    ).filter(F.col("kind") == "trade")
+    assert out.first()["asof_px"] == 50.0  # latest, not max(90.0)
+
+
 def test_approx_distinct_error_bound(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem")
     row = li.agg(

@@ -172,3 +172,40 @@ def test_simhash_close_for_near_dups(spark):
 
     assert hamming(sigs[1], sigs[2]) <= 6
     assert hamming(sigs[1], sigs[3]) > 10
+
+
+def test_upsert_parquet_partition_move(spark, tmp_path):
+    """An update that moves a key to a new partition must not leave the
+    old row behind (Iceberg MERGE parity for the dynamic-overwrite path),
+    including when the old partition is emptied entirely."""
+    from news_lakehouse_spark.operators.merge import upsert_parquet_table
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", "a"), (2, "2024-01-02", "b"), (3, "2024-01-03", "c")],
+        ["k", "dt", "v"],
+    )
+    upsert_parquet_table(spark, base, path, ["k"], partition_by=["dt"])
+
+    # key 1 moves 01-01 -> 01-05 (01-01 empties); key 2 updates in place
+    delta = spark.createDataFrame(
+        [(1, "2024-01-05", "A"), (2, "2024-01-02", "B")], ["k", "dt", "v"]
+    )
+    upsert_parquet_table(spark, delta, path, ["k"], partition_by=["dt"])
+
+    # partition-column inference reads dt back as a date → normalize
+    got = {
+        (r["k"], r["dt"], r["v"])
+        for r in spark.read.parquet(path)
+        .withColumn("dt", F.col("dt").cast("string"))
+        .collect()
+    }
+    assert got == {
+        (1, "2024-01-05", "A"),
+        (2, "2024-01-02", "B"),
+        (3, "2024-01-03", "c"),
+    }
+    # conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower() == "static"
+    )
