@@ -356,13 +356,25 @@ def minhash_near_duplicates(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    word_hash: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per document over unigram word hashes.
+    """SimHash per document over unigram word hashes (term-frequency
+    weighted).
 
-    bit_j(doc) = 1 iff sum over words of sign(bit_j(xxhash64(word)))
+    bit_j(doc) = 1 iff sum over words of sign(bit_j(hash(word)))
     is positive. Pure column arithmetic: explode words, extract bits,
     aggregate votes, reassemble.
+
+    ``word_hash``: ``"xxhash64"`` (default — fastest, JVM codegen) or
+    ``"sha2_60"`` (top 60 bits of sha-256, parsed from hex). The latter
+    exists for cross-engine verification: DuckDB has no xxhash64, but
+    ``CAST('0x'||substr(sha256(w),1,15) AS BIGINT)`` reproduces sha2_60
+    exactly, making the whole signature oracle-checkable. Near-dup
+    quality is identical; use xxhash64 in production pipelines.
     """
     def bit_lit(j: int) -> F.Column:
         # bit 63 of a signed long is the sign bit; 1<<63 as a Python int
@@ -372,7 +384,15 @@ def simhash_signatures(
     words = df.select(
         F.col(id_col), F.explode(F.split(normalized_text(text_col), " ")).alias("w")
     ).filter(F.length("w") > 0)
-    hashed = words.select(id_col, F.xxhash64("w").alias("h"))
+    if word_hash == "xxhash64":
+        h = F.xxhash64("w")
+    elif word_hash == "sha2_60":
+        if bits > 60:
+            raise ValueError("sha2_60 provides 60 hash bits; pass bits <= 60")
+        h = F.conv(F.substring(F.sha2(F.col("w"), 256), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown word_hash '{word_hash}'")
+    hashed = words.select(id_col, h.alias("h"))
     votes = hashed.select(
         id_col,
         *[
@@ -404,12 +424,24 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via shingle inverted index.
 
     explode(shingles) self-joined on the shingle gives per-pair
     intersection counts without an all-pairs cross join; union size
     follows from per-doc shingle counts.
+
+    ``max_df`` caps posting-list fan-out: shingles appearing in more
+    than ``max_df`` documents are dropped from the inverted index
+    before the self-join. Without it, one boilerplate shingle shared by
+    10^6 documents creates a 10^12-row join bucket — the cap bounds any
+    bucket at max_df^2 rows. Standard in suffix-array / SRA dedup.
+    Results are exact whenever no shingle exceeds the cap; when the cap
+    bites, intersection counts (and so Jaccard) are lower bounds —
+    conservative for dedup, since only ubiquitous-boilerplate overlap
+    is discounted. At corpus scale always set it (100–1000 is typical);
+    ``None`` preserves the exact-oracle semantics for tests.
     """
     from pyspark import StorageLevel
 
@@ -421,6 +453,16 @@ def ngram_jaccard_pairs(
     )
     sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
     inv = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    if max_df is not None:
+        # df-filter shares the self-join's shuffle key (shingle), so the
+        # exchange is reused; the count is a map-side-combined long agg.
+        rare = (
+            inv.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        inv = inv.join(rare, "shingle")
     l = inv.select(F.col(id_col).alias("id_a"), "shingle")
     r = inv.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (

@@ -805,14 +805,49 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on the shingle key degenerates toward all-pairs.
     """
     d = read_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.4)
+    # max_df caps posting-list fan-out at corpus scale; max observed df
+    # on the fixtures is 25 (sf0.1), so 100 is exact here — the oracle
+    # below assumes no shingle exceeds it.
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.4, max_df=100)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit signatures (rows-only: xxhash64 not in DuckDB)."""
+    """SimHash signatures, oracle-checked bit for bit.
+
+    Uses the sha2_60 word hash (top 60 bits of sha-256) so DuckDB can
+    recompute the identical signature — the xxhash64 default has no
+    DuckDB twin. Signature semantics (tf-weighted bit votes) unchanged.
+    """
     d = read_table(spark, sf_dir, "documents")
-    return simhash_signatures(d, "doc_id", "text")
+    return simhash_signatures(d, "doc_id", "text", bits=60, word_hash="sha2_60")
+
+
+def _simhash_oracle(bits: int = 60) -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits)
+    )
+    nt = _NT.format(c="text")
+    return f"""
+WITH words AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, string_split({nt}, ' ') AS ws FROM documents),
+       unnest(ws) u(w)
+  WHERE length(w) > 0
+), hashed AS (
+  SELECT doc_id, CAST(concat('0x', substr(sha256(w), 1, 15)) AS BIGINT) AS h
+  FROM words
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM votes
+"""
 
 
 def x_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1811,7 +1846,7 @@ ORACLES: dict[str, str] = {
     "x_sessionize": _SESSIONIZE_SQL,
     "x_dedup_minhash_lsh": _jaccard_oracle(3, 0.8),
     "x_dedup_ngram_jaccard": _jaccard_oracle(3, 0.4),
-    # x_dedup_simhash: rows-only
+    "x_dedup_simhash": _simhash_oracle(60),
     "x_sim_topk_bruteforce": _SIM_SQL,
     # x_sim_lsh_topk: rows-only (approximate by design)
     "x_embed_centroid": _CENTROID_SQL,

@@ -209,3 +209,36 @@ def test_upsert_parquet_partition_move(spark, tmp_path):
     assert (
         spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower() == "static"
     )
+
+
+def test_ngram_jaccard_max_df_noop_when_under_cap(spark):
+    """With a cap no shingle exceeds, output is identical to uncapped."""
+    rows = [(i, f"shared prefix words here document {i} body {'token %d ' % i * 10}")
+            for i in range(12)]
+    rows += [(100, "aaa bbb ccc ddd eee fff ggg hhh"),
+             (101, "aaa bbb ccc ddd eee fff ggg zzz")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.3).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.3, max_df=1000
+        ).collect()
+    }
+    assert capped == uncapped and (100, 101) in {(a, b) for a, b, _ in capped}
+
+
+def test_ngram_jaccard_max_df_drops_boilerplate_shingles(spark):
+    """A shingle shared by every doc is excluded once its df exceeds the
+    cap: pairs related only through boilerplate disappear."""
+    boiler = "all rights reserved"
+    rows = [(i, f"{boiler} unique body {i} {'word%d ' % i * 6}") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.01).count()
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.01, max_df=5
+    ).count()
+    assert uncapped > 0 and capped == 0
