@@ -24,6 +24,17 @@ Scale notes: the anti join shuffles both sides on the merge keys — at
 the rewrite to affected partitions (dynamic partition overwrite) when a
 partition column is declared; with small deltas Catalyst broadcasts the
 source side of the anti join automatically.
+
+Backend probe (re-checked every round): neither the `delta-spark`
+package nor any Delta/Iceberg runtime jar exists in this environment
+(no pip/ivy/maven access), so an ACID `DeltaTable.merge` /
+`MERGE INTO` backend cannot be wired here. What the parquet emulation
+consequently lacks vs the reference's Iceberg tables: concurrent-writer
+snapshot isolation, time travel, and metadata-level schema evolution.
+On a cluster with delta-spark installed, `upsert_parquet_table` is the
+single seam to swap: same (target, source, keys, partition_by)
+signature as `DeltaTable.merge(...).whenMatchedUpdateAll()
+.whenNotMatchedInsertAll()`.
 """
 
 from __future__ import annotations

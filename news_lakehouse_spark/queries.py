@@ -16,6 +16,7 @@ the value hash.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1023,6 +1024,50 @@ FROM documents
 
 
 
+def x_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real binary-file ingest: `binaryFile` scan over a byte fixture →
+    canonical multimodal shape → Arrow-batched feature extraction.
+
+    Unlike x_multimodal_bytes (payload synthesized from text), this
+    reads actual files from disk — the path a real image/audio corpus
+    takes. The fixture is committed and deterministic, so the DuckDB
+    read_blob oracle checks it value for value. `hex_sha` is
+    sha256-of-hex rather than sha256-of-bytes because DuckDB's sha256
+    only takes VARCHAR; the JVM side hashes the same hex string.
+    """
+    import os
+
+    from news_lakehouse_spark.operators.multimodal import extract_features
+    from news_lakehouse_spark.sources.readers import read_binary_dir
+
+    raw = read_binary_dir(spark, _BINARY_FIXTURE_DIR, glob="doc*.*")
+    mm = raw.select(
+        F.regexp_extract(F.col("path"), r"doc(\d+)", 1).cast("long").alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.regexp_extract(F.col("path"), r"\.(\w+)$", 1).alias("modality"),
+    )
+    feats = extract_features(mm).select("doc_id", "modality", "n_bytes", "head_hex")
+    digests = mm.select(
+        "doc_id", F.sha2(F.hex("payload"), 256).alias("hex_sha")
+    )
+    return feats.join(digests, "doc_id")
+
+
+_BINARY_FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures", "binary",
+)
+
+_BINARY_SQL = f"""
+SELECT CAST(regexp_extract(filename, 'doc(\\d+)', 1) AS BIGINT) AS doc_id,
+       regexp_extract(filename, '\\.(\\w+)$', 1) AS modality,
+       CAST(size AS INT) AS n_bytes,
+       lower(substr(hex(content), 1, 16)) AS head_hex,
+       sha256(hex(content)) AS hex_sha
+FROM read_blob('{_BINARY_FIXTURE_DIR}/doc*.*')
+"""
+
+
 def x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join (absent in reference, SURVEY §2.3): purchases inside
     each signup's 30-minute window, via bucketized equi-join — no
@@ -1793,6 +1838,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_token_count": x_token_count,
     "x_fingerprint": x_fingerprint,
     "x_multimodal_bytes": x_multimodal_bytes,
+    "x_binary_ingest": x_binary_ingest,
     "x_range_join": x_range_join,
     "x_salted_agg": x_salted_agg,
     "x_salted_join": x_salted_join,
@@ -1855,6 +1901,7 @@ ORACLES: dict[str, str] = {
     "x_token_count": _TOKEN_SQL,
     "x_fingerprint": _FP_SQL,
     "x_multimodal_bytes": _MM_SQL,
+    "x_binary_ingest": _BINARY_SQL,
     "x_range_join": _RANGE_SQL,
     "x_salted_agg": _SALTED_AGG_SQL,
     "x_salted_join": _SALTED_JOIN_SQL,

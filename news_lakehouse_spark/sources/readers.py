@@ -102,3 +102,33 @@ def read_csv(
         .option("mode", mode)
         .csv(path)
     )
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Binary-file scan for multimodal ingest: one row per file with
+    (path, modificationTime, length, content binary).
+
+    The `binaryFile` source is the entry point for image/audio/video
+    corpora (no reference analog — the reference ingests text JSON
+    only). Scale notes: each file must fit in one task's memory, so
+    `max_bytes` pushes a `length <= N` filter that the source evaluates
+    from file status BEFORE reading content (binaryFile supports
+    predicate pushdown on length/path/modificationTime) — oversized
+    blobs are skipped at listing time, not after a 5 GB read. Glob
+    filtering likewise happens during listing via pathGlobFilter.
+    """
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    if recursive:
+        r = r.option("recursiveFileLookup", "true")
+    df = r.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df

@@ -250,3 +250,23 @@ def test_sample_frames_cardinality(spark, sf_dir):
     for r in out:
         per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
     assert all(sorted(v) == [0, 1, 2] for v in per_doc.values())
+
+
+def test_read_binary_dir(spark):
+    import os
+
+    from news_lakehouse_spark.sources.readers import read_binary_dir
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures", "binary")
+    df = read_binary_dir(spark, fixdir, glob="doc*.*")
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 6
+    by_name = {os.path.basename(r["path"]): r for r in rows}
+    # length metadata agrees with actual payload bytes
+    assert all(len(r["content"]) == r["length"] for r in rows)
+    with open(os.path.join(fixdir, "doc000.img"), "rb") as f:
+        assert bytes(by_name["doc000.img"]["content"]) == f.read()
+    # max_bytes filters on file-status length before content is read
+    small = read_binary_dir(spark, fixdir, glob="doc*.*", max_bytes=300)
+    assert small.count() == sum(1 for r in rows if r["length"] <= 300)
+    assert "length" in small._jdf.queryExecution().optimizedPlan().toString()
