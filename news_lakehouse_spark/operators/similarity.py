@@ -10,11 +10,13 @@ Extension surface for the 100 TB training-data pipeline:
   is bounded per partition by Spark's window TopK pushdown... at scale
   prefer the aggregate form used here: partial top-k via groupBy.
 
-- lsh_bucketed_topk — approximate variant: random-hyperplane signs
-  (SimHash for vectors) bucket the corpus; queries probe only their
-  own bucket (+ optional multi-probe neighbors), turning a full scan
-  into a bucketed equi-join. Recall is traded for a ~2^bits fan-in
-  reduction; the plan is a broadcast join on bucket id.
+- lsh_bucketed_topk — approximate variant: multi-table random-
+  hyperplane LSH. Each of L tables buckets on the sign-bit string of
+  `planes` projections (one Arrow-batched matmul computes all tables);
+  candidates are the union of bucket mates over tables
+  (OR-amplification), deduped before exact scoring. Recall is traded
+  for a per-table 2^planes fan-in reduction; the plan is a broadcast
+  join on (table, bucket).
 
 Vectors are cast to double before arithmetic so results are stable
 across Arrow/JVM float paths.
@@ -22,6 +24,7 @@ across Arrow/JVM float paths.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -108,50 +111,78 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     k: int = 10,
     planes: int = 8,
+    tables: int = 16,
     seed: int = 42,
     dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH buckets.
+    """Approximate top-k via multi-table random-hyperplane LSH.
 
-    bucket(v) = sign-bit string of <v, r_i> for `planes` random
-    hyperplanes r_i (deterministic seed). Join queries to corpus on the
-    bucket id, then exact-rank within the bucket. Recall < 1 by design;
-    the candidate join replaces the full cross product.
+    ``tables`` independent hash tables, each bucketing on the sign-bit
+    string of <v, r_i> for ``planes`` random hyperplanes (deterministic
+    seed). A query's candidates are the union over tables of its bucket
+    mates — OR-amplification: one table of b bits finds a neighbor only
+    if all b sign bits agree (recall ~0 for b=8 on 64-dim data); with L
+    tables the miss probability is (1 - p^b)^L, driven toward 0 by L.
+    Candidates are deduped per (query, neighbor) BEFORE scoring, so the
+    exact-rank work is bounded by distinct candidates, not L times it.
+
+    The corpus is scanned once and exploded L times on (table, bucket) —
+    the standard space/recall trade of multi-probe-free LSH. Per-table
+    bucket population is corpus/2^planes rows; the join key (table,
+    bucket) keeps every table's buckets co-partitioned in one shuffle.
+    Recall < 1 by design; the candidate join replaces the cross product.
     """
     import random
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
 
     if dim is None:
         sample = corpus.select(F.size(vec_col).alias("d")).first()
         dim = sample["d"]
     rng = random.Random(seed)
-    hyperplanes = [
-        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)
-    ]
+    # (dim, tables*planes) projection matrix; one matmul buckets a whole
+    # Arrow batch for every table at once. The equivalent Catalyst
+    # expression tree (tables x planes aggregate-dots) is interpreted
+    # per element and dominates runtime even at toy scale — same
+    # rationale as the MinHash Arrow kernel (operators/dedupe.py).
+    proj = np.array(
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(tables * planes)]
+    ).T
+    weights = 1 << np.arange(planes)
 
-    def bucket_expr(vec: Column) -> Column:
-        bits = []
-        for p, plane in enumerate(hyperplanes):
-            arr = F.array(*[F.lit(w) for w in plane])
-            bits.append(
-                F.when(_dot(F.transform(vec, lambda x: x.cast("double")), arr) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-            )
-        return sum(bits[1:], bits[0]).alias("bucket")
+    @pandas_udf("array<int>")
+    def _buckets(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        v = np.vstack(vec.to_numpy()).astype("float64")  # (n, dim)
+        signs = (v @ proj) >= 0  # (n, tables*planes)
+        bits = signs.reshape(len(vec), tables, planes)
+        b = (bits * weights).sum(axis=2).astype("int32")  # (n, tables)
+        return pd.Series(list(b))
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        bucket_expr(F.col(vec_col)),
+        F.posexplode(_buckets(F.col(vec_col))).alias("table", "bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        bucket_expr(F.col(vec_col)),
+        F.posexplode(_buckets(F.col(vec_col))).alias("table", "bucket"),
     )
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+    # Dedupe (query, neighbor) collisions across tables before the
+    # cosine — scoring cost is per distinct candidate, not per table hit.
+    candidates = (
+        c.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6))
-        .select("query_id", "neighbor_id", "cos_sim")
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("q_vec").alias("q_vec"), F.first("c_vec").alias("c_vec"))
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
     )
     from news_lakehouse_spark.operators.windows import top_k_per_group
 
@@ -369,3 +400,40 @@ def ivf_topk(
         [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
         k,
     )
+
+
+def ann_recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    floor: float | None = None,
+) -> DataFrame:
+    """recall@k of an approximate top-k result against the exact one.
+
+    Both inputs are (query_id, neighbor_id, ...) top-k frames. Output
+    is one row per query: (query_id, n_hits, recall). With ``floor``
+    set, queries whose recall falls below it are DROPPED — so a recall
+    regression shows up as a row-count change in any harness that only
+    counts rows. The right-side hit join is broadcast: top-k frames are
+    (#queries x k) rows, never corpus-sized.
+    """
+    ex = exact.select("query_id", "neighbor_id")
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(F.broadcast(ex), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    # queries with zero hits still get a row (recall 0), via the exact side
+    base = ex.select("query_id").distinct()
+    out = (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(k), 6).alias("recall"),
+        )
+    )
+    if floor is not None:
+        out = out.filter(F.col("recall") >= floor)
+    return out

@@ -31,16 +31,35 @@ def test_cosine_topk_exact_self_similarity(spark, sf_dir):
 
 
 def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    from news_lakehouse_spark.operators.similarity import ann_recall_at_k
+
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     exact = cosine_topk_bruteforce(emb, q, k=5)
-    approx = lsh_bucketed_topk(emb, q, k=5, planes=4)
-    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx = lsh_bucketed_topk(emb, q, k=5, planes=6, tables=32)
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
-    # approximate: same-bucket neighbors only; sanity — nonempty and
-    # every returned pair is a plausible neighbor pair
     assert a and all(p[0] != p[1] for p in a)
-    assert len(a & e) >= 0  # recall may be low at 500 vectors; shape check
+    # multi-table OR-amplification: recall must be real, not bucket luck
+    recalls = ann_recall_at_k(approx, exact, k=5).collect()
+    assert len(recalls) == 10
+    assert sum(r["recall"] for r in recalls) / len(recalls) >= 0.5
+
+
+def test_ann_recall_floor_drops_bad_queries(spark):
+    rows_exact = [(1, n) for n in range(10)] + [(2, n) for n in range(10)]
+    # query 1 finds 8/10; query 2 finds 1/10
+    rows_approx = [(1, n) for n in range(8)] + [(2, 0)]
+    from news_lakehouse_spark.operators.similarity import ann_recall_at_k
+
+    exact = spark.createDataFrame(rows_exact, ["query_id", "neighbor_id"])
+    approx = spark.createDataFrame(rows_approx, ["query_id", "neighbor_id"])
+    all_rows = {
+        (r["query_id"], r["n_hits"], r["recall"])
+        for r in ann_recall_at_k(approx, exact, k=10).collect()
+    }
+    assert all_rows == {(1, 8, 0.8), (2, 1, 0.1)}
+    floored = ann_recall_at_k(approx, exact, k=10, floor=0.5).collect()
+    assert [(r["query_id"], r["recall"]) for r in floored] == [(1, 0.8)]
 
 
 def test_asof_last(spark):
