@@ -37,14 +37,25 @@ class ParquetWarehouse:
         os.makedirs(self.root, exist_ok=True)
 
     def list_tables(self) -> list[str]:
-        """S5 analog: child-directory listing of the namespace."""
-        if not os.path.isdir(self.root):
-            return []
-        return sorted(
-            d
-            for d in os.listdir(self.root)
-            if os.path.isdir(os.path.join(self.root, d))
-        )
+        """S5 analog: child-directory listing of the namespace.
+
+        Retried like the reference's GCS topic autodetect
+        (gcs_bronze_to_silver.py:216, 3 attempts fixed-wait) — listing
+        an object store is the flakiest call in the pipeline; local FS
+        just never trips it.
+        """
+        from news_lakehouse_spark.metrics import with_retry
+
+        def _list() -> list[str]:
+            if not os.path.isdir(self.root):
+                return []
+            return sorted(
+                d
+                for d in os.listdir(self.root)
+                if os.path.isdir(os.path.join(self.root, d))
+            )
+
+        return with_retry(_list, attempts=3, wait_s=2.0, retry_on=(OSError,))
 
     def table_exists(self, table: str) -> bool:
         """S7: cheap existence probe without reading data."""

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from news_lakehouse_spark.metrics import pipeline_metrics
 from news_lakehouse_spark.operators.merge import upsert_parquet_table
 from news_lakehouse_spark.plans.silver import build_silver_tables
 from news_lakehouse_spark.schemas import NEWS_SCHEMA
@@ -51,15 +52,20 @@ def upsert_silver_batch(
         return
     batch_df.persist()
     try:
-        tables = build_silver_tables(batch_df, require_ts=True)
-        for name, df in tables.items():
-            upsert_parquet_table(
-                spark,
-                df,
-                f"{out_dir}/{name}",
-                keys=SILVER_KEYS[name],
-                insert_only=name in INSERT_ONLY,
-            )
+        with pipeline_metrics("bronze_to_silver_batch") as m:
+            # the persist means this count is a cache read, not a second
+            # source scan — the one place a records metric is free
+            m.records = batch_df.count()
+            tables = build_silver_tables(batch_df, require_ts=True)
+            for name, df in tables.items():
+                with pipeline_metrics(f"upsert_{name}"):
+                    upsert_parquet_table(
+                        spark,
+                        df,
+                        f"{out_dir}/{name}",
+                        keys=SILVER_KEYS[name],
+                        insert_only=name in INSERT_ONLY,
+                    )
     finally:
         batch_df.unpersist()
 

@@ -61,6 +61,25 @@ def test_serving_export(spark, tmp_path, sf_dir):
     pruned = back.filter(F.col("status") == "O")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or pruned.count() > 0
+    # clustering analog (reference gold_to_bigquery.py:118-142): every
+    # written file is internally sorted on the cluster column, so
+    # downstream range scans benefit from parquet min/max row-group
+    # pruning. Checked per physical file — the directory-level read
+    # interleaves files and would hide an unsorted writer.
+    per_file = (
+        back.withColumn("__f", F.input_file_name())
+        .withColumn("__rk", F.monotonically_increasing_id())
+    )
+    import itertools
+
+    rows = per_file.select("__f", "__rk", "o_orderkey").collect()
+    rows.sort(key=lambda r: (r["__f"], r["__rk"]))
+    n_files = 0
+    for _, grp in itertools.groupby(rows, key=lambda r: r["__f"]):
+        keys = [r["o_orderkey"] for r in grp]
+        assert keys == sorted(keys)
+        n_files += 1
+    assert n_files >= 1
 
 
 def test_csv_roundtrip_with_declared_schema(spark, tmp_path):
