@@ -132,9 +132,20 @@ def make_articles(n: DataFrame) -> DataFrame:
             ),
             F.when(F.col("author").isNotNull(), sha2_key("author")).alias("AuthorID"),
             F.when(F.col("topic").isNotNull(), sha2_key("topic")).alias("TopicID"),
-            F.when(
-                F.col("sub_topic").isNotNull(),
-                sha2_key("sub_topic", sha2_key("topic")),
+            # Reference parity (b2s:300-301): concat_ws SKIPS nulls, so a
+            # null/blank sub_topic yields sha2(TopicID) — a non-null id
+            # with no dim row (gold maps it to the UNKNOWN member) — and
+            # null topic too yields sha2(''). Not a bug to fix: matching
+            # it keeps silver row-compatible with reference lakes.
+            F.sha2(
+                F.concat_ws(
+                    "||",
+                    F.when(
+                        F.length(F.trim("sub_topic")) > 0, F.trim("sub_topic")
+                    ),
+                    F.when(F.col("topic").isNotNull(), sha2_key("topic")),
+                ),
+                256,
             ).alias("SubTopicID"),
             "date",
             "hour",
@@ -206,21 +217,28 @@ def make_comment_interactions(n: DataFrame) -> DataFrame:
         F.col("c.interaction_details").alias("details"),
     )
     # stringified JSON map → int values → entries (N4-N6, b2s:371-385)
+    # Reference parity (b2s:381-383): the ID hashes the RAW interaction
+    # key and the display column is the raw key too — normalization to
+    # lower(trim(..)) happens in gold's dim_interaction_type
+    # (s2g:520,788), not here. A silver lake produced by this plan is
+    # row-compatible with a reference-produced one. Deliberate
+    # divergence: rows whose interaction map is empty are dropped here
+    # (the reference keeps a null-typed row per empty map).
     entries = (
         with_id.withColumn("m", int_map_values(parse_json_map("details")))
         .select("CommentID", F.explode_outer(F.map_entries("m")).alias("e"))
         .filter(F.col("e").isNotNull())
         .select(
             "CommentID",
-            F.lower(F.trim(F.col("e.key"))).alias("InteractionType"),
+            F.col("e.key").alias("InteractionType"),
             F.col("e.value").alias("InteractionCount"),
         )
     )
     return (
         entries.select(
-            sha2_key(F.col("CommentID"), F.col("InteractionType")).alias(
-                "CommentInteractionID"
-            ),
+            F.sha2(
+                F.concat_ws("||", F.col("CommentID"), F.col("InteractionType")), 256
+            ).alias("CommentInteractionID"),
             "CommentID",
             "InteractionType",
             "InteractionCount",

@@ -103,12 +103,19 @@ def test_silver_keys_unique(silver):
 
 
 def test_comment_interactions_parse(silver):
+    import hashlib
+
     ci = silver["comment_interactions"]
     rows = ci.collect()
     assert rows, "no interactions parsed"
-    # non-numeric values coalesce to 0, keys are lowercase
+    # non-numeric values coalesce to 0
     assert all(r["InteractionCount"] >= 0 for r in rows)
-    assert all(r["InteractionType"] == r["InteractionType"].lower() for r in rows)
+    # reference ID parity (b2s:381): sha2(CommentID || '||' || raw key)
+    for r in rows[:20]:
+        expect = hashlib.sha256(
+            f"{r['CommentID']}||{r['InteractionType']}".encode()
+        ).hexdigest()
+        assert r["CommentInteractionID"] == expect
 
 
 def test_gold_star_schema(spark, silver):
@@ -142,3 +149,30 @@ def test_gold_date_key_shape(silver):
     for r in rows:
         d = r["FullDateAlternateKey"]
         assert r["DateKey"] == d.year * 10000 + d.month * 100 + d.day
+
+
+def test_subtopic_id_null_skip_parity(spark):
+    """SubTopicID follows the reference's concat_ws null-skip
+    (b2s:300-301): null/blank sub_topic -> sha2(TopicID); null topic
+    too -> sha2('')."""
+    import hashlib
+
+    rows = [
+        {"url": "https://x/1", "topic": "thoi-su", "sub_topic": "chinh-tri"},
+        {"url": "https://x/2", "topic": "thoi-su", "sub_topic": None},
+        {"url": "https://x/3", "topic": "thoi-su", "sub_topic": "   "},
+        {"url": "https://x/4", "topic": None, "sub_topic": None},
+    ]
+    raw = spark.createDataFrame(
+        [tuple(r.get(f.name) for f in NEWS_SCHEMA.fields) for r in rows],
+        NEWS_SCHEMA,
+    )
+    arts = build_silver_tables(raw)["articles"]
+    got = {r["URL"]: r["SubTopicID"] for r in arts.collect()}
+    topic_id = hashlib.sha256("thoi-su".encode()).hexdigest()
+    assert got["https://x/1"] == hashlib.sha256(
+        f"chinh-tri||{topic_id}".encode()
+    ).hexdigest()
+    assert got["https://x/2"] == hashlib.sha256(topic_id.encode()).hexdigest()
+    assert got["https://x/3"] == got["https://x/2"]  # blank == null
+    assert got["https://x/4"] == hashlib.sha256(b"").hexdigest()
