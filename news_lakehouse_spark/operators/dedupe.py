@@ -483,3 +483,67 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+    word_hash: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup pairs at Hamming distance <= max_hamming between SimHash
+    signatures, via pigeonhole bit-block LSH.
+
+    Split the signature into (max_hamming + 1) blocks: any pair within
+    max_hamming differing bits must agree EXACTLY on at least one block
+    (pigeonhole), so candidate generation is an equi-join on
+    (block_idx, block_value) — complete by construction, never a
+    similarity trade-off. Only candidates pay the bit_count(xor) check.
+    At corpus scale the candidate count is sum over blocks of
+    bucket_size² — wider blocks (fewer allowed errors) keep buckets
+    exponentially smaller, the same lever as LSH band width. Standard
+    64-bit practice is max_hamming=3 → 4 blocks of 16 bits (Manku et
+    al., WWW'07 — the Google simhash dedup paper).
+
+    Exact w.r.t. the signature, so fully oracle-checkable (the DuckDB
+    twin does the quadratic xor over all pairs; this plan never does).
+    """
+    nb = max_hamming + 1
+    if nb > bits:
+        raise ValueError("max_hamming + 1 block count exceeds signature bits")
+    sigs = simhash_signatures(df, id_col, text_col, bits=bits, word_hash=word_hash)
+    base, extra = divmod(bits, nb)
+    blocks = []
+    start = 0
+    for i in range(nb):
+        width = base + (1 if i < extra else 0)
+        mask = (1 << width) - 1
+        blocks.append(
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.shiftrightunsigned("simhash", start).bitwiseAND(F.lit(mask)).alias("bv"),
+            )
+        )
+        start += width
+    exploded = sigs.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*blocks)).alias("b")
+    ).select(id_col, "simhash", "b.bi", "b.bv")
+    l = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "bi", "bv"
+    )
+    r = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "bi", "bv"
+    )
+    return (
+        l.join(r, ["bi", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        # a close pair can agree on several blocks — dedupe
+        .groupBy("id_a", "id_b")
+        .agg(F.first("hamming").alias("hamming"))
+    )

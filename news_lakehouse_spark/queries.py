@@ -852,6 +852,54 @@ SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM votes
 """
 
 
+def x_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming <= 3 via pigeonhole block LSH.
+
+    Candidate generation is an equi-join on signature blocks (complete
+    by pigeonhole — never an approximation); the oracle twin does the
+    quadratic all-pairs xor in SQL. On this corpus the <= 3 set equals
+    the 25 MinHash near-dup pairs.
+    """
+    from news_lakehouse_spark.operators.dedupe import simhash_near_duplicates
+
+    d = read_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(
+        d, "doc_id", "text", max_hamming=3, bits=60, word_hash="sha2_60"
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _simhash_pairs_oracle(bits: int = 60, max_hamming: int = 3) -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits)
+    )
+    nt = _NT.format(c="text")
+    return f"""
+WITH words AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, string_split({nt}, ' ') AS ws FROM documents),
+       unnest(ws) u(w)
+  WHERE length(w) > 0
+), hashed AS (
+  SELECT doc_id, CAST(concat('0x', substr(sha256(w), 1, 15)) AS BIGINT) AS h
+  FROM words
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashed GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, CAST({assemble} AS BIGINT) AS s FROM votes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+"""
+
+
 def x_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for query vectors (vec_id < 5)."""
     emb = read_table(spark, sf_dir, "embeddings")
@@ -1850,6 +1898,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_dedup_minhash_lsh": x_dedup_minhash_lsh,
     "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
     "x_dedup_simhash": x_dedup_simhash,
+    "x_dedup_simhash_pairs": x_dedup_simhash_pairs,
     "x_sim_topk_bruteforce": x_sim_topk_bruteforce,
     "x_sim_lsh_topk": x_sim_lsh_topk,
     "x_embed_centroid": x_embed_centroid,
@@ -1913,6 +1962,7 @@ ORACLES: dict[str, str] = {
     "x_dedup_minhash_lsh": _jaccard_oracle(3, 0.8),
     "x_dedup_ngram_jaccard": _jaccard_oracle(3, 0.4),
     "x_dedup_simhash": _simhash_oracle(60),
+    "x_dedup_simhash_pairs": _simhash_pairs_oracle(60, 3),
     "x_sim_topk_bruteforce": _SIM_SQL,
     # x_sim_lsh_topk: rows-only (approximate) — emits recall@10 vs brute
     # force filtered at a floor, so the rows check detects recall collapse

@@ -242,3 +242,39 @@ def test_ngram_jaccard_max_df_drops_boilerplate_shingles(spark):
         df, "doc_id", "text", n=3, threshold=0.01, max_df=5
     ).count()
     assert uncapped > 0 and capped == 0
+
+
+def test_simhash_near_duplicates_block_lsh_is_complete(spark):
+    """Pigeonhole block-LSH must find exactly the pairs a brute-force
+    Hamming scan over the signatures finds."""
+    from news_lakehouse_spark.operators.dedupe import (
+        simhash_near_duplicates,
+        simhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [(i, f"document {i} " + "filler%d " % i * 25) for i in range(15)]
+    rows += [(100, base), (101, base + "tail"), (102, base + "other tail words")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_duplicates(
+            df, "doc_id", "text", max_hamming=6, bits=60, word_hash="sha2_60"
+        ).collect()
+    }
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(
+            df, "doc_id", "text", bits=60, word_hash="sha2_60"
+        ).collect()
+    }
+    ids = sorted(sigs)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            hd = bin(sigs[a] ^ sigs[b]).count("1")
+            if hd <= 6:
+                expect[(a, b)] = hd
+    assert got == expect
+    assert (100, 101) in got  # the planted near-dup is found
