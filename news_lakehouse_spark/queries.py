@@ -852,6 +852,88 @@ SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM votes
 """
 
 
+_BM25_TERMS = ["broadcast", "shuffle", "vector"]
+
+
+def x_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search over documents for a 3-term query.
+
+    All matched docs returned (no float-tied top-k cutoff); Lucene idf
+    formulation, k1=1.2 b=0.75, scores rounded to 6.
+    """
+    from news_lakehouse_spark.operators.search import bm25_scores
+
+    d = read_table(spark, sf_dir, "documents")
+    return bm25_scores(d, "doc_id", "text", _BM25_TERMS)
+
+
+def _bm25_oracle(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    nt = _NT.format(c="text")
+    in_list = ", ".join(f"'{t}'" for t in sorted({t.lower() for t in terms}))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({nt}, ' ') AS ws FROM documents
+), lens AS (
+  SELECT doc_id, len(list_filter(ws, w -> length(w) > 0)) AS dl FROM toks
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens
+), matches AS (
+  SELECT t.doc_id, l.dl, u.w AS term, count(*) AS tf
+  FROM toks t JOIN lens l ON t.doc_id = l.doc_id, unnest(t.ws) u(w)
+  WHERE u.w IN ({in_list})
+  GROUP BY t.doc_id, l.dl, u.w
+), dfreq AS (
+  SELECT term, count(*) AS doc_freq FROM matches GROUP BY term
+)
+SELECT m.doc_id,
+       CAST(count(*) AS BIGINT) AS n_matched_terms,
+       round(sum(
+         ln(1.0 + (s.n_docs - d.doc_freq + 0.5) / (d.doc_freq + 0.5))
+         * m.tf * ({k1} + 1)
+         / (m.tf + {k1} * (1 - {b} + {b} * m.dl / s.avgdl))
+       ), 6) AS score
+FROM matches m JOIN dfreq d USING (term) CROSS JOIN stats s
+GROUP BY m.doc_id
+"""
+
+
+def x_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (ties broken lexicographically)."""
+    from news_lakehouse_spark.operators.search import tfidf_top_terms
+
+    d = read_table(spark, sf_dir, "documents")
+    out = tfidf_top_terms(d, "doc_id", "text", top_n=5, min_term_len=4)
+    return out.select(
+        "doc_id", "term", F.col("tf").cast("long").alias("tf"), "tfidf", "rank"
+    )
+
+
+_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, u.w AS term
+  FROM (SELECT doc_id, string_split({_NT.format(c='text')}, ' ') AS ws
+        FROM documents), unnest(ws) u(w)
+  WHERE length(u.w) >= 4
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS doc_freq FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * (ln(n.n_docs / (1.0 + d.doc_freq)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term
+         ) AS INT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 5
+"""
+
+
 def x_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming <= 3 via pigeonhole block LSH.
 
@@ -1899,6 +1981,8 @@ QUERIES: dict[str, QueryFn] = {
     "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
     "x_dedup_simhash": x_dedup_simhash,
     "x_dedup_simhash_pairs": x_dedup_simhash_pairs,
+    "x_bm25_search": x_bm25_search,
+    "x_tfidf_topterms": x_tfidf_topterms,
     "x_sim_topk_bruteforce": x_sim_topk_bruteforce,
     "x_sim_lsh_topk": x_sim_lsh_topk,
     "x_embed_centroid": x_embed_centroid,
@@ -1963,6 +2047,8 @@ ORACLES: dict[str, str] = {
     "x_dedup_ngram_jaccard": _jaccard_oracle(3, 0.4),
     "x_dedup_simhash": _simhash_oracle(60),
     "x_dedup_simhash_pairs": _simhash_pairs_oracle(60, 3),
+    "x_bm25_search": _bm25_oracle(_BM25_TERMS),
+    "x_tfidf_topterms": _TFIDF_SQL,
     "x_sim_topk_bruteforce": _SIM_SQL,
     # x_sim_lsh_topk: rows-only (approximate) — emits recall@10 vs brute
     # force filtered at a floor, so the rows check detects recall collapse

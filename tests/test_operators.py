@@ -278,3 +278,42 @@ def test_simhash_near_duplicates_block_lsh_is_complete(spark):
                 expect[(a, b)] = hd
     assert got == expect
     assert (100, 101) in got  # the planted near-dup is found
+
+
+def test_bm25_prefers_rarer_term_and_matches_manual_score(spark):
+    import math
+
+    from news_lakehouse_spark.operators.search import bm25_scores
+
+    rows = [
+        (1, "spark spark spark engine"),
+        (2, "spark engine engine engine"),
+        (3, "engine engine engine engine"),
+        (4, "unrelated words only here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in bm25_scores(df, "doc_id", "text", ["spark"]).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["score"] > got[2]["score"]  # higher tf wins at equal dl
+    # manual Lucene-BM25: N=4, df=2, dl=4, avgdl=4, tf=3
+    idf = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
+    expect = idf * 3 * 2.2 / (3 + 1.2 * (1 - 0.75 + 0.75 * 1.0))
+    assert abs(got[1]["score"] - round(expect, 6)) < 1e-9
+
+
+def test_tfidf_top_terms_rank_and_ties(spark):
+    from news_lakehouse_spark.operators.search import tfidf_top_terms
+
+    rows = [
+        (1, "alpha alpha beta gamma"),
+        (2, "beta beta gamma gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_top_terms(df, "doc_id", "text", top_n=2, min_term_len=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+    # doc 1: alpha (tf=2, df=1) clearly first
+    assert sorted(by_doc[1])[0] == (1, "alpha")
+    # doc 2: beta and gamma tie on tfidf -> lexicographic order
+    assert sorted(by_doc[2]) == [(1, "beta"), (2, "gamma")]
