@@ -119,3 +119,23 @@ def dedupe_within_watermark(
     within the watermark, bounded state always.
     """
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def dedupe_stream_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming dedup with bounded state (T-family extension).
+
+    dropDuplicatesWithinWatermark keeps each key's state only until the
+    watermark passes it — the production-safe form of streaming dedup:
+    plain dropDuplicates on a stream grows state forever, which is
+    exactly the failure mode a 100 TB/day feed hits first. Duplicates
+    arriving within the watermark window are suppressed; a re-emit
+    after state eviction is the documented trade (at-least-once dedup,
+    not exactly-once over all history — pair with the keyed MERGE sink
+    in operators/merge.py for end-to-end idempotency).
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -127,3 +127,66 @@ def test_bronze_permissive_malformed_json(spark, tmp_path):
     urls = {r["url"] for r in rows}
     assert "https://e.vn/a1" in urls
     assert None in urls or "https://e.vn/a2" not in urls  # malformed → nulls
+
+
+def test_dedupe_stream_within_watermark(spark, tmp_path):
+    from news_lakehouse_spark.streaming.windows import (
+        dedupe_stream_within_watermark,
+    )
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00", "v": "a"},
+        {"event_id": 1, "ts": "2024-01-01T10:00:05", "v": "a-dup"},
+        {"event_id": 2, "ts": "2024-01-01T10:01:00", "v": "b"},
+        {"event_id": 2, "ts": "2024-01-01T10:02:00", "v": "b-dup"},
+        {"event_id": 3, "ts": "2024-01-01T10:03:00", "v": "c"},
+    ]
+    with open(src / "one.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("event_id long, ts string, v string")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    deduped = dedupe_stream_within_watermark(
+        stream, ["event_id"], ts_col="ts", watermark="10 minutes"
+    )
+    out = tmp_path / "dedup_out"
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out)).collect()
+    assert sorted(r["event_id"] for r in got) == [1, 2, 3]
+    # the FIRST arrival per key survives
+    assert {r["event_id"]: r["v"] for r in got} == {1: "a", 2: "b", 3: "c"}
+
+
+def test_compact_parquet_table(spark, tmp_path):
+    from news_lakehouse_spark.operators.compact import compact_parquet_table
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10000).withColumn("g", F.col("id") % 3)
+    df.repartition(40).write.parquet(path)
+    stats = compact_parquet_table(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10000
+    assert back.agg(F.sum("id")).first()[0] == 10000 * 9999 // 2
+
+    # partitioned: one file per partition value afterwards
+    p2 = str(tmp_path / "frag_part")
+    df.repartition(30).write.partitionBy("g").parquet(p2)
+    stats2 = compact_parquet_table(spark, p2, partition_by=["g"])
+    assert stats2["files_after"] == 3 < stats2["files_before"]
+    back2 = spark.read.parquet(p2)
+    assert back2.count() == 10000
