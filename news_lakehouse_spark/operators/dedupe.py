@@ -547,3 +547,40 @@ def simhash_near_duplicates(
         .groupBy("id_a", "id_b")
         .agg(F.first("hamming").alias("hamming"))
     )
+
+
+def cross_corpus_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Flag corpus documents sharing word n-grams with a benchmark set
+    (train/test decontamination).
+
+    The benchmark's distinct hashed shingles broadcast to every task
+    (eval sets are MBs; the corpus is the 100 TB side and only its
+    matching (doc, shingle) rows ever reach the aggregation — a
+    left-semi explode, not a corpus shuffle). Long n (8 by default)
+    makes incidental overlap vanishingly rare, so any hit is memorized
+    benchmark text (the GPT-3/PaLM decontamination recipe: 8-13 gram
+    collision against the eval set).
+
+    Returns (id, n_overlap_ngrams) per contaminated document.
+    """
+    bench_sh = (
+        _with_hashed_shingles(benchmark, id_col, text_col, n)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    corpus_sh = _with_hashed_shingles(corpus, id_col, text_col, n).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_overlap_ngrams"))
+        .filter(F.col("n_overlap_ngrams") >= min_hits)
+    )

@@ -852,6 +852,80 @@ SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM votes
 """
 
 
+def x_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment (10%/5%).
+
+    Membership is a pure function of (salt, doc_id) via sha2 — stable
+    under any partitioning and under corpus growth, and reproducible in
+    DuckDB byte for byte (the oracle recomputes the same hash line).
+    """
+    from news_lakehouse_spark.operators.sampling import train_test_split
+
+    d = read_table(spark, sf_dir, "documents")
+    return train_test_split(
+        d.select("doc_id"), ["doc_id"], test_fraction=0.1, val_fraction=0.05
+    )
+
+
+_SPLIT_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(sha256(concat_ws('||', 'split', doc_id)), 1, 15))
+              AS BIGINT) / 1152921504606846976.0 AS hf
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN hf < 0.1 THEN 'test'
+            WHEN hf < 0.15 THEN 'val'
+            ELSE 'train' END AS split
+FROM h
+"""
+
+
+def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: corpus docs sharing any 8-gram with a
+    (hash-sampled 5%) benchmark slice, excluding the slice itself.
+
+    The benchmark's shingle set broadcasts; the corpus never shuffles
+    whole. Counts are over hashed shingles in Spark and string shingles
+    in the oracle — identical up to 64-bit collisions.
+    """
+    from news_lakehouse_spark.operators.dedupe import cross_corpus_contamination
+    from news_lakehouse_spark.operators.sampling import hash_fraction
+
+    d = read_table(spark, sf_dir, "documents")
+    is_bench = hash_fraction("doc_id", salt="bench") < 0.05
+    bench = d.filter(is_bench)
+    rest = d.filter(~is_bench)
+    return cross_corpus_contamination(rest, bench, "doc_id", "text", n=8)
+
+
+_DECON_SQL = f"""
+WITH tagged AS (
+  SELECT doc_id, text,
+         CAST(concat('0x', substr(sha256(concat_ws('||', 'bench', doc_id)), 1, 15))
+              AS BIGINT) / 1152921504606846976.0 < 0.05 AS is_bench
+  FROM documents
+), w AS (
+  SELECT doc_id, is_bench, string_split({_NT.format(c='text')}, ' ') AS ws
+  FROM tagged
+), s AS (
+  SELECT doc_id, is_bench,
+         list_distinct([{" || ' ' || ".join(f"ws[i+{j}]" if j else "ws[i]" for j in range(8))}
+                        for i in generate_series(1, greatest(len(ws) - 7, 0))]) AS sh
+  FROM w WHERE len(ws) >= 8
+), bench_sh AS (
+  SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE is_bench
+), corpus_sh AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM s WHERE NOT is_bench
+)
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap_ngrams
+FROM corpus_sh c JOIN bench_sh b USING (shingle)
+GROUP BY c.doc_id
+HAVING count(*) >= 1
+"""
+
+
 _BM25_TERMS = ["broadcast", "shuffle", "vector"]
 
 
@@ -1983,6 +2057,8 @@ QUERIES: dict[str, QueryFn] = {
     "x_dedup_simhash_pairs": x_dedup_simhash_pairs,
     "x_bm25_search": x_bm25_search,
     "x_tfidf_topterms": x_tfidf_topterms,
+    "x_train_test_split": x_train_test_split,
+    "x_decontaminate": x_decontaminate,
     "x_sim_topk_bruteforce": x_sim_topk_bruteforce,
     "x_sim_lsh_topk": x_sim_lsh_topk,
     "x_embed_centroid": x_embed_centroid,
@@ -2049,6 +2125,8 @@ ORACLES: dict[str, str] = {
     "x_dedup_simhash_pairs": _simhash_pairs_oracle(60, 3),
     "x_bm25_search": _bm25_oracle(_BM25_TERMS),
     "x_tfidf_topterms": _TFIDF_SQL,
+    "x_train_test_split": _SPLIT_SQL,
+    "x_decontaminate": _DECON_SQL,
     "x_sim_topk_bruteforce": _SIM_SQL,
     # x_sim_lsh_topk: rows-only (approximate) — emits recall@10 vs brute
     # force filtered at a floor, so the rows check detects recall collapse

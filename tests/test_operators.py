@@ -317,3 +317,49 @@ def test_tfidf_top_terms_rank_and_ties(spark):
     assert sorted(by_doc[1])[0] == (1, "alpha")
     # doc 2: beta and gamma tie on tfidf -> lexicographic order
     assert sorted(by_doc[2]) == [(1, "beta"), (2, "gamma")]
+
+
+def test_train_test_split_stable_under_growth(spark):
+    from news_lakehouse_spark.operators.sampling import (
+        deterministic_sample,
+        train_test_split,
+    )
+
+    small = spark.range(0, 500).withColumnRenamed("id", "k")
+    big = spark.range(0, 5000).withColumnRenamed("id", "k")
+    s_small = {
+        (r["k"], r["split"])
+        for r in train_test_split(small, ["k"], 0.1, 0.05).collect()
+    }
+    s_big = {
+        (r["k"], r["split"])
+        for r in train_test_split(big, ["k"], 0.1, 0.05).collect()
+    }
+    # growth never reassigns an existing key
+    assert s_small <= s_big
+    frac = sum(1 for _, s in s_big if s == "test") / 5000
+    assert 0.07 < frac < 0.13
+    # sampling is partitioning-insensitive
+    a = {r["k"] for r in deterministic_sample(big, ["k"], 0.2).collect()}
+    b = {r["k"] for r in deterministic_sample(big.repartition(17), ["k"], 0.2).collect()}
+    assert a == b and 0.15 < len(a) / 5000 < 0.25
+
+
+def test_cross_corpus_contamination_finds_planted_overlap(spark):
+    from news_lakehouse_spark.operators.dedupe import cross_corpus_contamination
+
+    secret = "the exact benchmark answer sequence alpha beta gamma delta epsilon"
+    bench = spark.createDataFrame([(900, secret)], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [
+            (1, f"innocent document with its own words {'filler ' * 20}"),
+            (2, f"a leaked copy contains {secret} verbatim inside"),
+            (3, "another clean one entirely different tokens here friend"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["n_overlap_ngrams"]
+        for r in cross_corpus_contamination(corpus, bench, "doc_id", "text", n=8).collect()
+    }
+    assert set(got) == {2} and got[2] >= 1
