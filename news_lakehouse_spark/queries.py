@@ -852,6 +852,93 @@ SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM votes
 """
 
 
+def x_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality report over orders: one aggregate pass for all
+    row-level rules + a key-only groupBy for uniqueness."""
+    from news_lakehouse_spark.operators.validate import (
+        accepted_values,
+        in_range,
+        matches_regex,
+        not_null,
+        unique,
+        validate_expectations,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    rules = [
+        not_null("o_custkey"),
+        unique(["o_orderkey"]),
+        in_range("o_totalprice", 0, 1000000),
+        accepted_values("o_orderstatus", ["O", "F", "P"]),
+        matches_regex("o_orderpriority", r"^[1-5]-"),
+    ]
+    return validate_expectations(o, rules)
+
+
+_EXPECT_SQL = """
+SELECT 'not_null(o_custkey)' AS rule,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+FROM orders
+UNION ALL
+SELECT 'in_range(o_totalprice)',
+       CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                      AND (o_totalprice < 0 OR o_totalprice > 1000000)
+                 THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'accepted_values(o_orderstatus)',
+       CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                      AND o_orderstatus NOT IN ('O', 'F', 'P')
+                 THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'matches_regex(o_orderpriority)',
+       CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                      AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                 THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'unique(o_orderkey)',
+       CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1)
+"""
+
+
+def x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel view -> click -> purchase over events."""
+    from news_lakehouse_spark.operators.funnel import funnel_conversion
+
+    e = read_table(spark, sf_dir, "events")
+    return funnel_conversion(e, ["view", "click", "purchase"])
+
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id AS u, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+  WHERE e.event_type = 'click' GROUP BY 1
+), s3 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY 1
+), counts AS (
+  SELECT 1 AS step_idx, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+)
+SELECT step_idx, step, n_users,
+       round(n_users / first_value(n_users) OVER (ORDER BY step_idx), 6)
+           AS conv_from_first,
+       round(n_users / lag(n_users) OVER (ORDER BY step_idx), 6)
+           AS conv_from_prev
+FROM counts
+"""
+
+
 def x_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test assignment (10%/5%).
 
@@ -2059,6 +2146,8 @@ QUERIES: dict[str, QueryFn] = {
     "x_tfidf_topterms": x_tfidf_topterms,
     "x_train_test_split": x_train_test_split,
     "x_decontaminate": x_decontaminate,
+    "x_funnel": x_funnel,
+    "x_expectations": x_expectations,
     "x_sim_topk_bruteforce": x_sim_topk_bruteforce,
     "x_sim_lsh_topk": x_sim_lsh_topk,
     "x_embed_centroid": x_embed_centroid,
@@ -2127,6 +2216,8 @@ ORACLES: dict[str, str] = {
     "x_tfidf_topterms": _TFIDF_SQL,
     "x_train_test_split": _SPLIT_SQL,
     "x_decontaminate": _DECON_SQL,
+    "x_funnel": _FUNNEL_SQL,
+    "x_expectations": _EXPECT_SQL,
     "x_sim_topk_bruteforce": _SIM_SQL,
     # x_sim_lsh_topk: rows-only (approximate) — emits recall@10 vs brute
     # force filtered at a floor, so the rows check detects recall collapse

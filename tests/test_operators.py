@@ -363,3 +363,69 @@ def test_cross_corpus_contamination_finds_planted_overlap(spark):
         for r in cross_corpus_contamination(corpus, bench, "doc_id", "text", n=8).collect()
     }
     assert set(got) == {2} and got[2] >= 1
+
+
+def test_funnel_strict_ordering(spark):
+    from news_lakehouse_spark.operators.funnel import funnel_conversion
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # user 2: click BEFORE view — click must not count
+        (2, 10, "click"), (2, 20, "view"),
+        # user 3: view only
+        (3, 10, "view"),
+        # user 4: view then purchase (skips click) — purchase not counted
+        (4, 10, "view"), (4, 20, "purchase"),
+    ]
+    e = spark.createDataFrame(rows, ["user_id", "t", "event_type"]).withColumn(
+        "ts", F.timestamp_seconds("t")
+    )
+    got = {r["step"]: r for r in funnel_conversion(e, ["view", "click", "purchase"]).collect()}
+    assert got["view"]["n_users"] == 4
+    assert got["click"]["n_users"] == 1
+    assert got["purchase"]["n_users"] == 1
+    assert got["click"]["conv_from_first"] == 0.25
+    assert got["view"]["conv_from_prev"] is None
+
+
+def test_validate_expectations_and_enforce(spark):
+    from news_lakehouse_spark.operators.validate import (
+        accepted_values,
+        enforce,
+        in_range,
+        non_blank,
+        not_null,
+        unique,
+        validate_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 5.0, "ok"),
+            (1, "a", -2.0, "ok"),     # dup key + below range
+            (2, None, 50.0, "bad"),   # null name + not accepted
+            (3, "  ", 5.0, "ok"),     # blank name
+        ],
+        ["k", "name", "v", "status"],
+    )
+    rules = [
+        not_null("name"),
+        non_blank("name"),
+        unique(["k"]),
+        in_range("v", 0, 10),
+        accepted_values("status", ["ok"]),
+    ]
+    got = {r["rule"]: r["violations"] for r in validate_expectations(df, rules).collect()}
+    assert got == {
+        "not_null(name)": 1,
+        "non_blank(name)": 2,
+        "unique(k)": 1,
+        "in_range(v)": 1,
+        "accepted_values(status)": 1,
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unique"):
+        enforce(df, rules)
+    enforce(df.limit(0), rules)  # empty df passes
