@@ -404,7 +404,7 @@ def test_validate_expectations_and_enforce(spark):
         [
             (1, "a", 5.0, "ok"),
             (1, "a", -2.0, "ok"),     # dup key + below range
-            (2, None, 50.0, "bad"),   # null name + not accepted
+            (2, None, 50.0, "bad"),   # null name + above range + not accepted
             (3, "  ", 5.0, "ok"),     # blank name
         ],
         ["k", "name", "v", "status"],
@@ -421,7 +421,7 @@ def test_validate_expectations_and_enforce(spark):
         "not_null(name)": 1,
         "non_blank(name)": 2,
         "unique(k)": 1,
-        "in_range(v)": 1,
+        "in_range(v)": 2,
         "accepted_values(status)": 1,
     }
     import pytest as _pytest
