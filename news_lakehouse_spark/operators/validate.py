@@ -85,7 +85,8 @@ def validate_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
     if row_rules:
         agg = df.agg(
             *[
-                F.sum(F.when(r.violated, 1).otherwise(0))
+                # coalesce: sum over an empty frame is NULL, not 0
+                F.coalesce(F.sum(F.when(r.violated, 1).otherwise(0)), F.lit(0))
                 .cast("long")
                 .alias(f"c{i}")
                 for i, r in enumerate(row_rules)
