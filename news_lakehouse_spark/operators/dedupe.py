@@ -584,3 +584,85 @@ def cross_corpus_contamination(
         .agg(F.count("*").cast("long").alias("n_overlap_ngrams"))
         .filter(F.col("n_overlap_ngrams") >= min_hits)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(id, component) — component = min id reachable in the pair graph.
+
+    Min-label propagation: each round, every node takes the minimum of
+    its own label and its neighbors' labels, until a fixpoint. Rounds
+    are O(graph diameter); near-dup graphs are unions of small cliques
+    (diameter 1-2), so convergence is 2-3 rounds in practice — the
+    regime where plain propagation beats the fancier alternatives. For
+    long-chain graphs swap in alternating large-star/small-star
+    (Kiveris et al., SoCC'14), which squares path lengths per round;
+    the (id, label) frame shape and the caller contract are unchanged.
+    Each iteration is one join + one groupBy on the label frame (never
+    an all-pairs expansion), with localCheckpoint truncating the
+    iterative lineage; the convergence check is a limit(1) probe.
+
+    Used by dedup_survivors to collapse near-dup PAIRS (minhash/
+    simhash/embedding) into one surviving document per duplicate
+    cluster.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .persist()
+    )
+    # label = current best-known component min per node
+    labels = edges.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("lbl"))
+    labels = labels.select(F.col("a").alias("id"), F.least("lbl", "id").alias("lbl"))
+    for _ in range(max_iters):
+        # propagate: node's new label = min(own, min over neighbors' labels)
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "b").withColumnRenamed("lbl", "nl"), "b")
+            .groupBy("a")
+            .agg(F.min("nl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min.withColumnRenamed("a", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)  # truncate the iterative lineage
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("lbl").alias("component"))
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every near-duplicate except its cluster's min-id survivor.
+
+    Docs not in any pair survive untouched (anti-join — the 100 TB
+    corpus side never shuffles on more than the pair-graph ids, which
+    broadcast at real-world duplicate rates).
+    """
+    comp = connected_components(pairs, id_a, id_b)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(F.broadcast(losers), id_col, "left_anti")

@@ -1143,6 +1143,51 @@ WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
 """
 
 
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash pairs -> connected components ->
+    (id, component=min reachable id). The oracle computes the same
+    components with a recursive CTE over the exact-Jaccard pair graph.
+    """
+    from news_lakehouse_spark.operators.dedupe import connected_components
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        d, "doc_id", "text", n=3, num_hashes=128, bands=32, threshold=0.8
+    )
+    return connected_components(pairs)
+
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, string_split({_NT.format(c='text')}, ' ') AS ws FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in generate_series(1, greatest(len(ws) - 2, 0))]) AS sh
+  FROM w WHERE len(ws) >= 3
+), inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+  FROM inv a JOIN inv b USING (shingle) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE nc / (sa.n_sh + sb.n_sh - nc) >= 0.8
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT a AS id, b AS r FROM edges
+  UNION SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+)
+SELECT id, min(r) AS component FROM reach GROUP BY id
+"""
+
+
 def x_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for query vectors (vec_id < 5)."""
     emb = read_table(spark, sf_dir, "embeddings")
@@ -2142,6 +2187,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
     "x_dedup_simhash": x_dedup_simhash,
     "x_dedup_simhash_pairs": x_dedup_simhash_pairs,
+    "x_dedup_clusters": x_dedup_clusters,
     "x_bm25_search": x_bm25_search,
     "x_tfidf_topterms": x_tfidf_topterms,
     "x_train_test_split": x_train_test_split,
@@ -2212,6 +2258,7 @@ ORACLES: dict[str, str] = {
     "x_dedup_ngram_jaccard": _jaccard_oracle(3, 0.4),
     "x_dedup_simhash": _simhash_oracle(60),
     "x_dedup_simhash_pairs": _simhash_pairs_oracle(60, 3),
+    "x_dedup_clusters": _CLUSTERS_SQL,
     "x_bm25_search": _bm25_oracle(_BM25_TERMS),
     "x_tfidf_topterms": _TFIDF_SQL,
     "x_train_test_split": _SPLIT_SQL,

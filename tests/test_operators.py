@@ -429,3 +429,37 @@ def test_validate_expectations_and_enforce(spark):
     with _pytest.raises(ValueError, match="unique"):
         enforce(df, rules)
     enforce(df.limit(0), rules)  # empty df passes
+
+
+def test_connected_components_and_survivors(spark):
+    from news_lakehouse_spark.operators.dedupe import (
+        connected_components,
+        dedup_survivors,
+    )
+
+    # components: {1,2,3,4} via chain, {10,11}, {20} untouched singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [1, 2, 3, 4, 10, 11, 20]], ["doc_id", "text"]
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup_survivors(docs, pairs, "doc_id").collect()
+    )
+    assert kept == [1, 10, 20]
+
+
+def test_connected_components_long_chain(spark):
+    from news_lakehouse_spark.operators.dedupe import connected_components
+
+    # a 12-node path needs multiple propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    comp = connected_components(pairs).collect()
+    assert {r["component"] for r in comp} == {0}
+    assert len(comp) == 13
