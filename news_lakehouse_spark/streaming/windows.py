@@ -139,3 +139,49 @@ def dedupe_stream_within_watermark(
     in operators/merge.py for end-to-end idempotency).
     """
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "10 minutes",
+    interval: str = "5 minutes",
+) -> DataFrame:
+    """Stream-stream inner join within a time interval (T-family).
+
+    Matches right rows whose timestamp falls in
+    [left_ts, left_ts + interval], with BOTH sides watermarked — the
+    condition Structured Streaming needs to evict join state: the
+    watermark bounds how late a match can arrive, the interval bounds
+    how far apart matched rows may be, and together they give the
+    state store a provable purge horizon (unbounded state otherwise,
+    the stream-stream join's classic OOM).
+
+    Columns are prefixed l_/r_ (except the join key) because both
+    sides usually share names.
+    """
+    l = left.withWatermark(left_ts, watermark).select(
+        F.col(key),
+        *[
+            F.col(c).alias(f"l_{c}")
+            for c in left.columns
+            if c != key
+        ],
+    )
+    r = right.withWatermark(right_ts, watermark).select(
+        F.col(key).alias("__rk"),
+        *[
+            F.col(c).alias(f"r_{c}")
+            for c in right.columns
+            if c != key
+        ],
+    )
+    cond = (
+        (F.col(key) == F.col("__rk"))
+        & (F.col(f"r_{right_ts}") >= F.col(f"l_{left_ts}"))
+        & (F.col(f"r_{right_ts}") <= F.col(f"l_{left_ts}") + F.expr(f"INTERVAL {interval}"))
+    )
+    return l.join(r, cond, "inner").drop("__rk")

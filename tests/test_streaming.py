@@ -190,3 +190,96 @@ def test_compact_parquet_table(spark, tmp_path):
     assert stats2["files_after"] == 3 < stats2["files_before"]
     back2 = spark.read.parquet(p2)
     assert back2.count() == 10000
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from news_lakehouse_spark.streaming.windows import stream_stream_interval_join
+
+    views = tmp_path / "ss_views"
+    clicks = tmp_path / "ss_clicks"
+    views.mkdir(); clicks.mkdir()
+    with open(views / "v.json", "w") as fh:
+        for r in [
+            {"user_id": 1, "ts": "2024-01-01T10:00:00", "page": "a"},
+            {"user_id": 2, "ts": "2024-01-01T10:00:00", "page": "b"},
+        ]:
+            fh.write(json.dumps(r) + "\n")
+    with open(clicks / "c.json", "w") as fh:
+        for r in [
+            {"user_id": 1, "ts": "2024-01-01T10:02:00", "target": "x"},  # within 5m
+            {"user_id": 1, "ts": "2024-01-01T10:30:00", "target": "y"},  # too late
+            {"user_id": 2, "ts": "2024-01-01T09:59:00", "target": "z"},  # before view
+        ]:
+            fh.write(json.dumps(r) + "\n")
+
+    v = (
+        spark.readStream.schema("user_id long, ts string, page string")
+        .json(str(views)).withColumn("ts", F.to_timestamp("ts"))
+    )
+    c = (
+        spark.readStream.schema("user_id long, ts string, target string")
+        .json(str(clicks)).withColumn("ts", F.to_timestamp("ts"))
+    )
+    joined = stream_stream_interval_join(
+        v, c, key="user_id", watermark="10 minutes", interval="5 minutes"
+    )
+    out = tmp_path / "ss_out"
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r["user_id"], r["l_page"], r["r_target"])
+        for r in spark.read.parquet(str(out)).collect()
+    ]
+    assert got == [(1, "a", "x")]
+
+
+def test_streaming_bronze_to_gold_end_to_end(spark, tmp_path):
+    """bronze stream -> silver upserts -> incremental gold refresh per
+    epoch: the full-medallion streaming loop the reference runs as
+    separate batch DAG tasks."""
+    from news_lakehouse_spark.plans.incremental import refresh_gold_incremental
+    from news_lakehouse_spark.plans.silver import build_silver_tables
+    from news_lakehouse_spark.schemas import NEWS_SCHEMA
+
+    bronze = tmp_path / "e2e_bronze" / "t"
+    gold = str(tmp_path / "e2e_gold")
+    _write_batch(bronze, [_article(i) for i in range(4)])
+
+    def per_batch(df, _epoch):
+        if df.isEmpty():
+            return
+        delta = build_silver_tables(df, require_ts=True)
+        refresh_gold_incremental(spark, delta, gold)
+
+    stream = (
+        spark.readStream.schema(NEWS_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .json(str(tmp_path / "e2e_bronze"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", str(tmp_path / "e2e_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    fap = spark.read.parquet(f"{gold}/fact_article_publication")
+    assert fap.count() == 4
+    # second batch updates one article and adds one
+    _write_batch(bronze, [_article(0, comments=5, price_bump="!"), _article(9)])
+    q2 = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", str(tmp_path / "e2e_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    fap2 = spark.read.parquet(f"{gold}/fact_article_publication")
+    assert fap2.count() == 5
+    assert fap2.select("ArticleKey").distinct().count() == 5
