@@ -73,3 +73,65 @@ def train_test_split(
         .otherwise(F.lit("train"))
     )
     return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    key_cols: list[str] | None = None,
+    default_fraction: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Per-group deterministic sampling (corpus rebalancing).
+
+    fractions maps group value -> keep rate; groups not listed keep
+    ``default_fraction``. Same hash-line membership as
+    deterministic_sample, so the sample is stable under partitioning
+    and growth — the property a language-balancing pass needs when the
+    corpus is rebuilt weekly. The fraction lookup is a literal map
+    expression (broadcast-free, evaluated in the scan).
+    """
+    keys = key_cols or [group_col]
+    pairs: list[Column] = []
+    for k, v in sorted(fractions.items()):
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(float(v)))
+    frac = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(group_col).cast("string")),
+        F.lit(float(default_fraction)),
+    )
+    return df.filter(hash_fraction(*keys, salt=salt) < frac)
+
+
+def quantile_bucket(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Assign 1..n quantile-threshold buckets for ``col``.
+
+    Scale-correct alternative to a global ntile(): ntile needs a
+    single-partition window over the whole table; this computes the
+    (n-1) interior quantile THRESHOLDS in one aggregate (exact
+    percentile here; swap percentile_approx at 100 TB — the bucket
+    expression is unchanged) and assigns buckets with a broadcast
+    compare, so the table itself never shuffles. Bucket = 1 + number
+    of thresholds strictly below the value (ties land in the lower
+    bucket — threshold semantics, not equal-count semantics).
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    thresholds = df.agg(
+        F.percentile(col, F.array(*[F.lit(q) for q in qs])).alias("__t")
+    )
+    bucket = F.lit(1)
+    for i in range(n_buckets - 1):
+        bucket = bucket + F.when(
+            F.col(col) > F.element_at("__t", i + 1), 1
+        ).otherwise(0)
+    return (
+        df.join(F.broadcast(thresholds))
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("__t")
+    )

@@ -904,6 +904,71 @@ FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1)
 """
 
 
+def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type deterministic downsampling (corpus rebalancing)."""
+    from news_lakehouse_spark.operators.sampling import stratified_sample
+
+    e = read_table(spark, sf_dir, "events")
+    out = stratified_sample(
+        e,
+        "event_type",
+        {"view": 0.5, "click": 0.2, "purchase": 1.0},
+        key_cols=["event_id"],
+        default_fraction=0.0,
+    )
+    return out.select("event_id", "event_type")
+
+
+_STRAT_SQL = """
+WITH h AS (
+  SELECT event_id, event_type,
+         CAST(concat('0x', substr(sha256(concat_ws('||', 'strata', event_id)), 1, 15))
+              AS BIGINT) / 1152921504606846976.0 AS hf
+  FROM events
+)
+SELECT event_id, event_type FROM h
+WHERE hf < CASE event_type
+             WHEN 'view' THEN 0.5
+             WHEN 'click' THEN 0.2
+             WHEN 'purchase' THEN 1.0
+             ELSE 0.0 END
+"""
+
+
+def x_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bucketing of l_extendedprice via broadcast thresholds
+    (never a global ntile window); output is per-bucket stats."""
+    from news_lakehouse_spark.operators.sampling import quantile_bucket
+
+    li = read_table(spark, sf_dir, "lineitem")
+    b = quantile_bucket(li.select("l_extendedprice"), "l_extendedprice", 10)
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+    )
+
+
+_QBUCKET_SQL = """
+WITH t AS (
+  SELECT quantile_cont(l_extendedprice,
+                       [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+  FROM lineitem
+), b AS (
+  SELECT l_extendedprice,
+         CAST(1 + len(list_filter(t.qs, q -> l_extendedprice > q)) AS INT) AS bucket
+  FROM lineitem, t
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       round(min(l_extendedprice), 2) AS lo,
+       round(max(l_extendedprice), 2) AS hi
+FROM b GROUP BY bucket
+"""
+
+
 def x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-order funnel view -> click -> purchase over events."""
     from news_lakehouse_spark.operators.funnel import funnel_conversion
@@ -2194,6 +2259,8 @@ QUERIES: dict[str, QueryFn] = {
     "x_decontaminate": x_decontaminate,
     "x_funnel": x_funnel,
     "x_expectations": x_expectations,
+    "x_stratified_sample": x_stratified_sample,
+    "x_quantile_bucket": x_quantile_bucket,
     "x_sim_topk_bruteforce": x_sim_topk_bruteforce,
     "x_sim_lsh_topk": x_sim_lsh_topk,
     "x_embed_centroid": x_embed_centroid,
@@ -2265,6 +2332,8 @@ ORACLES: dict[str, str] = {
     "x_decontaminate": _DECON_SQL,
     "x_funnel": _FUNNEL_SQL,
     "x_expectations": _EXPECT_SQL,
+    "x_stratified_sample": _STRAT_SQL,
+    "x_quantile_bucket": _QBUCKET_SQL,
     "x_sim_topk_bruteforce": _SIM_SQL,
     # x_sim_lsh_topk: rows-only (approximate) — emits recall@10 vs brute
     # force filtered at a floor, so the rows check detects recall collapse

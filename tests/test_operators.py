@@ -463,3 +463,43 @@ def test_connected_components_long_chain(spark):
     comp = connected_components(pairs).collect()
     assert {r["component"] for r in comp} == {0}
     assert len(comp) == 13
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from news_lakehouse_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "a" if i % 2 else "b") for i in range(4000)]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    out = stratified_sample(
+        df, "g", {"a": 1.0, "b": 0.25}, key_cols=["k"]
+    )
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts["a"] == 2000          # fraction 1.0 keeps everything
+    assert 350 < counts["b"] < 650      # ~0.25 of 2000
+    # unlisted group with default 0 disappears
+    out2 = stratified_sample(df, "g", {"a": 1.0}, key_cols=["k"])
+    assert out2.filter(F.col("g") == "b").count() == 0
+    # deterministic across partitionings
+    s1 = {r["k"] for r in out.collect()}
+    s2 = {
+        r["k"]
+        for r in stratified_sample(
+            df.repartition(13), "g", {"a": 1.0, "b": 0.25}, key_cols=["k"]
+        ).collect()
+    }
+    assert s1 == s2
+
+
+def test_quantile_bucket_thresholds(spark):
+    from news_lakehouse_spark.operators.sampling import quantile_bucket
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], ["v"])
+    out = quantile_bucket(df, "v", 4)
+    by_bucket = {}
+    for r in out.collect():
+        by_bucket.setdefault(r["bucket"], []).append(r["v"])
+    assert set(by_bucket) == {1, 2, 3, 4}
+    # exact interpolated quartiles of 1..100: 25.75, 50.5, 75.25
+    assert max(by_bucket[1]) == 25.0 and min(by_bucket[2]) == 26.0
+    assert max(by_bucket[2]) == 50.0 and min(by_bucket[3]) == 51.0
+    assert max(by_bucket[3]) == 75.0 and min(by_bucket[4]) == 76.0
