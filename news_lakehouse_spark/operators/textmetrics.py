@@ -236,3 +236,53 @@ def document_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         F.col(id_col),
         F.sha2(normalized_text(text_col), 256).alias("fingerprint"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping word-window chunks
+    (doc_id, chunk_idx, chunk_text, n_tokens) — the RAG / training-prep
+    primitive.
+
+    Stride = chunk_size - overlap; the last chunk is the remainder
+    (never empty, never duplicated: a doc shorter than chunk_size is
+    one chunk). Pure column math — the words array materializes once,
+    chunk starts come from sequence(), and slices explode JVM-side; no
+    Python boundary, no shuffle (chunking is embarrassingly row-local,
+    which is exactly why it must NOT be a Pandas UDF at 100 TB).
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    words = df.select(
+        F.col(id_col),
+        F.split(normalized_text(text_col), " ").alias("__ws"),
+    ).select(
+        F.col(id_col),
+        F.filter("__ws", lambda w: F.length(w) > 0).alias("__ws"),
+    )
+    n = F.size("__ws")
+    # starts: 0, stride, 2*stride, ... covering every word at least once
+    last_start = F.greatest(
+        F.lit(0), F.ceil((n - F.lit(chunk_size)) / F.lit(stride)).cast("int") * stride
+    )
+    starts = F.sequence(F.lit(0), last_start, F.lit(stride))
+    chunks = words.filter(n > 0).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                starts, lambda s: F.slice("__ws", s + 1, chunk_size)
+            )
+        ).alias("chunk_idx", "__chunk"),
+    )
+    return chunks.select(
+        F.col(id_col),
+        "chunk_idx",
+        F.array_join("__chunk", " ").alias("chunk_text"),
+        F.size("__chunk").cast("int").alias("n_tokens"),
+    )

@@ -904,6 +904,33 @@ FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1)
 """
 
 
+def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking (64-word chunks, 16 overlap)."""
+    from news_lakehouse_spark.operators.textmetrics import chunk_documents
+
+    d = read_table(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", chunk_size=64, overlap=16)
+
+
+_CHUNK_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split({_NT.format(c='text')}, ' '),
+                     x -> length(x) > 0) AS ws
+  FROM documents
+), c AS (
+  SELECT doc_id, ws,
+         greatest(0, CAST(ceil((len(ws) - 64) / 48.0) AS INT) * 48) AS last_start
+  FROM w WHERE len(ws) > 0
+)
+SELECT doc_id,
+       CAST(s / 48 AS INT) AS chunk_idx,
+       array_to_string(ws[s + 1 : s + 64], ' ') AS chunk_text,
+       CAST(len(ws[s + 1 : s + 64]) AS INT) AS n_tokens
+FROM c, unnest(generate_series(0, last_start, 48)) u(s)
+"""
+
+
 def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type deterministic downsampling (corpus rebalancing)."""
     from news_lakehouse_spark.operators.sampling import stratified_sample
@@ -2259,6 +2286,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_decontaminate": x_decontaminate,
     "x_funnel": x_funnel,
     "x_expectations": x_expectations,
+    "x_chunk_documents": x_chunk_documents,
     "x_stratified_sample": x_stratified_sample,
     "x_quantile_bucket": x_quantile_bucket,
     "x_sim_topk_bruteforce": x_sim_topk_bruteforce,
@@ -2332,6 +2360,7 @@ ORACLES: dict[str, str] = {
     "x_decontaminate": _DECON_SQL,
     "x_funnel": _FUNNEL_SQL,
     "x_expectations": _EXPECT_SQL,
+    "x_chunk_documents": _CHUNK_SQL,
     "x_stratified_sample": _STRAT_SQL,
     "x_quantile_bucket": _QBUCKET_SQL,
     "x_sim_topk_bruteforce": _SIM_SQL,

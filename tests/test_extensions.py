@@ -289,3 +289,30 @@ def test_read_binary_dir(spark):
     small = read_binary_dir(spark, fixdir, glob="doc*.*", max_bytes=300)
     assert small.count() == sum(1 for r in rows if r["length"] <= 300)
     assert "length" in small._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_chunk_documents_cover_and_overlap(spark):
+    from news_lakehouse_spark.operators.textmetrics import chunk_documents
+
+    words120 = " ".join(f"w{i}" for i in range(120))
+    df = spark.createDataFrame(
+        [(1, words120), (2, "short doc only"), (3, "   ")], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_size=64, overlap=16)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_text"]) for r in out.collect())
+    )
+    by_doc = {}
+    for d, i, n, t in rows:
+        by_doc.setdefault(d, []).append((i, n, t))
+    # doc 1: 120 words, stride 48 -> starts 0, 48, 96
+    assert [(i, n) for i, n, _ in by_doc[1]] == [(0, 64), (1, 64), (2, 24)]
+    # overlap: chunk k starts 48 words in, so last 16 of chunk 0 == first 16 of chunk 1
+    c0, c1 = by_doc[1][0][2].split(), by_doc[1][1][2].split()
+    assert c0[48:] == c1[:16]
+    # full coverage, in order
+    merged = c0 + c1[16:] + by_doc[1][2][2].split()[16:]
+    assert merged == words120.split()
+    # short doc -> one chunk; blank doc -> no chunks
+    assert by_doc[2] == [(0, 3, "short doc only")]
+    assert 3 not in by_doc
