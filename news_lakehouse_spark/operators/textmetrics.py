@@ -286,3 +286,51 @@ def chunk_documents(
         F.array_join("__chunk", " ").alias("chunk_text"),
         F.size("__chunk").cast("int").alias("n_tokens"),
     )
+
+
+def char_trigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-document mean character-trigram log-probability — the
+    KenLM-perplexity stand-in for corpus quality filtering.
+
+    Self-trained: trigram counts over the whole corpus give a unigram-
+    of-trigrams model; each document scores avg ln P(trigram). Garbled
+    or off-distribution text scores sharply lower than corpus-typical
+    text, which is the CCNet/Gopher quality-filter recipe (they use a
+    pretrained 5-gram LM; the plumbing — train counts, broadcast-join
+    scores, aggregate per doc — is identical, and a pretrained count
+    table can be swapped in as a second input).
+
+    Plan shape: one explode → groupBy(trigram) for training (vocab is
+    alphabet³-bounded, so the model side is small and broadcasts); one
+    explode → broadcast-join → per-doc avg for scoring. The corpus
+    shuffles only on (doc, trigram) aggregation keys.
+    """
+    norm = df.select(F.col(id_col), normalized_text(text_col).alias("__t")).filter(
+        F.length("__t") >= 3
+    )
+    tri = norm.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("__t") - 2),
+                lambda i: F.col("__t").substr(i, F.lit(3)),
+            )
+        ).alias("tg"),
+    )
+    counts = tri.groupBy("tg").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("n"))
+    model = counts.join(F.broadcast(total)).select(
+        "tg", F.log(F.col("c") / F.col("n")).alias("lp")
+    )
+    return (
+        tri.join(F.broadcast(model), "tg")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )

@@ -904,6 +904,35 @@ FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1)
 """
 
 
+def x_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained char-trigram LM quality score per document."""
+    from news_lakehouse_spark.operators.textmetrics import char_trigram_logprob
+
+    d = read_table(spark, sf_dir, "documents")
+    return char_trigram_logprob(d, "doc_id", "text")
+
+
+_CHARLM_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, {_NT.format(c='text')} AS t FROM documents
+), tri AS (
+  SELECT doc_id, substr(t, i, 3) AS tg
+  FROM norm, unnest(generate_series(1, length(t) - 2)) u(i)
+  WHERE length(t) >= 3
+), counts AS (
+  SELECT tg, count(*) AS c FROM tri GROUP BY tg
+), total AS (SELECT sum(c) AS n FROM counts),
+model AS (
+  SELECT tg, ln(c / n) AS lp FROM counts CROSS JOIN total
+)
+SELECT tri.doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       round(avg(lp), 6) AS avg_logprob
+FROM tri JOIN model USING (tg)
+GROUP BY tri.doc_id
+"""
+
+
 def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping word-window chunking (64-word chunks, 16 overlap)."""
     from news_lakehouse_spark.operators.textmetrics import chunk_documents
@@ -2287,6 +2316,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_funnel": x_funnel,
     "x_expectations": x_expectations,
     "x_chunk_documents": x_chunk_documents,
+    "x_char_lm_score": x_char_lm_score,
     "x_stratified_sample": x_stratified_sample,
     "x_quantile_bucket": x_quantile_bucket,
     "x_sim_topk_bruteforce": x_sim_topk_bruteforce,
@@ -2361,6 +2391,7 @@ ORACLES: dict[str, str] = {
     "x_funnel": _FUNNEL_SQL,
     "x_expectations": _EXPECT_SQL,
     "x_chunk_documents": _CHUNK_SQL,
+    "x_char_lm_score": _CHARLM_SQL,
     "x_stratified_sample": _STRAT_SQL,
     "x_quantile_bucket": _QBUCKET_SQL,
     "x_sim_topk_bruteforce": _SIM_SQL,

@@ -316,3 +316,20 @@ def test_chunk_documents_cover_and_overlap(spark):
     # short doc -> one chunk; blank doc -> no chunks
     assert by_doc[2] == [(0, 3, "short doc only")]
     assert 3 not in by_doc
+
+
+def test_char_lm_scores_garbled_text_lower(spark):
+    from news_lakehouse_spark.operators.textmetrics import char_trigram_logprob
+
+    normal = [
+        (i, "the quick brown fox jumps over the lazy dog near the river bank")
+        for i in range(1, 21)
+    ]
+    garbled = [(99, "zq xv jk qz wx kj zx vq xz qk jw vz")]
+    df = spark.createDataFrame(normal + garbled, ["doc_id", "text"])
+    scores = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in char_trigram_logprob(df, "doc_id", "text").collect()
+    }
+    typical = sum(scores[i] for i in range(1, 21)) / 20
+    assert scores[99] < typical - 1.0  # clearly off-distribution
