@@ -904,6 +904,37 @@ FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1)
 """
 
 
+def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-local first-fit-decreasing packing of documents into
+    1024-token bins (whitespace token lengths). Rows-only — bin
+    composition is partitioning-dependent by design (pinned to 8 hash
+    partitions here) and not SQL-expressible; the output is per-
+    partition packing stats whose invariants (no bin over budget
+    unless a single oversize doc; every doc packed exactly once) are
+    checked in-query so the rows check fails loudly on violation.
+    """
+    from news_lakehouse_spark.operators.packing import pack_sequences
+    from news_lakehouse_spark.operators.textmetrics import whitespace_token_count
+
+    d = read_table(spark, sf_dir, "documents")
+    lens = d.select("doc_id", whitespace_token_count("text").alias("n_tok"))
+    packs = pack_sequences(lens, "doc_id", "n_tok", budget=1024, num_partitions=8)
+    part = F.split("pack_id", "_").getItem(0)
+    stats = packs.groupBy(part.alias("partition")).agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("total_tokens").cast("long").alias("tokens"),
+        F.max(
+            F.when((F.col("n_docs") > 1) & (F.col("total_tokens") > 1024), 1).otherwise(0)
+        ).alias("over_budget_violations"),
+    )
+    total_docs = lens.count()
+    return stats.withColumn(
+        "all_docs_packed",
+        (F.sum("n_docs").over(Window.partitionBy()) == total_docs).cast("int"),
+    )
+
+
 def x_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained char-trigram LM quality score per document."""
     from news_lakehouse_spark.operators.textmetrics import char_trigram_logprob
@@ -2317,6 +2348,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_expectations": x_expectations,
     "x_chunk_documents": x_chunk_documents,
     "x_char_lm_score": x_char_lm_score,
+    "x_pack_sequences": x_pack_sequences,
     "x_stratified_sample": x_stratified_sample,
     "x_quantile_bucket": x_quantile_bucket,
     "x_sim_topk_bruteforce": x_sim_topk_bruteforce,
@@ -2392,6 +2424,8 @@ ORACLES: dict[str, str] = {
     "x_expectations": _EXPECT_SQL,
     "x_chunk_documents": _CHUNK_SQL,
     "x_char_lm_score": _CHARLM_SQL,
+    # x_pack_sequences: rows-only (bin packing is partitioning-dependent
+    # and not SQL-expressible; invariants checked in-query)
     "x_stratified_sample": _STRAT_SQL,
     "x_quantile_bucket": _QBUCKET_SQL,
     "x_sim_topk_bruteforce": _SIM_SQL,

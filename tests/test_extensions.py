@@ -333,3 +333,30 @@ def test_char_lm_scores_garbled_text_lower(spark):
     }
     typical = sum(scores[i] for i in range(1, 21)) / 20
     assert scores[99] < typical - 1.0  # clearly off-distribution
+
+
+def test_pack_sequences_invariants(spark):
+    from news_lakehouse_spark.operators.packing import pack_sequences
+
+    rows = [(i, 100 + (i * 37) % 800) for i in range(200)] + [(999, 5000)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    packs = pack_sequences(df, "doc_id", "n_tok", budget=1024, num_partitions=4).collect()
+    lens = dict(rows)
+    seen = []
+    for p in packs:
+        ids = list(p["doc_ids"])
+        seen.extend(ids)
+        assert p["n_docs"] == len(ids)
+        assert p["total_tokens"] == sum(lens[i] for i in ids)
+        # budget respected except oversize singletons
+        if len(ids) > 1:
+            assert p["total_tokens"] <= 1024
+    assert sorted(seen) == sorted(lens)  # every doc exactly once
+    assert [p["doc_ids"] for p in packs if 999 in p["doc_ids"]] == [[999]]
+    # fill efficiency: FFD on ~uniform lengths should beat 70%
+    multi = [p for p in packs if p["n_docs"] > 1]
+    fill = sum(p["total_tokens"] for p in multi) / (1024 * len(multi))
+    assert fill > 0.7
+    # determinism for fixed partitioning
+    again = pack_sequences(df, "doc_id", "n_tok", budget=1024, num_partitions=4).collect()
+    assert sorted(map(str, again)) == sorted(map(str, packs))
