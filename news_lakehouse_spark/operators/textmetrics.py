@@ -334,3 +334,91 @@ def char_trigram_logprob(
             F.round(F.avg("lp"), 6).alias("avg_logprob"),
         )
     )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    max_df: int = 3,
+) -> DataFrame:
+    """CCNet-style corpus-level boilerplate removal: drop paragraphs
+    that repeat across >= max_df distinct documents, keep the rest in
+    original order.
+
+    "Paragraph" here is a non-overlapping `window`-word segment of the
+    normalized text (the corpus has no newline structure; on a corpus
+    with real paragraphs, split on newlines first and feed each line as
+    a segment). Mirrors the paragraph-hash dedup step of CCNet /
+    RefinedWeb cleaning: navboxes, cookie banners, and license blurbs
+    recur verbatim across many pages and are removed before training.
+
+    Output: (id, n_segments, n_removed, clean_text) for EVERY input
+    document — a fully-boilerplate document survives with clean_text ''.
+
+    Plan shape (scale notes): segments explode row-locally (no
+    shuffle); document frequency is a groupBy on md5(segment) — a
+    16-byte digest, never the segment text, so the shuffle carries
+    32-hex-char keys regardless of window size; the keep/drop decision
+    is a shuffle join on that same digest (both sides hash-partitioned
+    on one key; AQE skew-split handles a pathological mega-paragraph);
+    reassembly is a per-document array_sort over collect_list —
+    state bounded by segments-per-doc, not corpus size. No Python
+    anywhere.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(normalized_text(text_col), " "), lambda w: F.length(w) > 0
+        ).alias("__ws"),
+    )
+    n = F.size("__ws")
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(window)
+    )
+    seg = words.filter(n > 0).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(starts, lambda s: F.slice("__ws", s + 1, window))
+        ).alias("seg_idx", "__seg"),
+    ).select(
+        F.col(id_col),
+        "seg_idx",
+        F.array_join("__seg", " ").alias("para"),
+        F.md5(F.array_join("__seg", " ")).alias("__h"),
+    )
+    freq = seg.groupBy("__h").agg(
+        F.countDistinct(id_col).alias("__df")
+    )
+    flagged = seg.join(freq, "__h").select(
+        F.col(id_col),
+        "seg_idx",
+        "para",
+        (F.col("__df") >= max_df).alias("__drop"),
+    )
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum(F.col("__drop").cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("__drop"), F.struct("seg_idx", "para"))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

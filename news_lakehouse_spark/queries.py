@@ -2303,6 +2303,47 @@ FROM m
 """
 
 
+def x_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-df boilerplate removal (8-word segments,
+    drop segments occurring in >= 3 distinct documents)."""
+    from news_lakehouse_spark.operators.textmetrics import remove_boilerplate
+
+    d = read_table(spark, sf_dir, "documents")
+    return remove_boilerplate(d, "doc_id", "text", window=8, max_df=3)
+
+
+_BOILERPLATE_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split({_NT.format(c='text')}, ' '),
+                     x -> length(x) > 0) AS ws
+  FROM documents
+), seg AS (
+  SELECT doc_id, CAST(s / 8 AS INT) AS seg_idx,
+         array_to_string(ws[s + 1 : s + 8], ' ') AS para
+  FROM w, unnest(generate_series(0, len(ws) - 1, 8)) u(s)
+  WHERE len(ws) > 0
+), f AS (
+  SELECT para, count(DISTINCT doc_id) AS df FROM seg GROUP BY para
+), flag AS (
+  SELECT seg.doc_id, seg.seg_idx, seg.para, (f.df >= 3) AS is_bp
+  FROM seg JOIN f USING (para)
+), reb AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         coalesce(string_agg(CASE WHEN NOT is_bp THEN para END, ' '
+                             ORDER BY seg_idx), '') AS clean_text
+  FROM flag GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(reb.n_segments, 0) AS n_segments,
+       coalesce(reb.n_removed, 0) AS n_removed,
+       coalesce(reb.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN reb USING (doc_id)
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -2379,6 +2420,7 @@ QUERIES: dict[str, QueryFn] = {
     "d8_date_spine_gapfill": d8_date_spine_gapfill,
     "q10_returned_items": q10_returned_items,
     "x_corpus_filter": x_corpus_filter,
+    "x_boilerplate_removal": x_boilerplate_removal,
 }
 
 ORACLES: dict[str, str] = {
@@ -2457,4 +2499,5 @@ ORACLES: dict[str, str] = {
     "d8_date_spine_gapfill": _D8_SQL,
     "q10_returned_items": _Q10_SQL,
     "x_corpus_filter": _corpus_filter_sql(),
+    "x_boilerplate_removal": _BOILERPLATE_SQL,
 }

@@ -360,3 +360,38 @@ def test_pack_sequences_invariants(spark):
     # determinism for fixed partitioning
     again = pack_sequences(df, "doc_id", "n_tok", budget=1024, num_partitions=4).collect()
     assert sorted(map(str, again)) == sorted(map(str, packs))
+
+
+def test_remove_boilerplate_drops_repeated_paragraphs(spark):
+    from news_lakehouse_spark.operators.textmetrics import remove_boilerplate
+
+    bp = "cookie banner accept all terms"  # 5 words → one window-5 segment
+    docs = spark.createDataFrame(
+        [
+            (1, f"{bp} alpha beta gamma delta eps"),
+            (2, f"{bp} zeta eta theta iota kappa"),
+            (3, f"{bp} lam mu nu xi omicron"),
+            (4, "unique words only here today now nothing shared"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate(
+            docs, "doc_id", "text", window=5, max_df=3
+        ).collect()
+    }
+    # every input doc survives, including the empty one
+    assert set(out) == {1, 2, 3, 4, 5}
+    # the shared segment (df=3) is dropped from all three docs...
+    for d in (1, 2, 3):
+        assert out[d]["n_removed"] == 1
+        assert bp not in out[d]["clean_text"]
+    # ...the unique tails survive in order
+    assert out[1]["clean_text"] == "alpha beta gamma delta eps"
+    # unique doc untouched
+    assert out[4]["n_removed"] == 0
+    assert out[4]["clean_text"] == "unique words only here today now nothing shared"
+    # empty doc → zero segments, empty text
+    assert out[5]["n_segments"] == 0 and out[5]["clean_text"] == ""
