@@ -1,0 +1,75 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering.
+
+The scan-pruning layout technique behind Delta's OPTIMIZE ZORDER BY
+and Iceberg's sort-order rewrite: interleave the bits of several
+scan-predicate columns into one Morton key, then range-partition and
+sort files by it. Files become rectangles in key-space, so min/max
+footer stats prune scans on ANY prefix of the dimensions — not just
+the leading sort column. The reference clusters its BigQuery serving
+table by (TopicKey, AuthorKey) (`gold_to_bigquery.py:118-142`);
+Z-order is the lakehouse-native generalization.
+
+Scale notes: the Morton key is pure bit arithmetic (whole-stage
+codegen, no Python, no shuffle to compute). `zorder_repartition` adds
+exactly one range exchange — the same shuffle any clustered write
+pays — and range boundaries come from Spark's reservoir sampling, so
+skewed dimensions still split evenly across files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def morton_key(cols: list[Column | str], bits: int = 16) -> Column:
+    """Interleave the low `bits` bits of each column into one long.
+
+    Bit i of column j lands at position i * n_cols + j, so all columns
+    contribute equally at every granularity. Columns must already be
+    non-negative integers scaled to `bits` bits (mask is applied
+    defensively). n_cols * bits must fit in 63 bits.
+    """
+    n = len(cols)
+    if n == 0:
+        raise ValueError("morton_key needs at least one column")
+    if n * bits > 63:
+        raise ValueError("n_cols * bits must fit in a signed long")
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cs):
+        masked = c.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+        for i in range(bits):
+            bit = F.shiftright(masked, i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * n + j)
+    return z
+
+
+def zorder_repartition(
+    df: DataFrame,
+    cols: list[Column | str],
+    num_partitions: int,
+    bits: int = 16,
+    key_name: str = "__zorder",
+) -> DataFrame:
+    """Range-partition + sort rows by their Morton key, ready for a
+    clustered write (each output file covers a disjoint key range, so
+    parquet min/max stats prune on every Z-order dimension).
+    """
+    keyed = df.withColumn(key_name, morton_key(cols, bits))
+    return keyed.repartitionByRange(num_partitions, key_name).sortWithinPartitions(
+        key_name
+    )
+
+
+def morton_sql(exprs: list[str], bits: int = 16) -> str:
+    """ANSI-SQL twin of morton_key (for oracles / engines without
+    bit-interleave built-ins). Returns a single arithmetic expression.
+    """
+    n = len(exprs)
+    terms = []
+    for j, e in enumerate(exprs):
+        masked = f"(CAST({e} AS BIGINT) & {(1 << bits) - 1})"
+        for i in range(bits):
+            terms.append(f"((({masked} >> {i}) & 1) << {i * n + j})")
+    return "(" + " + ".join(terms) + ")"

@@ -2344,6 +2344,79 @@ FROM documents d LEFT JOIN reb USING (doc_id)
 """
 
 
+def x_source_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health dashboard: volume share, length, and
+    exact-duplicate rate by crawl source — the keep/drop signal for
+    whole sources in corpus curation.
+
+    Plan shape: one groupBy(source) carrying 16-byte content digests
+    (partial countDistinct map-side), then a broadcast join against the
+    1-row corpus total for the share column. Never shuffles document
+    text.
+    """
+    from news_lakehouse_spark.operators.dedupe import normalized_text
+
+    d = read_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.countDistinct(F.md5(normalized_text("text"))).cast("long").alias(
+            "n_unique"
+        ),
+    )
+    total = d.agg(F.count("*").alias("__total"))
+    return per_src.join(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("__total"), 6).alias("corpus_share"),
+        "avg_chars",
+        F.round(1 - F.col("n_unique") / F.col("n_docs"), 6).alias("dup_rate"),
+    )
+
+
+_SOURCE_STATS_SQL = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         round(avg(n_chars), 2) AS avg_chars,
+         CAST(count(DISTINCT md5({_NT.format(c='text')})) AS BIGINT) AS n_unique
+  FROM documents GROUP BY source
+), total AS (SELECT count(*) AS t FROM documents)
+SELECT source, n_docs,
+       round(n_docs / CAST(t AS DOUBLE), 6) AS corpus_share,
+       avg_chars,
+       round(1 - n_unique / CAST(n_docs AS DOUBLE), 6) AS dup_rate
+FROM per_src CROSS JOIN total
+"""
+
+
+def x_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (o_custkey, order-day) —
+    the multi-dimensional file-layout key behind OPTIMIZE ZORDER BY.
+    The query returns the key itself so the oracle pins the bit
+    interleave exactly; `zorder_repartition` adds the range exchange +
+    sort for clustered writes (pinned by tests/test_extensions.py).
+    """
+    from news_lakehouse_spark.operators.layout import morton_key
+
+    o = read_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    return o.select(
+        "o_orderkey",
+        morton_key([F.col("o_custkey"), day], bits=16).alias("zkey"),
+    )
+
+
+def _zorder_sql() -> str:
+    from news_lakehouse_spark.operators.layout import morton_sql
+
+    z = morton_sql(
+        ["o_custkey", "date_diff('day', TIMESTAMP '1992-01-01', o_orderdate)"],
+        bits=16,
+    )
+    return f"SELECT o_orderkey, {z} AS zkey FROM orders"
+
+
 # --- registry -------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -2421,6 +2494,8 @@ QUERIES: dict[str, QueryFn] = {
     "q10_returned_items": q10_returned_items,
     "x_corpus_filter": x_corpus_filter,
     "x_boilerplate_removal": x_boilerplate_removal,
+    "x_source_corpus_stats": x_source_corpus_stats,
+    "x_zorder_key": x_zorder_key,
 }
 
 ORACLES: dict[str, str] = {
@@ -2500,4 +2575,6 @@ ORACLES: dict[str, str] = {
     "q10_returned_items": _Q10_SQL,
     "x_corpus_filter": _corpus_filter_sql(),
     "x_boilerplate_removal": _BOILERPLATE_SQL,
+    "x_source_corpus_stats": _SOURCE_STATS_SQL,
+    "x_zorder_key": _zorder_sql(),
 }

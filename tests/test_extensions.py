@@ -395,3 +395,42 @@ def test_remove_boilerplate_drops_repeated_paragraphs(spark):
     assert out[4]["clean_text"] == "unique words only here today now nothing shared"
     # empty doc → zero segments, empty text
     assert out[5]["n_segments"] == 0 and out[5]["clean_text"] == ""
+
+
+def test_zorder_repartition_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    from news_lakehouse_spark.operators.layout import morton_key, zorder_repartition
+
+    o = read_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    out = zorder_repartition(
+        o.select("o_orderkey", "o_custkey", day.alias("day")),
+        [F.col("o_custkey"), F.col("day")],
+        num_partitions=8,
+    )
+    dest = str(tmp_path / "zorders")
+    out.write.parquet(dest)
+    back = spark.read.parquet(dest)
+    ranges = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("__zorder").alias("lo"), F.max("__zorder").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in ranges)
+    assert len(spans) > 1
+    # range partitioning ⇒ file key-ranges never overlap
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next
+
+
+def test_morton_key_interleaves_bits(spark):
+    from news_lakehouse_spark.operators.layout import morton_key
+
+    df = spark.createDataFrame([(1, 0), (0, 1), (3, 3)], "x int, y int")
+    got = [
+        r["z"]
+        for r in df.select(morton_key(["x", "y"], bits=4).alias("z"))
+        .orderBy("z")
+        .collect()
+    ]
+    # x occupies even bit positions, y odd: (1,0)→1, (0,1)→2, (3,3)→15
+    assert got == [1, 2, 15]
