@@ -25,6 +25,16 @@ from pyspark.sql import functions as F
 _BUCKET = "__rj_bucket"
 
 
+def _micros(col: str) -> F.Column:
+    """Epoch microseconds, tolerant of TIMESTAMP_NTZ inputs.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ; the cast interprets naive
+    values in the session timezone (pinned to UTC by build_session), so
+    the mapping is deterministic and monotone for both join sides.
+    """
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
 def range_join_bucketed(
     points: DataFrame,
     ranges: DataFrame,
@@ -40,16 +50,14 @@ def range_join_bucketed(
     output carries all columns from both sides.
     """
     width_us = F.lit(int(bucket_width_seconds) * 1_000_000)
-    p = points.withColumn(
-        _BUCKET, F.floor(F.unix_micros(F.col(point_ts)) / width_us)
-    )
+    p = points.withColumn(_BUCKET, F.floor(_micros(point_ts) / width_us))
     # end is exclusive: the last covered bucket holds end - 1µs
     r = ranges.withColumn(
         _BUCKET,
         F.explode(
             F.sequence(
-                F.floor(F.unix_micros(F.col(range_start)) / width_us),
-                F.floor((F.unix_micros(F.col(range_end)) - 1) / width_us),
+                F.floor(_micros(range_start) / width_us),
+                F.floor((_micros(range_end) - 1) / width_us),
             )
         ),
     )

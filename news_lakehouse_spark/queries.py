@@ -449,8 +449,8 @@ def d1_timestamp_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
         F.when(mod == 0, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"))
         .when(mod == 1, F.date_format("ts", "dd/MM/yyyy HH:mm:ss"))
-        .when(mod == 2, F.unix_timestamp("ts").cast("string"))
-        .otherwise(F.unix_millis("ts").cast("string"))
+        .when(mod == 2, F.unix_timestamp(F.col("ts").cast("timestamp")).cast("string"))
+        .otherwise(F.unix_millis(F.col("ts").cast("timestamp")).cast("string"))
     )
     return e.select(
         "event_id",

@@ -85,7 +85,8 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     prepared = events.select(
         F.col("user_id").cast("long").alias("user_id"),
         F.col("value").cast("double").alias("value"),
-        F.unix_micros("ts").alias("ts_us"),
+        # cast tolerates TIMESTAMP_NTZ sources (session tz pinned to UTC)
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
         _update_user,

@@ -14,6 +14,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP; parquet fixtures read as
+    TIMESTAMP_NTZ under Spark's NTZ inference. The session timezone is
+    pinned to UTC (session.py), so the cast only changes the type tag,
+    never the instant."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "5 minutes",
@@ -28,7 +38,7 @@ def windowed_event_counts(
     """
     src = events
     if watermark:
-        src = src.withWatermark(ts_col, watermark)
+        src = _ensure_event_time(src, ts_col).withWatermark(ts_col, watermark)
     w = F.window(F.col(ts_col), window_duration, slide or window_duration)
     return (
         src.groupBy(w.alias("w"), "event_type")
@@ -63,7 +73,9 @@ def sessionize(
     flagged = events.withColumn(
         "_new_session",
         (
-            F.col(ts_col).cast("long") - F.lag(F.col(ts_col)).over(w).cast("long")
+            # double cast tolerates TIMESTAMP_NTZ (NTZ → bigint is illegal)
+            F.col(ts_col).cast("timestamp").cast("long")
+            - F.lag(F.col(ts_col)).over(w).cast("timestamp").cast("long")
             > F.lit(gap_seconds)
         ).cast("int"),
     ).withColumn(
@@ -92,7 +104,7 @@ def session_window_counts(
     """
     src = events
     if watermark:
-        src = src.withWatermark(ts_col, watermark)
+        src = _ensure_event_time(src, ts_col).withWatermark(ts_col, watermark)
     return (
         src.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), user_col)
         .agg(F.count("*").alias("n_events"))
@@ -118,7 +130,11 @@ def dedupe_within_watermark(
     older than the bound: exact dedup for any duplicate arriving
     within the watermark, bounded state always.
     """
-    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return (
+        _ensure_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
 
 
 def dedupe_stream_within_watermark(
@@ -138,7 +154,11 @@ def dedupe_stream_within_watermark(
     not exactly-once over all history — pair with the keyed MERGE sink
     in operators/merge.py for end-to-end idempotency).
     """
-    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return (
+        _ensure_event_time(stream, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
 
 
 def stream_stream_interval_join(
@@ -163,7 +183,7 @@ def stream_stream_interval_join(
     Columns are prefixed l_/r_ (except the join key) because both
     sides usually share names.
     """
-    l = left.withWatermark(left_ts, watermark).select(
+    l = _ensure_event_time(left, left_ts).withWatermark(left_ts, watermark).select(
         F.col(key),
         *[
             F.col(c).alias(f"l_{c}")
@@ -171,7 +191,7 @@ def stream_stream_interval_join(
             if c != key
         ],
     )
-    r = right.withWatermark(right_ts, watermark).select(
+    r = _ensure_event_time(right, right_ts).withWatermark(right_ts, watermark).select(
         F.col(key).alias("__rk"),
         *[
             F.col(c).alias(f"r_{c}")
