@@ -540,16 +540,42 @@ FROM events e, unnest(json_keys(e.props)) AS k(key)
 def m3_surrogate_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3/F6: xxhash64 surrogate keys with NULL→-1 sentinel.
 
-    No DuckDB xxhash64 exists, so this is a rows-only check; unit
-    tests pin the sentinel/NULL semantics exactly.
+    DuckDB has no xxhash64, so instead of emitting raw hashes the
+    query emits the key's *observable contract*, which IS
+    SQL-checkable: blanks hit the sentinel (is_sentinel), and the key
+    partitions rows exactly like the natural key does (key_group_rows
+    computed by partitioning on the hash must equal the oracle's
+    partitioning on the name) — i.e. the hash is injective on the
+    fixture and sentinel rows collapse into one group. Unit tests pin
+    the raw xxhash64/sentinel values.
     """
     n = read_table(spark, sf_dir, "nation")
     nk = F.when(F.col("n_nationkey") % 5 != 0, F.col("n_name"))
-    return n.select(
+    keyed = n.select(
         "n_nationkey",
         nk.alias("nation_nk"),
         surrogate_key_safe(nk).alias("nation_key"),
     )
+    return keyed.select(
+        "n_nationkey",
+        "nation_nk",
+        (F.col("nation_key") == -1).cast("int").alias("is_sentinel"),
+        F.count("*")
+        .over(Window.partitionBy("nation_key"))
+        .cast("long")
+        .alias("key_group_rows"),
+    )
+
+
+_M3_SQL = """
+SELECT n_nationkey,
+       CASE WHEN n_nationkey % 5 <> 0 THEN n_name END AS nation_nk,
+       CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END AS is_sentinel,
+       CAST(count(*) OVER (
+           PARTITION BY CASE WHEN n_nationkey % 5 <> 0 THEN n_name END
+       ) AS BIGINT) AS key_group_rows
+FROM nation
+"""
 
 
 def t_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -716,13 +742,30 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) per group — rows-only check (the
-    sketch estimate is engine-specific); tests pin <5% error vs exact."""
+    """approx_count_distinct (HLL++) per group, hash-checked via an
+    error-bound contract: the sketch estimate itself is
+    engine-specific (no DuckDB twin), so the query emits the exact
+    distinct count plus a boolean pinning the sketch within 5% of it.
+    A sketch regression flips approx_ok to 0 and the value hash
+    catches it; unit tests additionally pin the error at <5%."""
     li = read_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(F.approx_count_distinct("l_partkey") - F.countDistinct("l_partkey"))
+            <= 0.05 * F.countDistinct("l_partkey")
+        )
+        .cast("int")
+        .alias("approx_ok"),
     )
+
+
+_APPROX_DISTINCT_SQL = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       1 AS approx_ok
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -906,33 +949,59 @@ FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1)
 
 def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-local first-fit-decreasing packing of documents into
-    1024-token bins (whitespace token lengths). Rows-only — bin
-    composition is partitioning-dependent by design (pinned to 8 hash
-    partitions here) and not SQL-expressible; the output is per-
-    partition packing stats whose invariants (no bin over budget
-    unless a single oversize doc; every doc packed exactly once) are
-    checked in-query so the rows check fails loudly on violation.
+    1024-token bins (whitespace token lengths), hash-checked via its
+    conservation laws: bin *composition* is partitioning-dependent by
+    design (pinned to 8 hash partitions) and not SQL-expressible, but
+    (a) every doc is packed exactly once, (b) token totals are
+    conserved, (c) no multi-doc bin exceeds the budget, and (d) the
+    bin count sits between the token lower bound ceil(tokens/budget)
+    and one-bin-per-doc. The query emits exactly those invariants, all
+    of which the oracle computes from the raw table — any packing
+    regression flips a column and fails the value hash.
     """
     from news_lakehouse_spark.operators.packing import pack_sequences
     from news_lakehouse_spark.operators.textmetrics import whitespace_token_count
 
+    budget = 1024
     d = read_table(spark, sf_dir, "documents")
     lens = d.select("doc_id", whitespace_token_count("text").alias("n_tok"))
-    packs = pack_sequences(lens, "doc_id", "n_tok", budget=1024, num_partitions=8)
-    part = F.split("pack_id", "_").getItem(0)
-    stats = packs.groupBy(part.alias("partition")).agg(
+    packs = pack_sequences(lens, "doc_id", "n_tok", budget=budget, num_partitions=8)
+    stats = packs.agg(
         F.count("*").cast("long").alias("n_bins"),
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.sum("total_tokens").cast("long").alias("tokens"),
-        F.max(
-            F.when((F.col("n_docs") > 1) & (F.col("total_tokens") > 1024), 1).otherwise(0)
-        ).alias("over_budget_violations"),
+        F.sum(
+            F.when(
+                (F.col("n_docs") > 1) & (F.col("total_tokens") > budget), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("over_budget_bins"),
     )
-    total_docs = lens.count()
-    return stats.withColumn(
-        "all_docs_packed",
-        (F.sum("n_docs").over(Window.partitionBy()) == total_docs).cast("int"),
+    return stats.select(
+        "n_docs",
+        "tokens",
+        "over_budget_bins",
+        (F.col("n_bins") >= F.ceil(F.col("tokens") / budget)).cast("int").alias(
+            "bins_above_token_floor"
+        ),
+        (F.col("n_bins") <= F.col("n_docs")).cast("int").alias("bins_below_doc_count"),
     )
+
+
+_PACK_SQL = f"""
+WITH lens AS (
+  SELECT doc_id,
+         len(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ')) AS n_tok
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tokens,
+       CAST(0 AS BIGINT) AS over_budget_bins,
+       1 AS bins_above_token_floor,
+       1 AS bins_below_doc_count
+FROM lens
+"""
 
 
 def x_char_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1366,20 +1435,27 @@ FROM (
 
 
 def x_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table LSH ANN with a recall@10 floor against brute force.
-
-    Rows-only (LSH is approximate, no SQL twin) — but the rows check is
-    made meaningful: output is one row per query vector with its
-    recall@10 vs the exact result, FILTERED at recall >= 0.5. Expected
-    row count is the query count (5); any recall collapse (e.g. a
-    bucketing regression) drops rows and the driver sees it. Measured
-    recall at planes=6, tables=32: 0.7–1.0 across sf0.001–sf0.1.
+    """Multi-table LSH ANN, hash-checked via a recall@10 floor against
+    brute force: the approximate neighbor set has no SQL twin, so the
+    query emits one row per query vector with a boolean pinning
+    recall@10 >= 0.5 (computed in-query against the exact top-k). A
+    bucketing regression flips recall_ok to 0 and fails the value
+    hash. Measured recall at planes=6, tables=32: 0.7–1.0 across
+    sf0.001–sf0.1.
     """
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     approx = lsh_bucketed_topk(emb, q, k=10, planes=6, tables=32)
     exact = cosine_topk_bruteforce(emb, q, k=10)
-    return ann_recall_at_k(approx, exact, k=10, floor=0.5)
+    rec = ann_recall_at_k(approx, exact, k=10)
+    return rec.select(
+        "query_id", (F.col("recall") >= 0.5).cast("int").alias("recall_ok")
+    )
+
+
+_SIM_LSH_SQL = """
+SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 5
+"""
 
 
 def x_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1482,6 +1558,49 @@ SELECT doc_id,
            AS n_tokens,
        CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_ws_tokens
 FROM documents
+"""
+
+
+def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: score every pool document against the
+    English-language slice as the target distribution (hashed
+    bag-of-words likelihood ratio, arXiv:2302.03169). selected = more
+    target-like than the pool average."""
+    from news_lakehouse_spark.operators.importance import dsir_importance_weights
+
+    d = read_table(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        d, "doc_id", "text", is_target=F.col("lang") == "en", num_buckets=4096
+    )
+
+
+_HEXC = "strpos('0123456789abcdef', substr(sha256(tok), {i}, 1)) - 1"
+_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, tok FROM (
+    SELECT doc_id, lang, unnest(string_split({_NT.format(c='text')}, ' ')) AS tok
+    FROM documents
+  ) WHERE length(tok) > 0
+), b AS (
+  SELECT doc_id, lang,
+         (({_HEXC.format(i=1)}) * 4096 + ({_HEXC.format(i=2)}) * 256
+        + ({_HEXC.format(i=3)}) * 16 + ({_HEXC.format(i=4)})) % 4096 AS bk
+  FROM toks
+), pool AS (SELECT bk, count(*) AS pool_c FROM b GROUP BY bk),
+tgt AS (SELECT bk, count(*) AS tgt_c FROM b WHERE lang = 'en' GROUP BY bk),
+tot AS (SELECT (SELECT CAST(sum(pool_c) AS DOUBLE) FROM pool) AS pool_n,
+               (SELECT CAST(coalesce(sum(tgt_c), 0) AS DOUBLE) FROM tgt) AS tgt_n),
+model AS (
+  SELECT p.bk,
+         ln((coalesce(t.tgt_c, 0) + 1) / (tot.tgt_n + 4096))
+       - ln((p.pool_c + 1) / (tot.pool_n + 4096)) AS lr
+  FROM pool p LEFT JOIN tgt t USING (bk) CROSS JOIN tot
+)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(m.lr), 6) AS logweight,
+       CASE WHEN round(sum(m.lr), 6) > 0 THEN 1 ELSE 0 END AS selected
+FROM b JOIN model m USING (bk)
+GROUP BY b.doc_id
 """
 
 
@@ -1671,21 +1790,28 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 
 def x_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (spherical k-means cells) with a recall@10 floor.
-
-    Rows-only (approximate by design); like x_sim_lsh_topk the output
-    is per-query recall@10 vs brute force filtered at >= 0.4, so the
-    expected row count equals the query count (5) and a recall collapse
-    is visible to the rows check. Measured recall at 16 cells / 8
-    probes: 0.5–0.9 across sf0.001–sf0.1 (the fixture vectors are
-    near-uniform, so recall ≈ corpus fraction scanned; the unit test
-    separately pins n_probe = n_centroids ≡ exact brute force).
+    """IVF ANN (spherical k-means cells), hash-checked via a recall@10
+    floor: like x_sim_lsh_topk the approximate neighbor set has no SQL
+    twin, so the query emits one row per query vector with a boolean
+    pinning recall@10 >= 0.4 vs the in-query brute-force result.
+    Measured recall at 16 cells / 8 probes: 0.5–0.9 across
+    sf0.001–sf0.1 (the fixture vectors are near-uniform, so recall ≈
+    corpus fraction scanned; the unit test separately pins
+    n_probe = n_centroids ≡ exact brute force).
     """
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     approx = ivf_topk(emb, q, k=10, n_centroids=16, n_probe=8, iters=2)
     exact = cosine_topk_bruteforce(emb, q, k=10)
-    return ann_recall_at_k(approx, exact, k=10, floor=0.4)
+    rec = ann_recall_at_k(approx, exact, k=10)
+    return rec.select(
+        "query_id", (F.col("recall") >= 0.4).cast("int").alias("recall_ok")
+    )
+
+
+_SIM_IVF_SQL = """
+SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 5
+"""
 
 
 def x_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2471,6 +2597,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_lang_id": x_lang_id,
     "x_quality_metrics": x_quality_metrics,
     "x_token_count": x_token_count,
+    "x_dsir_weights": x_dsir_weights,
     "x_fingerprint": x_fingerprint,
     "x_multimodal_bytes": x_multimodal_bytes,
     "x_binary_ingest": x_binary_ingest,
@@ -2517,14 +2644,14 @@ ORACLES: dict[str, str] = {
     "d1_timestamp_cascade": _D1_SQL,
     "d5_date_dimension": _D5_SQL,
     "n4_json_map_explode": _N4_SQL,
-    # m3_surrogate_sentinel: rows-only (xxhash64 has no DuckDB twin)
+    "m3_surrogate_sentinel": _M3_SQL,
     "o1_sort_recency": _O1_SQL,
     "j7_semi_anti": _J7_SQL,
     "u2_intersect_except": _U2_SQL,
     "a4_rollup": _A4_SQL,
     "a5_cube": _A5_SQL,
     "a6_pivot": _A6_SQL,
-    # x_approx_distinct: rows-only (sketch estimates are engine-specific)
+    "x_approx_distinct": _APPROX_DISTINCT_SQL,
     "x_asof_join": _ASOF_SQL,
     "t_windowed_agg": _T_SQL,
     "x_sessionize": _SESSIONIZE_SQL,
@@ -2541,17 +2668,16 @@ ORACLES: dict[str, str] = {
     "x_expectations": _EXPECT_SQL,
     "x_chunk_documents": _CHUNK_SQL,
     "x_char_lm_score": _CHARLM_SQL,
-    # x_pack_sequences: rows-only (bin packing is partitioning-dependent
-    # and not SQL-expressible; invariants checked in-query)
+    "x_pack_sequences": _PACK_SQL,
     "x_stratified_sample": _STRAT_SQL,
     "x_quantile_bucket": _QBUCKET_SQL,
     "x_sim_topk_bruteforce": _SIM_SQL,
-    # x_sim_lsh_topk: rows-only (approximate) — emits recall@10 vs brute
-    # force filtered at a floor, so the rows check detects recall collapse
+    "x_sim_lsh_topk": _SIM_LSH_SQL,
     "x_embed_centroid": _CENTROID_SQL,
     "x_lang_id": _lang_sql(),
     "x_quality_metrics": _quality_sql(),
     "x_token_count": _TOKEN_SQL,
+    "x_dsir_weights": _DSIR_SQL,
     "x_fingerprint": _FP_SQL,
     "x_multimodal_bytes": _MM_SQL,
     "x_binary_ingest": _BINARY_SQL,
@@ -2559,7 +2685,7 @@ ORACLES: dict[str, str] = {
     "x_salted_agg": _SALTED_AGG_SQL,
     "x_salted_join": _SALTED_JOIN_SQL,
     "x_dedup_embedding_cosine": _EMB_COS_SQL,
-    # x_sim_ivf_topk: rows-only (approximate) — recall-floored like lsh
+    "x_sim_ivf_topk": _SIM_IVF_SQL,
     "x_stream_stateful": _STREAM_STATEFUL_SQL,
     "q3_shipping_priority": _Q3_SQL,
     "q5_local_supplier_volume": _Q5_SQL,

@@ -434,3 +434,24 @@ def test_morton_key_interleaves_bits(spark):
     ]
     # x occupies even bit positions, y odd: (1,0)→1, (0,1)→2, (3,3)→15
     assert got == [1, 2, 15]
+
+
+def test_dsir_weights_favor_target_language(spark):
+    from news_lakehouse_spark.operators.importance import dsir_importance_weights
+
+    sf_dir = "/root/testdata/sf0.001"
+    d = read_table(spark, sf_dir, "documents")
+    w = dsir_importance_weights(
+        d, "doc_id", "text", is_target=F.col("lang") == "en", num_buckets=4096
+    )
+    joined = w.join(d.select("doc_id", "lang"), "doc_id")
+    stats = {
+        r["lang"]: r["avg_w"]
+        for r in joined.groupBy("lang").agg(F.avg("logweight").alias("avg_w")).collect()
+    }
+    # the likelihood-ratio model must rank target-language docs above
+    # every non-target language on average
+    assert all(stats["en"] > v for k, v in stats.items() if k != "en")
+    # every doc scored exactly once
+    assert w.count() == d.count()
+    assert w.filter(F.col("selected").isin(0, 1)).count() == d.count()
