@@ -135,3 +135,67 @@ def quantile_bucket(
         .withColumn(out_col, bucket.cast("int"))
         .drop("__t")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    key_cols: list[str] | None = None,
+    salt: str = "mixture",
+    kept_col: str = "kept",
+) -> DataFrame:
+    """Rebalance a corpus to a target mixture (domain reweighting).
+
+    ``weights`` maps stratum value → unnormalized target weight; the
+    output marks, per row, whether it survives downsampling to the
+    LARGEST corpus achievable at exactly those proportions without
+    upsampling: T = min_s(n_s / p_s) rows total, keep_s = ⌊p_s·T⌋ per
+    stratum (p_s = normalized weight). Strata not in ``weights`` are
+    dropped. This is the static mixture-balancing step of a
+    pretraining data pipeline (cf. The Pile's per-source epochs,
+    DoReMi's reweighted sampling — arXiv:2101.00027, 2305.10429).
+
+    Selection is rank-based on the deterministic hash line
+    (row_number over (hash, key) per stratum ≤ keep_s): exact counts,
+    reproducible on any partitioning, any engine. The per-stratum
+    window is one shuffle on ``strata_col``; at 100 TB with few huge
+    strata, swap the ranking for a hash-threshold filter at rate
+    keep_s/n_s (shuffle-free scan filter, binomially-approximate
+    counts) — the hash line and keep_s math are unchanged.
+    """
+    from pyspark.sql import Window
+
+    keys = key_cols or [strata_col]
+    wpairs: list[Column] = []
+    for k, v in sorted(weights.items()):
+        wpairs.append(F.lit(k))
+        wpairs.append(F.lit(float(v)))
+    wsum = float(sum(weights.values()))
+    w_col = F.element_at(F.create_map(*wpairs), F.col(strata_col).cast("string"))
+
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+    counts = counts.withColumn("__p", w_col / F.lit(wsum)).filter(
+        F.col("__p").isNotNull() & (F.col("__p") > 0)
+    )
+    # feasible total: the binding stratum runs out first. For that
+    # stratum p·T is integral in exact arithmetic — the +1e-9 keeps
+    # float round-off from flooring it down (mirrored in the oracle).
+    wall = Window.partitionBy()
+    keeps = counts.select(
+        strata_col,
+        F.floor(
+            F.col("__p") * F.min(F.col("__n") / F.col("__p")).over(wall) + 1e-9
+        )
+        .cast("long")
+        .alias("__keep"),
+    )
+    u = hash_fraction(*keys, salt=salt)
+    rank = F.row_number().over(
+        Window.partitionBy(strata_col).orderBy(u, *keys)
+    )
+    return (
+        df.join(F.broadcast(keeps), strata_col, "inner")
+        .withColumn(kept_col, (rank <= F.col("__keep")).cast("int"))
+        .drop("__keep")
+    )

@@ -1561,6 +1561,43 @@ FROM documents
 """
 
 
+def x_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static mixture balancing: mark the rows that survive
+    downsampling the corpus to a 3:1 even:odd source-weight mixture
+    (largest feasible corpus at exactly those proportions, rank-based
+    on the deterministic hash line)."""
+    from news_lakehouse_spark.operators.sampling import mixture_sample
+
+    d = read_table(spark, sf_dir, "documents")
+    weights = {f"src{i}": 3.0 if i % 2 == 0 else 1.0 for i in range(20)}
+    out = mixture_sample(d, "source", weights, key_cols=["doc_id"])
+    return out.select("doc_id", "source", "kept")
+
+
+_MIXTURE_SQL = """
+WITH h AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(sha256(concat_ws('||', 'mixture', doc_id)), 1, 15))
+              AS BIGINT) / 1152921504606846976.0 AS u,
+         CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+              THEN 3.0 ELSE 1.0 END / 40.0 AS p
+  FROM documents
+), c AS (
+  SELECT source, p, count(*) AS n FROM h GROUP BY source, p
+), t AS (
+  SELECT min(n / p) AS feasible FROM c
+), k AS (
+  SELECT c.source, CAST(floor(c.p * t.feasible + 1e-9) AS BIGINT) AS keep
+  FROM c, t
+)
+SELECT h.doc_id, h.source,
+       CASE WHEN row_number() OVER (PARTITION BY h.source ORDER BY h.u, h.doc_id)
+                 <= k.keep
+            THEN 1 ELSE 0 END AS kept
+FROM h JOIN k USING (source)
+"""
+
+
 def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights: score every pool document against the
     English-language slice as the target distribution (hashed
@@ -2598,6 +2635,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_quality_metrics": x_quality_metrics,
     "x_token_count": x_token_count,
     "x_dsir_weights": x_dsir_weights,
+    "x_mixture_sample": x_mixture_sample,
     "x_fingerprint": x_fingerprint,
     "x_multimodal_bytes": x_multimodal_bytes,
     "x_binary_ingest": x_binary_ingest,
@@ -2678,6 +2716,7 @@ ORACLES: dict[str, str] = {
     "x_quality_metrics": _quality_sql(),
     "x_token_count": _TOKEN_SQL,
     "x_dsir_weights": _DSIR_SQL,
+    "x_mixture_sample": _MIXTURE_SQL,
     "x_fingerprint": _FP_SQL,
     "x_multimodal_bytes": _MM_SQL,
     "x_binary_ingest": _BINARY_SQL,

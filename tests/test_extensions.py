@@ -455,3 +455,37 @@ def test_dsir_weights_favor_target_language(spark):
     # every doc scored exactly once
     assert w.count() == d.count()
     assert w.filter(F.col("selected").isin(0, 1)).count() == d.count()
+
+
+def test_mixture_sample_hits_target_proportions(spark):
+    from news_lakehouse_spark.operators.sampling import mixture_sample
+
+    sf_dir = "/root/testdata/sf0.001"
+    d = read_table(spark, sf_dir, "documents")
+    weights = {f"src{i}": 3.0 if i % 2 == 0 else 1.0 for i in range(20)}
+    out = mixture_sample(d, "source", weights, key_cols=["doc_id"])
+    kept = (
+        out.filter(F.col("kept") == 1)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    by_src = {r["source"]: r["count"] for r in kept}
+    evens = [by_src[f"src{i}"] for i in range(0, 20, 2)]
+    odds = [by_src[f"src{i}"] for i in range(1, 20, 2)]
+    # exact 3:1 mixture up to the floor: every even stratum keeps the
+    # same count, every odd stratum the same count, ratio ~3
+    assert len(set(evens)) == 1 and len(set(odds)) == 1
+    assert abs(evens[0] / odds[0] - 3.0) < 0.35  # floor() granularity
+    # no upsampling: kept never exceeds stratum size
+    sizes = {r["source"]: r["count"] for r in d.groupBy("source").count().collect()}
+    assert all(by_src[s] <= sizes[s] for s in by_src)
+    # determinism: second run marks the identical set
+    again = mixture_sample(d, "source", weights, key_cols=["doc_id"])
+    assert (
+        out.filter("kept = 1")
+        .select("doc_id")
+        .exceptAll(again.filter("kept = 1").select("doc_id"))
+        .count()
+        == 0
+    )
