@@ -422,3 +422,35 @@ def remove_boilerplate(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+) -> DataFrame:
+    """Term-blocklist gate (the C4-style "bad words" filter): mark each
+    document by how many distinct blocklisted terms its normalized
+    token set contains, kept = none.
+
+    Pure column math — tokens never leave the JVM, the blocklist is a
+    literal array (scan-local, no broadcast, no shuffle), so the
+    filter is a single codegen'd pass regardless of corpus size. For
+    blocklists too large for a literal (>10^4 terms), switch to a
+    broadcast left_semi join on exploded tokens; the contract below is
+    unchanged.
+    """
+    toks = F.array_distinct(
+        F.filter(
+            F.split(normalized_text(text_col), " "), lambda w: F.length(w) > 0
+        )
+    )
+    hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(t) for t in sorted(terms)]))
+    )
+    return df.select(
+        F.col(id_col),
+        hits.cast("int").alias("n_blocked_terms"),
+        (hits == 0).cast("int").alias("kept"),
+    )

@@ -1561,6 +1561,78 @@ FROM documents
 """
 
 
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate → semi-filtering join
+    → enrich → global top-100.
+
+    The big-order set comes from one groupBy on lineitem's own key; it
+    is tiny after the HAVING filter, so AQE broadcasts it into orders
+    (no orders shuffle), customer broadcasts explicitly, and the
+    top-100 runs as TakeOrderedAndProject (per-partition partial
+    top-k, never a global sort)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 220)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+_Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS tq
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 220
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(tq, 2) AS total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
+def x_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style term-blocklist gate over the documents corpus."""
+    from news_lakehouse_spark.operators.textmetrics import blocklist_filter
+
+    d = read_table(spark, sf_dir, "documents")
+    return blocklist_filter(d, "doc_id", "text", ["slow", "spam"])
+
+
+_BLOCKLIST_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+             string_split({_NT.format(c='text')}, ' '), w -> length(w) > 0
+         )) AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_intersect(ws, ['slow', 'spam'])) AS INT) AS n_blocked_terms,
+       CASE WHEN len(list_intersect(ws, ['slow', 'spam'])) = 0
+            THEN 1 ELSE 0 END AS kept
+FROM toks
+"""
+
+
 def x_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Static mixture balancing: mark the rows that survive
     downsampling the corpus to a 3:1 even:odd source-weight mixture
@@ -2636,6 +2708,8 @@ QUERIES: dict[str, QueryFn] = {
     "x_token_count": x_token_count,
     "x_dsir_weights": x_dsir_weights,
     "x_mixture_sample": x_mixture_sample,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "x_blocklist_filter": x_blocklist_filter,
     "x_fingerprint": x_fingerprint,
     "x_multimodal_bytes": x_multimodal_bytes,
     "x_binary_ingest": x_binary_ingest,
@@ -2717,6 +2791,8 @@ ORACLES: dict[str, str] = {
     "x_token_count": _TOKEN_SQL,
     "x_dsir_weights": _DSIR_SQL,
     "x_mixture_sample": _MIXTURE_SQL,
+    "q18_large_volume_customers": _Q18_SQL,
+    "x_blocklist_filter": _BLOCKLIST_SQL,
     "x_fingerprint": _FP_SQL,
     "x_multimodal_bytes": _MM_SQL,
     "x_binary_ingest": _BINARY_SQL,
