@@ -78,13 +78,9 @@ def language_scores(
     return scored.withColumn("lang_guess", guess)
 
 
-def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Length / punctuation / stopword / repetition quality signals.
-
-    Columns: n_chars, n_words, avg_word_len, punct_ratio,
-    stopword_ratio (en markers), uniq_word_ratio, quality_score — a
-    simple monotone combination in [0, 1].
-    """
+def quality_metric_columns(text_col: str) -> dict[str, Column]:
+    """The quality-signal expressions, exposed so composed pipelines
+    can evaluate them in the same scan as other per-row stages."""
     t = _c(text_col)
     words = F.split(normalized_text(text_col), " ")
     n_chars = F.length(t)
@@ -94,14 +90,26 @@ def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
     n_uniq = F.size(F.array_distinct(words))
     safe_words = F.greatest(n_words, F.lit(1))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "avg_word_len": (n_chars - n_words + 1) / safe_words.cast("double"),
+        "punct_ratio": n_punct / F.greatest(n_chars, F.lit(1)).cast("double"),
+        "stopword_ratio": n_stop / safe_words.cast("double"),
+        "uniq_word_ratio": n_uniq / safe_words.cast("double"),
+    }
+
+
+def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Length / punctuation / stopword / repetition quality signals.
+
+    Columns: n_chars, n_words, avg_word_len, punct_ratio,
+    stopword_ratio (en markers), uniq_word_ratio, quality_score — a
+    simple monotone combination in [0, 1].
+    """
+    cols = quality_metric_columns(text_col)
     out = df.select(
-        F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_words.alias("n_words"),
-        ((n_chars - n_words + 1) / safe_words.cast("double")).alias("avg_word_len"),
-        (n_punct / F.greatest(n_chars, F.lit(1)).cast("double")).alias("punct_ratio"),
-        (n_stop / safe_words.cast("double")).alias("stopword_ratio"),
-        (n_uniq / safe_words.cast("double")).alias("uniq_word_ratio"),
+        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
     )
     score = (
         F.least(F.col("n_words") / F.lit(100.0), F.lit(1.0)) * 0.4

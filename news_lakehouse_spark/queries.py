@@ -2538,6 +2538,54 @@ FROM m
 """
 
 
+def x_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel (blocklist → quality rules → exact
+    dedup) composed as one plan: single corpus scan, one shuffle (the
+    fingerprint survivor window)."""
+    from news_lakehouse_spark.operators.pipeline import corpus_pipeline
+
+    d = read_table(spark, sf_dir, "documents")
+    return corpus_pipeline(d, "doc_id", "text", ["slow", "spam"])
+
+
+def _corpus_pipeline_sql() -> str:
+    nt = _NT.format(c="text")
+    reason = "CASE " + " ".join(
+        f"WHEN {cond} THEN '{name}'" for name, cond in CORPUS_FILTER_RULES
+    ) + " END"
+    return f"""
+WITH w AS (
+  SELECT doc_id, text, string_split({nt}, ' ') AS ws, sha256({nt}) AS fp
+  FROM documents
+), m AS (
+  SELECT doc_id, fp,
+         CASE WHEN len(list_intersect(
+                  list_distinct(list_filter(ws, x -> length(x) > 0)),
+                  ['slow', 'spam'])) > 0 THEN 1 ELSE 0 END AS blocked,
+         CAST(len(ws) AS INT) AS n_words,
+         (length(text) - len(ws) + 1) / CAST(greatest(len(ws), 1) AS DOUBLE)
+             AS avg_word_len,
+         len(regexp_extract_all(text, '[\\p{{P}}\\p{{S}}]'))
+             / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+         len(list_distinct(ws)) / CAST(greatest(len(ws), 1) AS DOUBLE)
+             AS uniq_word_ratio
+  FROM w
+), f AS (
+  SELECT doc_id, fp, blocked, {reason} AS drop_reason FROM m
+), s AS (
+  SELECT *, min(CASE WHEN blocked = 0 AND drop_reason IS NULL THEN doc_id END)
+                OVER (PARTITION BY fp) AS surv
+  FROM f
+)
+SELECT doc_id, blocked, drop_reason,
+       CASE WHEN blocked = 0 AND drop_reason IS NULL AND doc_id <> surv
+            THEN 1 ELSE 0 END AS is_dup,
+       CASE WHEN blocked = 0 AND drop_reason IS NULL AND doc_id = surv
+            THEN 1 ELSE 0 END AS final_kept
+FROM s
+"""
+
+
 def x_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style paragraph-df boilerplate removal (8-word segments,
     drop segments occurring in >= 3 distinct documents)."""
@@ -2732,6 +2780,7 @@ QUERIES: dict[str, QueryFn] = {
     "d8_date_spine_gapfill": d8_date_spine_gapfill,
     "q10_returned_items": q10_returned_items,
     "x_corpus_filter": x_corpus_filter,
+    "x_corpus_pipeline": x_corpus_pipeline,
     "x_boilerplate_removal": x_boilerplate_removal,
     "x_source_corpus_stats": x_source_corpus_stats,
     "x_zorder_key": x_zorder_key,
@@ -2815,6 +2864,7 @@ ORACLES: dict[str, str] = {
     "d8_date_spine_gapfill": _D8_SQL,
     "q10_returned_items": _Q10_SQL,
     "x_corpus_filter": _corpus_filter_sql(),
+    "x_corpus_pipeline": _corpus_pipeline_sql(),
     "x_boilerplate_removal": _BOILERPLATE_SQL,
     "x_source_corpus_stats": _SOURCE_STATS_SQL,
     "x_zorder_key": _zorder_sql(),

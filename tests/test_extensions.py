@@ -489,3 +489,29 @@ def test_mixture_sample_hits_target_proportions(spark):
         .count()
         == 0
     )
+
+
+def test_corpus_pipeline_funnel_verdicts(spark):
+    from news_lakehouse_spark.operators.pipeline import corpus_pipeline
+
+    good = "the quick brown fox jumps over a lazy dog near the old stone bridge"
+    rows = [
+        (1, good),                             # kept
+        (2, good.upper()),                     # normalized dup of 1
+        (3, good + " slow"),                   # blocklisted
+        (4, "tiny doc"),                       # too_short
+        (5, good + " extra tail words here"),  # kept, distinct content
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in corpus_pipeline(df, "doc_id", "text", ["slow"]).collect()
+    }
+    assert out[1]["final_kept"] == 1 and out[1]["is_dup"] == 0
+    assert out[2]["is_dup"] == 1 and out[2]["final_kept"] == 0
+    assert out[3]["blocked"] == 1 and out[3]["final_kept"] == 0
+    assert out[4]["drop_reason"] == "too_short"
+    assert out[5]["final_kept"] == 1
+    # a blocked doc must not claim the survivor slot: doc 2 is the dup,
+    # not doc 3, even though 3 shares no fingerprint with anyone
+    assert out[3]["is_dup"] == 0
