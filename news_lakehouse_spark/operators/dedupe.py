@@ -666,3 +666,45 @@ def dedup_survivors(
         F.col("id").alias(id_col)
     )
     return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def incremental_exact_dedupe(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Incremental-ingest exact dedup: classify each batch row against
+    the existing corpus and within the batch itself.
+
+    Output per batch row: ``in_corpus`` (a corpus document already has
+    this normalized content), ``dup_in_batch`` (an earlier batch row —
+    lower id — has it), ``admit`` (first occurrence anywhere). The
+    daily-ingest contract: admit ∪ dup_in_batch ∪ in_corpus partitions
+    the batch, and replaying the same batch admits nothing.
+
+    Scale shape: the corpus contributes only its DISTINCT 32-byte
+    fingerprints (never text); the membership join and the
+    within-batch rank both key on the fingerprint, so the batch
+    shuffles once on a 32-byte key and the corpus side is a
+    fingerprint-only scan. At 100 TB keep the corpus fingerprint
+    table materialized (it is the dedup index); this operator then
+    touches only today's delta plus that index.
+    """
+    from pyspark.sql import Window
+
+    fp = F.sha2(normalized_text(text_col), 256)
+    corpus_fp = corpus.select(fp.alias("__fp")).distinct().withColumn(
+        "__known", F.lit(1)
+    )
+    keyed = batch.select(F.col(id_col), fp.alias("__fp")).join(
+        corpus_fp, "__fp", "left"
+    )
+    rn = F.row_number().over(Window.partitionBy("__fp").orderBy(id_col))
+    unknown = F.col("__known").isNull()
+    return keyed.select(
+        id_col,
+        F.when(unknown, 0).otherwise(1).alias("in_corpus"),
+        (unknown & (rn > 1)).cast("int").alias("dup_in_batch"),
+        (unknown & (rn == 1)).cast("int").alias("admit"),
+    )

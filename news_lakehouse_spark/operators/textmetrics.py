@@ -462,3 +462,30 @@ def blocklist_filter(
         hits.cast("int").alias("n_blocked_terms"),
         (hits == 0).cast("int").alias("kept"),
     )
+
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Shannon entropy of each document's character distribution — the
+    gibberish/compression-artifact signal (near-zero for repeated
+    filler, anomalously high for random bytes; natural text sits in a
+    narrow band).
+
+    Row-local higher-order functions only (aggregate over the distinct
+    char set, counting via filter) — O(distinct_chars × len) per row
+    but ZERO shuffle and no explode: at 100 TB the per-doc char
+    distribution must not become (corpus_len × 1 char) shuffle rows,
+    which is what a groupBy(doc, char) formulation costs.
+    """
+    chars = F.filter(F.split(_c(text_col), ""), lambda c: F.length(c) > 0)
+    n = F.size(chars)
+    freq = lambda c: F.size(F.filter(chars, lambda x: x == c)) / n  # noqa: E731
+    ent = F.aggregate(
+        F.array_distinct(chars),
+        F.lit(0.0),
+        lambda acc, c: acc - freq(c) * F.log(freq(c)),
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("int").alias("n_chars"),
+        F.round(ent, 6).alias("char_entropy"),
+    )

@@ -1609,6 +1609,101 @@ LIMIT 100
 """
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+
+    The same dimension (nation) joins twice under different roles —
+    supplier side and customer side — with the pair predicate applied
+    across the two aliases. All four dims broadcast; lineitem (the
+    100 TB side) shuffles only for its join to orders on o_orderkey,
+    and the final agg keys are tiny."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: which documents of today's batch are
+    already in the corpus (or duplicated within the batch)?
+
+    The daily-ingest shape: the existing corpus is identified by its
+    32-byte content fingerprints, the new batch anti-joins against
+    them — the corpus text itself never moves. Batch = doc_id >= 400
+    (deterministic slice of the fixture), corpus = the rest."""
+    from news_lakehouse_spark.operators.dedupe import incremental_exact_dedupe
+
+    d = read_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 400)
+    batch = d.filter(F.col("doc_id") >= 400)
+    return incremental_exact_dedupe(corpus, batch, "doc_id", "text")
+
+
+_INCR_SQL = f"""
+WITH fp AS (
+  SELECT doc_id, sha256({_NT.format(c='text')}) AS fp FROM documents
+), corpus AS (
+  SELECT DISTINCT fp FROM fp WHERE doc_id < 400
+), batch AS (
+  SELECT doc_id, fp FROM fp WHERE doc_id >= 400
+)
+SELECT b.doc_id,
+       CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END AS in_corpus,
+       CASE WHEN c.fp IS NULL
+             AND row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) > 1
+            THEN 1 ELSE 0 END AS dup_in_batch,
+       CASE WHEN c.fp IS NULL
+             AND row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) = 1
+            THEN 1 ELSE 0 END AS admit
+FROM batch b LEFT JOIN corpus c USING (fp)
+"""
+
+
 def x_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style term-blocklist gate over the documents corpus."""
     from news_lakehouse_spark.operators.textmetrics import blocklist_filter
@@ -2538,6 +2633,36 @@ FROM m
 """
 
 
+def x_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (the
+    gibberish / repeated-filler quality signal)."""
+    from news_lakehouse_spark.operators.textmetrics import char_entropy
+
+    d = read_table(spark, sf_dir, "documents")
+    return char_entropy(d, "doc_id", "text")
+
+
+_ENTROPY_SQL = """
+WITH ch AS (
+  SELECT doc_id, substr(text, u.i, 1) AS c
+  FROM documents, unnest(generate_series(1, length(text))) u(i)
+), cnt AS (
+  SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, CAST(sum(k) AS DOUBLE) AS n FROM cnt GROUP BY 1
+), ent AS (
+  SELECT cnt.doc_id,
+         CAST(sum(k) AS INT) AS n_chars,
+         round(-sum((k / t.n) * ln(k / t.n)), 6) AS char_entropy
+  FROM cnt JOIN tot t USING (doc_id)
+  GROUP BY cnt.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(e.n_chars, 0) AS INT) AS n_chars,
+       coalesce(e.char_entropy, 0.0) AS char_entropy
+FROM documents d LEFT JOIN ent e USING (doc_id)
+"""
+
+
 def x_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel (blocklist → quality rules → exact
     dedup) composed as one plan: single corpus scan, one shuffle (the
@@ -2757,6 +2882,8 @@ QUERIES: dict[str, QueryFn] = {
     "x_dsir_weights": x_dsir_weights,
     "x_mixture_sample": x_mixture_sample,
     "q18_large_volume_customers": q18_large_volume_customers,
+    "q7_nation_volume": q7_nation_volume,
+    "x_dedup_incremental": x_dedup_incremental,
     "x_blocklist_filter": x_blocklist_filter,
     "x_fingerprint": x_fingerprint,
     "x_multimodal_bytes": x_multimodal_bytes,
@@ -2780,6 +2907,7 @@ QUERIES: dict[str, QueryFn] = {
     "d8_date_spine_gapfill": d8_date_spine_gapfill,
     "q10_returned_items": q10_returned_items,
     "x_corpus_filter": x_corpus_filter,
+    "x_char_entropy": x_char_entropy,
     "x_corpus_pipeline": x_corpus_pipeline,
     "x_boilerplate_removal": x_boilerplate_removal,
     "x_source_corpus_stats": x_source_corpus_stats,
@@ -2841,6 +2969,8 @@ ORACLES: dict[str, str] = {
     "x_dsir_weights": _DSIR_SQL,
     "x_mixture_sample": _MIXTURE_SQL,
     "q18_large_volume_customers": _Q18_SQL,
+    "q7_nation_volume": _Q7_SQL,
+    "x_dedup_incremental": _INCR_SQL,
     "x_blocklist_filter": _BLOCKLIST_SQL,
     "x_fingerprint": _FP_SQL,
     "x_multimodal_bytes": _MM_SQL,
@@ -2864,6 +2994,7 @@ ORACLES: dict[str, str] = {
     "d8_date_spine_gapfill": _D8_SQL,
     "q10_returned_items": _Q10_SQL,
     "x_corpus_filter": _corpus_filter_sql(),
+    "x_char_entropy": _ENTROPY_SQL,
     "x_corpus_pipeline": _corpus_pipeline_sql(),
     "x_boilerplate_removal": _BOILERPLATE_SQL,
     "x_source_corpus_stats": _SOURCE_STATS_SQL,
