@@ -768,6 +768,58 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def x_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (GK quantile summaries) per group, hash-checked
+    via an error-bound contract like x_approx_distinct: the sketch
+    value is engine-specific, so the query emits exact percentiles plus
+    booleans pinning the sketch within 1.5% relative error of each.
+
+    The exact percentiles are ORDER STATISTICS (k-th smallest value,
+    k = ⌈p·n⌉), not interpolated: the emitted value is a raw data
+    value, so the cross-engine hash cannot trip over interpolation
+    round-off the way percentile_cont's `a + (b−a)·frac` can.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    r = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    pick = lambda p: F.min(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("l_extendedprice"))
+    )
+    approx = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
+    )
+    ok = lambda i, ex: (  # noqa: E731
+        F.abs(F.element_at(approx, i) - ex) <= 0.015 * F.abs(ex)
+    ).cast("int")
+    return r.groupBy("l_returnflag").agg(
+        pick(0.5).alias("p50_exact"),
+        pick(0.9).alias("p90_exact"),
+        ok(1, pick(0.5)).alias("p50_ok"),
+        ok(2, pick(0.9)).alias("p90_ok"),
+    )
+
+
+_APPROX_PCT_SQL = """
+WITH r AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+       min(CASE WHEN rn = ceil(0.5 * n) THEN l_extendedprice END) AS p50_exact,
+       min(CASE WHEN rn = ceil(0.9 * n) THEN l_extendedprice END) AS p90_exact,
+       1 AS p50_ok, 1 AS p90_ok
+FROM r GROUP BY l_returnflag
+"""
+
+
 def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: latest signup at-or-before each purchase, per user.
 
@@ -2854,6 +2906,7 @@ QUERIES: dict[str, QueryFn] = {
     "a5_cube": a5_cube,
     "a6_pivot": a6_pivot,
     "x_approx_distinct": x_approx_distinct,
+    "x_approx_percentile": x_approx_percentile,
     "x_asof_join": x_asof_join,
     "t_windowed_agg": t_windowed_agg,
     "x_sessionize": x_sessionize,
@@ -2941,6 +2994,7 @@ ORACLES: dict[str, str] = {
     "a5_cube": _A5_SQL,
     "a6_pivot": _A6_SQL,
     "x_approx_distinct": _APPROX_DISTINCT_SQL,
+    "x_approx_percentile": _APPROX_PCT_SQL,
     "x_asof_join": _ASOF_SQL,
     "t_windowed_agg": _T_SQL,
     "x_sessionize": _SESSIONIZE_SQL,
