@@ -1,0 +1,99 @@
+"""Count-Min sketch over a token stream — mergeable heavy-hitter
+counting at corpus scale.
+
+The sketch (Cormode & Muthukrishnan 2005) is a depth×width counter
+grid; each occurrence increments one bucket per row (hash_r(token) mod
+width), and a point estimate is the MIN over the depth rows. Two
+properties make it the 100 TB counting structure:
+
+- the grid is a groupBy((row, bucket)) count — map-side partial
+  aggregation compresses every executor's contribution to ≤
+  depth×width cells before the (tiny) shuffle, regardless of corpus
+  size;
+- grids from disjoint corpora merge by cell-wise addition, so
+  incremental ingest just adds sketches.
+
+Estimates are one-sided: est ≥ exact always (collisions only ADD);
+est ≤ exact + ε·N with high probability (ε ≈ e/width). The oracle
+contract in queries.x_cms_heavy_hitters pins exactly those bounds.
+
+The row hashes reuse the engine-portable sha2 bucket scheme
+(operators.importance) with a per-row salt, so an external engine can
+reproduce the grid cell-for-cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(token: Column, row: int, width: int) -> Column:
+    salted = F.concat_ws("#", F.lit(f"cms{row}"), token)
+    return (
+        F.conv(F.substring(F.sha2(salted, 256), 1, 8), 16, 10).cast("long")
+        % width
+    )
+
+
+def count_min_sketch(
+    tokens: DataFrame,
+    token_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Build the sketch grid: one row per non-empty (row, bucket) cell.
+
+    One scan, one tiny shuffle (map-side combined to ≤ depth×width
+    rows per executor). Output: (row, bucket, cnt).
+    """
+    t = F.col(token_col)
+    cells = tokens.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _bucket(t, r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c")
+    ).select("c.row", "c.bucket")
+    return cells.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    token_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-estimate each query token's frequency from the grid.
+
+    The grid broadcasts (≤ depth×width cells); each query token joins
+    its depth cells and takes the min — no shuffle of anything
+    corpus-sized. Output: (token_col, est).
+    """
+    t = F.col(token_col)
+    probes = queries.select(
+        t.alias(token_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _bucket(t, r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(token_col, "c.row", "c.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(token_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est"))
+    )

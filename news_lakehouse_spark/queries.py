@@ -2685,6 +2685,71 @@ FROM m
 """
 
 
+_CMS_PROBES = ["join", "hash", "scan", "slow", "quantum"]
+
+
+def x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch token counting, hash-checked via the sketch's
+    one-sided guarantees: for each probe token the query emits the
+    exact count plus booleans pinning est ≥ exact (CMS never
+    underestimates — collisions only add) and est ≤ exact + e·N/width
+    (the CMS error bound). 'quantum' probes a token absent from the
+    corpus (exact 0)."""
+    from news_lakehouse_spark.operators.dedupe import normalized_text
+    from news_lakehouse_spark.operators.sketches import cms_estimate, count_min_sketch
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(F.split(normalized_text("text"), " ")).alias("tok"))
+        .filter(F.length("tok") > 0)
+    )
+    sketch = count_min_sketch(toks, "tok", width=1024, depth=4)
+    probe_df = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in _CMS_PROBES])).alias("token")
+    )
+    est = cms_estimate(sketch, probe_df, "token", width=1024, depth=4)
+    exact = (
+        toks.filter(F.col("tok").isin(_CMS_PROBES))
+        .groupBy(F.col("tok").alias("token"))
+        .agg(F.count("*").alias("exact"))
+    )
+    totals = toks.agg(F.count("*").alias("__n"))
+    return (
+        probe_df.join(est, "token", "left")
+        .join(exact, "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            F.coalesce("exact", F.lit(0)).cast("long").alias("exact"),
+            (F.coalesce("est", F.lit(0)) >= F.coalesce("exact", F.lit(0)))
+            .cast("int")
+            .alias("never_under"),
+            (
+                F.coalesce("est", F.lit(0))
+                <= F.coalesce("exact", F.lit(0)) + 2.71828 * F.col("__n") / 1024
+            )
+            .cast("int")
+            .alias("within_eps"),
+        )
+    )
+
+
+_CMS_SQL = f"""
+WITH toks AS (
+  SELECT tok FROM (
+    SELECT unnest(string_split({_NT.format(c='text')}, ' ')) AS tok FROM documents
+  ) WHERE length(tok) > 0
+), probes(token) AS (
+  VALUES {", ".join(f"('{t}')" for t in _CMS_PROBES)}
+), cnt AS (
+  SELECT tok, count(*) AS k FROM toks GROUP BY tok
+)
+SELECT p.token, CAST(coalesce(c.k, 0) AS BIGINT) AS exact,
+       1 AS never_under, 1 AS within_eps
+FROM probes p LEFT JOIN cnt c ON c.tok = p.token
+"""
+
+
 def x_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution Shannon entropy per document (the
     gibberish / repeated-filler quality signal)."""
@@ -2960,6 +3025,7 @@ QUERIES: dict[str, QueryFn] = {
     "d8_date_spine_gapfill": d8_date_spine_gapfill,
     "q10_returned_items": q10_returned_items,
     "x_corpus_filter": x_corpus_filter,
+    "x_cms_heavy_hitters": x_cms_heavy_hitters,
     "x_char_entropy": x_char_entropy,
     "x_corpus_pipeline": x_corpus_pipeline,
     "x_boilerplate_removal": x_boilerplate_removal,
@@ -3048,6 +3114,7 @@ ORACLES: dict[str, str] = {
     "d8_date_spine_gapfill": _D8_SQL,
     "q10_returned_items": _Q10_SQL,
     "x_corpus_filter": _corpus_filter_sql(),
+    "x_cms_heavy_hitters": _CMS_SQL,
     "x_char_entropy": _ENTROPY_SQL,
     "x_corpus_pipeline": _corpus_pipeline_sql(),
     "x_boilerplate_removal": _BOILERPLATE_SQL,

@@ -515,3 +515,38 @@ def test_corpus_pipeline_funnel_verdicts(spark):
     # a blocked doc must not claim the survivor slot: doc 2 is the dup,
     # not doc 3, even though 3 shares no fingerprint with anyone
     assert out[3]["is_dup"] == 0
+
+
+def test_cms_sketch_merges_cellwise_and_never_underestimates(spark):
+    from news_lakehouse_spark.operators.sketches import cms_estimate, count_min_sketch
+
+    words_a = ["join"] * 30 + ["hash"] * 5 + ["scan"]
+    words_b = ["join"] * 10 + ["merge"] * 7
+    a = spark.createDataFrame([(w,) for w in words_a], ["tok"])
+    b = spark.createDataFrame([(w,) for w in words_b], ["tok"])
+    sk_a = count_min_sketch(a, "tok", width=64, depth=3)
+    sk_b = count_min_sketch(b, "tok", width=64, depth=3)
+    sk_union = count_min_sketch(a.union(b), "tok", width=64, depth=3)
+    # mergeability: sketch(A ∪ B) == cell-wise sum of the two grids
+    summed = (
+        sk_a.withColumnRenamed("cnt", "ca")
+        .join(sk_b.withColumnRenamed("cnt", "cb"), ["row", "bucket"], "full")
+        .select(
+            "row",
+            "bucket",
+            (F.coalesce("ca", F.lit(0)) + F.coalesce("cb", F.lit(0))).alias("cnt"),
+        )
+    )
+    assert summed.exceptAll(sk_union).count() == 0
+    assert sk_union.exceptAll(summed).count() == 0
+    # one-sided error: estimates never fall below the true counts
+    probes = spark.createDataFrame(
+        [("join",), ("hash",), ("merge",), ("absent",)], ["token"]
+    )
+    est = {
+        r["token"]: r["est"]
+        for r in cms_estimate(sk_union, probes, "token", width=64, depth=3).collect()
+    }
+    truth = {"join": 40, "hash": 5, "merge": 7, "absent": 0}
+    for t, n in truth.items():
+        assert est[t] >= n
