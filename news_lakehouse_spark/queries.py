@@ -2688,6 +2688,34 @@ FROM m
 _CMS_PROBES = ["join", "hash", "scan", "slow", "quantum"]
 
 
+def x_ts_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series pattern search: the 10 user event-value windows
+    closest to an increasing ramp (squared euclidean)."""
+    from news_lakehouse_spark.operators.timeseries import sliding_window_topk
+
+    e = read_table(spark, sf_dir, "events")
+    return sliding_window_topk(e, [float(j) for j in range(8)], k=10)
+
+
+_TS_SQL = """
+WITH s AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS arr
+  FROM events GROUP BY user_id
+), w AS (
+  SELECT user_id, u.i AS win_start, arr
+  FROM s, unnest(generate_series(1, len(arr) - 7)) u(i)
+  WHERE len(arr) >= 8
+), t AS (
+  SELECT user_id, win_start,
+         round(sum(pow(arr[win_start + v.j] - CAST(v.j AS DOUBLE), 2)), 6) AS dist
+  FROM w, unnest(generate_series(0, 7)) v(j)
+  GROUP BY user_id, win_start
+)
+SELECT user_id, CAST(win_start AS INT) AS win_start, dist
+FROM t ORDER BY dist, user_id, win_start LIMIT 10
+"""
+
+
 def x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch token counting, hash-checked via the sketch's
     one-sided guarantees: for each probe token the query emits the
@@ -3025,6 +3053,7 @@ QUERIES: dict[str, QueryFn] = {
     "d8_date_spine_gapfill": d8_date_spine_gapfill,
     "q10_returned_items": q10_returned_items,
     "x_corpus_filter": x_corpus_filter,
+    "x_ts_pattern_search": x_ts_pattern_search,
     "x_cms_heavy_hitters": x_cms_heavy_hitters,
     "x_char_entropy": x_char_entropy,
     "x_corpus_pipeline": x_corpus_pipeline,
@@ -3114,6 +3143,7 @@ ORACLES: dict[str, str] = {
     "d8_date_spine_gapfill": _D8_SQL,
     "q10_returned_items": _Q10_SQL,
     "x_corpus_filter": _corpus_filter_sql(),
+    "x_ts_pattern_search": _TS_SQL,
     "x_cms_heavy_hitters": _CMS_SQL,
     "x_char_entropy": _ENTROPY_SQL,
     "x_corpus_pipeline": _corpus_pipeline_sql(),
