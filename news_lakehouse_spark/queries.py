@@ -2688,6 +2688,70 @@ FROM m
 _CMS_PROBES = ["join", "hash", "scan", "slow", "quantum"]
 
 
+def x_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events stream.
+
+    Cohort = the week (since epoch) of a user's first event;
+    retention(c, k) = share of cohort-c users active in their k-th
+    week. Two aggregations on user_id plus a broadcast of the tiny
+    cohort-size table — the events table shuffles once for the
+    per-user first-date, once for the distinct active days."""
+    e = read_table(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01").cast("date")
+    firsts = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_d"))
+    acts = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    j = acts.join(firsts, "user_id").select(
+        "user_id",
+        F.floor(F.datediff("first_d", epoch) / 7).cast("int").alias("cohort_wk"),
+        F.floor(F.datediff("d", F.col("first_d")) / 7).cast("int").alias("week_offset"),
+    )
+    active = j.groupBy("cohort_wk", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    sizes = (
+        firsts.select(
+            F.floor(F.datediff("first_d", epoch) / 7).cast("int").alias("cohort_wk"),
+            "user_id",
+        )
+        .groupBy("cohort_wk")
+        .agg(F.countDistinct("user_id").alias("n_cohort"))
+    )
+    return active.join(F.broadcast(sizes), "cohort_wk").select(
+        "cohort_wk",
+        "week_offset",
+        F.col("n_active").cast("long").alias("n_active"),
+        F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
+    )
+
+
+_RETENTION_SQL = """
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_d FROM events GROUP BY user_id
+), acts AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), j AS (
+  SELECT a.user_id,
+         CAST(floor(date_diff('day', DATE '1970-01-01', f.first_d) / 7.0) AS INT)
+             AS cohort_wk,
+         CAST(floor(date_diff('day', f.first_d, a.d) / 7.0) AS INT)
+             AS week_offset
+  FROM acts a JOIN firsts f USING (user_id)
+), active AS (
+  SELECT cohort_wk, week_offset, count(DISTINCT user_id) AS n_active
+  FROM j GROUP BY 1, 2
+), sizes AS (
+  SELECT CAST(floor(date_diff('day', DATE '1970-01-01', first_d) / 7.0) AS INT)
+             AS cohort_wk,
+         count(DISTINCT user_id) AS n_cohort
+  FROM firsts GROUP BY 1
+)
+SELECT a.cohort_wk, a.week_offset,
+       CAST(a.n_active AS BIGINT) AS n_active,
+       round(a.n_active / CAST(s.n_cohort AS DOUBLE), 6) AS retention
+FROM active a JOIN sizes s USING (cohort_wk)
+"""
+
+
 def x_ts_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series pattern search: the 10 user event-value windows
     closest to an increasing ramp (squared euclidean)."""
@@ -3053,6 +3117,7 @@ QUERIES: dict[str, QueryFn] = {
     "d8_date_spine_gapfill": d8_date_spine_gapfill,
     "q10_returned_items": q10_returned_items,
     "x_corpus_filter": x_corpus_filter,
+    "x_retention_cohorts": x_retention_cohorts,
     "x_ts_pattern_search": x_ts_pattern_search,
     "x_cms_heavy_hitters": x_cms_heavy_hitters,
     "x_char_entropy": x_char_entropy,
@@ -3143,6 +3208,7 @@ ORACLES: dict[str, str] = {
     "d8_date_spine_gapfill": _D8_SQL,
     "q10_returned_items": _Q10_SQL,
     "x_corpus_filter": _corpus_filter_sql(),
+    "x_retention_cohorts": _RETENTION_SQL,
     "x_ts_pattern_search": _TS_SQL,
     "x_cms_heavy_hitters": _CMS_SQL,
     "x_char_entropy": _ENTROPY_SQL,
