@@ -44,6 +44,21 @@ HEADLINE = [
     "t_session_window",
 ]
 
+# Round-2 additions, timed separately so "value"/"queries" stay
+# comparable with BENCH_r01's 23-query headline set.
+EXTENDED = [
+    "q7_nation_volume",
+    "q18_large_volume_customers",
+    "x_dsir_weights",
+    "x_mixture_sample",
+    "x_corpus_pipeline",
+    "x_cms_heavy_hitters",
+    "x_ts_pattern_search",
+    "x_retention_cohorts",
+    "x_dedup_incremental",
+    "x_char_entropy",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,6 +79,16 @@ def main() -> None:
         print(f"# {name}: {n} rows in {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        extended[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {extended[name]:.3f}s", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -77,6 +102,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "extended_total_sec": round(sum(extended.values()), 3),
+                "extended": extended,
             }
         )
     )
