@@ -68,6 +68,12 @@ def main() -> None:
     spark = build_session("bench")
     # warm the JVM + parquet footers with a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # warm the Python/Arrow workers too (reused across queries): the
+    # first mapInPandas otherwise pays one interpreter spin-up per core
+    # inside whichever query hits the boundary first
+    spark.range(256, numPartitions=int(spark.sparkContext.defaultParallelism)).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
