@@ -98,7 +98,9 @@ def stratified_sample(
         pairs.append(F.lit(k))
         pairs.append(F.lit(float(v)))
     frac = F.coalesce(
-        F.element_at(F.create_map(*pairs), F.col(group_col).cast("string")),
+        # try_element_at: a group value absent from the map must mean
+        # "use the default", not an ANSI MAP_KEY_DOES_NOT_EXIST error
+        F.try_element_at(F.create_map(*pairs), F.col(group_col).cast("string")),
         F.lit(float(default_fraction)),
     )
     return df.filter(hash_fraction(*keys, salt=salt) < frac)
@@ -172,7 +174,9 @@ def mixture_sample(
         wpairs.append(F.lit(k))
         wpairs.append(F.lit(float(v)))
     wsum = float(sum(weights.values()))
-    w_col = F.element_at(F.create_map(*wpairs), F.col(strata_col).cast("string"))
+    # try_element_at: strata outside ``weights`` drop via the p-filter
+    # below; under ANSI a plain element_at would error instead
+    w_col = F.try_element_at(F.create_map(*wpairs), F.col(strata_col).cast("string"))
 
     counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
     counts = counts.withColumn("__p", w_col / F.lit(wsum)).filter(
