@@ -75,25 +75,18 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]:.3f}s", file=sys.stderr)
+    def time_queries(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            t0 = time.perf_counter()
+            n = QUERIES[name](spark, sf_dir).count()
+            out[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {name}: {n} rows in {out[name]:.3f}s", file=sys.stderr)
+        return out
 
+    timings = time_queries(HEADLINE)
     total = round(sum(timings.values()), 3)
-
-    extended: dict[str, float] = {}
-    for name in EXTENDED:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        extended[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {n} rows in {extended[name]:.3f}s", file=sys.stderr)
+    extended = time_queries(EXTENDED)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -123,9 +123,21 @@ def dsir_importance_weights(
             F.round(F.sum("__lr"), 6).alias("logweight"),
         )
     )
-    return scored.select(
+    if cache_tokens:
+        from pyspark import StorageLevel as _SL
+
+        # hand the cache over: materialize the (per-doc, much smaller)
+        # scores, then release the corpus-sized token table instead of
+        # pinning it for the session's lifetime
+        scored = scored.persist(_SL.MEMORY_AND_DISK)
+        scored.count()
+        toks.unpersist()
+    # every pool document gets a row — docs whose normalized text has
+    # zero tokens (empty/whitespace/punctuation-only) score 0, they are
+    # not silently dropped (raw corpora contain them)
+    return df.select(F.col(id_col)).join(scored, id_col, "left").select(
         id_col,
-        "n_tokens",
-        "logweight",
-        (F.col("logweight") > 0).cast("int").alias("selected"),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("logweight", F.lit(0.0)).alias("logweight"),
+        (F.coalesce("logweight", F.lit(0.0)) > 0).cast("int").alias("selected"),
     )

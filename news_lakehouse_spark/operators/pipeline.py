@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 
 from news_lakehouse_spark.operators.dedupe import normalized_text
 from news_lakehouse_spark.operators.textmetrics import (
-    CORPUS_FILTER_RULES,
+    blocklist_hits,
+    corpus_drop_reason_column,
     quality_metric_columns,
 )
 
@@ -45,30 +46,14 @@ def corpus_pipeline(
     ``is_dup`` if an earlier gate-surviving doc shares the content
     fingerprint; ``final_kept`` if all three stages pass.
     """
-    toks = F.array_distinct(
-        F.filter(
-            F.split(normalized_text(text_col), " "), lambda w: F.length(w) > 0
-        )
-    )
-    blocked = (
-        F.size(F.array_intersect(toks, F.array(*[F.lit(t) for t in sorted(blocklist)])))
-        > 0
-    ).cast("int")
-
+    blocked = (blocklist_hits(text_col, blocklist) > 0).cast("int")
     metrics = quality_metric_columns(text_col)
     row = df.select(
         F.col(id_col),
         blocked.alias("blocked"),
         *[c.alias(name) for name, c in metrics.items()],
         F.sha2(normalized_text(text_col), 256).alias("__fp"),
-    )
-
-    chain = F.when(
-        F.expr(CORPUS_FILTER_RULES[0][1]), F.lit(CORPUS_FILTER_RULES[0][0])
-    )
-    for name, cond in CORPUS_FILTER_RULES[1:]:
-        chain = chain.when(F.expr(cond), F.lit(name))
-    row = row.withColumn("drop_reason", chain)
+    ).withColumn("drop_reason", corpus_drop_reason_column())
 
     eligible = (F.col("blocked") == 0) & F.col("drop_reason").isNull()
     survivor = F.min(F.when(eligible, F.col(id_col))).over(

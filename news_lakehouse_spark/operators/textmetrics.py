@@ -224,13 +224,10 @@ def corpus_filter(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     oracle so the gate semantics are independently checkable.
     """
     m = quality_metrics(df, id_col, text_col)
-    chain = F.when(F.expr(CORPUS_FILTER_RULES[0][1]), F.lit(CORPUS_FILTER_RULES[0][0]))
-    for name, cond in CORPUS_FILTER_RULES[1:]:
-        chain = chain.when(F.expr(cond), F.lit(name))
     return m.select(
         F.col(id_col),
         "n_words",
-        chain.alias("drop_reason"),
+        corpus_drop_reason_column().alias("drop_reason"),
     ).withColumn("keep", F.col("drop_reason").isNull())
 
 
@@ -432,6 +429,31 @@ def remove_boilerplate(
     )
 
 
+def blocklist_hits(text_col: str, terms: list[str]) -> Column:
+    """Count of distinct blocklisted terms in the normalized token set
+    — the shared expression behind blocklist_filter and the composed
+    curation pipeline (one definition, so the gates cannot drift)."""
+    toks = F.array_distinct(
+        F.filter(
+            F.split(normalized_text(text_col), " "), lambda w: F.length(w) > 0
+        )
+    )
+    return F.size(
+        F.array_intersect(toks, F.array(*[F.lit(t) for t in sorted(terms)]))
+    )
+
+
+def corpus_drop_reason_column() -> Column:
+    """First failing CORPUS_FILTER_RULES rule as a when-chain (null =
+    kept); expects the quality_metric_columns names in scope."""
+    chain = F.when(
+        F.expr(CORPUS_FILTER_RULES[0][1]), F.lit(CORPUS_FILTER_RULES[0][0])
+    )
+    for name, cond in CORPUS_FILTER_RULES[1:]:
+        chain = chain.when(F.expr(cond), F.lit(name))
+    return chain
+
+
 def blocklist_filter(
     df: DataFrame,
     id_col: str,
@@ -449,14 +471,7 @@ def blocklist_filter(
     broadcast left_semi join on exploded tokens; the contract below is
     unchanged.
     """
-    toks = F.array_distinct(
-        F.filter(
-            F.split(normalized_text(text_col), " "), lambda w: F.length(w) > 0
-        )
-    )
-    hits = F.size(
-        F.array_intersect(toks, F.array(*[F.lit(t) for t in sorted(terms)]))
-    )
+    hits = blocklist_hits(text_col, terms)
     return df.select(
         F.col(id_col),
         hits.cast("int").alias("n_blocked_terms"),
@@ -476,13 +491,22 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     distribution must not become (corpus_len × 1 char) shuffle rows,
     which is what a groupBy(doc, char) formulation costs.
     """
-    chars = F.filter(F.split(_c(text_col), ""), lambda c: F.length(c) > 0)
+    # regexp '.' matches a full code point in Java regex — unlike
+    # split(text, ''), which yields UTF-16 code units and would halve
+    # astral-plane characters (external engines count code points)
+    chars = F.regexp_extract_all(_c(text_col), F.lit(r"(?s)."), 0)
     n = F.size(chars)
-    freq = lambda c: F.size(F.filter(chars, lambda x: x == c)) / n  # noqa: E731
-    ent = F.aggregate(
+    # count each distinct char once (the filter scan is the dominant
+    # per-row cost; evaluating it inside both p and log(p) would
+    # double it — Catalyst does not CSE across lambda bodies)
+    counts = F.transform(
         F.array_distinct(chars),
+        lambda c: F.size(F.filter(chars, lambda x: x == c)),
+    )
+    ent = F.aggregate(
+        counts,
         F.lit(0.0),
-        lambda acc, c: acc - freq(c) * F.log(freq(c)),
+        lambda acc, k: acc - (k / n) * F.log(k / n),
     )
     return df.select(
         F.col(id_col),

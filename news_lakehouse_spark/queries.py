@@ -1006,10 +1006,11 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     design (pinned to 8 hash partitions) and not SQL-expressible, but
     (a) every doc is packed exactly once, (b) token totals are
     conserved, (c) no multi-doc bin exceeds the budget, and (d) the
-    bin count sits between the token lower bound ceil(tokens/budget)
-    and one-bin-per-doc. The query emits exactly those invariants, all
-    of which the oracle computes from the raw table — any packing
-    regression flips a column and fails the value hash.
+    bin count is at least one bin per singleton plus the token floor
+    ceil(tokens/budget) of the multi-doc bins (singletons may be
+    oversize docs, whose length says nothing about bin count), and at
+    most one bin per doc. The query emits exactly those invariants —
+    any packing regression flips a column and fails the value hash.
     """
     from news_lakehouse_spark.operators.packing import pack_sequences
     from news_lakehouse_spark.operators.textmetrics import whitespace_token_count
@@ -1029,22 +1030,31 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("over_budget_bins"),
+        # the token floor only binds bins of within-budget docs;
+        # oversize docs are one bin each regardless of their length
+        F.sum(F.when(F.col("n_docs") == 1, 0).otherwise(F.col("total_tokens")))
+        .cast("long")
+        .alias("__multi_tokens"),
+        F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("__single_bins"),
+    )
+    floor_ok = F.col("n_bins") >= F.col("__single_bins") + F.ceil(
+        F.col("__multi_tokens") / budget
     )
     return stats.select(
         "n_docs",
         "tokens",
         "over_budget_bins",
-        (F.col("n_bins") >= F.ceil(F.col("tokens") / budget)).cast("int").alias(
-            "bins_above_token_floor"
-        ),
+        floor_ok.cast("int").alias("bins_above_token_floor"),
         (F.col("n_bins") <= F.col("n_docs")).cast("int").alias("bins_below_doc_count"),
     )
 
 
-_PACK_SQL = f"""
+_PACK_SQL = """
 WITH lens AS (
   SELECT doc_id,
-         len(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ')) AS n_tok
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok
   FROM documents
 )
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -1851,12 +1861,17 @@ model AS (
          ln((coalesce(t.tgt_c, 0) + 1) / (tot.tgt_n + 4096))
        - ln((p.pool_c + 1) / (tot.pool_n + 4096)) AS lr
   FROM pool p LEFT JOIN tgt t USING (bk) CROSS JOIN tot
+), scored AS (
+  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(sum(m.lr), 6) AS logweight
+  FROM b JOIN model m USING (bk)
+  GROUP BY b.doc_id
 )
-SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(sum(m.lr), 6) AS logweight,
-       CASE WHEN round(sum(m.lr), 6) > 0 THEN 1 ELSE 0 END AS selected
-FROM b JOIN model m USING (bk)
-GROUP BY b.doc_id
+SELECT d.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       coalesce(s.logweight, 0.0) AS logweight,
+       CASE WHEN coalesce(s.logweight, 0.0) > 0 THEN 1 ELSE 0 END AS selected
+FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
@@ -2800,15 +2815,19 @@ def x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[F.lit(t) for t in _CMS_PROBES])).alias("token")
     )
     est = cms_estimate(sketch, probe_df, "token", width=1024, depth=4)
-    exact = (
-        toks.filter(F.col("tok").isin(_CMS_PROBES))
-        .groupBy(F.col("tok").alias("token"))
-        .agg(F.count("*").alias("exact"))
-    )
-    totals = toks.agg(F.count("*").alias("__n"))
+    # exact probe counts AND the grand total from ONE aggregation pass
+    # (non-probe tokens collapse to a single group) — the corpus scans
+    # twice in total: once for the sketch grid, once here
+    stats = toks.groupBy(
+        F.when(F.col("tok").isin(_CMS_PROBES), F.col("tok"))
+        .otherwise(F.lit("__other"))
+        .alias("token")
+    ).agg(F.count("*").alias("exact"))
+    totals = stats.agg(F.sum("exact").alias("__n"))
+    exact = stats.filter(F.col("token") != "__other")
     return (
-        probe_df.join(est, "token", "left")
-        .join(exact, "token", "left")
+        probe_df.join(F.broadcast(exact), "token", "left")
+        .join(est, "token", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             "token",
