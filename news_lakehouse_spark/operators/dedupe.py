@@ -644,6 +644,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silently returning split components would let dedup keep
+        # several "survivors" from one duplicate cluster
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "iterations (graph diameter exceeds the round budget); "
+            "raise max_iters or switch to large-star/small-star"
+        )
     edges.unpersist()
     return labels.select(F.col("id"), F.col("lbl").alias("component"))
 

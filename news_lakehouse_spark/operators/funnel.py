@@ -51,8 +51,11 @@ def funnel_conversion(
                 .groupBy("u")
                 .agg(F.min("t").alias("t"))
             )
-        frontier = nxt
-        counts.append((step, nxt.agg(F.count("*").alias("n")).select("n")))
+        # materialize each (tiny) frontier: without this, step k's count
+        # and step k+1's join both re-derive the whole step-1..k chain,
+        # making an N-step funnel O(N^2) event-table scans
+        frontier = nxt.localCheckpoint(eager=True)
+        counts.append((step, frontier.agg(F.count("*").alias("n")).select("n")))
 
     rows = [
         c.select(

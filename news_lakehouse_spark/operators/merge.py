@@ -159,6 +159,18 @@ def scd2_merge(
     )
 
 
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence probe (works on HDFS / object stores).
+
+    Used instead of try/except around spark.read: a bare except would
+    treat ANY read failure (corrupt footer, transient FS error) as
+    "table does not exist" and overwrite good data with a delta."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def _delete_partition_dirs(
     spark: SparkSession,
     path: str,
@@ -178,7 +190,12 @@ def _delete_partition_dirs(
     except Exception:  # pragma: no cover - fallback for API drift
         esc = lambda s: s  # noqa: E731
     for p in parts:
-        suffix = "/".join(f"{c}={esc(str(p[c]))}" for c in partition_by)
+        # Spark writes NULL partition values to __HIVE_DEFAULT_PARTITION__,
+        # not str(None) — match it or the emptied dir survives deletion
+        suffix = "/".join(
+            f"{c}={'__HIVE_DEFAULT_PARTITION__' if p[c] is None else esc(str(p[c]))}"
+            for c in partition_by
+        )
         jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{suffix}")
         fs = jpath.getFileSystem(hconf)
         if fs.exists(jpath):
@@ -202,11 +219,9 @@ def upsert_parquet_table(
     dynamic-partition-overwrite analog of an Iceberg copy-on-write
     MERGE commit).
     """
-    try:
+    exists = path_exists(spark, path)
+    if exists:
         target = spark.read.parquet(path)
-        exists = True
-    except Exception:
-        exists = False
 
     if not exists:
         merged = _guard_source(source, keys, order_by)

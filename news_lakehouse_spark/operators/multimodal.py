@@ -61,33 +61,46 @@ def decode_audio(payload: bytes, codec: str = "real"):
     raise NotImplementedError("audio codecs not available in this container")
 
 
-def extract_features(payloads: DataFrame) -> DataFrame:
+def extract_features(payloads: DataFrame, include_hex_sha: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 
     Deterministic byte-level features stand in for codec output; the
     distributed execution shape (mapInPandas over whole batches, typed
     output schema) is the real thing.
+
+    ``include_hex_sha`` adds sha256 of the UPPERCASE hex encoding of
+    the payload (matching ``sha2(hex(col))`` / DuckDB
+    ``sha256(hex(content))``) in the same pass — callers needing both
+    byte features and an engine-portable digest must not pay a second
+    scan of the binary source for it.
     """
     import hashlib
 
     import pandas as pd
 
+    schema = FEATURE_SCHEMA + (", hex_sha string" if include_hex_sha else "")
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             raw = pdf["payload"]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "modality": pdf["modality"],
-                    "n_bytes": raw.map(len).astype("int32"),
-                    "content_sha": raw.map(
-                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
-                    ),
-                    "head_hex": raw.map(lambda b: bytes(b[:8]).hex()),
-                }
-            )
+            cols = {
+                "doc_id": pdf["doc_id"],
+                "modality": pdf["modality"],
+                "n_bytes": raw.map(len).astype("int32"),
+                "content_sha": raw.map(
+                    lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                ),
+                "head_hex": raw.map(lambda b: bytes(b[:8]).hex()),
+            }
+            if include_hex_sha:
+                cols["hex_sha"] = raw.map(
+                    lambda b: hashlib.sha256(
+                        bytes(b).hex().upper().encode()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(cols)
 
-    return payloads.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return payloads.mapInPandas(run, schema=schema)
 
 
 RESIZE_SCHEMA = "doc_id long, height int, width int, pixels binary"

@@ -91,8 +91,18 @@ def stratified_sample(
     and growth — the property a language-balancing pass needs when the
     corpus is rebuilt weekly. The fraction lookup is a literal map
     expression (broadcast-free, evaluated in the scan).
+
+    ``key_cols`` must identify rows (e.g. the event/document id):
+    hashing the group column alone would give every row in a group the
+    same hash, keeping 100% or 0% of the group instead of a fraction.
     """
-    keys = key_cols or [group_col]
+    if not key_cols:
+        raise ValueError(
+            "key_cols must name row-identifying columns; hashing only "
+            f"the group column {group_col!r} keeps each group entirely "
+            "or not at all, never a fraction"
+        )
+    keys = key_cols
     pairs: list[Column] = []
     for k, v in sorted(fractions.items()):
         pairs.append(F.lit(k))

@@ -105,8 +105,10 @@ def tfidf_top_terms(
     """Top-N TF-IDF terms per document (smoothed idf = ln(N/(1+df))+1).
 
     The full (doc, term) matrix shuffles — unlike bm25_scores this is
-    vocabulary-scale work by definition. tf normalization is per-doc
-    max-tf; ties broken lexicographically for determinism.
+    vocabulary-scale work by definition. tf is the RAW in-document term
+    count (no max-tf/length normalization — scores are comparable
+    within a document, not across documents of different lengths); ties
+    broken lexicographically for determinism.
     """
     from news_lakehouse_spark.operators.windows import top_k_per_group
 

@@ -424,14 +424,20 @@ def ann_recall_at_k(
         .groupBy("query_id")
         .agg(F.count("*").alias("n_hits"))
     )
-    # queries with zero hits still get a row (recall 0), via the exact side
-    base = ex.select("query_id").distinct()
+    # queries with zero hits still get a row (recall 0), via the exact
+    # side; the denominator is the query's ACTUAL exact-result size —
+    # a query with fewer than k true neighbors can still score 1.0
+    base = ex.groupBy("query_id").agg(
+        F.least(F.count("*"), F.lit(k)).alias("__n_exact")
+    )
     out = (
         base.join(hits, "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(k), 6).alias("recall"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("__n_exact"), 6
+            ).alias("recall"),
         )
     )
     if floor is not None:

@@ -76,7 +76,11 @@ def _replace_scope(
     then insert ``source``. The scope side broadcasts (it is the
     changed-article set — delta-sized), so the target is one anti-join
     scan, never shuffled on its own size."""
-    try:
+    from news_lakehouse_spark.operators.merge import path_exists
+
+    if path_exists(spark, path):
+        # a real read/analysis failure must PROPAGATE: swallowing it
+        # would overwrite the accumulated table with just this delta
         target = spark.read.parquet(path)
         kept = target.join(
             F.broadcast(scope_keys.withColumnRenamed(scope_keys.columns[0], scope_col)),
@@ -84,7 +88,7 @@ def _replace_scope(
             "left_anti",
         )
         merged = kept.unionByName(source)
-    except Exception:  # first run — nothing to scope out
+    else:  # first run — nothing to scope out
         merged = source
     merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
 
@@ -110,19 +114,23 @@ def refresh_gold_incremental(
 
     dims = build_gold_dimensions(silver_delta)
     for name, df in dims.items():
+        # checkpoint once: the write and the row-count metric share one
+        # computation of the delta transformation, not two
+        staged = df.localCheckpoint(eager=True)
         upsert_parquet_table(
             spark,
-            df,
+            staged,
             f"{gold_root}/{name}",
             keys=DIM_KEYS[name],
             insert_only=(name == "dim_date"),
         )
-        written[name] = df.count()
+        written[name] = staged.count()
 
     facts = build_gold_facts(silver_delta)
     for name, df in facts.items():
+        staged = df.localCheckpoint(eager=True)
         _replace_scope(
-            spark, df, f"{gold_root}/{name}", FACT_SCOPE[name], changed_articles
+            spark, staged, f"{gold_root}/{name}", FACT_SCOPE[name], changed_articles
         )
-        written[name] = df.count()
+        written[name] = staged.count()
     return written

@@ -1935,16 +1935,22 @@ def x_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("content").alias("payload"),
         F.regexp_extract(F.col("path"), r"\.(\w+)$", 1).alias("modality"),
     )
-    feats = extract_features(mm).select("doc_id", "modality", "n_bytes", "head_hex")
-    digests = mm.select(
-        "doc_id", F.sha2(F.hex("payload"), 256).alias("hex_sha")
+    # one pass: the digest rides through the same Arrow batch as the
+    # byte features — a second select branch would scan (and at blob
+    # scale, re-read) every file again just for the hash
+    return extract_features(mm, include_hex_sha=True).select(
+        "doc_id", "modality", "n_bytes", "head_hex", "hex_sha"
     )
-    return feats.join(digests, "doc_id")
 
 
-_BINARY_FIXTURE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "tests", "fixtures", "binary",
+# overridable: the default is the committed repo fixture, which does
+# not exist for an installed (site-packages) deployment of the package
+_BINARY_FIXTURE_DIR = os.environ.get(
+    "SPARK_GRAFT_BINARY_FIXTURES",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "fixtures", "binary",
+    ),
 )
 
 _BINARY_SQL = f"""
