@@ -2709,6 +2709,49 @@ FROM m
 _CMS_PROBES = ["join", "hash", "scan", "slow", "quantum"]
 
 
+def w3_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling sum/count per user — the RANGE-frame
+    window (event-time width), distinct from w2's ROWS frames (row
+    count width): a range frame includes every event within the time
+    interval regardless of how many rows that is, which is the
+    correct semantics for 'last 7 days of activity'.
+
+    One shuffle on user_id feeds the frame; the order key is epoch
+    seconds so the frame bound is engine-portable arithmetic."""
+    e = read_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-7 * 86400, 0)
+    )
+    # sum in DECIMAL: the input has exactly 2 decimals, so the rolling
+    # sum is exact and order-independent — double summation differs
+    # between engines' sliding-window strategies at 6-decimal rounding
+    dec = F.col("value").cast("decimal(18,2)")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum(dec).over(w).cast("double"), 2).alias("rolling_7d_value"),
+        F.count("*").over(w).cast("long").alias("rolling_7d_events"),
+    )
+
+
+_W3_SQL = """
+SELECT event_id, user_id, ts,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2)
+           AS rolling_7d_value,
+       CAST(count(*) OVER w AS BIGINT) AS rolling_7d_events
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id
+  ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+)
+"""
+
+
 def x_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention over the events stream.
 
@@ -3142,6 +3185,7 @@ QUERIES: dict[str, QueryFn] = {
     "d8_date_spine_gapfill": d8_date_spine_gapfill,
     "q10_returned_items": q10_returned_items,
     "x_corpus_filter": x_corpus_filter,
+    "w3_rolling_time_window": w3_rolling_time_window,
     "x_retention_cohorts": x_retention_cohorts,
     "x_ts_pattern_search": x_ts_pattern_search,
     "x_cms_heavy_hitters": x_cms_heavy_hitters,
@@ -3233,6 +3277,7 @@ ORACLES: dict[str, str] = {
     "d8_date_spine_gapfill": _D8_SQL,
     "q10_returned_items": _Q10_SQL,
     "x_corpus_filter": _corpus_filter_sql(),
+    "w3_rolling_time_window": _W3_SQL,
     "x_retention_cohorts": _RETENTION_SQL,
     "x_ts_pattern_search": _TS_SQL,
     "x_cms_heavy_hitters": _CMS_SQL,
