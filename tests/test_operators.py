@@ -503,3 +503,72 @@ def test_quantile_bucket_thresholds(spark):
     assert max(by_bucket[1]) == 25.0 and min(by_bucket[2]) == 26.0
     assert max(by_bucket[2]) == 50.0 and min(by_bucket[3]) == 51.0
     assert max(by_bucket[3]) == 75.0 and min(by_bucket[4]) == 76.0
+
+
+def test_upsert_parquet_null_partition_move_cleans_hive_default_dir(spark, tmp_path):
+    """A key moving OUT of a NULL partition must clean the
+    __HIVE_DEFAULT_PARTITION__ directory (str(None) names no real dir)."""
+    from news_lakehouse_spark.operators.merge import upsert_parquet_table
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, None, "a"), (2, "2024-01-02", "b")], ["k", "dt", "v"]
+    )
+    upsert_parquet_table(spark, base, path, ["k"], partition_by=["dt"])
+
+    delta = spark.createDataFrame([(1, "2024-01-05", "A")], ["k", "dt", "v"])
+    upsert_parquet_table(spark, delta, path, ["k"], partition_by=["dt"])
+
+    got = {
+        (r["k"], r["dt"], r["v"])
+        for r in spark.read.parquet(path)
+        .withColumn("dt", F.col("dt").cast("string"))
+        .collect()
+    }
+    # key 1 exists exactly once, in its new partition
+    assert got == {(1, "2024-01-05", "A"), (2, "2024-01-02", "b")}
+    import os
+
+    assert not os.path.exists(os.path.join(path, "dt=__HIVE_DEFAULT_PARTITION__"))
+
+
+def test_stratified_sample_requires_row_keys(spark):
+    import pytest
+
+    from news_lakehouse_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame([(1, "a")], ["k", "g"])
+    with pytest.raises(ValueError, match="key_cols"):
+        stratified_sample(df, "g", {"a": 0.5})
+
+
+def test_connected_components_raises_when_budget_exhausted(spark):
+    import pytest
+
+    from news_lakehouse_spark.operators.dedupe import connected_components
+
+    # a path graph 0-1-2-...-9 needs ~diameter rounds; 2 is not enough
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=2)
+    # and converges fine with budget
+    comp = connected_components(pairs, max_iters=20)
+    assert {r["component"] for r in comp.collect()} == {0}
+
+
+def test_ann_recall_uses_actual_exact_size(spark):
+    from news_lakehouse_spark.operators.similarity import ann_recall_at_k
+
+    # query 7 has only 3 exact neighbors; a perfect approximation of
+    # those 3 must score recall 1.0 even at k=10
+    exact = spark.createDataFrame(
+        [(7, 1), (7, 2), (7, 3)], ["query_id", "neighbor_id"]
+    )
+    approx = spark.createDataFrame(
+        [(7, 1), (7, 2), (7, 3), (7, 99)], ["query_id", "neighbor_id"]
+    )
+    out = ann_recall_at_k(approx, exact, k=10).collect()
+    assert len(out) == 1
+    assert out[0]["recall"] == 1.0
