@@ -27,6 +27,21 @@ def _trimmed(cols: tuple[Column | str, ...]) -> list[Column]:
     return [F.trim(F.col(c) if isinstance(c, str) else c) for c in cols]
 
 
+def sha2_prefix_long(src: Column, n_hex: int) -> Column:
+    """First ``n_hex`` hex chars of sha2-256 parsed as a long.
+
+    THE engine-portable hash idiom of this package (DuckDB twin:
+    ``CAST('0x' || substr(sha256(x), 1, n) AS BIGINT)`` or strpos
+    nibble arithmetic). One definition so the portability contract —
+    and any fix to it — lives in one place; callers build their own
+    source encoding (salts/separators) and keep n_hex ≤ 15 so the
+    parse stays inside a signed 64-bit long.
+    """
+    if n_hex > 15:
+        raise ValueError("n_hex must be <= 15 to fit a signed long")
+    return F.conv(F.substring(F.sha2(src, 256), 1, n_hex), 16, 10).cast("long")
+
+
 def sha2_key(*cols: Column | str, sep: str = "||") -> Column:
     """Content-hash id: sha2-256 hex of trimmed parts joined by ``sep``."""
     parts = _trimmed(cols)

@@ -389,7 +389,9 @@ def simhash_signatures(
     elif word_hash == "sha2_60":
         if bits > 60:
             raise ValueError("sha2_60 provides 60 hash bits; pass bits <= 60")
-        h = F.conv(F.substring(F.sha2(F.col("w"), 256), 1, 15), 16, 10).cast("long")
+        from news_lakehouse_spark.functions.keys import sha2_prefix_long
+
+        h = sha2_prefix_long(F.col("w"), 15)
     else:
         raise ValueError(f"unknown word_hash '{word_hash}'")
     hashed = words.select(id_col, h.alias("h"))

@@ -42,10 +42,9 @@ def _token_bucket(token: Column, num_buckets: int) -> Column:
     """Feature-hash a token to [0, num_buckets): first 16 bits of
     sha2-256, engine-portable (conv(hex) here, strpos arithmetic in
     ANSI SQL)."""
-    return (
-        F.conv(F.substring(F.sha2(token, 256), 1, 4), 16, 10).cast("int")
-        % num_buckets
-    )
+    from news_lakehouse_spark.functions.keys import sha2_prefix_long
+
+    return (sha2_prefix_long(token, 4).cast("int") % num_buckets)
 
 
 def _exploded_tokens(
@@ -124,13 +123,13 @@ def dsir_importance_weights(
         )
     )
     if cache_tokens:
-        from pyspark import StorageLevel as _SL
-
         # hand the cache over: materialize the (per-doc, much smaller)
-        # scores, then release the corpus-sized token table instead of
-        # pinning it for the session's lifetime
-        scored = scored.persist(_SL.MEMORY_AND_DISK)
-        scored.count()
+        # scores, then release the corpus-sized token table.
+        # localCheckpoint, not persist: checkpoint blocks are freed by
+        # the ContextCleaner when the frame is garbage-collected,
+        # where an unreachable persist pins executor memory for the
+        # whole session
+        scored = scored.localCheckpoint(eager=True)
         toks.unpersist()
     # every pool document gets a row — docs whose normalized text has
     # zero tokens (empty/whitespace/punctuation-only) score 0, they are

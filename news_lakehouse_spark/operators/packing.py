@@ -12,7 +12,11 @@ training-prep pipeline makes.
 This is one of the few justified Python boundaries in the package
 (see SURVEY §6 policy): packing is a sequential greedy fold that
 column algebra cannot express; it runs as an Arrow-batched
-mapInPandas holding O(#bins) state per partition.
+mapInPandas. First-fit-DECREASING sorts, so each task materializes
+its partition's (id, length) pairs — two machine words per document —
+before folding; size partitions so that fits comfortably (1e8 docs ≈
+a few GB per task is the practical ceiling; a streaming next-fit
+variant would hold O(#bins) but give up the FFD fill guarantee).
 """
 
 from __future__ import annotations
@@ -46,6 +50,14 @@ def pack_sequences(
     import pandas as pd
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col(len_col).alias("n"))
+    # fail loudly at plan time, not as a TypeError inside an executor's
+    # sort: a NULL length is an upstream tokenization bug
+    src = src.withColumn(
+        "n",
+        F.when(F.col("n").isNull(), F.raise_error(
+            F.lit("pack_sequences: NULL token length (fix upstream tokenization)")
+        )).otherwise(F.col("n")),
+    )
     if num_partitions:
         src = src.repartition(num_partitions, "doc_id")
 

@@ -28,12 +28,17 @@ def hash_fraction(*key_cols: Column | str, salt: str = "") -> Column:
     ``salt`` decorrelates independent sampling decisions over the same
     key (e.g. a 1% sample AND a train/test split must not interact).
     """
+    from news_lakehouse_spark.functions.keys import sha2_prefix_long
+
     cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
-    src = F.concat_ws("||", F.lit(salt), *cols)
-    return (
-        F.conv(F.substring(F.sha2(src, 256), 1, 15), 16, 10).cast("long")
-        / F.lit(_HASH_SPACE)
-    )
+    # NULL key columns get an explicit sentinel: concat_ws silently
+    # SKIPS nulls, which would collapse ('x', NULL) and (NULL, 'x')
+    # onto one hash and move whole families of rows together. Values
+    # containing the separator can still collide — use separator-free
+    # keys (ids, hashes) or pre-hash each column.
+    enc = [F.coalesce(c.cast("string"), F.lit("\u2400")) for c in cols]
+    src = F.concat_ws("||", F.lit(salt), *enc)
+    return sha2_prefix_long(src, 15) / F.lit(_HASH_SPACE)
 
 
 def deterministic_sample(
@@ -178,7 +183,13 @@ def mixture_sample(
     """
     from pyspark.sql import Window
 
-    keys = key_cols or [strata_col]
+    if not key_cols:
+        raise ValueError(
+            "key_cols must name row-identifying columns: hashing only "
+            f"the stratum column {strata_col!r} makes every in-stratum "
+            "rank a tie, so the kept set depends on partition order"
+        )
+    keys = key_cols
     wpairs: list[Column] = []
     for k, v in sorted(weights.items()):
         wpairs.append(F.lit(k))

@@ -418,8 +418,14 @@ def ann_recall_at_k(
     (#queries x k) rows, never corpus-sized.
     """
     ex = exact.select("query_id", "neighbor_id")
+    ap = approx
+    if "rank" in ap.columns:  # honor recall@K: ignore result rows past k
+        ap = ap.filter(F.col("rank") <= k)
     hits = (
-        approx.select("query_id", "neighbor_id")
+        # distinct: left_semi dedups only the RIGHT side — duplicated
+        # approx pairs must not count twice (recall > 1 / padded floors)
+        ap.select("query_id", "neighbor_id")
+        .distinct()
         .join(F.broadcast(ex), ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")
         .agg(F.count("*").alias("n_hits"))

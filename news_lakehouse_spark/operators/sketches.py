@@ -29,11 +29,10 @@ from pyspark.sql import functions as F
 
 
 def _bucket(token: Column, row: int, width: int) -> Column:
+    from news_lakehouse_spark.functions.keys import sha2_prefix_long
+
     salted = F.concat_ws("#", F.lit(f"cms{row}"), token)
-    return (
-        F.conv(F.substring(F.sha2(salted, 256), 1, 8), 16, 10).cast("long")
-        % width
-    )
+    return sha2_prefix_long(salted, 8) % width
 
 
 def count_min_sketch(

@@ -81,7 +81,7 @@ def salted_join(
     duplicates), so those are rejected rather than silently wrong.
     """
     allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
-               "leftsemi", "left_anti", "leftanti"}
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
     if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
         raise ValueError(
             f"salted_join supports {sorted(allowed)} only; "
