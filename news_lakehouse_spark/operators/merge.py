@@ -58,8 +58,19 @@ def merge_upsert(
     source: DataFrame,
     keys: list[str],
     order_by: list[Column] | None = None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
-    """MERGE ... WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT * (S8)."""
+    """MERGE ... WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT * (S8).
+
+    ``evolve_schema``: columns new in the source are ADDED to the
+    result (existing rows null-filled) instead of dropped — the
+    add-column half of Iceberg schema evolution. Off by default so a
+    malformed source cannot silently widen a table.
+    """
+    if evolve_schema:
+        src = _guard_source(source, keys, order_by)
+        untouched = target.join(src.select(*keys), on=keys, how="left_anti")
+        return src.unionByName(untouched, allowMissingColumns=True)
     src = _guard_source(source.select(*target.columns), keys, order_by)
     untouched = target.join(src.select(*keys), on=keys, how="left_anti")
     return src.unionByName(untouched)
@@ -69,8 +80,13 @@ def merge_insert_only(
     target: DataFrame,
     source: DataFrame,
     keys: list[str],
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """MERGE ... WHEN NOT MATCHED INSERT * — link-table flavor (S9)."""
+    if evolve_schema:
+        src = _guard_source(source, keys, None)
+        new_rows = src.join(target.select(*keys), on=keys, how="left_anti")
+        return target.unionByName(new_rows, allowMissingColumns=True)
     src = _guard_source(source.select(*target.columns), keys, None)
     new_rows = src.join(target.select(*keys), on=keys, how="left_anti")
     return target.unionByName(new_rows)
@@ -210,6 +226,7 @@ def upsert_parquet_table(
     partition_by: list[str] | None = None,
     insert_only: bool = False,
     order_by: list[Column] | None = None,
+    evolve_schema: bool = False,
 ) -> None:
     """Materialized upsert into a parquet table directory.
 
@@ -218,10 +235,16 @@ def upsert_parquet_table(
     containing affected keys when ``partition_by`` is set (the
     dynamic-partition-overwrite analog of an Iceberg copy-on-write
     MERGE commit).
+
+    ``evolve_schema`` adds source-only columns to the table (the
+    add-column half of Iceberg schema evolution; existing rows read
+    back null). For partitioned tables only affected partitions are
+    rewritten with the widened schema — reads then need parquet
+    ``mergeSchema`` (this function always reads with it).
     """
     exists = path_exists(spark, path)
     if exists:
-        target = spark.read.parquet(path)
+        target = spark.read.option("mergeSchema", "true").parquet(path)
 
     if not exists:
         merged = _guard_source(source, keys, order_by)
@@ -258,11 +281,12 @@ def upsert_parquet_table(
                 c = e if c is None else (c & e)
             cond = c if cond is None else (cond | c)
         affected_target = target.filter(cond) if cond is not None else target.limit(0)
-        fn = merge_insert_only if insert_only else merge_upsert
         merged = (
-            fn(affected_target, source, keys)
+            merge_insert_only(affected_target, source, keys, evolve_schema=evolve_schema)
             if insert_only
-            else fn(affected_target, source, keys, order_by)
+            else merge_upsert(
+                affected_target, source, keys, order_by, evolve_schema=evolve_schema
+            )
         )
         # localCheckpoint breaks the read-from/write-to-same-path cycle.
         staged = merged.localCheckpoint(eager=True)
@@ -283,11 +307,10 @@ def upsert_parquet_table(
         if emptied:
             _delete_partition_dirs(spark, path, partition_by, emptied)
     else:
-        fn = merge_insert_only if insert_only else merge_upsert
         merged = (
-            fn(target, source, keys)
+            merge_insert_only(target, source, keys, evolve_schema=evolve_schema)
             if insert_only
-            else fn(target, source, keys, order_by)
+            else merge_upsert(target, source, keys, order_by, evolve_schema=evolve_schema)
         )
         # Parquet can't overwrite a path being read → stage via local checkpoint.
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)

@@ -572,3 +572,30 @@ def test_ann_recall_uses_actual_exact_size(spark):
     out = ann_recall_at_k(approx, exact, k=10).collect()
     assert len(out) == 1
     assert out[0]["recall"] == 1.0
+
+
+def test_upsert_schema_evolution_adds_columns(spark, tmp_path):
+    """evolve_schema=True widens the table with source-only columns
+    (Iceberg add-column evolution); old rows read back null. Off by
+    default, a new column is dropped, not silently added."""
+    from news_lakehouse_spark.operators.merge import upsert_parquet_table
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    upsert_parquet_table(spark, base, path, ["k"])
+
+    delta = spark.createDataFrame([(2, "B", "en"), (3, "c", "de")], ["k", "v", "lang"])
+    upsert_parquet_table(spark, delta, path, ["k"], evolve_schema=True)
+
+    got = {
+        (r["k"], r["v"], r["lang"])
+        for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
+    }
+    assert got == {(1, "a", None), (2, "B", "en"), (3, "c", "de")}
+
+    # default path: a further upsert WITHOUT the flag keeps the (now
+    # evolved) schema and projects the source onto it
+    delta2 = spark.createDataFrame([(4, "d", "fr", 9)], ["k", "v", "lang", "extra"])
+    upsert_parquet_table(spark, delta2, path, ["k"])
+    cols = set(spark.read.option("mergeSchema", "true").parquet(path).columns)
+    assert cols == {"k", "v", "lang"}
