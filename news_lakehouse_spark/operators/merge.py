@@ -92,6 +92,70 @@ def merge_insert_only(
     return target.unionByName(new_rows)
 
 
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    delete_keys: DataFrame,
+    partition_by: list[str] | None = None,
+) -> int:
+    """MERGE ... WHEN MATCHED DELETE — keyed hard delete from a parquet
+    table (the right-to-be-forgotten primitive a training-data store
+    needs; Iceberg expresses it as a MERGE delete branch).
+
+    Rewrites only the partitions that contain matching keys when
+    ``partition_by`` is set — the delete set broadcasts to locate them,
+    the rest of the table is untouched. Returns the number of rows
+    removed. Idempotent: re-deleting the same keys removes 0 rows.
+    """
+    if not path_exists(spark, path):
+        return 0
+    target = spark.read.option("mergeSchema", "true").parquet(path)
+    dk = delete_keys.select(*keys).distinct()
+
+    if partition_by:
+        hit_parts = (
+            target.join(F.broadcast(dk), on=keys, how="left_semi")
+            .select(*partition_by)
+            .distinct()
+        )
+        parts = [r.asDict() for r in hit_parts.collect()]
+        if not parts:
+            return 0
+        cond = None
+        for p in parts:
+            c = None
+            for k, v in p.items():
+                e = F.col(k).eqNullSafe(F.lit(v))
+                c = e if c is None else (c & e)
+            cond = c if cond is None else (cond | c)
+        affected = target.filter(cond)
+        kept = affected.join(F.broadcast(dk), on=keys, how="left_anti")
+        removed = affected.count() - kept.count()
+        staged = kept.localCheckpoint(eager=True)
+        prior_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            staged.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior_mode)
+        written = {
+            tuple(r.asDict()[c] for c in partition_by)
+            for r in staged.select(*partition_by).distinct().collect()
+        }
+        emptied = [
+            p for p in parts if tuple(p[c] for c in partition_by) not in written
+        ]
+        if emptied:
+            _delete_partition_dirs(spark, path, partition_by, emptied)
+        return removed
+
+    kept = target.join(F.broadcast(dk), on=keys, how="left_anti")
+    removed = target.count() - kept.count()
+    kept.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+    return removed
+
+
 def scd2_merge(
     target: DataFrame,
     source: DataFrame,

@@ -599,3 +599,36 @@ def test_upsert_schema_evolution_adds_columns(spark, tmp_path):
     upsert_parquet_table(spark, delta2, path, ["k"])
     cols = set(spark.read.option("mergeSchema", "true").parquet(path).columns)
     assert cols == {"k", "v", "lang"}
+
+
+def test_delete_rows_partition_pruned_and_idempotent(spark, tmp_path):
+    """Keyed delete rewrites only partitions containing matches, cleans
+    emptied dirs, reports removed counts, and replays as a no-op."""
+    import os
+
+    from news_lakehouse_spark.operators.merge import delete_rows, upsert_parquet_table
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", "a"), (2, "2024-01-01", "b"),
+         (3, "2024-01-02", "c"), (4, "2024-01-03", "d")],
+        ["k", "dt", "v"],
+    )
+    upsert_parquet_table(spark, base, path, ["k"], partition_by=["dt"])
+
+    dk = spark.createDataFrame([(3,), (4,), (99,)], ["k"])
+    assert delete_rows(spark, path, ["k"], dk, partition_by=["dt"]) == 2
+    got = {
+        (r["k"], r["v"]) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, "a"), (2, "b")}
+    # both single-row partitions were emptied and their dirs removed
+    assert not os.path.exists(os.path.join(path, "dt=2024-01-02"))
+    assert not os.path.exists(os.path.join(path, "dt=2024-01-03"))
+    # idempotent replay
+    assert delete_rows(spark, path, ["k"], dk, partition_by=["dt"]) == 0
+    # unpartitioned flavor
+    path2 = str(tmp_path / "t2")
+    upsert_parquet_table(spark, base, path2, ["k"])
+    assert delete_rows(spark, path2, ["k"], dk) == 2
+    assert spark.read.parquet(path2).count() == 2
