@@ -79,14 +79,25 @@ def pack_sequences(
             else:
                 bins.append([n, [doc_id]])  # oversize docs: singleton bin
         if not bins:
+            # typed empties: default float64 columns break Arrow's
+            # conversion to the declared list/int schema
             yield pd.DataFrame(
-                {"pack_id": [], "doc_ids": [], "n_docs": [], "total_tokens": []}
+                {
+                    "pack_id": pd.Series([], dtype=object),
+                    "doc_ids": pd.Series([], dtype=object),
+                    "n_docs": pd.Series([], dtype="int32"),
+                    "total_tokens": pd.Series([], dtype="int64"),
+                }
             )
             return
         yield pd.DataFrame(
             {
                 "pack_id": [f"p{pid}_{i}" for i in range(len(bins))],
-                "doc_ids": [sorted(ids) for _, ids in bins],
+                # dtype=object: equal-length id lists otherwise collapse
+                # into a 2-D numpy block Arrow cannot convert to list<long>
+                "doc_ids": pd.Series(
+                    [sorted(ids) for _, ids in bins], dtype=object
+                ),
                 "n_docs": [len(ids) for _, ids in bins],
                 "total_tokens": [total for total, _ in bins],
             }

@@ -68,3 +68,82 @@ def test_word_count_nonnegative_and_bounded(spark, texts):
         # reference semantics: size(split('', ' ')) == 1 — word_count of
         # whitespace-only text is 1, never 0 (SURVEY §7 edge note)
         assert 1 <= r["wc"] <= len(r["text"]) + 1
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000_000), st.integers(1, 5000)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_pack_sequences_conservation_properties(spark, rows):
+    from news_lakehouse_spark.operators.packing import pack_sequences
+
+    budget = 1024
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    packs = pack_sequences(df, "doc_id", "n_tok", budget=budget, num_partitions=2)
+    got = packs.collect()
+    lens = dict(rows)
+    seen: list[int] = []
+    for p in got:
+        seen.extend(p["doc_ids"])
+        assert p["total_tokens"] == sum(lens[i] for i in p["doc_ids"])
+        if p["n_docs"] > 1:
+            assert p["total_tokens"] <= budget
+    # every doc exactly once, token totals conserved
+    assert sorted(seen) == sorted(lens)
+    assert sum(p["total_tokens"] for p in got) == sum(lens.values())
+
+
+@given(
+    st.lists(st.integers(0, 1_000_000), min_size=1, max_size=50, unique=True),
+    st.floats(min_value=0.05, max_value=0.95),
+)
+@settings(**_SETTINGS)
+def test_hash_fraction_split_is_stable_under_growth(spark, keys, frac):
+    """Adding rows never moves an existing row across the split
+    boundary — the contamination-prevention property."""
+    from news_lakehouse_spark.operators.sampling import train_test_split
+
+    half = keys[: max(1, len(keys) // 2)]
+    small = spark.createDataFrame([(k,) for k in half], "k long")
+    big = spark.createDataFrame([(k,) for k in keys], "k long")
+    s1 = {
+        r["k"]: r["split"]
+        for r in train_test_split(small, ["k"], test_fraction=frac).collect()
+    }
+    s2 = {
+        r["k"]: r["split"]
+        for r in train_test_split(big, ["k"], test_fraction=frac).collect()
+    }
+    for k, v in s1.items():
+        assert s2[k] == v
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 100_000), st.sampled_from(["a", "b", "c"])),
+        min_size=6,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_mixture_sample_never_upsamples_and_conserves_rows(spark, rows):
+    from news_lakehouse_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(rows, ["doc_id", "src"])
+    out = mixture_sample(
+        df, "src", {"a": 2.0, "b": 1.0, "c": 1.0}, key_cols=["doc_id"]
+    ).collect()
+    # one verdict per input row; kept is 0/1; no stratum over-drawn
+    assert len(out) == len(rows)
+    from collections import Counter
+
+    kept = Counter(r["src"] for r in out if r["kept"] == 1)
+    sizes = Counter(s for _, s in rows)
+    for s, n in kept.items():
+        assert n <= sizes[s]
