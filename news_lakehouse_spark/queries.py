@@ -3105,6 +3105,34 @@ def _zorder_sql() -> str:
 # --- registry -------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
+    # Driver-verification window: the driver oracle-checks only the first 50
+    # entries per round, so queries with no prior CORRECTNESS row are listed
+    # first (round-3 rotation); previously-green entries follow.
+    "x_dsir_weights": x_dsir_weights,
+    "x_mixture_sample": x_mixture_sample,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q7_nation_volume": q7_nation_volume,
+    "x_dedup_incremental": x_dedup_incremental,
+    "x_blocklist_filter": x_blocklist_filter,
+    "x_binary_ingest": x_binary_ingest,
+    "x_repetition_metrics": x_repetition_metrics,
+    "x_pii_redaction": x_pii_redaction,
+    "w2_window_analytics": w2_window_analytics,
+    "a7_grouping_sets": a7_grouping_sets,
+    "a8_stats_agg": a8_stats_agg,
+    "u3_unpivot": u3_unpivot,
+    "d8_date_spine_gapfill": d8_date_spine_gapfill,
+    "q10_returned_items": q10_returned_items,
+    "x_corpus_filter": x_corpus_filter,
+    "w3_rolling_time_window": w3_rolling_time_window,
+    "x_retention_cohorts": x_retention_cohorts,
+    "x_ts_pattern_search": x_ts_pattern_search,
+    "x_cms_heavy_hitters": x_cms_heavy_hitters,
+    "x_char_entropy": x_char_entropy,
+    "x_corpus_pipeline": x_corpus_pipeline,
+    "x_boilerplate_removal": x_boilerplate_removal,
+    "x_source_corpus_stats": x_source_corpus_stats,
+    "x_zorder_key": x_zorder_key,
     "q1_pricing_summary": q1_pricing_summary,
     "s2_scan_filter_project": s2_scan_filter_project,
     "p3_normalize_blank": p3_normalize_blank,
@@ -3157,15 +3185,8 @@ QUERIES: dict[str, QueryFn] = {
     "x_lang_id": x_lang_id,
     "x_quality_metrics": x_quality_metrics,
     "x_token_count": x_token_count,
-    "x_dsir_weights": x_dsir_weights,
-    "x_mixture_sample": x_mixture_sample,
-    "q18_large_volume_customers": q18_large_volume_customers,
-    "q7_nation_volume": q7_nation_volume,
-    "x_dedup_incremental": x_dedup_incremental,
-    "x_blocklist_filter": x_blocklist_filter,
     "x_fingerprint": x_fingerprint,
     "x_multimodal_bytes": x_multimodal_bytes,
-    "x_binary_ingest": x_binary_ingest,
     "x_range_join": x_range_join,
     "x_salted_agg": x_salted_agg,
     "x_salted_join": x_salted_join,
@@ -3176,24 +3197,6 @@ QUERIES: dict[str, QueryFn] = {
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "t_session_window": t_session_window,
     "x_scd2_dimension": x_scd2_dimension,
-    "x_repetition_metrics": x_repetition_metrics,
-    "x_pii_redaction": x_pii_redaction,
-    "w2_window_analytics": w2_window_analytics,
-    "a7_grouping_sets": a7_grouping_sets,
-    "a8_stats_agg": a8_stats_agg,
-    "u3_unpivot": u3_unpivot,
-    "d8_date_spine_gapfill": d8_date_spine_gapfill,
-    "q10_returned_items": q10_returned_items,
-    "x_corpus_filter": x_corpus_filter,
-    "w3_rolling_time_window": w3_rolling_time_window,
-    "x_retention_cohorts": x_retention_cohorts,
-    "x_ts_pattern_search": x_ts_pattern_search,
-    "x_cms_heavy_hitters": x_cms_heavy_hitters,
-    "x_char_entropy": x_char_entropy,
-    "x_corpus_pipeline": x_corpus_pipeline,
-    "x_boilerplate_removal": x_boilerplate_removal,
-    "x_source_corpus_stats": x_source_corpus_stats,
-    "x_zorder_key": x_zorder_key,
 }
 
 ORACLES: dict[str, str] = {
