@@ -15,7 +15,7 @@ sampling rates.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 15 hex chars = 60 bits; keeps the parse inside a signed 64-bit long.
@@ -161,6 +161,9 @@ def mixture_sample(
     key_cols: list[str] | None = None,
     salt: str = "mixture",
     kept_col: str = "kept",
+    method: str = "auto",
+    rank_max_rows: int = 5_000_000,
+    margin_sigmas: float = 12.0,
 ) -> DataFrame:
     """Rebalance a corpus to a target mixture (domain reweighting).
 
@@ -173,22 +176,44 @@ def mixture_sample(
     pretraining data pipeline (cf. The Pile's per-source epochs,
     DoReMi's reweighted sampling — arXiv:2101.00027, 2305.10429).
 
-    Selection is rank-based on the deterministic hash line
-    (row_number over (hash, key) per stratum ≤ keep_s): exact counts,
-    reproducible on any partitioning, any engine. The per-stratum
-    window is one shuffle on ``strata_col``; at 100 TB with few huge
-    strata, swap the ranking for a hash-threshold filter at rate
-    keep_s/n_s (shuffle-free scan filter, binomially-approximate
-    counts) — the hash line and keep_s math are unchanged.
-    """
-    from pyspark.sql import Window
+    Selection is rank-based on the deterministic hash line: a row is
+    kept iff row_number over (hash, *key_cols) within its stratum is
+    ≤ keep_s — exact counts, reproducible on any partitioning, any
+    engine. ``key_cols`` must uniquely identify rows (duplicate full
+    keys make the boundary tie-break ambiguous in every method).
 
+    Two physically different plans compute that same definition:
+
+    - ``method="rank"`` — literal per-stratum row_number window. One
+      shuffle, but a corpus with few huge strata sorts each stratum in
+      a single task: fine to ~millions of rows per stratum, a skew
+      bottleneck at 100 TB.
+    - ``method="cutoff"`` — exact, scale-safe, and fully lazy (builds
+      no jobs). Because u = hash_fraction(key) is uniform on [0, 1),
+      the keep_s-th smallest u in a stratum concentrates at
+      q_s = keep_s/n_s with binomial fluctuation ~sqrt(q(1-q)/n).
+      The plan (a) aggregates exact counts below/at the band edges
+      lo_s = q_s - m, hi_s = q_s + m (m = ``margin_sigmas`` standard
+      deviations + 64/n slack; P(miss) < 1e-25 at the default 12σ,
+      enforced by an in-plan assert_true that fails loudly rather
+      than silently mis-counting), (b) window-sorts ONLY the
+      O(sqrt(n)) boundary band to find the exact threshold tuple
+      (u*, key*), one row per stratum, and (c) broadcast-joins the
+      thresholds back: kept = u < lo OR struct(u, keys) ≤ threshold.
+      The full table is never window-sorted; the extra cost is two
+      narrow aggregate scans.
+    - ``method="auto"`` (default) — counts the largest stratum (one
+      small aggregate job at call time) and picks rank below
+      ``rank_max_rows`` rows, cutoff above.
+    """
     if not key_cols:
         raise ValueError(
             "key_cols must name row-identifying columns: hashing only "
             f"the stratum column {strata_col!r} makes every in-stratum "
             "rank a tie, so the kept set depends on partition order"
         )
+    if method not in ("auto", "rank", "cutoff"):
+        raise ValueError(f"method must be auto|rank|cutoff, got {method!r}")
     keys = key_cols
     wpairs: list[Column] = []
     for k, v in sorted(weights.items()):
@@ -209,18 +234,143 @@ def mixture_sample(
     wall = Window.partitionBy()
     keeps = counts.select(
         strata_col,
+        F.col("__n"),
         F.floor(
             F.col("__p") * F.min(F.col("__n") / F.col("__p")).over(wall) + 1e-9
         )
         .cast("long")
         .alias("__keep"),
     )
+
+    if method == "auto":
+        # one tiny job (group-count collect) to pick the physical plan
+        biggest = counts.agg(F.max("__n")).collect()[0][0] or 0
+        method = "rank" if biggest <= rank_max_rows else "cutoff"
+
     u = hash_fraction(*keys, salt=salt)
-    rank = F.row_number().over(
-        Window.partitionBy(strata_col).orderBy(u, *keys)
+    if method == "rank":
+        rank = F.row_number().over(
+            Window.partitionBy(strata_col).orderBy(u, *keys)
+        )
+        return (
+            df.join(F.broadcast(keeps), strata_col, "inner")
+            .withColumn(kept_col, (rank <= F.col("__keep")).cast("int"))
+            .drop("__keep", "__n")
+        )
+    return _mixture_cutoff(
+        df, strata_col, keys, keeps, u, kept_col, margin_sigmas
     )
+
+
+def _mixture_cutoff(
+    df: DataFrame,
+    strata_col: str,
+    keys: list[str],
+    keeps: DataFrame,
+    u: Column,
+    kept_col: str,
+    margin_sigmas: float,
+) -> DataFrame:
+    """Exact boundary-band selection for mixture_sample (see there).
+
+    keeps: (strata_col, __n, __keep) per surviving stratum.
+    """
+    # Band edges around the expected cutoff quantile q = keep/n.
+    limits = keeps.select(
+        strata_col,
+        "__n",
+        "__keep",
+        (F.col("__keep") / F.col("__n")).alias("__q"),
+    ).select(
+        strata_col,
+        "__n",
+        "__keep",
+        F.greatest(
+            F.lit(0.0),
+            F.col("__q")
+            - (
+                F.lit(margin_sigmas)
+                * F.sqrt(F.col("__q") * (1 - F.col("__q")) / F.col("__n"))
+                + F.lit(64.0) / F.col("__n")
+            ),
+        ).alias("__lo"),
+        F.least(
+            F.lit(1.0),
+            F.col("__q")
+            + (
+                F.lit(margin_sigmas)
+                * F.sqrt(F.col("__q") * (1 - F.col("__q")) / F.col("__n"))
+                + F.lit(64.0) / F.col("__n")
+            ),
+        ).alias("__hi"),
+    )
+
+    base = df.withColumn("__u", u).join(F.broadcast(limits), strata_col, "inner")
+
+    # Exact counts at the band edges — one narrow aggregate scan.
+    edge = base.groupBy(strata_col).agg(
+        F.sum((F.col("__u") < F.col("__lo")).cast("long")).alias("__c_lo"),
+        F.sum((F.col("__u") <= F.col("__hi")).cast("long")).alias("__c_hi"),
+    )
+    # The band must bracket the cutoff (P(miss) < 1e-25 at 12σ for a
+    # uniform hash line); if a pathological key distribution ever
+    # violates that, fail loudly instead of mis-counting.
+    need = (
+        edge.join(F.broadcast(limits.select(strata_col, "__keep")), strata_col)
+        .select(
+            strata_col,
+            "__c_lo",
+            F.when(
+                F.assert_true(
+                    (F.col("__c_lo") <= F.col("__keep"))
+                    & (F.col("__keep") <= F.col("__c_hi")),
+                    F.concat_ws(
+                        " ",
+                        F.lit("mixture_sample cutoff band missed the"),
+                        F.lit("threshold for stratum"),
+                        F.col(strata_col).cast("string"),
+                        F.lit("- rerun with a larger margin_sigmas"),
+                    ),
+                ).isNull(),
+                F.col("__keep") - F.col("__c_lo"),
+            ).alias("__need"),
+        )
+    )
+
+    # Window-sort ONLY the O(sqrt(n)) band to locate the exact
+    # threshold tuple: the __need-th smallest (u, *keys) in the band.
+    band = (
+        base.filter((F.col("__u") >= F.col("__lo")) & (F.col("__u") <= F.col("__hi")))
+        .join(F.broadcast(need), strata_col)
+    )
+    bw = Window.partitionBy(strata_col).orderBy(F.col("__u"), *keys)
+    thresholds = (
+        band.withColumn("__r", F.row_number().over(bw))
+        .filter(F.col("__r") == F.col("__need"))
+        .select(
+            strata_col,
+            _ordered_struct(F.col("__u"), [F.col(k) for k in keys]).alias("__cut"),
+        )
+    )
+
+    row_tuple = _ordered_struct(F.col("__u"), [F.col(k) for k in keys])
     return (
-        df.join(F.broadcast(keeps), strata_col, "inner")
-        .withColumn(kept_col, (rank <= F.col("__keep")).cast("int"))
-        .drop("__keep")
+        base.join(F.broadcast(thresholds), strata_col, "left")
+        .withColumn(
+            kept_col,
+            (
+                (F.col("__u") < F.col("__lo"))
+                | F.coalesce(row_tuple <= F.col("__cut"), F.lit(False))
+            ).cast("int"),
+        )
+        .drop("__u", "__n", "__keep", "__lo", "__hi", "__cut")
     )
+
+
+def _ordered_struct(u: Column, key_cols: list[Column]) -> Column:
+    """(u, *keys) as a struct with positional field names so two
+    instances compare lexicographically (struct comparison needs
+    matching field names/types on both sides)."""
+    fields = [u.alias("f0")]
+    fields += [c.alias(f"f{i + 1}") for i, c in enumerate(key_cols)]
+    return F.struct(*fields)

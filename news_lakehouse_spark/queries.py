@@ -1790,29 +1790,44 @@ FROM toks
 """
 
 
+_MIXTURE_WEIGHTS = {f"src{i}": 3.0 if i % 2 == 0 else 1.0 for i in range(20)}
+
+
 def x_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Static mixture balancing: mark the rows that survive
     downsampling the corpus to a 3:1 even:odd source-weight mixture
     (largest feasible corpus at exactly those proportions, rank-based
-    on the deterministic hash line)."""
+    on the deterministic hash line). Runs the scale-safe cutoff plan
+    (boundary-band selection, no full-stratum window sort) against the
+    rank-definition oracle, so the oracle match doubles as a
+    cutoff≡rank equivalence check."""
     from news_lakehouse_spark.operators.sampling import mixture_sample
 
     d = read_table(spark, sf_dir, "documents")
-    weights = {f"src{i}": 3.0 if i % 2 == 0 else 1.0 for i in range(20)}
-    out = mixture_sample(d, "source", weights, key_cols=["doc_id"])
+    out = mixture_sample(
+        d, "source", _MIXTURE_WEIGHTS, key_cols=["doc_id"], method="cutoff"
+    )
     return out.select("doc_id", "source", "kept")
 
 
-_MIXTURE_SQL = """
+def _mixture_sql() -> str:
+    # The weight CASE is generated from the same dict the Spark side
+    # uses, so fixture naming can never silently diverge from the
+    # oracle's arithmetic.
+    case = " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in sorted(_MIXTURE_WEIGHTS.items())
+    )
+    wsum = float(sum(_MIXTURE_WEIGHTS.values()))
+    return f"""
 WITH h AS (
   SELECT doc_id, source,
          CAST(concat('0x', substr(sha256(concat_ws('||', 'mixture', doc_id)), 1, 15))
               AS BIGINT) / 1152921504606846976.0 AS u,
-         CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
-              THEN 3.0 ELSE 1.0 END / 40.0 AS p
+         (CASE source {case} ELSE NULL END) / {wsum!r} AS p
   FROM documents
 ), c AS (
-  SELECT source, p, count(*) AS n FROM h GROUP BY source, p
+  SELECT source, p, count(*) AS n FROM h
+  WHERE p IS NOT NULL AND p > 0 GROUP BY source, p
 ), t AS (
   SELECT min(n / p) AS feasible FROM c
 ), k AS (
@@ -1825,6 +1840,9 @@ SELECT h.doc_id, h.source,
             THEN 1 ELSE 0 END AS kept
 FROM h JOIN k USING (source)
 """
+
+
+_MIXTURE_SQL = _mixture_sql()
 
 
 def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

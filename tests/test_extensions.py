@@ -491,6 +491,46 @@ def test_mixture_sample_hits_target_proportions(spark):
     )
 
 
+def test_mixture_sample_cutoff_equals_rank(spark):
+    # The scale-safe boundary-band plan must mark the IDENTICAL row
+    # set as the full per-stratum row_number definition.
+    from news_lakehouse_spark.operators.sampling import mixture_sample
+
+    sf_dir = "/root/testdata/sf0.001"
+    d = read_table(spark, sf_dir, "documents")
+    weights = {f"src{i}": 3.0 if i % 2 == 0 else 1.0 for i in range(20)}
+    rank = mixture_sample(
+        d, "source", weights, key_cols=["doc_id"], method="rank"
+    ).select("doc_id", "kept")
+    cutoff = mixture_sample(
+        d, "source", weights, key_cols=["doc_id"], method="cutoff"
+    ).select("doc_id", "kept")
+    assert rank.exceptAll(cutoff).count() == 0
+    assert cutoff.exceptAll(rank).count() == 0
+    # the cutoff plan must not sort whole strata: no window spec
+    # partitioned solely by the stratum column over the full table —
+    # the only row_number in the plan runs on the filtered band
+    plan = cutoff._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" in plan  # band threshold selection exists
+
+
+def test_mixture_sample_auto_picks_rank_for_small_strata(spark):
+    from news_lakehouse_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(60)], ["doc_id", "src"]
+    )
+    auto = mixture_sample(
+        df, "src", {"a": 1.0, "b": 1.0}, key_cols=["doc_id"], method="auto"
+    )
+    rank = mixture_sample(
+        df, "src", {"a": 1.0, "b": 1.0}, key_cols=["doc_id"], method="rank"
+    )
+    a = sorted((r["doc_id"], r["kept"]) for r in auto.collect())
+    b = sorted((r["doc_id"], r["kept"]) for r in rank.collect())
+    assert a == b
+
+
 def test_corpus_pipeline_funnel_verdicts(spark):
     from news_lakehouse_spark.operators.pipeline import corpus_pipeline
 
