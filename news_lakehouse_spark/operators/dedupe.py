@@ -275,6 +275,8 @@ def minhash_near_duplicates(
     threshold: float = 0.8,
     seed: int = 42,
     cache_shingles: bool = True,
+    staging_path: str | None = None,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with exact Jaccard ≥ threshold.
 
@@ -286,9 +288,22 @@ def minhash_near_duplicates(
     (signatures, both exact-verify sides) — materializing it once
     measures ~30% faster end-to-end than recomputation (A/B in fresh
     sessions; AQE exchange reuse only dedups the identical band-table
-    sides, not the verify-side re-shingles). At 100 TB, write the
-    shingle/signature table to parquet staging instead of executor
-    memory.
+    sides, not the verify-side re-shingles).
+
+    ``staging_path``: at 100 TB the shingle table exceeds executor
+    memory+disk cache; give a parquet path and the shingle table is
+    written there once and every consumer re-reads it from storage
+    (column-pruned, splittable) instead of the block-manager cache.
+
+    ``max_bucket_size`` caps band-bucket fan-out: a degenerate corpus
+    (one dominant boilerplate template) puts ~all docs in the same
+    band_hash bucket in EVERY band, making the candidate self-join
+    quadratic. Buckets larger than the cap are dropped before the
+    join, bounding any bucket at cap² candidate pairs. Pairs lost this
+    way are near-identical template copies — run exact/dedup first
+    (a2_dedup_exact) which catches them at groupBy cost. On by default
+    (100_000 — far above any honest near-dup cluster); ``None``
+    disables.
     """
     from pyspark import StorageLevel
 
@@ -297,7 +312,10 @@ def minhash_near_duplicates(
     # hashes, and the exact verify intersects long arrays — shingle
     # strings are never materialized (see hashed_shingles_of_words).
     sh_cached = _with_hashed_shingles(df, id_col, text_col, n)
-    if cache_shingles:
+    if staging_path is not None:
+        sh_cached.write.mode("overwrite").parquet(staging_path)
+        sh_cached = df.sparkSession.read.parquet(staging_path)
+    elif cache_shingles:
         sh_cached = sh_cached.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = _signatures_from_shingles(sh_cached, id_col, num_hashes, seed)
     band_entries = sigs.select(
@@ -323,6 +341,17 @@ def minhash_near_duplicates(
     # NOTE: both sides of the self-join share this subplan; exchange
     # reuse (AQE) computes the signature aggregation once — persisting
     # here measures ~2× slower than letting ReusedExchange handle it.
+    if max_bucket_size is not None:
+        # bucket-size filter shares the self-join's shuffle key
+        # (band, band_hash): the exchange is reused, the count is a
+        # map-side-combined long agg.
+        ok_buckets = (
+            band_entries.groupBy("band", "band_hash")
+            .agg(F.count("*").alias("__bs"))
+            .filter(F.col("__bs") <= max_bucket_size)
+            .select("band", "band_hash")
+        )
+        band_entries = band_entries.join(ok_buckets, ["band", "band_hash"])
 
     left = band_entries.alias("l")
     right = band_entries.alias("r")
@@ -426,7 +455,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via shingle inverted index.
 
@@ -442,8 +471,11 @@ def ngram_jaccard_pairs(
     Results are exact whenever no shingle exceeds the cap; when the cap
     bites, intersection counts (and so Jaccard) are lower bounds —
     conservative for dedup, since only ubiquitous-boilerplate overlap
-    is discounted. At corpus scale always set it (100–1000 is typical);
-    ``None`` preserves the exact-oracle semantics for tests.
+    is discounted. The blowup guard is ON by default (10_000 — exact
+    on any corpus where no shingle spans more docs than that; tighten
+    to 100–1000 at corpus scale); pass ``None`` only when provably-
+    exact semantics on a boilerplate-heavy corpus matter more than a
+    bounded join.
     """
     from pyspark import StorageLevel
 

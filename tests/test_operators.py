@@ -244,6 +244,56 @@ def test_ngram_jaccard_max_df_drops_boilerplate_shingles(spark):
     assert uncapped > 0 and capped == 0
 
 
+def test_minhash_bucket_cap_drops_degenerate_template_buckets(spark):
+    """One dominant template puts every copy in the same band bucket in
+    every band; a bucket-size cap must excise those quadratic buckets
+    while keeping honest near-dup pairs found in small buckets."""
+    template = "identical boilerplate template body repeated verbatim " * 6
+    rows = [(i, template) for i in range(30)]  # 30 identical copies
+    base = "the quick brown fox jumps over the lazy dog again today " * 5
+    rows += [(100, base), (101, base + " extra tail")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = minhash_near_duplicates(
+        df, "doc_id", "text", threshold=0.8, max_bucket_size=5
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got
+    # every template-template pair lives only in >cap buckets → dropped
+    assert not any(a < 30 and b < 30 for a, b in got)
+    # uncapped finds the full quadratic template clique
+    full = minhash_near_duplicates(
+        df, "doc_id", "text", threshold=0.8, max_bucket_size=None
+    ).count()
+    assert full >= 30 * 29 // 2
+
+
+def test_minhash_parquet_staging_matches_cached_path(spark, tmp_path):
+    """staging_path spills the shingle table to parquet; results must be
+    identical to the in-memory cached path."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [(i, f"unrelated document {i} {'filler %d ' % i * 20}") for i in range(10)]
+    rows += [(100, base), (101, base + " extra tail")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cached = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_near_duplicates(df, "doc_id", "text", threshold=0.8).collect()
+    }
+    staged = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_near_duplicates(
+            df,
+            "doc_id",
+            "text",
+            threshold=0.8,
+            staging_path=str(tmp_path / "shingle_stage"),
+        ).collect()
+    }
+    assert staged == cached and (100, 101) in {(a, b) for a, b, _ in staged}
+    import os
+
+    assert os.path.isdir(tmp_path / "shingle_stage")
+
+
 def test_simhash_near_duplicates_block_lsh_is_complete(spark):
     """Pigeonhole block-LSH must find exactly the pairs a brute-force
     Hamming scan over the signatures finds."""
