@@ -53,6 +53,22 @@ def _guard_source(source: DataFrame, keys: list[str], order_by: list[Column] | N
     return guarded.dropDuplicates(keys)
 
 
+def _check_add_column_only(target: DataFrame, source: DataFrame) -> None:
+    """Schema evolution is add-column ONLY: every target column must be
+    present in the source. unionByName(allowMissingColumns=True) would
+    otherwise forgive a source missing a target column (typo / rename)
+    by silently null-filling it on every matched row — data loss on
+    update once the result is materialized."""
+    missing = [c for c in target.columns if c not in set(source.columns)]
+    if missing:
+        raise ValueError(
+            "evolve_schema=True only ADDS source columns; the source is "
+            f"missing target column(s) {missing} — a merge would "
+            "null-fill them on every updated row. Rename/restore the "
+            "columns or drop them from the target explicitly."
+        )
+
+
 def merge_upsert(
     target: DataFrame,
     source: DataFrame,
@@ -68,6 +84,7 @@ def merge_upsert(
     malformed source cannot silently widen a table.
     """
     if evolve_schema:
+        _check_add_column_only(target, source)
         src = _guard_source(source, keys, order_by)
         untouched = target.join(src.select(*keys), on=keys, how="left_anti")
         return src.unionByName(untouched, allowMissingColumns=True)
@@ -84,6 +101,7 @@ def merge_insert_only(
 ) -> DataFrame:
     """MERGE ... WHEN NOT MATCHED INSERT * — link-table flavor (S9)."""
     if evolve_schema:
+        _check_add_column_only(target, source)
         src = _guard_source(source, keys, None)
         new_rows = src.join(target.select(*keys), on=keys, how="left_anti")
         return target.unionByName(new_rows, allowMissingColumns=True)
@@ -152,6 +170,9 @@ def delete_rows(
 
     kept = target.join(F.broadcast(dk), on=keys, how="left_anti")
     removed = target.count() - kept.count()
+    if removed == 0:
+        # no-op delete must not rewrite (and risk) the whole table
+        return 0
     kept.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
     return removed
 

@@ -682,3 +682,26 @@ def test_delete_rows_partition_pruned_and_idempotent(spark, tmp_path):
     upsert_parquet_table(spark, base, path2, ["k"])
     assert delete_rows(spark, path2, ["k"], dk) == 2
     assert spark.read.parquet(path2).count() == 2
+    # a no-op unpartitioned delete must NOT rewrite the table files
+    before = sorted(os.listdir(path2))
+    assert delete_rows(spark, path2, ["k"], dk) == 0
+    assert sorted(os.listdir(path2)) == before
+
+
+def test_evolve_schema_rejects_source_missing_target_columns(spark):
+    """Add-column-only contract: a source that LACKS a target column
+    (typo/rename) must raise, not silently null-fill updates."""
+    import pytest
+
+    from news_lakehouse_spark.operators.merge import merge_insert_only, merge_upsert
+
+    target = spark.createDataFrame([(1, "a", 10)], ["k", "v", "score"])
+    bad = spark.createDataFrame([(1, "A", "en")], ["k", "v", "lang"])  # no score
+    with pytest.raises(ValueError, match="score"):
+        merge_upsert(target, bad, ["k"], evolve_schema=True)
+    with pytest.raises(ValueError, match="score"):
+        merge_insert_only(target, bad, ["k"], evolve_schema=True)
+    # pure addition still evolves
+    good = spark.createDataFrame([(1, "A", 11, "en")], ["k", "v", "score", "lang"])
+    out = merge_upsert(target, good, ["k"], evolve_schema=True)
+    assert set(out.columns) == {"k", "v", "score", "lang"}
