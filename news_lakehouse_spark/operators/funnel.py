@@ -27,12 +27,20 @@ def funnel_conversion(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    materialize: bool = True,
 ) -> DataFrame:
     """(step_idx, step, n_users, conv_from_first, conv_from_prev).
 
     A user counts for step k if they have a step-k event strictly
     after their earliest qualifying step-(k-1) event (earliest-frontier
     semantics — the standard strict-order funnel).
+
+    ``materialize`` checkpoints each (tiny) per-step frontier so the
+    chain is computed once — but that runs Spark jobs DURING plan
+    construction. Pass False for plan-only consumers (.explain(),
+    audits): the returned plan is fully lazy, at the cost of step k's
+    count and step k+1's join each re-deriving the step-1..k chain
+    (O(N^2) event-table scans for an N-step funnel when executed).
     """
     if not steps:
         raise ValueError("steps must be non-empty")
@@ -54,7 +62,7 @@ def funnel_conversion(
         # materialize each (tiny) frontier: without this, step k's count
         # and step k+1's join both re-derive the whole step-1..k chain,
         # making an N-step funnel O(N^2) event-table scans
-        frontier = nxt.localCheckpoint(eager=True)
+        frontier = nxt.localCheckpoint(eager=True) if materialize else nxt
         counts.append((step, frontier.agg(F.count("*").alias("n")).select("n")))
 
     rows = [

@@ -65,6 +65,7 @@ def dsir_importance_weights(
     is_target: Column,
     num_buckets: int = 4096,
     cache_tokens: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-document DSIR importance log-weight against a target slice.
 
@@ -90,7 +91,10 @@ def dsir_importance_weights(
         ["__is_tgt"],
     ).withColumn("__b", _token_bucket(F.col("__tok"), num_buckets))
     toks = toks.select(id_col, "__is_tgt", "__b")
-    if cache_tokens:
+    # the persist is only useful if the matching checkpoint+unpersist
+    # below runs; a lazy (materialize=False) plan must not pin a
+    # corpus-sized cache nobody releases
+    if cache_tokens and materialize:
         from pyspark import StorageLevel
 
         toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
@@ -122,13 +126,15 @@ def dsir_importance_weights(
             F.round(F.sum("__lr"), 6).alias("logweight"),
         )
     )
-    if cache_tokens:
+    if cache_tokens and materialize:
         # hand the cache over: materialize the (per-doc, much smaller)
         # scores, then release the corpus-sized token table.
         # localCheckpoint, not persist: checkpoint blocks are freed by
         # the ContextCleaner when the frame is garbage-collected,
         # where an unreachable persist pins executor memory for the
-        # whole session
+        # whole session. materialize=False keeps plan construction
+        # lazy for .explain()/audit consumers (the token table is then
+        # re-derived by each downstream action).
         scored = scored.localCheckpoint(eager=True)
         toks.unpersist()
     # every pool document gets a row — docs whose normalized text has

@@ -590,3 +590,29 @@ def test_cms_sketch_merges_cellwise_and_never_underestimates(spark):
     truth = {"join": 40, "hash": 5, "merge": 7, "absent": 0}
     for t, n in truth.items():
         assert est[t] >= n
+
+
+def test_funnel_and_dsir_lazy_plan_construction(spark):
+    """materialize=False must build the full plan without running any
+    Spark jobs (plan-only consumers: .explain(), audits)."""
+    from news_lakehouse_spark.operators.funnel import funnel_conversion
+    from news_lakehouse_spark.operators.importance import dsir_importance_weights
+
+    sc = spark.sparkContext
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    tracker = sc.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    f = funnel_conversion(ev, ["view", "click", "purchase"], materialize=False)
+    d = dsir_importance_weights(
+        docs, "doc_id", "text", is_target=F.col("lang") == "en", materialize=False
+    )
+    f.explain()
+    d.explain()
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "lazy plan construction ran Spark jobs"
+    # and the lazy funnel still computes the same step counts
+    eager = funnel_conversion(ev, ["view", "click", "purchase"])
+    a = sorted((r["step"], r["n_users"]) for r in f.collect())
+    b = sorted((r["step"], r["n_users"]) for r in eager.collect())
+    assert a == b
