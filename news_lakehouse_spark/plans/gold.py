@@ -267,6 +267,32 @@ def make_fact_top_comment_interaction_detail(
     ).dropDuplicates(["CommentInteractionKey"])
 
 
+def write_gold_tables(
+    spark,
+    silver: dict[str, DataFrame],
+    gold_root: str,
+) -> dict[str, int]:
+    """Batch full rebuild of the star schema to parquet — the batch
+    analog of the reference's silver→gold job (gcs_silver_to_gold.py),
+    with its per-ETL metrics wrapper (airflow/config/
+    metrics_utils.py:9-55): one timed duration/rows/status record per
+    gold table plus one for the whole job. Row counts come from a
+    read-back count over the files just written (footer-bounded scan),
+    never a second pass over the build plan."""
+    from news_lakehouse_spark.metrics import pipeline_metrics
+
+    written: dict[str, int] = {}
+    with pipeline_metrics("write_gold_tables") as whole:
+        tables = {**build_gold_dimensions(silver), **build_gold_facts(silver)}
+        for name, df in tables.items():
+            with pipeline_metrics(f"gold_{name}", table=name) as m:
+                path = f"{gold_root}/{name}"
+                df.write.mode("overwrite").parquet(path)
+                written[name] = m.records = spark.read.parquet(path).count()
+        whole.records = sum(written.values())
+    return written
+
+
 def build_gold_dimensions(silver: dict[str, DataFrame]) -> dict[str, DataFrame]:
     return {
         "dim_date": make_dim_date(silver["articles"]),

@@ -105,6 +105,8 @@ def refresh_gold_incremental(
     silver state of every article it mentions, which is exactly what
     streaming/ingest.py's per-batch build_silver_tables produces.
     """
+    from news_lakehouse_spark.metrics import pipeline_metrics
+
     written: dict[str, int] = {}
     changed_articles = (
         silver_delta["articles"]
@@ -112,25 +114,37 @@ def refresh_gold_incremental(
         .distinct()
     )
 
-    dims = build_gold_dimensions(silver_delta)
-    for name, df in dims.items():
-        # checkpoint once: the write and the row-count metric share one
-        # computation of the delta transformation, not two
-        staged = df.localCheckpoint(eager=True)
-        upsert_parquet_table(
-            spark,
-            staged,
-            f"{gold_root}/{name}",
-            keys=DIM_KEYS[name],
-            insert_only=(name == "dim_date"),
-        )
-        written[name] = staged.count()
+    # metrics mirror the reference's per-ETL wrapper
+    # (airflow/config/metrics_utils.py:9-55): one timed record per gold
+    # table plus one for the whole refresh, row counts attached from
+    # the count the write already needed — never a second pass.
+    with pipeline_metrics("refresh_gold_incremental") as whole:
+        dims = build_gold_dimensions(silver_delta)
+        for name, df in dims.items():
+            with pipeline_metrics(f"gold_{name}", table=name) as m:
+                # checkpoint once: the write and the row-count metric
+                # share one computation of the delta transformation
+                staged = df.localCheckpoint(eager=True)
+                upsert_parquet_table(
+                    spark,
+                    staged,
+                    f"{gold_root}/{name}",
+                    keys=DIM_KEYS[name],
+                    insert_only=(name == "dim_date"),
+                )
+                written[name] = m.records = staged.count()
 
-    facts = build_gold_facts(silver_delta)
-    for name, df in facts.items():
-        staged = df.localCheckpoint(eager=True)
-        _replace_scope(
-            spark, staged, f"{gold_root}/{name}", FACT_SCOPE[name], changed_articles
-        )
-        written[name] = staged.count()
+        facts = build_gold_facts(silver_delta)
+        for name, df in facts.items():
+            with pipeline_metrics(f"gold_{name}", table=name) as m:
+                staged = df.localCheckpoint(eager=True)
+                _replace_scope(
+                    spark,
+                    staged,
+                    f"{gold_root}/{name}",
+                    FACT_SCOPE[name],
+                    changed_articles,
+                )
+                written[name] = m.records = staged.count()
+        whole.records = sum(written.values())
     return written

@@ -176,3 +176,34 @@ def test_subtopic_id_null_skip_parity(spark):
     assert got["https://x/2"] == hashlib.sha256(topic_id.encode()).hexdigest()
     assert got["https://x/3"] == got["https://x/2"]  # blank == null
     assert got["https://x/4"] == hashlib.sha256(b"").hexdigest()
+
+
+def test_gold_pipelines_emit_metrics(spark, silver, tmp_path):
+    """Both materializing gold pipelines (batch full rebuild and
+    incremental refresh) must emit one duration/rows/status record per
+    table plus a whole-job record, like the reference's per-ETL
+    metrics wrapper."""
+    from news_lakehouse_spark.metrics import METRICS
+    from news_lakehouse_spark.plans.gold import (
+        GOLD_DIMS,
+        GOLD_FACTS,
+        write_gold_tables,
+    )
+    from news_lakehouse_spark.plans.incremental import refresh_gold_incremental
+
+    start = len(METRICS)
+    written = write_gold_tables(spark, silver, str(tmp_path / "gold_batch"))
+    batch = {m.job_name: m for m in METRICS[start:]}
+    for name in (*GOLD_DIMS, *GOLD_FACTS):
+        m = batch[f"gold_{name}"]
+        assert m.success and m.records == written[name] and m.duration_s >= 0
+        assert m.labels == {"table": name}
+    whole = batch["write_gold_tables"]
+    assert whole.success and whole.records == sum(written.values())
+
+    start = len(METRICS)
+    written2 = refresh_gold_incremental(spark, silver, str(tmp_path / "gold_inc"))
+    inc = {m.job_name: m for m in METRICS[start:]}
+    for name in (*GOLD_DIMS, *GOLD_FACTS):
+        assert inc[f"gold_{name}"].records == written2[name]
+    assert inc["refresh_gold_incremental"].records == sum(written2.values())
