@@ -75,13 +75,25 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    # 3 runs, report the min: single-run timings on a shared host track
+    # ±35% scheduler/page-cache noise; the per-query min is the stable
+    # statistic (it converges to the plan's actual cost).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
     def time_queries(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
-            t0 = time.perf_counter()
-            n = QUERIES[name](spark, sf_dir).count()
-            out[name] = round(time.perf_counter() - t0, 3)
-            print(f"# {name}: {n} rows in {out[name]:.3f}s", file=sys.stderr)
+            best = float("inf")
+            n = 0
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                n = QUERIES[name](spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+            print(
+                f"# {name}: {n} rows, min of {runs} runs {out[name]:.3f}s",
+                file=sys.stderr,
+            )
         return out
 
     timings = time_queries(HEADLINE)
@@ -101,6 +113,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "runs_per_query": runs,
+                "stat": "min",
                 "extended_total_sec": round(sum(extended.values()), 3),
                 "extended": extended,
             }
