@@ -3120,12 +3120,460 @@ def _zorder_sql() -> str:
     return f"SELECT o_orderkey, {z} AS zkey FROM orders"
 
 
+
+# --- TPC-H round-3 widening ----------------------------------------------
+# The fixture has no partsupp table and lacks l_shipmode/l_commitdate/
+# l_receiptdate, p_container and c_phone, so Q2/Q9/Q11/Q13/Q15/Q16/Q17/Q20
+# are out of reach and Q4/Q8/Q12/Q19/Q21/Q22 are adapted to the columns
+# that exist (adaptations noted per query). Shapes exercised: semi/anti
+# "(NOT) EXISTS", disjunctive pushdown predicates, CASE aggregates over a
+# join, a two-level market-share ratio, and a scalar-subquery threshold.
+
+
+def _revenue_fp(price_col: str = "l_extendedprice", disc_col: str = "l_discount"):
+    """Exact fixed-point sum of ext*(1-disc): the product has exactly 4
+    decimals, so sum ten-thousandths as BIGINT and divide once —
+    bit-identical across engines (same trick as q10)."""
+    return (
+        F.sum(
+            F.round((F.col(price_col) * (1 - F.col(disc_col))) * 10000, 0).cast(
+                "bigint"
+            )
+        )
+        / 10000.0
+    )
+
+
+_REV_FP_SQL = (
+    "sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT))"
+    " / 10000.0"
+)
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority checking. Adapted EXISTS
+    predicate: the fixture has no l_commitdate/l_receiptdate, so the
+    "late line" test is l_shipdate > o_orderdate.
+
+    The EXISTS is a LEFT SEMI join on l_orderkey — Catalyst pushes the
+    date window to the orders scan, and the semi join shuffles only
+    (l_orderkey, l_shipdate) against the filtered quarter."""
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        hit.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: forecast revenue change — a single-table scan-agg
+    whose entire WHERE clause must reach the parquet scan as pushed
+    filters (shipdate year + discount band + quantity cap). The sum is
+    fixed-point ten-thousandths for cross-engine bit-identity."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000, 0)
+                    .cast("bigint")
+                )
+                / 10000.0
+            ).alias("revenue")
+        )
+    )
+
+
+_Q6_SQL = """
+SELECT sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) / 10000.0
+           AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.05
+  AND l_quantity < 24
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share. Share of NATION_7
+    suppliers in STANDARD-part revenue sold to ASIA customers, by
+    order year (no partsupp in the fixture; p_type plays Q8's part
+    filter directly).
+
+    Plan: lineitem shuffles once on l_orderkey; part, customer-side
+    nation/region and the supplier→nation lookup are all broadcast;
+    the share is a conditional-sum ratio inside one aggregation."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    cust_asia = (
+        c.join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    p_std = read_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    vol = F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000, 0).cast("bigint")
+    base = (
+        li.join(F.broadcast(p_std), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_asia, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("vol_fp"),
+            (F.col("supp_nation") == "NATION_7").alias("is_target"),
+        )
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("is_target"), F.col("vol_fp")).otherwise(F.lit(0)))
+                / F.sum("vol_fp"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q8_SQL = """
+WITH base AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)
+             AS vol_fp,
+         n2.n_name = 'NATION_7' AS is_target
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE o_custkey IN (
+    SELECT c_custkey FROM customer
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+  )
+)
+SELECT o_year,
+       round(sum(CASE WHEN is_target THEN vol_fp ELSE 0 END)
+             / CAST(sum(vol_fp) AS DOUBLE), 6) AS mkt_share
+FROM base GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q12_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority counts by shipping bucket. Adapted:
+    no l_shipmode/receipt/commit dates in the fixture, so lines bucket
+    by shipping delay (l_shipdate - o_orderdate > 60 days = 'late')
+    and the CASE aggregates count urgent vs non-urgent order
+    priorities per bucket — Q12's exact aggregate shape."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.when(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60,
+                F.lit("late"),
+            )
+            .otherwise(F.lit("ontime"))
+            .alias("ship_bucket"),
+            hi.alias("hi"),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(F.col("hi"), 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(F.col("hi"), 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+_Q12_SQL = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+            THEN 'late' ELSE 'ontime' END AS ship_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promotion revenue share for one ship month. p_type
+    is a flat enum here, so the LIKE 'PROMO%' of the original is an
+    equality. part broadcasts into the month-filtered lineitem scan;
+    the answer is one conditional-sum ratio."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000, 0).cast("bigint")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select((F.col("p_type") == "PROMO").alias("is_promo"), vol.alias("vol_fp"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("is_promo"), F.col("vol_fp")).otherwise(F.lit(0)))
+                / F.sum("vol_fp"),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+_Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(round((l_extendedprice * (1 - l_discount)) * 10000)
+                            AS BIGINT) ELSE 0 END)
+             / CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000)
+                             AS BIGINT)) AS DOUBLE), 6) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive brand/size/quantity predicate revenue
+    (adapted to fixture brands/sizes; no p_container or l_shipmode).
+    The three OR arms share the p_partkey join, so Catalyst evaluates
+    one broadcast join with a residual disjunction — never three
+    scans. The common l_quantity <= 30 bound is pushed to parquet."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    arm = lambda brand, smax, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= smax)
+        & (F.col("l_quantity") >= qlo)
+        & (F.col("l_quantity") <= qhi)
+    )
+    return (
+        li.filter((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            arm("Brand#2", 5, 1, 11) | arm("Brand#15", 10, 10, 20) | arm("Brand#23", 15, 20, 30)
+        )
+        .agg(_revenue_fp().alias("revenue"))
+    )
+
+
+_Q19_SQL = f"""
+SELECT {_REV_FP_SQL} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who kept orders waiting. Adapted
+    lateness: l_shipdate > o_orderdate + 60 days (no receipt/commit
+    dates). A NATION_3 supplier's late line counts iff the 'F' order
+    has another supplier (EXISTS → left semi) and no OTHER supplier
+    was late on it (NOT EXISTS → left anti).
+
+    The semi/anti probes join on l_orderkey with suppkey inequality as
+    a residual; the late-lines frame is derived once and reused for
+    the anti side. Top 20 by numwait is a TakeOrderedAndProject."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+
+    late = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60)
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    waiting = (
+        late.join(
+            others,
+            (F.col("ok2") == F.col("l_orderkey")) & (F.col("sk2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("ok3") == F.col("l_orderkey")) & (F.col("sk3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(
+            F.broadcast(
+                s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+                .select("s_suppkey", "s_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+_Q21_SQL = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND date_diff('day', o_orderdate, l_shipdate) > 60
+)
+SELECT s_name, count(*) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich-but-dormant customers. Adapted: the
+    fixture has no c_phone, so c_mktsegment plays the country-code
+    filter, and "no orders" (vacuous here — every customer has one)
+    becomes "no order since 2000-01-01".
+
+    The scalar average broadcasts as a 1-row cross join; the NOT
+    EXISTS is a left anti against the date-filtered orders scan."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    segs = ["BUILDING", "HOUSEHOLD", "MACHINERY"]
+    pool = c.filter(F.col("c_mktsegment").isin(segs))
+    avg_bal = pool.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01")).select("o_custkey")
+    return (
+        pool.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("segment")
+    )
+
+
+_Q22_SQL = """
+SELECT c_mktsegment AS segment, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_mktsegment IN ('BUILDING', 'HOUSEHOLD', 'MACHINERY')
+  AND c_acctbal > (
+    SELECT avg(c_acctbal) FROM customer
+    WHERE c_acctbal > 0
+      AND c_mktsegment IN ('BUILDING', 'HOUSEHOLD', 'MACHINERY')
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c.c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
     # Driver-verification window: the driver oracle-checks only the first 50
     # entries per round, so queries with no prior CORRECTNESS row are listed
-    # first (round-3 rotation); previously-green entries follow.
+    # first (round-3 rotation: new TPC-H widening, then r2's unchecked set);
+    # previously-green entries follow.
+    "q4_order_priority": q4_order_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q8_market_share": q8_market_share,
+    "q12_priority_lateness": q12_priority_lateness,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q19_discounted_revenue": q19_discounted_revenue,
+    "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "x_dsir_weights": x_dsir_weights,
     "x_mixture_sample": x_mixture_sample,
     "q18_large_volume_customers": q18_large_volume_customers,
@@ -3218,6 +3666,14 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q4_order_priority": _Q4_SQL,
+    "q6_forecast_revenue": _Q6_SQL,
+    "q8_market_share": _Q8_SQL,
+    "q12_priority_lateness": _Q12_SQL,
+    "q14_promo_revenue": _Q14_SQL,
+    "q19_discounted_revenue": _Q19_SQL,
+    "q21_suppliers_kept_waiting": _Q21_SQL,
+    "q22_global_sales_opportunity": _Q22_SQL,
     "q1_pricing_summary": _Q1_SQL,
     "s2_scan_filter_project": _S2_SQL,
     "p3_normalize_blank": _P3_SQL,

@@ -147,3 +147,108 @@ def test_mixture_sample_never_upsamples_and_conserves_rows(spark, rows):
     sizes = Counter(s for _, s in rows)
     for s, n in kept.items():
         assert n <= sizes[s]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 120), st.sampled_from(["view", "click"])),
+        min_size=1,
+        max_size=15,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 120), st.sampled_from(["view", "click"])),
+        min_size=1,
+        max_size=15,
+    ),
+)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_watermark_drops_late_rows_identically_to_batch_replay(
+    spark, tmp_path_factory, batch1, batch2
+):
+    """Streaming watermark semantics vs a batch replay model. Spark
+    keeps TWO watermarks per micro-batch (SPARK-24634): late events in
+    batch k are filtered with the PREVIOUS batch's watermark
+    (max event time over batches 0..k-2, minus delay) while state
+    eviction uses the current one (batches 0..k-1). The replay model
+    mirrors the late-filter: a row is dropped iff its window end is
+    at-or-below that lagged watermark; all surviving rows aggregate
+    identically. The sentinel batch pushes the final watermark past
+    every real window so append mode flushes them.
+    """
+    import os
+    import time as _time
+
+    from news_lakehouse_spark.streaming.windows import windowed_event_counts
+
+    tmp = tmp_path_factory.mktemp("wm")
+    base = 1_700_000_000
+    win_s, delay_s = 300, 600
+    # +1s jitter keeps window ends (multiples of 300) off the exact
+    # watermark values, so the <=-vs-< eviction boundary never bites
+    mk = lambda offs: [
+        (i, base + m * 60 + 1, t) for i, (m, t) in enumerate(offs)
+    ]
+    sentinel = [(999, base + 10 * 86400 + 1, "zz_sentinel")]
+    # the advancer batch commits batch1's max into the LAGGED filter
+    # watermark, so batch2's late rows actually face it (with only
+    # two real batches the two-batch lag would never filter anything)
+    advancer = [(998, base + (max(m for m, _ in batch1) + 1) * 60 + 1, "view")]
+    files = [mk(batch1), advancer, mk(batch2), sentinel]
+    src = tmp / "src"
+    os.makedirs(src)
+    for k, rows in enumerate(files):
+        df = spark.createDataFrame(
+            [(i, ts, t) for i, ts, t in rows], "event_id long, sec long, event_type string"
+        ).select("event_id", F.timestamp_seconds("sec").alias("ts"), "event_type")
+        p = str(src / f"f{k}")
+        df.coalesce(1).write.parquet(p)
+        # file-source ordering is by modification time — force it
+        for root, _, names in os.walk(p):
+            for nm in names:
+                os.utime(os.path.join(root, nm), (1_000_000 + k, 1_000_000 + k))
+        os.utime(p, (1_000_000 + k, 1_000_000 + k))
+
+    schema = "event_id long, ts timestamp, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    agg = windowed_event_counts(
+        stream.withColumn("value", F.lit(1.0)),
+        f"{win_s} seconds",
+        watermark=f"{delay_s} seconds",
+    )
+    name = f"wm_out_{int(_time.time() * 1000) % 10**9}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (int(r["window_start"].timestamp()), r["event_type"]): r["n_events"]
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+        if r["event_type"] != "zz_sentinel"
+    }
+
+    # batch replay model of the two-watermark semantics
+    expected: dict[tuple[int, str], int] = {}
+    maxes: list[int] = []  # max event time per processed batch
+    for k, rows in enumerate(files):
+        # late-event filter: previous batch's watermark = max over
+        # batches 0..k-2, minus delay (None before any commit cycle)
+        wm_late = max(maxes[: k - 1]) - delay_s if k >= 2 else None
+        for _, ts, t in rows:
+            w_start = ts // win_s * win_s
+            if wm_late is not None and w_start + win_s <= wm_late:
+                continue  # late beyond watermark: dropped
+            if t != "zz_sentinel":
+                k2 = (w_start, t)
+                expected[k2] = expected.get(k2, 0) + 1
+        maxes.append(max(ts for _, ts, _ in rows))
+    assert got == expected
