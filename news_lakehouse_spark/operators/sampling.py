@@ -374,3 +374,40 @@ def _ordered_struct(u: Column, key_cols: list[Column]) -> Column:
     fields = [u.alias("f0")]
     fields += [c.alias(f"f{i + 1}") for i, c in enumerate(key_cols)]
     return F.struct(*fields)
+
+
+def temperature_weights(
+    df: DataFrame,
+    strata_col: str,
+    tau: float = 0.7,
+) -> DataFrame:
+    """Temperature-smoothed per-stratum sampling weights.
+
+    The multilingual-pretraining standard (mBERT / XLM-R exponential
+    smoothing, arXiv:1911.02116 §3.1): sampling probability
+    p_s ∝ n_s^tau flattens the head and lifts the tail — tau = 1 is
+    proportional sampling, tau → 0 uniform. Output per stratum:
+    n_rows, the raw share p_raw, the smoothed share p_tau, and
+    up_factor = p_tau / p_raw (the per-epoch duplication / dilution a
+    sampler must apply to realize the mixture).
+
+    One map-side-combined groupBy; the normalizations are windows over
+    the #strata-row aggregate, never the table. Feed the p_tau column
+    into mixture_sample's ``weights`` to materialize the corpus.
+    """
+    if not 0 < tau <= 1:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    wall = Window.partitionBy()
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("n_rows"))
+    w = F.pow(F.col("n_rows").cast("double"), F.lit(float(tau)))
+    return counts.select(
+        strata_col,
+        "n_rows",
+        F.round(F.col("n_rows") / F.sum("n_rows").over(wall), 6).alias("p_raw"),
+        F.round(w / F.sum(w).over(wall), 6).alias("p_tau"),
+        F.round(
+            (w / F.sum(w).over(wall))
+            / (F.col("n_rows") / F.sum("n_rows").over(wall)),
+            6,
+        ).alias("up_factor"),
+    )

@@ -449,3 +449,92 @@ def ann_recall_at_k(
     if floor is not None:
         out = out.filter(F.col("recall") >= floor)
     return out
+
+
+def hyperplanes(planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-bit bucketing. Exposed
+    so an external oracle can inline the SAME plane literals and
+    reproduce the bucketing bit-for-bit."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((int(planes), int(dim))).tolist()
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 6,
+    threshold: float = 0.95,
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (arXiv:2303.09540: cluster, then drop within-cluster semantic
+    twins). Output: (id_col, bucket, kept) for every input row —
+    kept = 0 iff a lower-id vector in the same bucket has cosine ≥
+    threshold (deterministic min-id survivor).
+
+    The paper clusters with k-means; here the clusters are 2^planes
+    sign-bit buckets from fixed seeded hyperplanes, which keeps the
+    operator deterministic (no iterative fitting) and oracle-
+    reproducible — the plane literals are part of the job, not state.
+    The bucket comparison is an equi-join: each bucket's pairwise
+    cosine work is (n/2^planes)² expected, and `planes` tunes the
+    recall/cost trade exactly like SemDeDup's k. Twins split across a
+    bucket boundary are missed (the paper accepts the same miss across
+    k-means cell borders); raise `planes` for smaller cells, or run
+    ivf_topk for a probe-based variant.
+
+    All expressions are codegen'd JVM arithmetic (zip_with dot
+    products against literal arrays) — no Python boundary.
+    """
+    hp = hyperplanes(planes, dim, seed)
+    vec = F.col(vec_col)
+    bucket: Column = F.lit(0).cast("long")
+    for i, plane in enumerate(hp):
+        lits = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, lits, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    base = corpus.select(
+        F.col(id_col).cast("long").alias(id_col),
+        vec.alias("__vec"),
+        bucket.alias("bucket"),
+    )
+    a = base.select(
+        F.col(id_col).alias("__ida"), F.col("bucket").alias("__ba"), F.col("__vec").alias("__va")
+    )
+    b = base.select(
+        F.col(id_col).alias("__idb"), F.col("bucket").alias("__bb"), F.col("__vec").alias("__vb")
+    )
+    cos = cosine_similarity(F.col("__va"), F.col("__vb"))
+    # ids with a smaller-id twin in their bucket (distinct: a vector
+    # may have several twins)
+    dropped = (
+        a.join(
+            b,
+            (F.col("__ba") == F.col("__bb")) & (F.col("__ida") < F.col("__idb")),
+        )
+        .filter(cos >= threshold)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return (
+        base.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "bucket",
+            F.when(F.col("__dropped").isNotNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("kept"),
+        )
+    )

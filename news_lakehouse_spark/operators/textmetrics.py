@@ -513,3 +513,46 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n.cast("int").alias("n_chars"),
         F.round(ent, 6).alias("char_entropy"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str,
+    top_k: int = 1000,
+) -> DataFrame:
+    """Top-k corpus vocabulary with cumulative coverage — the
+    frequency table a tokenizer-training / vocab-sizing pass needs:
+    for each of the k most frequent words, its count, corpus share,
+    and the cumulative share of the vocabulary so far (how much of
+    the token stream a k-word vocab covers).
+
+    Scale shape: explode → map-side-combined count per word (one
+    shuffle on the word), corpus total as a 1-row broadcast, and the
+    top-k via orderBy+limit — a distributed TakeOrderedAndProject,
+    never a global window over the full vocabulary. The cumulative
+    sum runs over the k surviving rows only. Ties break
+    lexicographically for engine-stable output.
+    """
+    from pyspark.sql import Window
+
+    from news_lakehouse_spark.operators.dedupe import normalized_text
+
+    words = df.select(
+        F.explode(F.split(normalized_text(text_col), " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    counts = words.groupBy("word").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("__total"))
+    top = counts.orderBy(F.desc("n"), "word").limit(int(top_k))
+    w = Window.orderBy(F.desc("n"), "word").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        top.join(F.broadcast(total))
+        .select(
+            F.row_number().over(Window.orderBy(F.desc("n"), "word")).alias("rank"),
+            "word",
+            "n",
+            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+            F.round(F.sum("n").over(w) / F.col("__total"), 6).alias("cum_share"),
+        )
+    )

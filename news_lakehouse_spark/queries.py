@@ -3559,6 +3559,100 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+
+def x_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed source-sampling weights (XLM-R-style
+    exponential smoothing, tau=0.5) over the documents corpus."""
+    from news_lakehouse_spark.operators.sampling import temperature_weights
+
+    d = read_table(spark, sf_dir, "documents")
+    return temperature_weights(d, "source", tau=0.5)
+
+
+_TEMPERATURE_SQL = """
+WITH c AS (
+  SELECT source, count(*) AS n_rows FROM documents GROUP BY source
+), t AS (
+  SELECT CAST(sum(n_rows) AS DOUBLE) AS tot, sum(pow(n_rows, 0.5)) AS wtot FROM c
+)
+SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
+       round(n_rows / tot, 6) AS p_raw,
+       round(pow(n_rows, 0.5) / wtot, 6) AS p_tau,
+       round((pow(n_rows, 0.5) / wtot) / (n_rows / tot), 6) AS up_factor
+FROM c, t
+"""
+
+
+def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding dedup: hyperplane sign-bit buckets,
+    exact in-bucket cosine, min-id survivor. Threshold tuned to the
+    synthetic vectors (random embeddings top out near cos 0.5)."""
+    from news_lakehouse_spark.operators.similarity import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", dim=64, planes=4, threshold=0.4, seed=7
+    )
+
+
+def _semdedup_sql() -> str:
+    # the oracle inlines the SAME hyperplane literals the Spark side
+    # derives from the seed, reproducing buckets bit-for-bit
+    from news_lakehouse_spark.operators.similarity import hyperplanes
+
+    hp = hyperplanes(4, 64, 7)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(float(x)) for x in plane)}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(hp)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket FROM embeddings
+), dropped AS (
+  SELECT DISTINCT hi.vec_id
+  FROM b lo JOIN b hi ON lo.bucket = hi.bucket AND lo.vec_id < hi.vec_id
+  WHERE list_cosine_similarity(CAST(lo.embedding AS DOUBLE[]),
+                               CAST(hi.embedding AS DOUBLE[])) >= 0.4
+)
+SELECT b.vec_id, b.bucket,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM b LEFT JOIN dropped d ON b.vec_id = d.vec_id
+"""
+
+
+_SEMDEDUP_SQL = _semdedup_sql()
+
+
+def x_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 corpus vocabulary with per-word share and cumulative
+    coverage (tokenizer-sizing table)."""
+    from news_lakehouse_spark.operators.textmetrics import vocab_coverage
+
+    d = read_table(spark, sf_dir, "documents")
+    return vocab_coverage(d, "text", top_k=200)
+
+
+_VOCAB_SQL = f"""
+WITH w AS (
+  SELECT unnest(string_split({_NT.format(c='text')}, ' ')) AS word FROM documents
+), c AS (
+  SELECT word, count(*) AS n FROM w WHERE length(word) > 0 GROUP BY word
+), t AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c
+), top AS (
+  SELECT word, n FROM c ORDER BY n DESC, word LIMIT 200
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, word) AS INT) AS rank,
+       word, CAST(n AS BIGINT) AS n,
+       round(n / t.tot, 6) AS share,
+       round(sum(n) OVER (ORDER BY n DESC, word
+                          ROWS UNBOUNDED PRECEDING) / t.tot, 6) AS cum_share
+FROM top, t
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -3566,6 +3660,9 @@ QUERIES: dict[str, QueryFn] = {
     # entries per round, so queries with no prior CORRECTNESS row are listed
     # first (round-3 rotation: new TPC-H widening, then r2's unchecked set);
     # previously-green entries follow.
+    "x_temperature_mixture": x_temperature_mixture,
+    "x_semdedup": x_semdedup,
+    "x_vocab_coverage": x_vocab_coverage,
     "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q8_market_share": q8_market_share,
@@ -3666,6 +3763,9 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "x_temperature_mixture": _TEMPERATURE_SQL,
+    "x_semdedup": _SEMDEDUP_SQL,
+    "x_vocab_coverage": _VOCAB_SQL,
     "q4_order_priority": _Q4_SQL,
     "q6_forecast_revenue": _Q6_SQL,
     "q8_market_share": _Q8_SQL,

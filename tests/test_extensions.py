@@ -616,3 +616,58 @@ def test_funnel_and_dsir_lazy_plan_construction(spark):
     a = sorted((r["step"], r["n_users"]) for r in f.collect())
     b = sorted((r["step"], r["n_users"]) for r in eager.collect())
     assert a == b
+
+
+def test_temperature_weights_flatten_mixture(spark):
+    from news_lakehouse_spark.operators.sampling import temperature_weights
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    out = {r["src"]: r for r in temperature_weights(df, "src", tau=0.5).collect()}
+    assert out["big"]["n_rows"] == 90 and out["small"]["n_rows"] == 10
+    # shares sum to 1, tau<1 lifts the tail and shrinks the head
+    assert abs(out["big"]["p_tau"] + out["small"]["p_tau"] - 1.0) < 1e-5
+    assert out["small"]["p_tau"] > out["small"]["p_raw"]
+    assert out["big"]["p_tau"] < out["big"]["p_raw"]
+    assert out["small"]["up_factor"] > 1.0 > out["big"]["up_factor"]
+    # tau=1 is proportional sampling: up_factor == 1 everywhere
+    flat = temperature_weights(df, "src", tau=1.0).collect()
+    assert all(abs(r["up_factor"] - 1.0) < 1e-6 for r in flat)
+
+
+def test_semantic_dedup_drops_planted_twin(spark):
+    import random
+
+    from news_lakehouse_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(3)
+    dim = 16
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    rows = [(0, base), (1, [x * 1.001 for x in base])]  # near-identical twin
+    for i in range(2, 40):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(dim)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        df, "vec_id", "embedding", dim=dim, planes=3, threshold=0.95
+    ).collect()}
+    assert len(out) == 40                       # verdict for every row
+    assert out[0]["kept"] == 1                  # min-id survivor
+    assert out[1]["kept"] == 0                  # twin dropped
+    assert out[0]["bucket"] == out[1]["bucket"]  # same sign-bit cell
+
+
+def test_vocab_coverage_ranks_and_cumulative_share(spark):
+    from news_lakehouse_spark.operators.textmetrics import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    out = vocab_coverage(df, "text", top_k=3).collect()
+    assert [(r["rank"], r["word"], r["n"]) for r in out] == [
+        (1, "a", 4), (2, "b", 3), (3, "c", 2),
+    ]
+    assert abs(out[0]["share"] - 0.4) < 1e-6          # 4/10
+    assert abs(out[-1]["cum_share"] - 0.9) < 1e-6     # (4+3+2)/10
+    # cumulative share is monotone non-decreasing
+    cums = [r["cum_share"] for r in out]
+    assert cums == sorted(cums)
