@@ -3653,6 +3653,94 @@ FROM top, t
 """
 
 
+
+def x_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise z-score normalization (feature engineering): scale
+    l_extendedprice within each l_returnflag group.
+
+    Scale shape: the per-group mean/stddev come from ONE map-side-
+    combined aggregate (3 rows) broadcast back onto the scan — never a
+    per-group window over the fact table, which would shuffle and
+    sort 100 TB to compute two scalars per group."""
+    li = read_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.avg("l_extendedprice").alias("__mu"),
+        F.stddev_samp("l_extendedprice").alias("__sigma"),
+    )
+    return (
+        li.join(F.broadcast(stats), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.round(
+                (F.col("l_extendedprice") - F.col("__mu")) / F.col("__sigma"), 6
+            ).alias("price_z"),
+        )
+    )
+
+
+_GROUP_ZSCORE_SQL = """
+WITH s AS (
+  SELECT l_returnflag, avg(l_extendedprice) AS mu,
+         stddev_samp(l_extendedprice) AS sigma
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       round((l_extendedprice - mu) / sigma, 6) AS price_z
+FROM lineitem JOIN s USING (l_returnflag)
+"""
+
+
+def x_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (first-order Markov counts): for
+    each (from_type, to_type) pair of consecutive events per user,
+    the count and the row-normalized transition probability.
+
+    One shuffle on user_id feeds the lead() window (bounded per-entity
+    history, same assumption as sessionization); the normalization
+    joins a #event_types-row aggregate back by broadcast."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").cast("timestamp"), "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("__tot"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("__tot"), 6).alias("p"),
+        )
+    )
+
+
+_EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+), pairs AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+FROM pairs
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -3663,6 +3751,8 @@ QUERIES: dict[str, QueryFn] = {
     "x_temperature_mixture": x_temperature_mixture,
     "x_semdedup": x_semdedup,
     "x_vocab_coverage": x_vocab_coverage,
+    "x_group_zscore": x_group_zscore,
+    "x_event_transitions": x_event_transitions,
     "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q8_market_share": q8_market_share,
@@ -3766,6 +3856,8 @@ ORACLES: dict[str, str] = {
     "x_temperature_mixture": _TEMPERATURE_SQL,
     "x_semdedup": _SEMDEDUP_SQL,
     "x_vocab_coverage": _VOCAB_SQL,
+    "x_group_zscore": _GROUP_ZSCORE_SQL,
+    "x_event_transitions": _EVENT_TRANSITIONS_SQL,
     "q4_order_priority": _Q4_SQL,
     "q6_forecast_revenue": _Q6_SQL,
     "q8_market_share": _Q8_SQL,
