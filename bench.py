@@ -57,6 +57,12 @@ EXTENDED = [
     "x_retention_cohorts",
     "x_dedup_incremental",
     "x_char_entropy",
+    # round-3 additions (TPC-H completion — full 22-query coverage):
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q13_customer_distribution",
+    "q16_parts_supplier_relationship",
+    "q21_suppliers_kept_waiting",
 ]
 
 

@@ -3741,6 +3741,464 @@ FROM pairs
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier (ref parity: star-lookup
+    joins as in gcs_silver_to_gold.py's dim resolution). The fixture
+    has no partsupp, so the per-(part, supplier) "supply cost" is the
+    minimum observed unit price from lineitem (fixed-point ten-
+    thousandths so the cross-engine min/equality is exact), and the
+    correlated MIN subquery keeps suppliers matching their part's
+    EUROPE-wide minimum.
+
+    Plan: lineitem shuffles once on (l_partkey, l_suppkey) for the
+    unit-price min; the per-part MIN reuses that partitioning via a
+    window over the aggregated (parts × suppliers)-bounded frame; the
+    part slice and the EUROPE supplier lookup broadcast."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    p = (
+        read_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 10))
+        .select("p_partkey", "p_name")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp_eu = s.join(
+        F.broadcast(
+            n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("n_nationkey", "n_name")
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    unit_fp = F.round((F.col("l_extendedprice") / F.col("l_quantity")) * 10000, 0).cast(
+        "bigint"
+    )
+    cost = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_eu), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(F.min(unit_fp).alias("cost_fp"))
+    )
+    part_min = Window.partitionBy("p_partkey")
+    return (
+        cost.withColumn("min_fp", F.min("cost_fp").over(part_min))
+        .filter(F.col("cost_fp") == F.col("min_fp"))
+        .join(F.broadcast(supp_eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            (F.col("cost_fp") / 10000.0).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_Q2_SQL = """
+WITH supp_eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), cost AS (
+  SELECT p_partkey, p_name, l_suppkey,
+         min(CAST(round((l_extendedprice / l_quantity) * 10000) AS BIGINT))
+             AS cost_fp
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'LARGE' AND p_size <= 10
+    AND l_suppkey IN (SELECT s_suppkey FROM supp_eu)
+  GROUP BY 1, 2, 3
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       cost_fp / 10000.0 AS supply_cost
+FROM cost JOIN supp_eu ON l_suppkey = s_suppkey
+WHERE cost_fp = (SELECT min(c2.cost_fp) FROM cost c2
+                 WHERE c2.p_partkey = cost.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by nation and year. The
+    fixture has no partsupp supply cost, so profit is discounted
+    revenue on 'gear' parts (p_name word filter, mirroring Q9's
+    p_name LIKE '%green%').
+
+    Plan: lineitem shuffles once on l_orderkey against orders for the
+    year; the part slice and supplier→nation lookup broadcast; one
+    hash aggregate on (nation, o_year)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    supp_nation = s.join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "nation")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(_revenue_fp().alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_Q9_SQL = f"""
+SELECT nation, o_year, {_REV_FP_SQL} AS sum_profit
+FROM (
+  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+)
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: important-stock identification. No partsupp
+    availqty/supplycost, so a part's "stock value" is the summed
+    extended price shipped by NATION_5 suppliers, and the HAVING
+    threshold keeps parts whose value exceeds 0.1% of the national
+    total. Both sides stay fixed-point BIGINT so the correlated
+    comparison (value_fp * 1000 > total_fp) is exact integer math.
+
+    Plan: one shuffle on l_partkey for the per-part sum; the national
+    total is a 1-row aggregate broadcast back as a cross join (the
+    same deliberate tiny-side pattern as bm25's corpus stats)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    supp_n = s.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    val_fp = F.sum(
+        F.round(F.col("l_extendedprice") * 10000, 0).cast("bigint")
+    )
+    per_part = (
+        li.join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(val_fp.alias("value_fp"))
+    )
+    total = per_part.agg(F.sum("value_fp").alias("total_fp"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_fp") * 1000 > F.col("total_fp"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("value_fp") / 10000.0).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+_Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS value_fp
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+  )
+  GROUP BY 1
+)
+SELECT l_partkey AS p_partkey, value_fp / 10000.0 AS part_value
+FROM per_part
+WHERE value_fp * 1000 > (SELECT sum(value_fp) FROM per_part)
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer order-count distribution. The fixture has
+    no o_comment, so the excluded-order predicate is the
+    '4-NOT SPECIFIED' priority class. Two-level aggregation: orders
+    per customer via LEFT join (zero-order customers count), then the
+    histogram of those counts.
+
+    Plan: left join shuffles on custkey, first agg reuses that
+    partitioning (no extra exchange), second agg shuffles the
+    ≤#distinct-counts-row frame."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                   AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier(s) by quarterly revenue. The revenue
+    view is a per-supplier fixed-point sum over one ship-date quarter;
+    the "= max(total_revenue)" correlation compares the BIGINT
+    fixed-point values exactly via a 1-row broadcast aggregate (no
+    view materialization needed — the frame is reused by Spark as a
+    ReusedExchange under AQE).
+
+    Plan: pushed date filter on the lineitem scan, one shuffle on
+    l_suppkey, broadcast 1-row max, broadcast supplier dim."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000, 0)
+            .cast("bigint")
+        ).alias("rev_fp")
+    )
+    mx = rev.agg(F.max("rev_fp").alias("max_fp"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("rev_fp") == F.col("max_fp"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_fp") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT))
+             AS rev_fp
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, rev_fp / 10000.0 AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_fp = (SELECT max(rev_fp) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: supplier counts per part attribute group. Adapted:
+    supplier-part pairs come from lineitem (no partsupp); the
+    "complaints" NOT IN exclusion is suppliers with negative account
+    balance (left anti join); brand/type/size exclusions mirror Q16's
+    shape on the fixture's enum domains.
+
+    Plan: lineitem projects (l_partkey, l_suppkey), distinct-shuffles
+    on the group keys once; part slice and the tiny exclusion list
+    broadcast; count(DISTINCT) runs as two-phase expand+agg."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        read_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & (F.col("p_type") != "ECONOMY")
+            & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'ECONOMY'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: small-quantity-order revenue for one brand. The
+    correlated "l_quantity < 0.2 * avg(l_quantity)" is rewritten as
+    exact integer math — quantity scaled to hundredths (the fixture's
+    quantities are whole doubles), so the predicate is
+    q_fp * 5 * cnt < sum_q_fp with no float division on either
+    engine. avg_yearly divides the 7-year window like the original.
+
+    Plan: brand slice broadcasts into lineitem; the per-part
+    (sum, count) aggregate is parts-bounded and broadcasts back;
+    single final 1-row aggregate."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    q_fp = F.round(F.col("l_quantity") * 100, 0).cast("bigint")
+    branded = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    stats = branded.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(q_fp).alias("sum_q_fp"), F.count("*").alias("cnt")
+    )
+    return (
+        branded.join(F.broadcast(stats), F.col("l_partkey") == F.col("pk"))
+        .filter(q_fp * 5 * F.col("cnt") < F.col("sum_q_fp"))
+        .agg(
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 10000, 0).cast("bigint"))
+                / 10000.0
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+_Q17_SQL = """
+WITH branded AS (
+  SELECT l_partkey, CAST(round(l_quantity * 100) AS BIGINT) AS q_fp,
+         l_extendedprice
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#3'
+), stats AS (
+  SELECT l_partkey AS pk, sum(q_fp) AS sum_q_fp, count(*) AS cnt
+  FROM branded GROUP BY 1
+)
+SELECT sum(CAST(round(l_extendedprice * 10000) AS BIGINT))
+             / 10000.0 / 7.0 AS avg_yearly
+FROM branded JOIN stats ON l_partkey = pk
+WHERE q_fp * 5 * cnt < sum_q_fp
+"""
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: suppliers with promotable surplus. Adapted: no
+    partsupp availqty, so a NATION_1 supplier qualifies when its 1997
+    shipped quantity of some 'red' part exceeds 30% of that part's
+    total 1997 shipped quantity (concentration stand-in for
+    "availqty > half the year's demand"). Quantities compare in
+    scaled-integer space: supp_q_fp * 10 > part_q_fp * 3.
+
+    Plan: year+part-filtered lineitem shuffles once on (l_partkey,
+    l_suppkey); the per-part total reuses the l_partkey partial via a
+    parts-bounded window; qualifying suppkeys drive a left-semi join
+    into the broadcast nation-filtered supplier dim."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    p = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    supp_n = s.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    q_fp = F.round(F.col("l_quantity") * 100, 0).cast("bigint")
+    per_pair = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(q_fp).alias("supp_q_fp"))
+    )
+    part_total = Window.partitionBy("l_partkey")
+    qualifying = (
+        per_pair.withColumn("part_q_fp", F.sum("supp_q_fp").over(part_total))
+        .filter(F.col("supp_q_fp") * 10 > F.col("part_q_fp") * 3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp_n.join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q20_SQL = """
+WITH per_pair AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS supp_q_fp
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2
+), qualifying AS (
+  SELECT DISTINCT l_suppkey
+  FROM (SELECT l_suppkey, supp_q_fp,
+               sum(supp_q_fp) OVER (PARTITION BY l_partkey) AS part_q_fp
+        FROM per_pair)
+  WHERE supp_q_fp * 10 > part_q_fp * 3
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1'
+WHERE s_suppkey IN (SELECT l_suppkey FROM qualifying)
+ORDER BY s_suppkey
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -3748,6 +4206,14 @@ QUERIES: dict[str, QueryFn] = {
     # entries per round, so queries with no prior CORRECTNESS row are listed
     # first (round-3 rotation: new TPC-H widening, then r2's unchecked set);
     # previously-green entries follow.
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_type_profit": q9_product_type_profit,
+    "q11_important_parts": q11_important_parts,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q20_potential_promotion": q20_potential_promotion,
     "x_temperature_mixture": x_temperature_mixture,
     "x_semdedup": x_semdedup,
     "x_vocab_coverage": x_vocab_coverage,
@@ -3853,6 +4319,14 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "q2_min_cost_supplier": _Q2_SQL,
+    "q9_product_type_profit": _Q9_SQL,
+    "q11_important_parts": _Q11_SQL,
+    "q13_customer_distribution": _Q13_SQL,
+    "q15_top_supplier": _Q15_SQL,
+    "q16_parts_supplier_relationship": _Q16_SQL,
+    "q17_small_quantity_revenue": _Q17_SQL,
+    "q20_potential_promotion": _Q20_SQL,
     "x_temperature_mixture": _TEMPERATURE_SQL,
     "x_semdedup": _SEMDEDUP_SQL,
     "x_vocab_coverage": _VOCAB_SQL,

@@ -67,3 +67,32 @@ def test_python_only_at_arrow_boundaries(spark, sf_dir):
 def test_salted_agg_is_two_stage(spark, sf_dir):
     a, _ = _audit(spark, sf_dir, "x_salted_agg")
     assert a["exchanges"] == 2
+
+
+def test_q9_dims_broadcast_single_fact_shuffle(spark, sf_dir):
+    # Q9 shape: part + supplier→nation broadcast; lineitem shuffles only
+    # for the orders join + final agg — never for a dim.
+    a, _ = _audit(spark, sf_dir, "q9_product_type_profit")
+    assert a["bhj"] >= 2 and a["nlj"] == 0
+    assert a["scans_with_pushdown"] >= 1  # p_name LIKE reaches the part scan
+
+
+def test_q15_date_filter_pushed(spark, sf_dir):
+    a, _ = _audit(spark, sf_dir, "q15_top_supplier")
+    assert a["scans_with_pushdown"] >= 1  # quarter window on the lineitem scan
+    assert a["nlj"] <= 1  # the 1-row max broadcast is the only non-equi join
+
+
+def test_q16_exclusion_broadcasts(spark, sf_dir):
+    # bhj may be 1 when AQE's EmptyRelation propagation removes the
+    # anti join outright (empty exclusion list at tiny SF) — either
+    # way, nothing may sort-merge or nested-loop.
+    a, _ = _audit(spark, sf_dir, "q16_parts_supplier_relationship")
+    assert a["bhj"] >= 1 and a["smj"] == 0 and a["nlj"] == 0
+
+
+def test_q17_per_part_stats_broadcast_back(spark, sf_dir):
+    # the parts-bounded (sum, cnt) aggregate must broadcast into the
+    # branded fact, not sort-merge it
+    a, _ = _audit(spark, sf_dir, "q17_small_quantity_revenue")
+    assert a["bhj"] >= 2 and a["smj"] == 0 and a["nlj"] == 0
