@@ -751,3 +751,39 @@ def incremental_exact_dedupe(
         (unknown & (rn > 1)).cast("int").alias("dup_in_batch"),
         (unknown & (rn == 1)).cast("int").alias("admit"),
     )
+
+
+def dedup_survivors_by(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    order_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Quality-priority near-dup collapse: per duplicate cluster keep
+    the row ranked best by (order_col DESC, id ASC) — e.g. the longest
+    or highest-quality copy — instead of dedup_survivors' min-id rule.
+
+    Exactness without a per-cluster sort: the per-component max of
+    order_col is computed first, then the min id among rows attaining
+    it, so ties are deterministic and no window orders a whole
+    component. All intermediate frames are bounded by the pair-graph
+    node count (duplicate-cluster members only — docs in no pair never
+    leave the final anti join), which broadcasts at real-world
+    duplicate rates; the 100 TB side is touched exactly once.
+    """
+    comp = connected_components(pairs, id_a, id_b)
+    members = df.select(F.col(id_col), F.col(order_col)).join(
+        F.broadcast(comp.withColumnRenamed("id", id_col)), id_col, "inner"
+    )
+    best = members.groupBy("component").agg(F.max(order_col).alias("__best"))
+    winners = (
+        members.join(F.broadcast(best), "component")
+        .filter(F.col(order_col) == F.col("__best"))
+        .groupBy("component")
+        .agg(F.min(id_col).alias("__w"))
+        .select(F.col("__w").alias(id_col))
+    )
+    losers = members.select(id_col).join(F.broadcast(winners), id_col, "left_anti")
+    return df.join(F.broadcast(losers), id_col, "left_anti")

@@ -538,3 +538,60 @@ def semantic_dedup(
             .alias("kept"),
         )
     )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """k-NN majority-vote auto-labeling over the embedding column:
+    (query_id, predicted_label, votes, best_rank) — the label most
+    common among the query's k exact cosine neighbors, ties broken by
+    the label holding the closest neighbor (lowest rank), then by
+    label order, so the vote is fully deterministic.
+
+    Scale shape: rides cosine_topk_bruteforce (queries broadcast, the
+    corpus streams, two-level partial top-k — no corpus shuffle); the
+    (queries × k)-row neighbor table then broadcasts INTO the corpus
+    scan to fetch labels, and the vote aggregates (queries × ≤k) rows.
+    Train-data use: propagating curated labels (topic, quality tier)
+    from a small labeled seed set onto an unlabeled 100 TB corpus —
+    run with corpus=seed per unlabeled batch as the query side.
+    """
+    topk = cosine_topk_bruteforce(
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=k, round_digits=None
+    )
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__lbl")
+    )
+    votes = (
+        labels.join(F.broadcast(topk), "neighbor_id")
+        .groupBy("query_id", "__lbl")
+        .agg(
+            F.count("*").cast("int").alias("votes"),
+            F.min("rank").cast("int").alias("best_rank"),
+        )
+    )
+    # argmin over (−votes, best_rank, label): struct comparison is
+    # field-lexicographic, so one aggregate picks the winner exactly
+    pick = F.min(
+        F.struct(
+            (-F.col("votes")).alias("nv"),
+            F.col("best_rank").alias("br"),
+            F.col("__lbl").alias("lbl"),
+        )
+    )
+    return (
+        votes.groupBy("query_id")
+        .agg(pick.alias("__p"))
+        .select(
+            "query_id",
+            F.col("__p.lbl").alias("predicted_label"),
+            (-F.col("__p.nv")).cast("int").alias("votes"),
+            F.col("__p.br").cast("int").alias("best_rank"),
+        )
+    )

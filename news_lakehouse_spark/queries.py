@@ -4199,6 +4199,105 @@ ORDER BY s_suppkey
 """
 
 
+def x_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote labeling for query vectors (vec_id < 20)
+    against the labeled embedding corpus — the seed-set label
+    propagation pattern for corpus auto-annotation."""
+    from news_lakehouse_spark.operators.similarity import knn_classify
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return knn_classify(emb, q, k=10)
+
+
+_KNN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 20),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS lbl,
+         list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS cs
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+), topk AS (
+  SELECT query_id, lbl, rank FROM (
+    SELECT query_id, lbl, cs, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cs DESC, neighbor_id DESC) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+), votes AS (
+  SELECT query_id, lbl, CAST(count(*) AS INT) AS votes,
+         CAST(min(rank) AS INT) AS best_rank
+  FROM topk GROUP BY 1, 2
+)
+SELECT query_id, lbl AS predicted_label, votes, best_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY votes DESC, best_rank, lbl) AS rn
+      FROM votes)
+WHERE rn = 1
+"""
+
+
+def x_dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-priority near-dup collapse: MinHash pair graph →
+    connected components → keep the LONGEST copy per cluster
+    (n_chars DESC, doc_id ASC) instead of the min-id rule — the
+    "keep the best version" policy real curation pipelines use.
+    Returns the surviving doc ids."""
+    from news_lakehouse_spark.operators.dedupe import dedup_survivors_by
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        d, "doc_id", "text", n=3, num_hashes=128, bands=32, threshold=0.8
+    )
+    return dedup_survivors_by(d, pairs, "doc_id", "n_chars").select("doc_id")
+
+
+_QUALITY_SURVIVOR_SQL = f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, string_split({_NT.format(c='text')}, ' ') AS ws FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in generate_series(1, greatest(len(ws) - 2, 0))]) AS sh
+  FROM w WHERE len(ws) >= 3
+), inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+  FROM inv a JOIN inv b USING (shingle) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE nc / (sa.n_sh + sb.n_sh - nc) >= 0.8
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT a AS id, b AS r FROM edges
+  UNION SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+), comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+members AS (
+  SELECT c.id AS doc_id, c.component, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.id
+), best AS (
+  SELECT component, max(n_chars) AS b FROM members GROUP BY 1
+), winners AS (
+  SELECT m.component, min(m.doc_id) AS w
+  FROM members m JOIN best USING (component)
+  WHERE m.n_chars = best.b GROUP BY 1
+), losers AS (
+  SELECT doc_id FROM members
+  WHERE doc_id NOT IN (SELECT w FROM winners)
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -4214,6 +4313,8 @@ QUERIES: dict[str, QueryFn] = {
     "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q20_potential_promotion": q20_potential_promotion,
+    "x_knn_classify": x_knn_classify,
+    "x_dedup_quality_survivor": x_dedup_quality_survivor,
     "x_temperature_mixture": x_temperature_mixture,
     "x_semdedup": x_semdedup,
     "x_vocab_coverage": x_vocab_coverage,
@@ -4327,6 +4428,8 @@ ORACLES: dict[str, str] = {
     "q16_parts_supplier_relationship": _Q16_SQL,
     "q17_small_quantity_revenue": _Q17_SQL,
     "q20_potential_promotion": _Q20_SQL,
+    "x_knn_classify": _KNN_SQL,
+    "x_dedup_quality_survivor": _QUALITY_SURVIVOR_SQL,
     "x_temperature_mixture": _TEMPERATURE_SQL,
     "x_semdedup": _SEMDEDUP_SQL,
     "x_vocab_coverage": _VOCAB_SQL,

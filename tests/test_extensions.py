@@ -671,3 +671,74 @@ def test_vocab_coverage_ranks_and_cumulative_share(spark):
     # cumulative share is monotone non-decreasing
     cums = [r["cum_share"] for r in out]
     assert cums == sorted(cums)
+
+
+def test_knn_classify_planted_clusters(spark):
+    from news_lakehouse_spark.operators.similarity import knn_classify
+
+    import random
+
+    rng = random.Random(7)
+    dim = 8
+    # two well-separated label clusters + 2 queries near each center
+    center_a = [5.0] + [0.0] * (dim - 1)
+    center_b = [0.0] * (dim - 1) + [5.0]
+    rows = []
+    for i in range(10):
+        rows.append((i, [c + rng.gauss(0, 0.1) for c in center_a], "A"))
+    for i in range(10, 20):
+        rows.append((i, [c + rng.gauss(0, 0.1) for c in center_b], "B"))
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    queries = spark.createDataFrame(
+        [(100, center_a), (101, center_b)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["query_id"]: r for r in knn_classify(corpus, queries, k=5).collect()}
+    assert out[100]["predicted_label"] == "A" and out[100]["votes"] == 5
+    assert out[101]["predicted_label"] == "B" and out[101]["votes"] == 5
+    assert out[100]["best_rank"] == 1
+
+
+def test_knn_classify_tie_breaks_by_best_rank_then_label(spark):
+    from news_lakehouse_spark.operators.similarity import knn_classify
+
+    # 2-NN with one neighbor of each label: vote tie → closest wins
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "Z"),   # cos=1.0 with query → rank 1
+            (2, [1.0, 0.5], "A"),   # lower cos → rank 2
+            (3, [0.0, 1.0], "C"),   # outside k
+        ],
+        "vec_id long, embedding array<float>, label string",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = knn_classify(corpus, queries, k=2).collect()
+    assert len(out) == 1
+    # Z holds rank 1 despite losing the label sort — best_rank beats label
+    assert out[0]["predicted_label"] == "Z"
+    assert out[0]["votes"] == 1 and out[0]["best_rank"] == 1
+
+
+def test_dedup_survivors_by_keeps_best_then_min_id(spark):
+    from news_lakehouse_spark.operators.dedupe import dedup_survivors_by
+
+    df = spark.createDataFrame(
+        [
+            (1, 100), (2, 300), (3, 300),   # cluster {1,2,3}: best=300, tie → id 2
+            (4, 50), (5, 40),               # cluster {4,5}: best → id 4
+            (9, 10),                        # in no pair: survives untouched
+        ],
+        "doc_id long, n_chars int",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_survivors_by(df, pairs, "doc_id", "n_chars").collect()
+    )
+    assert kept == [2, 4, 9]
