@@ -787,3 +787,102 @@ def dedup_survivors_by(
     )
     losers = members.select(id_col).join(F.broadcast(winners), id_col, "left_anti")
     return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def substring_duplication(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_df: int = 2,
+    max_df: int | None = 10_000,
+) -> DataFrame:
+    """Per-document duplicated-substring coverage (ExactSubstr-style).
+
+    Word-level approximation of suffix-array exact-substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): a token position counts as duplicated iff some
+    k-token span covering it occurs in >= ``min_df`` distinct
+    documents corpus-wide. Because any repeated run of length >= k
+    is a union of repeated k-spans, the covered-position union equals
+    the paper's ">= k-token repeated substring" footprint exactly
+    (for cross-document repeats; within-doc repetition is
+    ``repetition_metrics``' job).
+
+    Output: (id, n_tokens, dup_tokens, dup_fraction) — the standard
+    corpus-curation signal for "how much of this document is copied
+    boilerplate", filterable downstream like any quality metric.
+
+    Scale plan — three shuffles, every key an 8-byte long:
+      1. spans: posexplode of per-doc k-gram *hashes*
+         (sha2-prefix long, the engine-portable idiom) — strings
+         never shuffle;
+      2. document frequency per hash via distinct(doc, hash) →
+         groupBy(hash) with map-side combine; ``max_df`` drops
+         boilerplate grams exactly as in ``ngram_jaccard_pairs``
+         (a gram in 10^6 docs would re-join 10^6 posting rows —
+         capped lists bound the join-back, and a gram that common is
+         boilerplate the coverage metric should count anyway, so the
+         cap is only applied to the *index* side; spans keep it via
+         the df-band semi join);
+      3. covered positions: semi-join spans to duplicated hashes,
+         explode each span into its k positions, distinct per
+         (doc, pos) — bounded by document length — then count.
+    No window functions, no driver collect; document length bounds
+    every per-doc structure.
+    """
+    doc = df.select(F.col(id_col), F.split(normalized_text(text_col), " ").alias("__ws"))
+    words = doc.select(
+        id_col, "__ws", F.size("__ws").alias("n_tokens")
+    )
+    from news_lakehouse_spark.functions.keys import sha2_prefix_long
+
+    idx = F.when(
+        F.col("n_tokens") >= k, F.sequence(F.lit(0), F.col("n_tokens") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    spans = words.select(
+        F.col(id_col),
+        F.explode(idx).alias("pos"),
+        F.col("__ws"),
+    ).select(
+        id_col,
+        "pos",
+        sha2_prefix_long(
+            F.concat_ws(" ", F.slice("__ws", F.col("pos") + 1, k)), 15
+        ).alias("h"),
+    )
+    # document frequency on distinct (doc, hash): within-doc repeats of
+    # a gram must not fake cross-document duplication
+    dfreq = (
+        spans.select(id_col, "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") >= min_df)
+    )
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("__df") <= max_df)
+    dup_spans = spans.join(dfreq.select("h"), "h", "left_semi")
+    covered = (
+        dup_spans.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count("*").alias("dup_tokens"))
+    )
+    return (
+        words.select(id_col, "n_tokens")
+        .join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("int").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )

@@ -4298,6 +4298,42 @@ WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 """
 
 
+def x_substring_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-substring coverage per document:
+    the fraction of token positions covered by an 8-token span that
+    recurs in >= 2 distinct documents (Lee et al. 2022 word-level
+    approximation; cross-document repeats only). The standard
+    'how much of this doc is copied boilerplate' curation signal."""
+    from news_lakehouse_spark.operators.dedupe import substring_duplication
+
+    d = read_table(spark, sf_dir, "documents")
+    return substring_duplication(d, "doc_id", "text", k=8, min_df=2)
+
+
+_SUBSTR_DUP_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split({_NT.format(c='text')}, ' ') AS ws FROM documents
+), spans AS (
+  SELECT doc_id, u.i AS pos,
+         CAST(concat('0x', substr(sha256(array_to_string(ws[u.i + 1 : u.i + 8], ' ')), 1, 15)) AS BIGINT) AS h
+  FROM base, unnest(generate_series(0, len(ws) - 8)) u(i)
+), dfreq AS (
+  SELECT h FROM (
+    SELECT h, count(DISTINCT doc_id) AS df FROM spans GROUP BY h
+  ) WHERE df >= 2 AND df <= 10000
+), cov AS (
+  SELECT DISTINCT s.doc_id, s.pos + u.j AS p
+  FROM spans s JOIN dfreq USING (h), unnest(generate_series(0, 7)) u(j)
+), per AS (
+  SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(len(b.ws) AS INT) AS n_tokens,
+       CAST(coalesce(per.dup_tokens, 0) AS INT) AS dup_tokens,
+       round(coalesce(per.dup_tokens, 0) * 1.0 / greatest(len(b.ws), 1), 6) AS dup_fraction
+FROM base b LEFT JOIN per USING (doc_id)
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -4417,6 +4453,7 @@ QUERIES: dict[str, QueryFn] = {
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "t_session_window": t_session_window,
     "x_scd2_dimension": x_scd2_dimension,
+    "x_substring_duplication": x_substring_duplication,
 }
 
 ORACLES: dict[str, str] = {
@@ -4532,4 +4569,5 @@ ORACLES: dict[str, str] = {
     "x_boilerplate_removal": _BOILERPLATE_SQL,
     "x_source_corpus_stats": _SOURCE_STATS_SQL,
     "x_zorder_key": _zorder_sql(),
+    "x_substring_duplication": _SUBSTR_DUP_SQL,
 }

@@ -705,3 +705,60 @@ def test_evolve_schema_rejects_source_missing_target_columns(spark):
     good = spark.createDataFrame([(1, "A", 11, "en")], ["k", "v", "score", "lang"])
     out = merge_upsert(target, good, ["k"], evolve_schema=True)
     assert set(out.columns) == {"k", "v", "score", "lang"}
+
+
+def test_substring_duplication_planted_spans(spark):
+    """Planted duplicated k-span coverage is exact: two docs share one
+    8-token run (pos 2..9 in doc 1, pos 0..7 in doc 2); a third doc
+    shares nothing. Covered-token counts follow the span-union rule."""
+    from news_lakehouse_spark.operators.dedupe import substring_duplication
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"intro words {shared} tail one two"),       # 13 tokens, 8 dup
+        (2, f"{shared} completely different ending"),    # 11 tokens, 8 dup
+        (3, "nothing here repeats at all ever in any way whatsoever truly"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_fraction"])
+        for r in substring_duplication(df, "doc_id", "text", k=8).collect()
+    }
+    assert got[1] == (13, 8, round(8 / 13, 6))
+    assert got[2] == (11, 8, round(8 / 11, 6))
+    assert got[3] == (11, 0, 0.0)
+
+
+def test_substring_duplication_overlapping_spans_union(spark):
+    """A 9-token shared run = two overlapping 8-spans; coverage is the
+    UNION (9 tokens), not 16 — and a doc shorter than k yields no spans
+    but still reports its token count."""
+    from news_lakehouse_spark.operators.dedupe import substring_duplication
+
+    run9 = "a1 a2 a3 a4 a5 a6 a7 a8 a9"
+    rows = [
+        (1, f"{run9} xx yy"),
+        (2, f"zz {run9}"),
+        (3, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in substring_duplication(df, "doc_id", "text", k=8).collect()
+    }
+    assert got[1] == (11, 9)
+    assert got[2] == (10, 9)
+    assert got[3] == (2, 0)
+
+
+def test_substring_duplication_within_doc_repeat_not_counted(spark):
+    """A k-span repeated twice INSIDE one doc (df=1) is not cross-doc
+    duplication — document frequency uses distinct docs."""
+    from news_lakehouse_spark.operators.dedupe import substring_duplication
+
+    run8 = "b1 b2 b3 b4 b5 b6 b7 b8"
+    rows = [(1, f"{run8} middle {run8}"), (2, "some other words live here now ok yes")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["dup_tokens"]
+           for r in substring_duplication(df, "doc_id", "text", k=8).collect()}
+    assert got == {1: 0, 2: 0}
