@@ -595,3 +595,39 @@ def knn_classify(
             F.col("__p.br").cast("int").alias("best_rank"),
         )
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column.
+
+    The storage/bandwidth workhorse of large-scale ANN: scale =
+    max|v_i| / 127, q_i = round(v_i / scale) ∈ [-127, 127], so each
+    float32 becomes one byte (plus one float scale per vector) — a
+    ~4× shrink of a 100 TB embedding store, and int8 dot products are
+    what SIMD ANN kernels consume. Cosine is scale-invariant, so
+    cos(v, dequantized) == cos(v, q) and ANN ranking degrades only by
+    the rounding error (~1e-2 worst-case per dim at 8 bits).
+
+    Pure narrow plan: no shuffle, no Python — higher-order functions
+    (transform/aggregate) evaluate JVM-side per row, so the operator
+    scans and rewrites embeddings at full parallelism. Zero vectors
+    quantize to all-zero with scale 0.
+
+    Output: (id, qvec array<int>, scale double). Dequantize with
+    q_i * scale.
+    """
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    d = df.select(F.col(id_col), vd.alias("__v"))
+    amax = F.aggregate(
+        F.col("__v"), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    d = d.select(id_col, "__v", (amax / F.lit(127.0)).alias("scale"))
+    qv = F.when(
+        F.col("scale") > 0,
+        F.transform(F.col("__v"), lambda x: F.round(x / F.col("scale"), 0).cast("int")),
+    ).otherwise(F.transform(F.col("__v"), lambda x: F.lit(0)))
+    return d.select(F.col(id_col), qv.alias("qvec"), F.col("scale"))

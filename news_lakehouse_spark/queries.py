@@ -4334,6 +4334,54 @@ FROM base b LEFT JOIN per USING (doc_id)
 """
 
 
+def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization contract: integer checksums of the
+    quantized vector (exact cross-engine) plus the cosine between the
+    original and its quantized form (scale-invariant, so dequantization
+    drops out) — pinning both the quantizer arithmetic and the claim
+    that 8-bit rounding preserves ANN geometry (cos ≈ 1)."""
+    from news_lakehouse_spark.operators.similarity import (
+        cosine_similarity,
+        quantize_embeddings,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, "vec_id", "embedding")
+    joined = emb.join(q, "vec_id")
+    qd = F.transform(F.col("qvec"), lambda x: x.cast("double"))
+    return joined.select(
+        "vec_id",
+        F.aggregate("qvec", F.lit(0), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(
+            "qvec", F.lit(0).cast("long"), lambda a, x: a + (x * x).cast("long")
+        ).alias("q_sq_sum"),
+        F.round("scale", 9).alias("scale"),
+        F.round(cosine_similarity(F.col("embedding"), qd), 6).alias("cos_quant"),
+    )
+
+
+_QUANTIZE_SQL = """
+WITH q AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max')
+             / 127.0 AS scale
+  FROM embeddings
+), qq AS (
+  SELECT vec_id, v, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(v, x -> CAST(round(x / scale, 0) AS INT))
+              ELSE list_transform(v, x -> 0) END AS qv
+  FROM q
+)
+SELECT vec_id,
+       CAST(list_sum(qv) AS INT) AS q_sum,
+       CAST(list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS q_sq_sum,
+       round(scale, 9) AS scale,
+       round(list_cosine_similarity(v, CAST(qv AS DOUBLE[])), 6) AS cos_quant
+FROM qq
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -4454,6 +4502,7 @@ QUERIES: dict[str, QueryFn] = {
     "t_session_window": t_session_window,
     "x_scd2_dimension": x_scd2_dimension,
     "x_substring_duplication": x_substring_duplication,
+    "x_embed_quantize": x_embed_quantize,
 }
 
 ORACLES: dict[str, str] = {
@@ -4570,4 +4619,5 @@ ORACLES: dict[str, str] = {
     "x_source_corpus_stats": _SOURCE_STATS_SQL,
     "x_zorder_key": _zorder_sql(),
     "x_substring_duplication": _SUBSTR_DUP_SQL,
+    "x_embed_quantize": _QUANTIZE_SQL,
 }

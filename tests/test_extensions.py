@@ -742,3 +742,27 @@ def test_dedup_survivors_by_keeps_best_then_min_id(spark):
         for r in dedup_survivors_by(df, pairs, "doc_id", "n_chars").collect()
     )
     assert kept == [2, 4, 9]
+
+
+def test_quantize_embeddings_roundtrip_bounds(spark):
+    """Quantized values stay in [-127, 127], the max-|v| element maps to
+    ±127 exactly, dequantization error is bounded by scale/2 per dim,
+    and a zero vector quantizes to zeros with scale 0."""
+    from news_lakehouse_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.001, 0.002, -0.003, 0.004]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r["vec_id"]: (r["qvec"], r["scale"])
+           for r in quantize_embeddings(df, "vec_id", "embedding").collect()}
+    qv1, s1 = got[1]
+    assert s1 == 1.0 / 127.0
+    assert qv1 == [64, -127, 32, 0]  # round(0.5*127)=64 (63.5 rounds up)
+    for vec_id, (qv, s) in got.items():
+        assert all(-127 <= q <= 127 for q in qv)
+        orig = dict(rows)[vec_id]
+        assert all(abs(q * s - v) <= s / 2 + 1e-12 for q, v in zip(qv, orig))
+    assert got[3] == ([0, 0, 0, 0], 0.0)
