@@ -96,3 +96,32 @@ def cms_estimate(
         .groupBy(token_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est"))
     )
+
+
+def hll_daily_rollup(
+    df: DataFrame,
+    group_col: str,
+    day_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Distinct counting via mergeable HLL sketches: build one Apache
+    DataSketches HLL per (group, day), then union the day sketches per
+    group and read the estimate.
+
+    This is the 100 TB distinct-count pattern: each ingest increment
+    materializes only its own day's fixed-size sketches (a few KB per
+    group), and any coarser rollup — weekly, all-time, cross-source —
+    is a cell-wise sketch union, never a re-scan of raw data. The HLL
+    union is register-wise max, so the merged sketch is IDENTICAL to a
+    sketch built over the raw union — merging loses nothing, which
+    queries.x_hll_rollup pins with a merged≡direct equality bit.
+
+    Output: (group, est_distinct long).
+    """
+    daily = df.groupBy(group_col, day_col).agg(
+        F.hll_sketch_agg(value_col).alias("__sketch")
+    )
+    merged = daily.groupBy(group_col).agg(F.hll_union_agg("__sketch").alias("__sketch"))
+    return merged.select(
+        group_col, F.hll_sketch_estimate("__sketch").alias("est_distinct")
+    )

@@ -4382,6 +4382,41 @@ FROM qq
 """
 
 
+def x_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-HLL distinct users per event type, hash-checked via a
+    two-part contract (sketch bytes are engine-specific): merged-over-
+    days estimate EQUALS the direct single-sketch estimate (HLL union
+    is register-wise max, so merging is lossless — the property that
+    makes incremental daily sketches valid), and the estimate lands
+    within 5% of the exact distinct count."""
+    from news_lakehouse_spark.operators.sketches import hll_daily_rollup
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+        "user_id",
+    )
+    rolled = hll_daily_rollup(ev, "event_type", "day", "user_id")
+    direct = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("__direct"),
+    )
+    return rolled.join(direct, "event_type").select(
+        "event_type",
+        "exact_users",
+        (F.col("est_distinct") == F.col("__direct")).cast("int").alias("merge_exact"),
+        (F.abs(F.col("est_distinct") - F.col("exact_users"))
+         <= 0.05 * F.col("exact_users")).cast("int").alias("approx_ok"),
+    )
+
+
+_HLL_SQL = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       1 AS merge_exact, 1 AS approx_ok
+FROM events GROUP BY event_type
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -4503,6 +4538,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_scd2_dimension": x_scd2_dimension,
     "x_substring_duplication": x_substring_duplication,
     "x_embed_quantize": x_embed_quantize,
+    "x_hll_rollup": x_hll_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -4620,4 +4656,5 @@ ORACLES: dict[str, str] = {
     "x_zorder_key": _zorder_sql(),
     "x_substring_duplication": _SUBSTR_DUP_SQL,
     "x_embed_quantize": _QUANTIZE_SQL,
+    "x_hll_rollup": _HLL_SQL,
 }

@@ -766,3 +766,30 @@ def test_quantize_embeddings_roundtrip_bounds(spark):
         orig = dict(rows)[vec_id]
         assert all(abs(q * s - v) <= s / 2 + 1e-12 for q, v in zip(qv, orig))
     assert got[3] == ([0, 0, 0, 0], 0.0)
+
+
+def test_hll_daily_rollup_merge_lossless(spark):
+    """Union of per-day sketches gives the same estimate as one sketch
+    over everything, and small cardinalities estimate exactly."""
+    from news_lakehouse_spark.operators.sketches import hll_daily_rollup
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("click", "2024-01-01", u) for u in range(20)
+    ] + [
+        ("click", "2024-01-02", u) for u in range(10, 30)  # overlap 10-19
+    ] + [
+        ("view", "2024-01-01", u) for u in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "day", "user_id"])
+    got = {r["event_type"]: r["est_distinct"]
+           for r in hll_daily_rollup(df, "event_type", "day", "user_id").collect()}
+    # HLL is exact at these cardinalities (sparse mode)
+    assert got == {"click": 30, "view": 5}
+    direct = {
+        r["event_type"]: r["d"]
+        for r in df.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("d"))
+        .collect()
+    }
+    assert got == direct
