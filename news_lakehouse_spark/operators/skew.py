@@ -20,7 +20,7 @@ results on task retry.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _SALT = "__salt"
@@ -92,3 +92,49 @@ def salted_join(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>"))
     )
     return l_salted.join(r_replicated, [*on, _SALT], how).drop(_SALT)
+
+
+def key_skew_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Key-distribution skew profile: the diagnostic that decides when
+    ``salted_join``/``salted_aggregate`` (or AQE skew splitting) is
+    worth its replication cost.
+
+    Emits the ``top_n`` heaviest keys with count, corpus share, and
+    skew-vs-mean ratio (cnt / mean-rows-per-key over ALL keys; ~1 ⇒
+    uniform, ≫1 ⇒ that key floods one reducer — the ratio is also the
+    natural salt factor for it).
+
+    Plan: one map-side-combined groupBy(keys) count (the profile's one
+    real shuffle — same cost class as the aggregation being diagnosed),
+    a 1-row global summary joined back by broadcast, and TakeOrdered
+    for the top-N (never a global sort). Ties break on key ascending
+    so the profile is deterministic.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("cnt"))
+    summary = counts.agg(
+        F.count("*").alias("__n_keys"), F.sum("cnt").alias("__n_rows")
+    )
+    w = (
+        counts.crossJoin(F.broadcast(summary))
+        .select(
+            *key_cols,
+            F.col("cnt"),
+            F.round(F.col("cnt") / F.col("__n_rows"), 6).alias("share"),
+            F.round(F.col("cnt") * F.col("__n_keys") / F.col("__n_rows"), 4).alias(
+                "skew_vs_mean"
+            ),
+        )
+        .orderBy(F.col("cnt").desc(), *[F.col(k).asc() for k in key_cols])
+        .limit(top_n)
+    )
+    ranked = w.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), *[F.col(k).asc() for k in key_cols])
+        ),
+    )
+    return ranked.select(*key_cols, "rank", "cnt", "share", "skew_vs_mean")

@@ -4417,6 +4417,31 @@ FROM events GROUP BY event_type
 """
 
 
+def x_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profile of events.user_id: top-20 heaviest keys with
+    share and skew-vs-mean ratio — the pre-flight diagnostic for
+    salted_join/salted_aggregate sizing."""
+    from news_lakehouse_spark.operators.skew import key_skew_stats
+
+    ev = read_table(spark, sf_dir, "events")
+    return key_skew_stats(ev, ["user_id"], top_n=20)
+
+
+_KEY_SKEW_SQL = """
+WITH counts AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+), summary AS (
+  SELECT count(*) AS n_keys, sum(cnt) AS n_rows FROM counts
+)
+SELECT user_id, CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS INT) AS rank,
+       CAST(cnt AS BIGINT) AS cnt,
+       round(cnt * 1.0 / n_rows, 6) AS share,
+       round(cnt * 1.0 * n_keys / n_rows, 4) AS skew_vs_mean
+FROM counts, summary
+ORDER BY cnt DESC, user_id LIMIT 20
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -4539,6 +4564,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_substring_duplication": x_substring_duplication,
     "x_embed_quantize": x_embed_quantize,
     "x_hll_rollup": x_hll_rollup,
+    "x_key_skew": x_key_skew,
 }
 
 ORACLES: dict[str, str] = {
@@ -4657,4 +4683,5 @@ ORACLES: dict[str, str] = {
     "x_substring_duplication": _SUBSTR_DUP_SQL,
     "x_embed_quantize": _QUANTIZE_SQL,
     "x_hll_rollup": _HLL_SQL,
+    "x_key_skew": _KEY_SKEW_SQL,
 }

@@ -793,3 +793,22 @@ def test_hll_daily_rollup_merge_lossless(spark):
         .collect()
     }
     assert got == direct
+
+
+def test_key_skew_stats_ratios(spark):
+    """A planted hot key dominates the profile with the right share and
+    skew ratio; ties rank deterministically by key."""
+    from news_lakehouse_spark.operators.skew import key_skew_stats
+
+    rows = [("hot",)] * 60 + [("warm",)] * 20 + [("a",)] * 10 + [("b",)] * 10
+    df = spark.createDataFrame(rows, ["k"])
+    got = [
+        (r["k"], r["rank"], r["cnt"], r["share"], r["skew_vs_mean"])
+        for r in key_skew_stats(df, ["k"], top_n=3).collect()
+    ]
+    # 100 rows, 4 keys -> mean 25/key
+    assert got == [
+        ("hot", 1, 60, 0.6, 2.4),
+        ("warm", 2, 20, 0.2, 0.8),
+        ("a", 3, 10, 0.1, 0.4),  # tie with b broken by key asc
+    ]
