@@ -789,6 +789,37 @@ def dedup_survivors_by(
     return df.join(F.broadcast(losers), id_col, "left_anti")
 
 
+def _kgram_span_frames(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared span machinery for the ExactSubstr family: the per-doc
+    normalized words array (with n_tokens) and the (id, pos, h) span
+    frame — one row per k-gram start position, keyed by the
+    engine-portable sha2-prefix hash so only 8-byte longs shuffle.
+    Documents shorter than k produce no spans (an explicit guard:
+    ``sequence(0, negative)`` would count DOWN, not come up empty).
+    """
+    from news_lakehouse_spark.functions.keys import sha2_prefix_long
+
+    doc = df.select(F.col(id_col), F.split(normalized_text(text_col), " ").alias("__ws"))
+    words = doc.select(id_col, "__ws", F.size("__ws").alias("n_tokens"))
+    idx = F.when(
+        F.col("n_tokens") >= k, F.sequence(F.lit(0), F.col("n_tokens") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    spans = words.select(
+        F.col(id_col),
+        F.explode(idx).alias("pos"),
+        F.col("__ws"),
+    ).select(
+        id_col,
+        "pos",
+        sha2_prefix_long(
+            F.concat_ws(" ", F.slice("__ws", F.col("pos") + 1, k)), 15
+        ).alias("h"),
+    )
+    return words, spans
+
+
 def substring_duplication(
     df: DataFrame,
     id_col: str,
@@ -831,26 +862,7 @@ def substring_duplication(
     No window functions, no driver collect; document length bounds
     every per-doc structure.
     """
-    doc = df.select(F.col(id_col), F.split(normalized_text(text_col), " ").alias("__ws"))
-    words = doc.select(
-        id_col, "__ws", F.size("__ws").alias("n_tokens")
-    )
-    from news_lakehouse_spark.functions.keys import sha2_prefix_long
-
-    idx = F.when(
-        F.col("n_tokens") >= k, F.sequence(F.lit(0), F.col("n_tokens") - k)
-    ).otherwise(F.array().cast("array<int>"))
-    spans = words.select(
-        F.col(id_col),
-        F.explode(idx).alias("pos"),
-        F.col("__ws"),
-    ).select(
-        id_col,
-        "pos",
-        sha2_prefix_long(
-            F.concat_ws(" ", F.slice("__ws", F.col("pos") + 1, k)), 15
-        ).alias("h"),
-    )
+    words, spans = _kgram_span_frames(df, id_col, text_col, k)
     # document frequency on distinct (doc, hash): within-doc repeats of
     # a gram must not fake cross-document duplication
     dfreq = (
@@ -884,5 +896,66 @@ def substring_duplication(
                 / F.greatest(F.col("n_tokens"), F.lit(1)),
                 6,
             ).alias("dup_fraction"),
+        )
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    max_df: int | None = 10_000,
+) -> DataFrame:
+    """ExactSubstr removal: strip every cross-document duplicated run,
+    keeping ONE canonical copy corpus-wide (Lee et al. 2022 §3 — of
+    each substring duplicated across documents, exactly one occurrence
+    survives).
+
+    Canonical ownership is per k-gram: the min-id document containing
+    a duplicated gram keeps it; every other document drops all token
+    positions covered by that gram. Deterministic, order-free, and
+    idempotent on its own output. Operates on the normalized token
+    stream (the dedup canon — same basis as every shingle operator
+    here), so ``clean_text`` is normalized text.
+
+    Scale shape mirrors ``substring_duplication`` — 8-byte hash keys,
+    df band via ``max_df`` — plus a narrow rebuild: drop positions
+    aggregate to ONE array per doc (bounded by doc length), broadcast-
+    joined back, and the surviving text reassembles with an indexed
+    higher-order filter — no token re-explosion, no window, no sort.
+
+    Output: (id, n_tokens, kept_tokens, clean_text).
+    """
+    words, spans = _kgram_span_frames(df, id_col, text_col, k)
+    owners = spans.groupBy("h").agg(
+        F.min(id_col).alias("__owner"),
+        F.count_distinct(F.col(id_col)).alias("__df"),
+    ).filter(F.col("__df") >= 2)
+    if max_df is not None:
+        owners = owners.filter(F.col("__df") <= max_df)
+    drop_pos = (
+        spans.join(owners.select("h", "__owner"), "h")
+        .filter(F.col(id_col) != F.col("__owner"))
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p"),
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("p")).alias("__drop"))
+    )
+    kept = F.filter(
+        F.col("__ws"),
+        lambda w, i: ~F.coalesce(
+            F.array_contains(F.col("__drop"), i), F.lit(False)
+        ),
+    )
+    return (
+        words.join(drop_pos, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.size(kept).cast("int").alias("kept_tokens"),
+            F.concat_ws(" ", kept).alias("clean_text"),
         )
     )

@@ -4442,6 +4442,50 @@ ORDER BY cnt DESC, user_id LIMIT 20
 """
 
 
+def x_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal: strip cross-document duplicated 8-token
+    runs from each document, keeping the min-id canonical copy per
+    gram — returns the cleaned normalized text plus kept/total token
+    accounting."""
+    from news_lakehouse_spark.operators.dedupe import remove_duplicated_spans
+
+    d = read_table(spark, sf_dir, "documents")
+    return remove_duplicated_spans(d, "doc_id", "text", k=8)
+
+
+_SUBSTR_REMOVAL_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split({_NT.format(c='text')}, ' ') AS ws FROM documents
+), spans AS (
+  SELECT doc_id, u.i AS pos,
+         CAST(concat('0x', substr(sha256(array_to_string(ws[u.i + 1 : u.i + 8], ' ')), 1, 15)) AS BIGINT) AS h
+  FROM base, unnest(generate_series(0, len(ws) - 8)) u(i)
+), owners AS (
+  SELECT h, min(doc_id) AS owner FROM spans GROUP BY h
+  HAVING count(DISTINCT doc_id) >= 2 AND count(DISTINCT doc_id) <= 10000
+), dropped AS (
+  SELECT DISTINCT s.doc_id, s.pos + u.j AS p
+  FROM spans s JOIN owners o USING (h), unnest(generate_series(0, 7)) u(j)
+  WHERE s.doc_id <> o.owner
+), toks AS (
+  SELECT doc_id, u.i AS pos, ws[u.i + 1] AS w
+  FROM base, unnest(generate_series(0, len(ws) - 1)) u(i)
+), keptt AS (
+  SELECT t.doc_id, t.pos, t.w FROM toks t
+  LEFT JOIN dropped d ON d.doc_id = t.doc_id AND d.p = t.pos
+  WHERE d.p IS NULL
+), agg AS (
+  SELECT doc_id, count(*) AS kept_tokens,
+         string_agg(w, ' ' ORDER BY pos) AS clean_text
+  FROM keptt GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(len(b.ws) AS INT) AS n_tokens,
+       CAST(coalesce(a.kept_tokens, 0) AS INT) AS kept_tokens,
+       coalesce(a.clean_text, '') AS clean_text
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -4565,6 +4609,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_embed_quantize": x_embed_quantize,
     "x_hll_rollup": x_hll_rollup,
     "x_key_skew": x_key_skew,
+    "x_substring_removal": x_substring_removal,
 }
 
 ORACLES: dict[str, str] = {
@@ -4684,4 +4729,5 @@ ORACLES: dict[str, str] = {
     "x_embed_quantize": _QUANTIZE_SQL,
     "x_hll_rollup": _HLL_SQL,
     "x_key_skew": _KEY_SKEW_SQL,
+    "x_substring_removal": _SUBSTR_REMOVAL_SQL,
 }

@@ -762,3 +762,31 @@ def test_substring_duplication_within_doc_repeat_not_counted(spark):
     got = {r["doc_id"]: r["dup_tokens"]
            for r in substring_duplication(df, "doc_id", "text", k=8).collect()}
     assert got == {1: 0, 2: 0}
+
+
+def test_remove_duplicated_spans_keeps_canonical_copy(spark):
+    """The min-id doc keeps the shared run; every other doc loses it.
+    A doc with no cross-doc spans is untouched, and the operator is
+    idempotent on its own output."""
+    from news_lakehouse_spark.operators.dedupe import remove_duplicated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"intro words {shared} tail one two"),
+        (2, f"{shared} completely different ending"),
+        (3, "nothing here repeats at all ever in any way whatsoever truly"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = remove_duplicated_spans(df, "doc_id", "text", k=8)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["clean_text"] == f"intro words {shared} tail one two"
+    assert got[1]["kept_tokens"] == 13
+    assert got[2]["clean_text"] == "completely different ending"
+    assert got[2]["kept_tokens"] == 3
+    assert got[3]["kept_tokens"] == got[3]["n_tokens"] == 11
+    # idempotent: re-running on the cleaned corpus changes nothing
+    again = remove_duplicated_spans(
+        out.select("doc_id", F.col("clean_text").alias("text")), "doc_id", "text", k=8
+    )
+    got2 = {r["doc_id"]: r["clean_text"] for r in again.collect()}
+    assert got2 == {i: got[i]["clean_text"] for i in (1, 2, 3)}
