@@ -848,8 +848,9 @@ def substring_duplication(
       1. spans: posexplode of per-doc k-gram *hashes*
          (sha2-prefix long, the engine-portable idiom) — strings
          never shuffle;
-      2. document frequency per hash via distinct(doc, hash) →
-         groupBy(hash) with map-side combine; ``max_df`` drops
+      2. document frequency per hash via a single h-keyed
+         count_distinct aggregation (partial distinct map-side);
+         ``max_df`` drops
          boilerplate grams exactly as in ``ngram_jaccard_pairs``
          (a gram in 10^6 docs would re-join 10^6 posting rows —
          capped lists bound the join-back, and a gram that common is
@@ -857,32 +858,32 @@ def substring_duplication(
          cap is only applied to the *index* side; spans keep it via
          the df-band semi join);
       3. covered positions: semi-join spans to duplicated hashes,
-         explode each span into its k positions, distinct per
-         (doc, pos) — bounded by document length — then count.
+         explode each span into its k positions, count_distinct per
+         doc in one doc-keyed shuffle (bounded by document length).
     No window functions, no driver collect; document length bounds
     every per-doc structure.
     """
     words, spans = _kgram_span_frames(df, id_col, text_col, k)
-    # document frequency on distinct (doc, hash): within-doc repeats of
-    # a gram must not fake cross-document duplication
+    # document frequency = count_distinct(doc) in ONE h-keyed shuffle
+    # (partial distinct runs map-side); within-doc repeats of a gram
+    # must not fake cross-document duplication
     dfreq = (
-        spans.select(id_col, "h")
-        .distinct()
-        .groupBy("h")
-        .agg(F.count("*").alias("__df"))
+        spans.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
         .filter(F.col("__df") >= min_df)
     )
     if max_df is not None:
         dfreq = dfreq.filter(F.col("__df") <= max_df)
     dup_spans = spans.join(dfreq.select("h"), "h", "left_semi")
+    # covered positions: count_distinct over the per-span position
+    # explosion, again one doc-keyed shuffle
     covered = (
         dup_spans.select(
             F.col(id_col),
             F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p"),
         )
-        .distinct()
         .groupBy(id_col)
-        .agg(F.count("*").alias("dup_tokens"))
+        .agg(F.count_distinct("p").alias("dup_tokens"))
     )
     return (
         words.select(id_col, "n_tokens")
