@@ -63,6 +63,12 @@ EXTENDED = [
     "q13_customer_distribution",
     "q16_parts_supplier_relationship",
     "q21_suppliers_kept_waiting",
+    # round-3 additions (training-data extension ops):
+    "x_substring_duplication",
+    "x_substring_removal",
+    "x_embed_quantize",
+    "x_hll_rollup",
+    "x_key_skew",
 ]
 
 
@@ -90,10 +96,17 @@ def main() -> None:
         out: dict[str, float] = {}
         for name in names:
             best = float("inf")
-            n = 0
+            df = QUERIES[name](spark, sf_dir)
+            n = df.count()
             for _ in range(runs):
                 t0 = time.perf_counter()
-                n = QUERIES[name](spark, sf_dir).count()
+                # noop sink: consume EVERY output column of every row.
+                # count() lets Catalyst prune unreferenced final columns
+                # (and eliminate provably-1:1 final joins), silently
+                # under-timing queries whose cost lives in those columns.
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
                 best = min(best, time.perf_counter() - t0)
             out[name] = round(best, 3)
             print(
@@ -121,6 +134,7 @@ def main() -> None:
                 "sf": sf_val,
                 "runs_per_query": runs,
                 "stat": "min",
+                "materialize": "noop_sink_all_columns",
                 "extended_total_sec": round(sum(extended.values()), 3),
                 "extended": extended,
             }
