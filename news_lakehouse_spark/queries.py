@@ -4486,6 +4486,64 @@ FROM base b LEFT JOIN agg a USING (doc_id)
 """
 
 
+def x_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest: documents with doc_id % 5 == 0 are
+    'today's batch', the rest the existing corpus; each batch doc is
+    classified in_corpus / dup_in_batch / admit by MinHash+LSH with
+    exact-Jaccard verification at ≥ 0.8. Oracle recomputes the flags
+    from exact all-pairs Jaccard (LSH recall ~1 at this threshold)."""
+    from news_lakehouse_spark.operators.dedupe import incremental_minhash_dedupe
+
+    d = read_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    return incremental_minhash_dedupe(
+        corpus, batch, "doc_id", "text", n=3, num_hashes=128, bands=32, threshold=0.8
+    )
+
+
+def _minhash_incremental_sql(n: int = 3, threshold: float = 0.8) -> str:
+    gram = " || ' ' || ".join(f"ws[i+{j}]" if j else "ws[i]" for j in range(n))
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split({_NT.format(c='text')}, ' ') AS ws FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct([{gram} for i in generate_series(1, greatest(len(ws) - {n - 1}, 0))])
+             AS sh
+  FROM w WHERE len(ws) >= {n}
+), inv AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM s
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+  FROM inv a JOIN inv b USING (shingle)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+), sz AS (SELECT doc_id, len(sh) AS n_sh FROM s),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE nc / (sa.n_sh + sb.n_sh - nc) >= {threshold}
+), batch AS (
+  SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+), flags AS (
+  SELECT b.doc_id,
+         EXISTS (SELECT 1 FROM pairs p WHERE p.id_a = b.doc_id AND p.id_b % 5 <> 0)
+             AS in_c,
+         EXISTS (SELECT 1 FROM pairs p WHERE p.id_a = b.doc_id AND p.id_b % 5 = 0
+                 AND p.id_b < b.doc_id) AS dup_b
+  FROM batch b
+)
+SELECT doc_id,
+       CAST(in_c AS INT) AS in_corpus,
+       CAST(NOT in_c AND dup_b AS INT) AS dup_in_batch,
+       CAST(NOT in_c AND NOT dup_b AS INT) AS admit
+FROM flags
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -4610,6 +4668,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_hll_rollup": x_hll_rollup,
     "x_key_skew": x_key_skew,
     "x_substring_removal": x_substring_removal,
+    "x_dedup_minhash_incremental": x_dedup_minhash_incremental,
 }
 
 ORACLES: dict[str, str] = {
@@ -4730,4 +4789,5 @@ ORACLES: dict[str, str] = {
     "x_hll_rollup": _HLL_SQL,
     "x_key_skew": _KEY_SKEW_SQL,
     "x_substring_removal": _SUBSTR_REMOVAL_SQL,
+    "x_dedup_minhash_incremental": _minhash_incremental_sql(),
 }

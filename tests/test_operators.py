@@ -790,3 +790,41 @@ def test_remove_duplicated_spans_keeps_canonical_copy(spark):
     )
     got2 = {r["doc_id"]: r["clean_text"] for r in again.collect()}
     assert got2 == {i: got[i]["clean_text"] for i in (1, 2, 3)}
+
+
+def test_incremental_minhash_classifies_batch(spark):
+    """A batch doc near-identical to a corpus doc → in_corpus; two
+    near-identical batch docs (no corpus match) → earlier admits, later
+    is dup_in_batch; a unique doc admits. Replaying admitted docs
+    against the grown corpus admits nothing."""
+    from news_lakehouse_spark.operators.dedupe import incremental_minhash_dedupe
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated corpus text about spark plans")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base + " ok"),                       # near-dup of corpus 1
+            (11, "fresh unique content with many novel words in this row"),
+            (12, "fresh unique content with many novel words in this rows"),  # near-dup of 11
+            (13, "totally singular document unlike anything else at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: (r["in_corpus"], r["dup_in_batch"], r["admit"])
+           for r in incremental_minhash_dedupe(
+               corpus, batch, "doc_id", "text", threshold=0.5).collect()}
+    assert out[10] == (1, 0, 0)
+    assert out[11] == (0, 0, 1)
+    assert out[12] == (0, 1, 0)
+    assert out[13] == (0, 0, 1)
+    # replay: admitted rows joined into the corpus classify as in_corpus
+    grown = corpus.union(batch.filter(F.col("doc_id").isin(11, 13)))
+    replay = {r["doc_id"]: r["in_corpus"]
+              for r in incremental_minhash_dedupe(
+                  grown, batch.filter(F.col("doc_id").isin(11, 13)).withColumn(
+                      "doc_id", F.col("doc_id") + 100),
+                  "doc_id", "text", threshold=0.5).collect()}
+    assert replay == {111: 1, 113: 1}
