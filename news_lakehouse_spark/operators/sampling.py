@@ -411,3 +411,65 @@ def temperature_weights(
             6,
         ).alias("up_factor"),
     )
+
+
+def reservoir_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_cols: list[str],
+    salt: str = "reservoir",
+    method: str = "auto",
+    rank_max_rows: int = 5_000_000,
+    margin_sigmas: float = 12.0,
+) -> DataFrame:
+    """Exactly min(k, n_g) uniformly-sampled rows from every group —
+    the distributed, deterministic analog of per-group reservoir
+    sampling (fixed-size per-source eval holdouts, per-domain
+    inspection samples).
+
+    Selection is rank-by-hash: a row survives iff its row_number over
+    (hash_fraction(keys), *keys) within the group is ≤ k. That
+    definition is engine- and partitioning-independent (no seed, no
+    scan order), re-runnable, and growth-stable: adding rows to a
+    group only ever swaps individual members, and other groups'
+    samples do not move at all.
+
+    Physical plans mirror ``mixture_sample``: a per-group row_number
+    window while the largest group fits a single task
+    (``rank_max_rows``), else the exact O(sqrt n) boundary-band cutoff
+    (``_mixture_cutoff``) so no task ever sorts a whole group —
+    ``method`` forces either.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not key_cols:
+        raise ValueError(
+            "key_cols must name row-identifying columns: without them "
+            "every in-group rank is a tie and the kept set depends on "
+            "partition order"
+        )
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    keeps = counts.select(
+        group_col,
+        "__n",
+        F.least(F.lit(int(k)).cast("long"), F.col("__n")).alias("__keep"),
+    )
+    u = hash_fraction(*key_cols, salt=salt)
+    if method == "auto":
+        biggest = counts.agg(F.max("__n")).collect()[0][0] or 0
+        method = "rank" if biggest <= rank_max_rows else "cutoff"
+    if method == "rank":
+        rank = F.row_number().over(
+            Window.partitionBy(group_col).orderBy(u, *key_cols)
+        )
+        return (
+            df.join(F.broadcast(keeps.select(group_col, "__keep")), group_col)
+            .withColumn("__r", rank)
+            .filter(F.col("__r") <= F.col("__keep"))
+            .drop("__r", "__keep")
+        )
+    out = _mixture_cutoff(
+        df, group_col, key_cols, keeps, u, "__kept", margin_sigmas
+    )
+    return out.filter(F.col("__kept") == 1).drop("__kept")

@@ -4544,6 +4544,35 @@ FROM flags
 """
 
 
+def x_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-50-per-event-type deterministic uniform sample (per-group
+    reservoir analog), forced through the scale-safe cutoff plan so the
+    boundary-band machinery itself is oracle-checked against the plain
+    rank definition."""
+    from news_lakehouse_spark.operators.sampling import reservoir_sample_per_group
+
+    e = read_table(spark, sf_dir, "events")
+    out = reservoir_sample_per_group(
+        e, "event_type", 50, key_cols=["event_id"], method="cutoff"
+    )
+    return out.select("event_id", "event_type")
+
+
+_RESERVOIR_SQL = """
+WITH h AS (
+  SELECT event_id, event_type,
+         CAST(concat('0x', substr(sha256(concat_ws('||', 'reservoir', event_id)), 1, 15))
+              AS BIGINT) / 1152921504606846976.0 AS hf
+  FROM events
+), r AS (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY hf, event_id) AS rn
+  FROM h
+)
+SELECT event_id, event_type FROM r WHERE rn <= 50
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -4669,6 +4698,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_key_skew": x_key_skew,
     "x_substring_removal": x_substring_removal,
     "x_dedup_minhash_incremental": x_dedup_minhash_incremental,
+    "x_reservoir_sample": x_reservoir_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -4790,4 +4820,5 @@ ORACLES: dict[str, str] = {
     "x_key_skew": _KEY_SKEW_SQL,
     "x_substring_removal": _SUBSTR_REMOVAL_SQL,
     "x_dedup_minhash_incremental": _minhash_incremental_sql(),
+    "x_reservoir_sample": _RESERVOIR_SQL,
 }

@@ -812,3 +812,25 @@ def test_key_skew_stats_ratios(spark):
         ("warm", 2, 20, 0.2, 0.8),
         ("a", 3, 10, 0.1, 0.4),  # tie with b broken by key asc
     ]
+
+
+def test_reservoir_sample_exact_k_and_plan_equivalence(spark):
+    """Both physical plans yield the identical min(k, n_g)-per-group
+    set, and growing one group never perturbs another group's sample."""
+    from news_lakehouse_spark.operators.sampling import reservoir_sample_per_group
+
+    rows = [(i, "big") for i in range(200)] + [(1000 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, ["id", "g"])
+    rank = {(r["id"], r["g"]) for r in reservoir_sample_per_group(
+        df, "g", 10, ["id"], method="rank").collect()}
+    cut = {(r["id"], r["g"]) for r in reservoir_sample_per_group(
+        df, "g", 10, ["id"], method="cutoff").collect()}
+    assert rank == cut
+    assert sum(1 for _, g in rank if g == "big") == 10
+    assert sum(1 for _, g in rank if g == "small") == 3
+    # stability: doubling the big group leaves the small group's sample alone
+    grown = df.union(spark.createDataFrame(
+        [(2000 + i, "big") for i in range(200)], ["id", "g"]))
+    g2 = {(r["id"], r["g"]) for r in reservoir_sample_per_group(
+        grown, "g", 10, ["id"], method="cutoff").collect()}
+    assert {(i, g) for i, g in g2 if g == "small"} == {(i, g) for i, g in rank if g == "small"}
