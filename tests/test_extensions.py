@@ -795,6 +795,36 @@ def test_hll_daily_rollup_merge_lossless(spark):
     assert got == direct
 
 
+def test_kll_daily_rollup_quantiles(spark):
+    """Merged per-day KLL sketches recover exact quantiles on a small
+    series (sketch stores every value below k=200), and the single-day
+    fold path (no merge) agrees with a direct sketch."""
+    from news_lakehouse_spark.operators.sketches import kll_daily_rollup
+    from pyspark.sql import functions as F
+
+    rows = [("a", "2024-01-01", float(v)) for v in range(1, 51)] + [
+        ("a", "2024-01-02", float(v)) for v in range(51, 101)
+    ] + [("b", "2024-01-01", float(v)) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, ["grp", "day", "value"])
+    got = {
+        r["grp"]: (r["p50"], r["p95"])
+        for r in kll_daily_rollup(df, "grp", "day", "value").collect()
+    }
+    # KLL returns a retained item whose rank is within eps of the ask;
+    # below k it retains everything, so the answer is a real data point
+    # with exact rank up to the inclusive/exclusive rank convention.
+    assert got["a"][0] in (50.0, 51.0)
+    assert got["a"][1] in (95.0, 96.0)
+    assert got["b"][0] in (5.0, 6.0)
+    # single-day group 'b' exercises the fold's empty-slice branch
+    direct = df.filter("grp = 'b'").agg(
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("value"), F.lit(0.5)
+        ).alias("q")
+    ).collect()[0]["q"]
+    assert got["b"][0] == direct
+
+
 def test_key_skew_stats_ratios(spark):
     """A planted hot key dominates the profile with the right share and
     skew ratio; ties rank deterministically by key."""
