@@ -68,6 +68,7 @@ EXTENDED = [
     "x_substring_removal",
     "x_embed_quantize",
     "x_hll_rollup",
+    "x_kll_rollup",
     "x_key_skew",
 ]
 

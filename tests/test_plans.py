@@ -96,3 +96,12 @@ def test_q17_per_part_stats_broadcast_back(spark, sf_dir):
     # branded fact, not sort-merge it
     a, _ = _audit(spark, sf_dir, "q17_small_quantity_revenue")
     assert a["bhj"] >= 2 and a["smj"] == 0 and a["nlj"] == 0
+
+
+def test_kll_rollup_stays_jvm_side(spark, sf_dir):
+    # sketch build, fold-merge, and quantile read are all built-in
+    # expressions: no Arrow boundary, no nested loop; the events scan
+    # prunes to the 3 needed columns
+    a, _ = _audit(spark, sf_dir, "x_kll_rollup")
+    assert a["python_ops"] == 0 and a["nlj"] == 0
+    assert a["read_cols"] and max(a["read_cols"]) <= 3
