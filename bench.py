@@ -70,6 +70,7 @@ EXTENDED = [
     "x_hll_rollup",
     "x_kll_rollup",
     "x_key_skew",
+    "x_weighted_sample",
 ]
 
 

@@ -270,11 +270,19 @@ def _mixture_cutoff(
     u: Column,
     kept_col: str,
     margin_sigmas: float,
+    limits: DataFrame | None = None,
 ) -> DataFrame:
     """Exact boundary-band selection for mixture_sample (see there).
 
     keeps: (strata_col, __n, __keep) per surviving stratum.
+    limits: optional precomputed (strata_col, __n, __keep, __lo, __hi)
+    band table, for rank lines where the closed-form binomial band on
+    a uniform hash does not apply (weighted_sample_per_group's
+    exponential keys use a percentile-sketch band instead). The exact
+    edge-count assertion below still guards bracketing either way.
     """
+    if limits is not None:
+        return _cutoff_with_limits(df, strata_col, keys, u, kept_col, limits)
     # Band edges around the expected cutoff quantile q = keep/n.
     limits = keeps.select(
         strata_col,
@@ -305,6 +313,23 @@ def _mixture_cutoff(
         ).alias("__hi"),
     )
 
+    return _cutoff_with_limits(df, strata_col, keys, u, kept_col, limits)
+
+
+def _cutoff_with_limits(
+    df: DataFrame,
+    strata_col: str,
+    keys: list[str],
+    u: Column,
+    kept_col: str,
+    limits: DataFrame,
+) -> DataFrame:
+    """Shared exact-selection tail of the boundary-band cutoff: count
+    the band edges exactly, assert the band brackets the threshold,
+    window-sort ONLY the band to find the cut tuple, mark survivors.
+
+    limits: (strata_col, __n, __keep, __lo, __hi).
+    """
     base = df.withColumn("__u", u).join(F.broadcast(limits), strata_col, "inner")
 
     # Exact counts at the band edges — one narrow aggregate scan.
@@ -472,4 +497,104 @@ def reservoir_sample_per_group(
     out = _mixture_cutoff(
         df, group_col, key_cols, keeps, u, "__kept", margin_sigmas
     )
+    return out.filter(F.col("__kept") == 1).drop("__kept")
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_cols: list[str],
+    weight_col: str,
+    salt: str = "weighted",
+    method: str = "auto",
+    rank_max_rows: int = 5_000_000,
+    accuracy: int = 100_000,
+    grid_points: int = 4096,
+) -> DataFrame:
+    """Exactly min(k, n_g) rows per group, sampled WITHOUT replacement
+    with inclusion probability proportional to ``weight_col``
+    (Efraimidis & Spirakis 2006, A-Res): each row's rank line is
+    e = -ln(1 - u) / w over the deterministic sha2 hash u, and the k
+    smallest e per group win. Heavier rows draw stochastically smaller
+    exponentials, so they win proportionally more reservoir slots —
+    the standard quality- or length-weighted subsampling primitive.
+
+    Deterministic and growth-stable like reservoir_sample_per_group:
+    no seed, no scan-order sensitivity, adding rows only ever swaps
+    individual members. Rows with NULL or non-positive weight are
+    EXCLUDED (they have no defined inclusion probability). The rank
+    line is quantized to 12 decimals before ranking (ties broken by
+    keys) so selection is reproducible across engines whose ln()
+    differs in the final ulp — the DuckDB oracle replicates the line
+    bit-for-bit at that precision.
+
+    Physical plans mirror reservoir_sample_per_group: a per-group
+    row_number window while the largest group fits one task
+    (``rank_max_rows``), else a boundary-band cutoff. The band cannot
+    use mixture_sample's closed-form binomial bound (e is a mixture of
+    exponentials, not uniform), so its edges come from a
+    percentile_approx grid: rank error of the sketch is a
+    deterministic <= 1/accuracy and the ``grid_points``-point ask adds
+    <= 1/grid_points, giving a band of ~2(1/grid_points + 2/accuracy)
+    of each group — the exact edge-count assertion in the shared
+    cutoff tail still verifies bracketing, and only the band is ever
+    window-sorted.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not key_cols:
+        raise ValueError(
+            "key_cols must name row-identifying columns: without them "
+            "every in-group rank is a tie and the kept set depends on "
+            "partition order"
+        )
+    pos = df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+    u = hash_fraction(*key_cols, salt=salt)
+    e = F.round(
+        -F.log(F.lit(1.0) - u) / F.col(weight_col).cast("double"), 12
+    )
+    counts = pos.groupBy(group_col).agg(F.count("*").alias("__n"))
+    keeps = counts.select(
+        group_col,
+        "__n",
+        F.least(F.lit(int(k)).cast("long"), F.col("__n")).alias("__keep"),
+    )
+    if method == "auto":
+        biggest = counts.agg(F.max("__n")).collect()[0][0] or 0
+        method = "rank" if biggest <= rank_max_rows else "cutoff"
+    if method == "rank":
+        rank = F.row_number().over(
+            Window.partitionBy(group_col).orderBy(e, *key_cols)
+        )
+        return (
+            pos.join(F.broadcast(keeps.select(group_col, "__keep")), group_col)
+            .withColumn("__r", rank)
+            .filter(F.col("__r") <= F.col("__keep"))
+            .drop("__r", "__keep")
+        )
+    grid = [i / grid_points for i in range(grid_points + 1)]
+    sketch = (
+        pos.withColumn("__e", e)
+        .groupBy(group_col)
+        .agg(F.percentile_approx("__e", grid, accuracy).alias("__grid"))
+    )
+    q = F.col("__keep") / F.col("__n")
+    slack = 2.0 / accuracy
+    lo_idx = F.greatest(
+        F.lit(0), (F.floor((q - slack) * grid_points) - 1).cast("int")
+    )
+    hi_idx = F.least(
+        F.lit(grid_points), (F.ceil((q + slack) * grid_points) + 1).cast("int")
+    )
+    limits = keeps.join(sketch, group_col).select(
+        group_col,
+        "__n",
+        "__keep",
+        F.when(q - slack <= 0, F.lit(0.0))
+        .otherwise(F.element_at("__grid", lo_idx + 1))
+        .alias("__lo"),
+        F.element_at("__grid", hi_idx + 1).alias("__hi"),
+    )
+    out = _cutoff_with_limits(pos, group_col, key_cols, e, "__kept", limits)
     return out.filter(F.col("__kept") == 1).drop("__kept")

@@ -4616,6 +4616,44 @@ SELECT event_id, event_type FROM r WHERE rn <= 50
 """
 
 
+def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted 40-per-source document sample (Efraimidis-
+    Spirakis A-Res on the deterministic hash line, weight = n_chars),
+    forced through the percentile-banded cutoff plan so the
+    distribution-free band machinery is oracle-checked against the
+    plain rank definition the SQL replicates."""
+    from news_lakehouse_spark.operators.sampling import weighted_sample_per_group
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = weighted_sample_per_group(
+        d, "source", 40, key_cols=["doc_id"], weight_col="n_chars",
+        method="cutoff",
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH h AS (
+  SELECT doc_id, source, n_chars,
+         CAST(concat('0x', substr(sha256(concat_ws('||', 'weighted', doc_id)), 1, 15))
+              AS BIGINT) / 1152921504606846976.0 AS u
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+), e AS (
+  SELECT doc_id, source, n_chars,
+         round(-ln(1.0 - u) / CAST(n_chars AS DOUBLE), 12) AS line
+  FROM h
+), r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY line, doc_id) AS rn
+  FROM e
+)
+SELECT doc_id, source, n_chars FROM r WHERE rn <= 40
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -4746,6 +4784,7 @@ QUERIES: dict[str, QueryFn] = {
     "t_session_window": t_session_window,
     "x_scd2_dimension": x_scd2_dimension,
     "x_kll_rollup": x_kll_rollup,
+    "x_weighted_sample": x_weighted_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -4865,6 +4904,7 @@ ORACLES: dict[str, str] = {
     "x_embed_quantize": _QUANTIZE_SQL,
     "x_hll_rollup": _HLL_SQL,
     "x_kll_rollup": _KLL_SQL,
+    "x_weighted_sample": _WEIGHTED_SAMPLE_SQL,
     "x_key_skew": _KEY_SKEW_SQL,
     "x_substring_removal": _SUBSTR_REMOVAL_SQL,
     "x_dedup_minhash_incremental": _minhash_incremental_sql(),

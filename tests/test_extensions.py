@@ -864,3 +864,33 @@ def test_reservoir_sample_exact_k_and_plan_equivalence(spark):
     g2 = {(r["id"], r["g"]) for r in reservoir_sample_per_group(
         grown, "g", 10, ["id"], method="cutoff").collect()}
     assert {(i, g) for i, g in g2 if g == "small"} == {(i, g) for i, g in rank if g == "small"}
+
+
+def test_weighted_sample_rank_cutoff_equivalence(spark):
+    """Both physical plans pick the identical weighted-without-
+    replacement set; heavy rows dominate slots; non-positive/null
+    weights are excluded; undersized groups return whole."""
+    from news_lakehouse_spark.operators.sampling import weighted_sample_per_group
+
+    rows = (
+        [(i, "g", 1.0) for i in range(500)]
+        + [(1000 + i, "g", 100.0) for i in range(500)]
+        + [(2000, "g", None), (2001, "g", 0.0), (2002, "g", -3.0)]
+        + [(3000 + i, "tiny", 5.0) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, ["id", "grp", "w"])
+    rank = {(r["grp"], r["id"]) for r in weighted_sample_per_group(
+        df, "grp", 60, ["id"], "w", method="rank").collect()}
+    cut = {(r["grp"], r["id"]) for r in weighted_sample_per_group(
+        df, "grp", 60, ["id"], "w", method="cutoff").collect()}
+    assert rank == cut
+    assert sum(1 for g, _ in rank if g == "g") == 60
+    # tiny group: min(k, n) = all 4 rows
+    assert {(g, i) for g, i in rank if g == "tiny"} == {
+        ("tiny", 3000 + i) for i in range(4)}
+    # excluded weights never sampled
+    assert not any(i in (2000, 2001, 2002) for _, i in rank)
+    # E-S weighting: a 100x weight ratio should hand the heavy half
+    # nearly every slot (P[light row beats heavy row] ~ 1/101)
+    heavy = sum(1 for g, i in rank if g == "g" and i >= 1000)
+    assert heavy >= 50
