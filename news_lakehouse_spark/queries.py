@@ -4617,7 +4617,7 @@ SELECT event_id, event_type FROM r WHERE rn <= 50
 
 
 def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length-weighted 40-per-source document sample (Efraimidis-
+    """Length-weighted 10-per-source document sample (Efraimidis-
     Spirakis A-Res on the deterministic hash line, weight = n_chars),
     forced through the percentile-banded cutoff plan so the
     distribution-free band machinery is oracle-checked against the
@@ -4628,7 +4628,7 @@ def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars"
     )
     out = weighted_sample_per_group(
-        d, "source", 40, key_cols=["doc_id"], weight_col="n_chars",
+        d, "source", 10, key_cols=["doc_id"], weight_col="n_chars",
         method="cutoff",
     )
     return out.select("doc_id", "source", "n_chars")
@@ -4650,7 +4650,7 @@ WITH h AS (
          row_number() OVER (PARTITION BY source ORDER BY line, doc_id) AS rn
   FROM e
 )
-SELECT doc_id, source, n_chars FROM r WHERE rn <= 40
+SELECT doc_id, source, n_chars FROM r WHERE rn <= 10
 """
 
 
