@@ -105,3 +105,10 @@ def test_kll_rollup_stays_jvm_side(spark, sf_dir):
     a, _ = _audit(spark, sf_dir, "x_kll_rollup")
     assert a["python_ops"] == 0 and a["nlj"] == 0
     assert a["read_cols"] and max(a["read_cols"]) <= 3
+
+
+def test_weighted_sample_cutoff_no_full_sort(spark, sf_dir):
+    # the cutoff plan may window-sort only the boundary band; the full
+    # table never sorts, everything stays JVM-side, limits broadcast
+    a, plan = _audit(spark, sf_dir, "x_weighted_sample")
+    assert a["python_ops"] == 0 and a["nlj"] == 0 and a["smj"] == 0
