@@ -71,6 +71,7 @@ EXTENDED = [
     "x_kll_rollup",
     "x_key_skew",
     "x_weighted_sample",
+    "x_exact_percentile",
 ]
 
 

@@ -24,7 +24,7 @@ reproduce the grid cell-for-cell.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -183,3 +183,107 @@ def kll_daily_rollup(
         for r in ranks
     ]
     return merged.select(group_col, *quantiles)
+
+
+def exact_order_statistics(
+    df: DataFrame,
+    value_col: str,
+    ps: tuple[float, ...] = (0.5,),
+    accuracy: int = 100_000,
+) -> DataFrame:
+    """EXACT global order statistics — the value at rank ceil(p·n) —
+    without ever globally sorting the table.
+
+    Spark's exact ``percentile`` aggregate buffers every value in the
+    aggregation state (fatal at 100 TB), and a global orderBy is a
+    full-table range shuffle. This instead runs the classic
+    distributed selection: a percentile_approx probe at p ± 2/accuracy
+    brackets each answer (GK sketch rank error is a deterministic
+    <= 1/accuracy), one exact aggregate counts rows below/inside every
+    bracket, and only each ~6n/accuracy-row band (60k rows of a
+    10^9-row table at the default) is ever sorted to read off the
+    exact value. Bracketing is asserted, not assumed — a violation
+    raises rather than returning a near-miss. Same boundary-band idea
+    as sampling._cutoff_with_limits, specialized to global ranks.
+
+    All requested ps SHARE one sketch+count scan and one edge-count
+    scan (the per-p work is only the band branch), so the full-scan
+    count is len(ps) + 2, not 3·len(ps) — at 100 TB the scans are the
+    whole cost. The band filter is evaluated against a 1-row broadcast
+    (runtime values cannot reach PushedFilters), so each band branch
+    reads the single value column once and discards non-band rows in
+    the scan stage.
+
+    The result is the DISCRETE order statistic (quantile_disc), a real
+    data value — reproducible bit-for-bit on any engine, unlike
+    interpolated percentiles. Nulls are excluded from n and from
+    ranking. Fully lazy: every intermediate is a 1-row broadcast, no
+    driver collect.
+
+    Returns a single row with one column ``p<100p>`` per requested p
+    (p=0.5 -> p50, p=0.999 -> p99_9).
+    """
+    if not ps:
+        raise ValueError("ps must name at least one quantile")
+    for p in ps:
+        if not (0.0 < p <= 1.0):
+            raise ValueError(f"p must be in (0, 1], got {p}")
+    slack = 2.0 / accuracy
+    names = [f"p{p * 100:g}".replace(".", "_") for p in ps]
+    asks: list[float] = []
+    for p in ps:
+        asks += [max(0.0, p - slack), min(1.0, p + slack)]
+    probe = df.agg(
+        F.percentile_approx(value_col, asks, accuracy).alias("__b"),
+        F.count(value_col).alias("__n"),
+    )
+    bounds = []
+    for i, p in enumerate(ps):
+        bounds += [
+            F.element_at("__b", 2 * i + 1).alias(f"__lo{i}"),
+            F.element_at("__b", 2 * i + 2).alias(f"__hi{i}"),
+            F.ceil(F.lit(float(p)) * F.col("__n")).cast("long").alias(f"__k{i}"),
+        ]
+    probe = probe.select(*bounds)
+    v = df.select(F.col(value_col).alias("__v")).join(F.broadcast(probe))
+    aggs = []
+    for i in range(len(ps)):
+        aggs += [
+            F.sum((F.col("__v") < F.col(f"__lo{i}")).cast("long")).alias(
+                f"__c_lo{i}"
+            ),
+            F.sum((F.col("__v") <= F.col(f"__hi{i}")).cast("long")).alias(
+                f"__c_hi{i}"
+            ),
+            F.first(f"__k{i}").alias(f"__k{i}"),
+        ]
+    edges = v.agg(*aggs)
+    needs = edges.select(
+        *[
+            F.when(
+                F.assert_true(
+                    (F.col(f"__c_lo{i}") < F.col(f"__k{i}"))
+                    & (F.col(f"__k{i}") <= F.col(f"__c_hi{i}")),
+                    F.lit(
+                        "exact_order_statistics band missed the rank - "
+                        "rerun with a larger accuracy"
+                    ),
+                ).isNull(),
+                F.col(f"__k{i}") - F.col(f"__c_lo{i}"),
+            ).alias(f"__need{i}")
+            for i in range(len(ps))
+        ]
+    )
+    out: DataFrame | None = None
+    for i, name in enumerate(names):
+        band = v.filter(
+            (F.col("__v") >= F.col(f"__lo{i}"))
+            & (F.col("__v") <= F.col(f"__hi{i}"))
+        ).join(F.broadcast(needs.select(f"__need{i}")))
+        pick = (
+            band.withColumn("__r", F.row_number().over(Window.orderBy("__v")))
+            .filter(F.col("__r") == F.col(f"__need{i}"))
+            .select(F.col("__v").alias(name))
+        )
+        out = pick if out is None else out.crossJoin(F.broadcast(pick))
+    return out

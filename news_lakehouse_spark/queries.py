@@ -4460,6 +4460,31 @@ FROM events GROUP BY event_type
 """
 
 
+def x_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global p50/p99 order statistics of l_extendedprice on the
+    boundary-band selection plan — no full-table sort, no value
+    buffering; only the sketch-bracketed band is ever sorted. The
+    discrete order statistic (rank ceil(p*n)) is a real data value, so
+    the oracle matches it bit-for-bit with no rounding."""
+    from news_lakehouse_spark.operators.sketches import exact_order_statistics
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return exact_order_statistics(li, "l_extendedprice", ps=(0.5, 0.99))
+
+
+_EXACT_PCTL_SQL = """
+WITH o AS (
+  SELECT l_extendedprice AS v,
+         row_number() OVER (ORDER BY l_extendedprice) AS rn,
+         count(*) OVER () AS n
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+)
+SELECT max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS p50,
+       max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN v END) AS p99
+FROM o
+"""
+
+
 def x_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew profile of events.user_id: top-20 heaviest keys with
     share and skew-vs-mean ratio — the pre-flight diagnostic for
@@ -4785,6 +4810,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_scd2_dimension": x_scd2_dimension,
     "x_kll_rollup": x_kll_rollup,
     "x_weighted_sample": x_weighted_sample,
+    "x_exact_percentile": x_exact_percentile,
 }
 
 ORACLES: dict[str, str] = {
@@ -4905,6 +4931,7 @@ ORACLES: dict[str, str] = {
     "x_hll_rollup": _HLL_SQL,
     "x_kll_rollup": _KLL_SQL,
     "x_weighted_sample": _WEIGHTED_SAMPLE_SQL,
+    "x_exact_percentile": _EXACT_PCTL_SQL,
     "x_key_skew": _KEY_SKEW_SQL,
     "x_substring_removal": _SUBSTR_REMOVAL_SQL,
     "x_dedup_minhash_incremental": _minhash_incremental_sql(),

@@ -894,3 +894,19 @@ def test_weighted_sample_rank_cutoff_equivalence(spark):
     # nearly every slot (P[light row beats heavy row] ~ 1/101)
     heavy = sum(1 for g, i in rank if g == "g" and i >= 1000)
     assert heavy >= 50
+
+
+def test_exact_order_statistics_matches_sorted(spark):
+    """The band-selection value equals the true ceil(p*n)-th smallest
+    on a small frame, nulls excluded, duplicate-heavy data handled."""
+    from news_lakehouse_spark.operators.sketches import exact_order_statistics
+
+    vals = [float(v) for v in range(1, 101)] + [50.0] * 30 + [None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    row = exact_order_statistics(df, "v", ps=(0.5, 0.9, 1.0)).collect()[0]
+    ordered = sorted(v for v in vals if v is not None)
+    n = len(ordered)
+    import math
+    assert row["p50"] == ordered[math.ceil(0.5 * n) - 1]
+    assert row["p90"] == ordered[math.ceil(0.9 * n) - 1]
+    assert row["p100"] == ordered[-1]
