@@ -72,6 +72,7 @@ EXTENDED = [
     "x_key_skew",
     "x_weighted_sample",
     "x_exact_percentile",
+    "x_exact_group_median",
 ]
 
 

@@ -287,3 +287,81 @@ def exact_order_statistics(
         )
         out = pick if out is None else out.crossJoin(F.broadcast(pick))
     return out
+
+
+def exact_group_order_statistics(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: float = 0.5,
+    accuracy: int = 100_000,
+    out_col: str | None = None,
+) -> DataFrame:
+    """EXACT per-group order statistic — the value at rank ceil(p·n_g)
+    within every group — without sorting any group.
+
+    Per-group twin of exact_order_statistics, and the exact
+    counterpart of kll_daily_rollup's estimates. The ask rank p is the
+    SAME for every group, so one grouped percentile_approx pass at
+    p ± 2/accuracy brackets every group's answer simultaneously (GK
+    rank error <= 1/accuracy is per-group); a second grouped aggregate
+    counts each group's band edges exactly (bracketing asserted), and
+    the per-group window sorts only the ~6·n_g/accuracy-row bands —
+    never a whole group, the same skew-proof posture as
+    sampling._cutoff_with_limits. Bounds broadcast, so groups must be
+    a bounded domain (strata/sources/event types), the standing
+    assumption of every grouped-rollup operator here.
+
+    Output: (group, <out_col> ) with the discrete order statistic — a
+    real data value, engine-reproducible bit-for-bit. Nulls excluded.
+    """
+    if not (0.0 < p <= 1.0):
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    name = out_col or f"p{p * 100:g}".replace(".", "_")
+    slack = 2.0 / accuracy
+    probe = df.groupBy(group_col).agg(
+        F.percentile_approx(
+            value_col, [max(0.0, p - slack), min(1.0, p + slack)], accuracy
+        ).alias("__b"),
+        F.count(value_col).alias("__n"),
+    )
+    limits = probe.select(
+        group_col,
+        F.element_at("__b", 1).alias("__lo"),
+        F.element_at("__b", 2).alias("__hi"),
+        F.ceil(F.lit(float(p)) * F.col("__n")).cast("long").alias("__k"),
+    )
+    base = df.select(group_col, F.col(value_col).alias("__v")).join(
+        F.broadcast(limits), group_col
+    )
+    edges = base.groupBy(group_col).agg(
+        F.sum((F.col("__v") < F.col("__lo")).cast("long")).alias("__c_lo"),
+        F.sum((F.col("__v") <= F.col("__hi")).cast("long")).alias("__c_hi"),
+        F.first("__k").alias("__k"),
+    )
+    needs = edges.select(
+        group_col,
+        F.when(
+            F.assert_true(
+                (F.col("__c_lo") < F.col("__k"))
+                & (F.col("__k") <= F.col("__c_hi")),
+                F.concat_ws(
+                    " ",
+                    F.lit("exact_group_order_statistics band missed the"),
+                    F.lit("rank for group"),
+                    F.col(group_col).cast("string"),
+                    F.lit("- rerun with a larger accuracy"),
+                ),
+            ).isNull(),
+            F.col("__k") - F.col("__c_lo"),
+        ).alias("__need"),
+    )
+    band = base.filter(
+        (F.col("__v") >= F.col("__lo")) & (F.col("__v") <= F.col("__hi"))
+    ).join(F.broadcast(needs), group_col)
+    w = Window.partitionBy(group_col).orderBy("__v")
+    return (
+        band.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == F.col("__need"))
+        .select(group_col, F.col("__v").alias(name))
+    )

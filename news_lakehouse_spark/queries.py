@@ -4485,6 +4485,34 @@ FROM o
 """
 
 
+def x_exact_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-event-type median event value on the grouped band-
+    selection plan — no group is ever fully sorted; only each group's
+    sketch-bracketed band is windowed. Discrete order statistic, so
+    the oracle matches bit-for-bit."""
+    from news_lakehouse_spark.operators.sketches import (
+        exact_group_order_statistics,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("value")
+    )
+    return exact_group_order_statistics(ev, "event_type", "value", p=0.5)
+
+
+_EXACT_GROUP_MEDIAN_SQL = """
+WITH o AS (
+  SELECT event_type, value AS v,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type,
+       max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS p50
+FROM o GROUP BY event_type
+"""
+
+
 def x_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew profile of events.user_id: top-20 heaviest keys with
     share and skew-vs-mean ratio — the pre-flight diagnostic for
@@ -4811,6 +4839,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_kll_rollup": x_kll_rollup,
     "x_weighted_sample": x_weighted_sample,
     "x_exact_percentile": x_exact_percentile,
+    "x_exact_group_median": x_exact_group_median,
 }
 
 ORACLES: dict[str, str] = {
@@ -4932,6 +4961,7 @@ ORACLES: dict[str, str] = {
     "x_kll_rollup": _KLL_SQL,
     "x_weighted_sample": _WEIGHTED_SAMPLE_SQL,
     "x_exact_percentile": _EXACT_PCTL_SQL,
+    "x_exact_group_median": _EXACT_GROUP_MEDIAN_SQL,
     "x_key_skew": _KEY_SKEW_SQL,
     "x_substring_removal": _SUBSTR_REMOVAL_SQL,
     "x_dedup_minhash_incremental": _minhash_incremental_sql(),

@@ -910,3 +910,28 @@ def test_exact_order_statistics_matches_sorted(spark):
     assert row["p50"] == ordered[math.ceil(0.5 * n) - 1]
     assert row["p90"] == ordered[math.ceil(0.9 * n) - 1]
     assert row["p100"] == ordered[-1]
+
+
+def test_exact_group_order_statistics_matches_sorted(spark):
+    """Per-group band selection equals the true per-group ceil(p*n)-th
+    smallest, including a single-row group and duplicate values."""
+    from news_lakehouse_spark.operators.sketches import (
+        exact_group_order_statistics,
+    )
+    import math
+
+    data = {
+        "a": [float(v) for v in range(1, 40)] + [7.0] * 10,
+        "b": [3.5],
+        "c": [2.0, 2.0, 9.0, 1.0],
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = {
+        r["grp"]: r["p50"]
+        for r in exact_group_order_statistics(df, "grp", "v", p=0.5).collect()
+    }
+    want = {
+        g: sorted(vs)[math.ceil(0.5 * len(vs)) - 1] for g, vs in data.items()
+    }
+    assert got == want
