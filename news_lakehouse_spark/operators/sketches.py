@@ -280,10 +280,26 @@ def exact_order_statistics(
             (F.col("__v") >= F.col(f"__lo{i}"))
             & (F.col("__v") <= F.col(f"__hi{i}"))
         ).join(F.broadcast(needs.select(f"__need{i}")))
+        # Rank over DISTINCT band values with cumulative counts, not
+        # rows: a value duplicated across the rank would otherwise pull
+        # its entire duplicate mass into one sort task (ties are the
+        # common pathology in price/length columns). The answer is the
+        # smallest value whose cumulative count reaches the rank.
+        counts = band.groupBy("__v").agg(
+            F.count("*").alias("__c"), F.first(f"__need{i}").alias("__need")
+        )
+        cum = F.sum("__c").over(
+            Window.orderBy("__v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
         pick = (
-            band.withColumn("__r", F.row_number().over(Window.orderBy("__v")))
-            .filter(F.col("__r") == F.col(f"__need{i}"))
-            .select(F.col("__v").alias(name))
+            counts.withColumn("__cum", cum)
+            .agg(
+                F.min(
+                    F.when(F.col("__cum") >= F.col("__need"), F.col("__v"))
+                ).alias(name)
+            )
         )
         out = pick if out is None else out.crossJoin(F.broadcast(pick))
     return out
@@ -359,9 +375,23 @@ def exact_group_order_statistics(
     band = base.filter(
         (F.col("__v") >= F.col("__lo")) & (F.col("__v") <= F.col("__hi"))
     ).join(F.broadcast(needs), group_col)
-    w = Window.partitionBy(group_col).orderBy("__v")
+    # Distinct-value cumulative ranking (see exact_order_statistics):
+    # duplicate-heavy values never pile a whole group's tie mass into
+    # one window task.
+    counts = band.groupBy(group_col, "__v").agg(
+        F.count("*").alias("__c"), F.first("__need").alias("__need")
+    )
+    cum = F.sum("__c").over(
+        Window.partitionBy(group_col)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
-        band.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == F.col("__need"))
-        .select(group_col, F.col("__v").alias(name))
+        counts.withColumn("__cum", cum)
+        .groupBy(group_col)
+        .agg(
+            F.min(
+                F.when(F.col("__cum") >= F.col("__need"), F.col("__v"))
+            ).alias(name)
+        )
     )

@@ -935,3 +935,22 @@ def test_exact_group_order_statistics_matches_sorted(spark):
         g: sorted(vs)[math.ceil(0.5 * len(vs)) - 1] for g, vs in data.items()
     }
     assert got == want
+
+
+def test_exact_order_statistics_tie_mass(spark):
+    """A value duplicated across the rank (95% of rows identical) must
+    resolve via cumulative distinct-value counts, and the answer is
+    that value whenever the rank falls inside the tie mass."""
+    from news_lakehouse_spark.operators.sketches import (
+        exact_group_order_statistics,
+        exact_order_statistics,
+    )
+
+    vals = [1.0, 2.0] + [5.0] * 95 + [8.0, 9.0, 10.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    row = exact_order_statistics(df, "v", ps=(0.5, 0.97, 0.99)).collect()[0]
+    assert row["p50"] == 5.0 and row["p97"] == 5.0
+    assert row["p99"] == 9.0  # ceil(0.99*100)=99th value
+    g = spark.createDataFrame([("x", v) for v in vals], "grp string, v double")
+    got = exact_group_order_statistics(g, "grp", "v", p=0.5).collect()[0]
+    assert got["p50"] == 5.0
