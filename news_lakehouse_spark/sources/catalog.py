@@ -102,6 +102,14 @@ class ParquetWarehouse:
             insert_only=insert_only,
         )
 
+    def versioned(self, table: str):
+        """The ACID flavor of a managed table: manifest-committed,
+        time-travelable (sources/transaction.py) — the parquet analog of
+        the reference's Iceberg snapshots."""
+        from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+        return VersionedParquetTable(self.spark, self.path(table))
+
     def register_views(self, prefix: str = "") -> None:
         """S12 analog: expose every table as a temp view for spark.sql."""
         for t in self.list_tables():

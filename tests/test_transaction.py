@@ -1,0 +1,196 @@
+"""Manifest-commit protocol: atomicity, time travel, concurrency, vacuum.
+
+The reference gets these guarantees from Iceberg snapshots
+(gcs_bronze_to_silver.py:50,457-475); sources/transaction.py provides
+them on plain parquet. The crash-injection test is the core contract:
+a writer dying between data-file write and manifest publish must leave
+every reader on the previous version, clean.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from news_lakehouse_spark.sources.transaction import (
+    ConcurrentCommitError,
+    VersionedParquetTable,
+)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return VersionedParquetTable(spark, str(tmp_path / "t"))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([Row(k=k, d=d, v=v) for k, d, v in rows])
+
+
+def test_create_then_merge_versions(spark, table):
+    v1 = table.merge(_df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"])
+    assert v1 == 1
+    v2 = table.merge(_df(spark, [(2, "b", 99), (3, "a", 30)]), ["k"])
+    assert v2 == 2
+    assert _rows(table.read()) == {(1, "a", 10), (2, "b", 99), (3, "a", 30)}
+    # time travel: version 1 unchanged
+    assert _rows(table.read(version=1)) == {(1, "a", 10), (2, "b", 20)}
+    assert [h["version"] for h in table.history()] == [1, 2]
+    assert table.history()[1]["operation"] == "merge"
+
+
+def test_partitioned_merge_carries_untouched_files(spark, table):
+    table.merge(
+        _df(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)]),
+        ["k"],
+        partition_by=["d"],
+    )
+    m1 = table._load_manifest(1)
+    # touch only partition 'b'
+    table.merge(_df(spark, [(4, "b", 40)]), ["k"])
+    m2 = table._load_manifest(2)
+    carried = set(m1["files"]) & set(m2["files"])
+    assert carried, "untouched partitions must carry over by reference"
+    assert all("/d=b/" not in f for f in carried)
+    assert _rows(table.read()) == {
+        (1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "b", 40)
+    }
+    assert _rows(table.read(version=1)) == {(1, "a", 10), (2, "b", 20), (3, "c", 30)}
+
+
+def test_partition_move_leaves_no_ghost(spark, table):
+    table.merge(_df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"], partition_by=["d"])
+    # key 1 moves partition a -> c: old row must not survive in any file
+    table.merge(_df(spark, [(1, "c", 11)]), ["k"])
+    assert _rows(table.read()) == {(1, "c", 11), (2, "b", 20)}
+    m2 = table._load_manifest(2)
+    assert all("/d=a/" not in f for f in m2["files"])
+
+
+def test_crash_between_data_write_and_publish(spark, table, monkeypatch):
+    """Writer dies after step 1 (data files) but before step 3 (manifest
+    link): readers stay on the old version; a later merge succeeds and
+    never sees the orphan files."""
+    table.merge(_df(spark, [(1, "a", 10)]), ["k"])
+
+    boom = RuntimeError("crash before publish")
+    monkeypatch.setattr(
+        table, "_publish", lambda manifest: (_ for _ in ()).throw(boom)
+    )
+    with pytest.raises(RuntimeError, match="crash before publish"):
+        table.merge(_df(spark, [(2, "b", 20)]), ["k"], retries=0)
+    monkeypatch.undo()
+
+    # old version reads clean, orphan data ignored
+    assert table.latest_version() == 1
+    assert _rows(table.read()) == {(1, "a", 10)}
+    # recovery: the same merge applied again lands as version 2
+    table.merge(_df(spark, [(2, "b", 20)]), ["k"])
+    assert _rows(table.read()) == {(1, "a", 10), (2, "b", 20)}
+
+
+def test_concurrent_commit_loser_retries_from_winner(spark, table):
+    table.merge(_df(spark, [(1, "a", 10)]), ["k"])
+    # simulate a racing writer that lands version 2 mid-flight of ours:
+    # pre-publish version 2 via a second handle, then our merge with
+    # retries must land at version 3 on top of the winner's rows.
+    other = VersionedParquetTable(spark, table.path)
+    real_publish = table._publish
+    raced = {"done": False}
+
+    def publish_with_race(manifest):
+        if not raced["done"]:
+            raced["done"] = True
+            other.merge(_df(spark, [(5, "z", 50)]), ["k"])
+        return real_publish(manifest)
+
+    table._publish = publish_with_race
+    try:
+        v = table.merge(_df(spark, [(2, "b", 20)]), ["k"])
+    finally:
+        table._publish = real_publish
+    assert v == 3
+    assert _rows(table.read()) == {(1, "a", 10), (5, "z", 50), (2, "b", 20)}
+
+
+def test_concurrent_commit_raises_without_retry(spark, table):
+    table.merge(_df(spark, [(1, "a", 10)]), ["k"])
+    man = table._load_manifest(1)
+    # occupy version 2 directly
+    man2 = dict(man, version=2, parent=1)
+    table._publish(man2)
+    with pytest.raises(ConcurrentCommitError):
+        table._publish(dict(man, version=2, parent=1))
+
+
+def test_insert_only_merge(spark, table):
+    table.merge(_df(spark, [(1, "a", 10)]), ["k"])
+    table.merge(_df(spark, [(1, "a", 99), (2, "b", 20)]), ["k"], insert_only=True)
+    # existing key untouched, new key inserted
+    assert _rows(table.read()) == {(1, "a", 10), (2, "b", 20)}
+
+
+def test_schema_evolution_add_column(spark, table):
+    table.merge(_df(spark, [(1, "a", 10)]), ["k"])
+    wide = spark.createDataFrame([Row(k=2, d="b", v=20, extra="x")])
+    table.merge(wide, ["k"], evolve_schema=True)
+    got = {tuple(r) for r in table.read().select("k", "d", "v", "extra").collect()}
+    assert got == {(1, "a", 10, None), (2, "b", 20, "x")}
+
+
+def test_vacuum_drops_history_and_orphans(spark, table, monkeypatch):
+    table.merge(_df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"], partition_by=["d"])
+    table.merge(_df(spark, [(2, "b", 99)]), ["k"])
+    # orphan from a crashed commit
+    monkeypatch.setattr(
+        table, "_publish", lambda m: (_ for _ in ()).throw(RuntimeError("x"))
+    )
+    with pytest.raises(RuntimeError):
+        table.merge(_df(spark, [(9, "z", 90)]), ["k"], retries=0)
+    monkeypatch.undo()
+
+    before = _rows(table.read())
+    stats = table.vacuum(keep_last=1)
+    assert stats["manifests_dropped"] == 1
+    assert stats["files_deleted"] >= 1  # v1's b-partition file + orphans
+    assert table.versions() == [2]
+    assert _rows(table.read()) == before
+    with pytest.raises(FileNotFoundError):
+        table._load_manifest(1)
+
+
+def test_overwrite_snapshot_and_empty_read(spark, table):
+    table.write(_df(spark, [(1, "a", 10)]))
+    table.write(_df(spark, [(7, "q", 70)]))
+    assert _rows(table.read()) == {(7, "q", 70)}
+    assert _rows(table.read(version=1)) == {(1, "a", 10)}
+    # read of a version with zero files returns an empty, typed frame
+    empty = table.read().limit(0)
+    table.write(empty)
+    assert table.read().count() == 0
+    assert table.read().schema == empty.schema
+
+
+def test_warehouse_versioned_accessor(spark, tmp_path):
+    from news_lakehouse_spark.sources.catalog import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_namespace()
+    t = wh.versioned("articles")
+    t.merge(_df(spark, [(1, "a", 10)]), ["k"])
+    assert _rows(t.read()) == {(1, "a", 10)}
+
+
+def test_deterministic_survivor_on_merge(spark, table):
+    """order_by survivor selection flows through to the versioned merge."""
+    table.merge(_df(spark, [(1, "a", 10)]), ["k"])
+    src = _df(spark, [(1, "a", 5), (1, "a", 50)])
+    table.merge(src, ["k"], order_by=[F.col("v").desc()])
+    assert _rows(table.read()) == {(1, "a", 50)}
