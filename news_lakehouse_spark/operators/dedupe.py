@@ -958,12 +958,19 @@ def remove_duplicated_spans(
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_set("p")).alias("__drop"))
     )
-    kept = F.filter(
-        F.col("__ws"),
-        lambda w, i: ~F.coalesce(
-            F.array_contains(F.col("__drop"), i), F.lit(False)
+    # O(L + D) rebuild: array_except builds a hash set of the D dropped
+    # positions once and streams the L token indexes through it, then
+    # element_at fetches survivors by O(1) index. The previous
+    # array_contains-inside-filter form rescanned the drop array per
+    # token — O(L·D), quadratic for a long mostly-duplicated doc.
+    kept_idx = F.when(
+        F.col("n_tokens") >= 1,
+        F.array_except(
+            F.sequence(F.lit(0), F.col("n_tokens") - 1),
+            F.coalesce(F.col("__drop"), F.array().cast("array<int>")),
         ),
-    )
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.transform(kept_idx, lambda i: F.element_at(F.col("__ws"), i + 1))
     return (
         words.join(drop_pos, id_col, "left")
         .select(
