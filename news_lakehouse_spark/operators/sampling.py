@@ -522,11 +522,17 @@ def weighted_sample_per_group(
     Deterministic and growth-stable like reservoir_sample_per_group:
     no seed, no scan-order sensitivity, adding rows only ever swaps
     individual members. Rows with NULL or non-positive weight are
-    EXCLUDED (they have no defined inclusion probability). The rank
-    line is quantized to 12 decimals before ranking (ties broken by
-    keys) so selection is reproducible across engines whose ln()
-    differs in the final ulp — the DuckDB oracle replicates the line
-    bit-for-bit at that precision.
+    EXCLUDED (they have no defined inclusion probability), and so are
+    rows with a NULL group — every join in both physical paths is
+    keyed on the group, so NULL groups cannot participate; the
+    explicit filter makes that contract visible instead of incidental.
+    The rank line is quantized to 12 decimals before ranking (ties
+    broken by keys) so selection is reproducible across engines except
+    when -ln(1-u)/w lands exactly on a rounding boundary, where
+    HALF_UP (Spark) and round-half-even (IEEE doubles elsewhere) can
+    disagree in the last quantized digit; the sha2-derived u makes
+    such landings measure-zero in practice and the keyed tie-break
+    keeps even those runs deterministic per engine.
 
     Physical plans mirror reservoir_sample_per_group: a per-group
     row_number window while the largest group fits one task
@@ -553,7 +559,11 @@ def weighted_sample_per_group(
             "every in-group rank is a tie and the kept set depends on "
             "partition order"
         )
-    pos = df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+    pos = df.filter(
+        F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+        & F.col(group_col).isNotNull()
+    )
     u = hash_fraction(*key_cols, salt=salt)
     e = F.round(
         -F.log(F.lit(1.0) - u) / F.col(weight_col).cast("double"), 12
@@ -580,18 +590,19 @@ def weighted_sample_per_group(
     # Per-group bracketing ranks, collected once (one row per group —
     # the strata domain, NOT the data): the sketch is asked at exactly
     # these ranks, so extraction cost tracks #groups, not a fine grid.
+    # The map keys collected here and the probe below are BOTH the
+    # Spark-side cast(group AS string) — one canonical encoding, so
+    # types whose Python rendering differs from Spark's (bool
+    # 'True'/'true', timestamps) cannot miss the lookup.
     slack = 2.0 / accuracy
-    sentinel = "␀"
-
-    def _gkey(v) -> str:
-        return sentinel if v is None else str(v)
-
     bounds = {
-        _gkey(r[0]): (
+        r["__gkey"]: (
             max(0.0, r["__keep"] / r["__n"] - slack),
             min(1.0, r["__keep"] / r["__n"] + slack),
         )
-        for r in keeps.collect()
+        for r in keeps.withColumn(
+            "__gkey", F.col(group_col).cast("string")
+        ).collect()
     }
     qs = sorted({qv for pair in bounds.values() for qv in pair})
     idx = {qv: i + 1 for i, qv in enumerate(qs)}  # element_at is 1-based
@@ -605,7 +616,7 @@ def weighted_sample_per_group(
     for g, (ql, qh) in sorted(bounds.items()):
         lo_pairs += [F.lit(g), F.lit(idx[ql])]
         hi_pairs += [F.lit(g), F.lit(idx[qh])]
-    gkey = F.coalesce(F.col(group_col).cast("string"), F.lit(sentinel))
+    gkey = F.col(group_col).cast("string")
     limits = keeps.join(sketch, group_col).select(
         group_col,
         "__n",

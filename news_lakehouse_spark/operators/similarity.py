@@ -461,14 +461,27 @@ def hyperplanes(planes: int, dim: int, seed: int = 7) -> list[list[float]]:
     return rng.standard_normal((int(planes), int(dim))).tolist()
 
 
+def _auto_planes(n_rows: int, target_bucket_rows: int) -> int:
+    """planes ≈ log2(n / target) so the EXPECTED bucket stays at
+    target_bucket_rows regardless of corpus size — the plane count
+    grows with the corpus instead of being sized for a fixture."""
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return 1
+    return min(24, max(1, math.ceil(math.log2(n_rows / target_bucket_rows))))
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    planes: int = 6,
+    planes: int | str = "auto",
     threshold: float = 0.95,
     seed: int = 7,
+    target_bucket_rows: int = 4096,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (arXiv:2303.09540: cluster, then drop within-cluster semantic
@@ -484,12 +497,25 @@ def semantic_dedup(
     cosine work is (n/2^planes)² expected, and `planes` tunes the
     recall/cost trade exactly like SemDeDup's k. Twins split across a
     bucket boundary are missed (the paper accepts the same miss across
-    k-means cell borders); raise `planes` for smaller cells, or run
-    ivf_topk for a probe-based variant.
+    k-means cell borders); pass a larger explicit `planes` for smaller
+    cells, or run ivf_topk for a probe-based variant.
+
+    Bucket growth is bounded two ways (the r3 scale qualification):
+    ``planes="auto"`` (default) sizes the plane count from one corpus
+    count so expected bucket size stays at ``target_bucket_rows`` at
+    ANY corpus scale; and ``max_bucket_size`` excludes degenerate
+    buckets (e.g. a corpus dominated by one embedding direction, where
+    no plane count splits the mass) from the pairwise join entirely —
+    their rows pass through kept=1, the same recall-for-boundedness
+    trade as minhash_near_duplicates' band-bucket cap. Explicit
+    `planes` + `max_bucket_size=None` restores the unbounded behavior
+    for oracle-pinned tests.
 
     All expressions are codegen'd JVM arithmetic (zip_with dot
     products against literal arrays) — no Python boundary.
     """
+    if planes == "auto":
+        planes = _auto_planes(corpus.count(), target_bucket_rows)
     hp = hyperplanes(planes, dim, seed)
     vec = F.col(vec_col)
     bucket: Column = F.lit(0).cast("long")
@@ -508,10 +534,22 @@ def semantic_dedup(
         vec.alias("__vec"),
         bucket.alias("bucket"),
     )
-    a = base.select(
+    joinable = base
+    if max_bucket_size is not None:
+        # degenerate-bucket guard: the size count shares the join's
+        # bucket shuffle key; oversized buckets never enter the
+        # pairwise join, bounding it at max_bucket_size² per bucket.
+        ok_buckets = (
+            base.groupBy("bucket")
+            .agg(F.count("*").alias("__bs"))
+            .filter(F.col("__bs") <= max_bucket_size)
+            .select("bucket")
+        )
+        joinable = base.join(ok_buckets, "bucket")
+    a = joinable.select(
         F.col(id_col).alias("__ida"), F.col("bucket").alias("__ba"), F.col("__vec").alias("__va")
     )
-    b = base.select(
+    b = joinable.select(
         F.col(id_col).alias("__idb"), F.col("bucket").alias("__bb"), F.col("__vec").alias("__vb")
     )
     cos = cosine_similarity(F.col("__va"), F.col("__vb"))

@@ -341,7 +341,11 @@ def exact_group_order_statistics(
         ).alias("__b"),
         F.count(value_col).alias("__n"),
     )
-    limits = probe.select(
+    # A group whose value column is entirely NULL has __n = 0, NULL
+    # sketch bounds, and no defined order statistic — drop it here (the
+    # SQL equivalent also omits such groups) instead of feeding NULL
+    # conditions into the bracketing assert, which would abort the job.
+    limits = probe.filter(F.col("__n") > 0).select(
         group_col,
         F.element_at("__b", 1).alias("__lo"),
         F.element_at("__b", 2).alias("__hi"),

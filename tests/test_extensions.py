@@ -656,6 +656,43 @@ def test_semantic_dedup_drops_planted_twin(spark):
     assert out[0]["bucket"] == out[1]["bucket"]  # same sign-bit cell
 
 
+def test_semantic_dedup_auto_planes_grow_with_corpus():
+    """planes='auto' must grow with corpus size so expected bucket rows
+    stay constant — the fixed-planes default was the r3 scale gap."""
+    from news_lakehouse_spark.operators.similarity import _auto_planes
+
+    assert _auto_planes(1_000, 4096) == 1
+    assert _auto_planes(4096 * 64, 4096) == 6
+    assert _auto_planes(10_000_000_000, 4096) == 22
+    assert _auto_planes(10**15, 4096) == 24  # clamped
+
+
+def test_semantic_dedup_degenerate_bucket_capped(spark):
+    """A single-direction corpus collapses into one bucket no plane
+    count can split; the max_bucket_size guard must keep the pairwise
+    join out of that bucket (rows pass through kept=1) instead of
+    going quadratic."""
+    from news_lakehouse_spark.operators.similarity import semantic_dedup
+
+    dim = 8
+    base = [1.0] * dim
+    rows = [(i, [x * (1 + i * 1e-6) for x in base]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(
+        df, "vec_id", "embedding", dim=dim, planes=3, threshold=0.9,
+        max_bucket_size=10,
+    ).collect()
+    assert len(out) == 30
+    assert all(r["kept"] == 1 for r in out)  # capped bucket: no drops
+    # same corpus without the cap: twins are dropped (sanity that the
+    # cap, not the threshold, produced the pass-through above)
+    out2 = semantic_dedup(
+        df, "vec_id", "embedding", dim=dim, planes=3, threshold=0.9,
+        max_bucket_size=None,
+    ).collect()
+    assert sum(r["kept"] for r in out2) == 1
+
+
 def test_vocab_coverage_ranks_and_cumulative_share(spark):
     from news_lakehouse_spark.operators.textmetrics import vocab_coverage
 
@@ -894,6 +931,53 @@ def test_weighted_sample_rank_cutoff_equivalence(spark):
     # nearly every slot (P[light row beats heavy row] ~ 1/101)
     heavy = sum(1 for g, i in rank if g == "g" and i >= 1000)
     assert heavy >= 50
+
+
+def test_weighted_sample_null_group_excluded_both_paths(spark):
+    """NULL-group rows are excluded by contract (every join keys on the
+    group); the explicit filter makes both physical paths agree."""
+    from news_lakehouse_spark.operators.sampling import weighted_sample_per_group
+
+    rows = [(i, "g", 1.0) for i in range(20)] + [(100, None, 9.0), (101, None, 9.0)]
+    df = spark.createDataFrame(rows, ["id", "grp", "w"])
+    for method in ("rank", "cutoff"):
+        got = {r["id"] for r in weighted_sample_per_group(
+            df, "grp", 5, ["id"], "w", method=method).collect()}
+        assert len(got) == 5 and not got & {100, 101}, method
+
+
+def test_weighted_sample_cutoff_nonstring_group_types(spark):
+    """Cutoff-path group-key map is keyed by Spark's cast-to-string on
+    BOTH sides; types whose Python rendering differs (bool 'True' vs
+    'true', dates) must still resolve band bounds instead of
+    NULL-ing them and tripping the bracketing assert."""
+    import datetime as dt
+
+    from news_lakehouse_spark.operators.sampling import weighted_sample_per_group
+
+    rows = [(i, i % 2 == 0, dt.date(2024, 1, 1 + i % 2), 1.0 + i % 3)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["id", "bgrp", "dgrp", "w"])
+    for grp in ("bgrp", "dgrp"):
+        rank = {(r[grp], r["id"]) for r in weighted_sample_per_group(
+            df, grp, 7, ["id"], "w", method="rank").collect()}
+        cut = {(r[grp], r["id"]) for r in weighted_sample_per_group(
+            df, grp, 7, ["id"], "w", method="cutoff").collect()}
+        assert rank == cut and len(rank) == 14, grp
+
+
+def test_exact_group_order_statistics_all_null_group_dropped(spark):
+    """A group whose value column is entirely NULL is omitted (as SQL
+    would), not turned into a job-aborting assert."""
+    from news_lakehouse_spark.operators.sketches import exact_group_order_statistics
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", None), ("b", None), ("b", None)],
+        "grp string, v double",
+    )
+    got = {r["grp"]: r["p50"] for r in
+           exact_group_order_statistics(df, "grp", "v", p=0.5).collect()}
+    assert got == {"a": 1.0}
 
 
 def test_exact_order_statistics_matches_sorted(spark):
