@@ -14,8 +14,10 @@ partitions of the target (see operators.merge).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from news_lakehouse_spark.functions.timestamps import parse_timestamp_any
 from news_lakehouse_spark.metrics import pipeline_metrics
 from news_lakehouse_spark.operators.merge import upsert_parquet_table
 from news_lakehouse_spark.plans.silver import build_silver_tables
@@ -70,6 +72,41 @@ def upsert_silver_batch(
         batch_df.unpersist()
 
 
+def dedupe_stream_within_watermark(
+    stream: DataFrame,
+    delay: str,
+    key_col: str = "url",
+    ts_col: str = "publish_date",
+) -> DataFrame:
+    """Stream-native dedupe-before-merge: collapse re-crawled /
+    re-dropped bronze duplicates BEFORE they reach the per-table
+    derivations and MERGEs, instead of relying on merge idempotency to
+    absorb them (the reference dedupes inside each epoch only,
+    b2s:426-446 — duplicates arriving in different micro-batches still
+    pay the full 10-table derive+MERGE twice).
+
+    `dropDuplicatesWithinWatermark` keys state on the trimmed natural
+    key and expires it once the event-time watermark passes ``delay``
+    — state is bounded by (arrival rate × delay), not corpus size,
+    which is the property that makes this safe on an unbounded 100 TB
+    stream where a plain dropDuplicates would accumulate every key
+    ever seen. Rows the silver gate would reject anyway (blank key or
+    unparseable event time) bypass nothing: they are filtered here for
+    state hygiene, exactly matching the streaming row gate
+    (plans/silver.py require_ts).
+    """
+    ts = parse_timestamp_any(ts_col)
+    key = F.trim(F.col(key_col))
+    return (
+        stream.withColumn("__event_ts", ts)
+        .filter(F.col("__event_ts").isNotNull() & (F.length(key) > 0))
+        .withColumn("__dedupe_key", key)
+        .withWatermark("__event_ts", delay)
+        .dropDuplicatesWithinWatermark(["__dedupe_key"])
+        .drop("__dedupe_key", "__event_ts")
+    )
+
+
 def run_bronze_to_silver_stream(
     spark: SparkSession,
     bronze_dir: str,
@@ -78,13 +115,20 @@ def run_bronze_to_silver_stream(
     schema: T.StructType = NEWS_SCHEMA,
     max_files_per_trigger: int = 500,
     await_termination: bool = False,
+    dedupe_within_watermark: str | None = None,
 ):
     """Start the streaming bronze→silver job; returns the query handle.
+
+    ``dedupe_within_watermark`` (e.g. "1 hour"): drop cross-micro-batch
+    duplicate articles (same trimmed url) whose event times fall within
+    the watermark delay, before the silver derivations run.
 
     Callers in tests use query.processAllAvailable() to drive it
     synchronously over fixture drops.
     """
     stream = read_bronze_stream(spark, bronze_dir, schema, max_files_per_trigger)
+    if dedupe_within_watermark is not None:
+        stream = dedupe_stream_within_watermark(stream, dedupe_within_watermark)
     query = (
         stream.writeStream.foreachBatch(
             lambda df, _epoch: upsert_silver_batch(spark, df, out_dir)
