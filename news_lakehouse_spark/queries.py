@@ -23,7 +23,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from news_lakehouse_spark.functions.jsonmap import int_map_values, parse_json_map
-from news_lakehouse_spark.functions.keys import sha2_key, surrogate_key_safe
+from news_lakehouse_spark.functions.keys import (
+    sha2_key,
+    sha2_prefix_long,
+    surrogate_key_safe,
+)
 from news_lakehouse_spark.functions.text import normalize_blank, read_time_minutes, word_count
 from news_lakehouse_spark.functions.timestamps import parse_timestamp_any
 from news_lakehouse_spark.operators.dedupe import (
@@ -2321,6 +2325,134 @@ FROM j WHERE t_exists
 UNION ALL
 SELECT custkey, s_seg, s_eff, CAST(NULL AS DATE), true
 FROM j WHERE s_exists AND (NOT t_exists OR chg)
+"""
+
+
+def x_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACID commit + time travel on the parquet warehouse
+    (sources/transaction.py) — the engine analog of the reference's
+    Iceberg snapshot reads (gcs_bronze_to_silver.py:50, MERGE commits
+    at :457-475).
+
+    Builds a versioned orders table in two manifest commits: v1 = every
+    order with key % 5 != 0; v2 = a MERGE whose source doubles the price
+    of keys divisible by 5 or 7 (inserting the %5 keys, updating the %7
+    keys). Returns per-version row count + rounded price total read via
+    `read(version=N)` — v1's numbers must be unchanged by the v2 commit.
+    Partitioned by o_orderstatus so the commit exercises the
+    carry-over-by-reference path for untouched partition files.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "nlh_time_travel_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = VersionedParquetTable(spark, base)
+    t.merge(
+        orders.filter(F.col("o_orderkey") % 5 != 0).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ),
+        ["o_orderkey"],
+        partition_by=["o_orderstatus"],
+    )
+    t.merge(
+        orders.filter(
+            (F.col("o_orderkey") % 5 == 0) | (F.col("o_orderkey") % 7 == 0)
+        ).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        ),
+        ["o_orderkey"],
+    )
+
+    def snap(v: int) -> DataFrame:
+        return (
+            t.read(version=v)
+            .groupBy()
+            .agg(
+                F.count("*").alias("cnt"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+            .select(F.lit(v).alias("version"), "cnt", "total")
+        )
+
+    return snap(1).unionByName(snap(2))
+
+
+_TIME_TRAVEL_SQL = """
+SELECT 1 AS version, COUNT(*) AS cnt,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders WHERE o_orderkey % 5 <> 0
+UNION ALL
+SELECT 2, COUNT(*),
+       ROUND(SUM(CASE WHEN o_orderkey % 5 = 0 OR o_orderkey % 7 = 0
+                      THEN o_totalprice * 2 ELSE o_totalprice END), 2)
+FROM orders
+"""
+
+
+def x_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction preserves every row bit-for-bit
+    (operators/compact.py — the rewrite_data_files maintenance op every
+    lakehouse deployment runs; reference delegates it to Iceberg).
+
+    Fragments a copy of `orders` into many small files, compacts it,
+    asserts the file count actually dropped, and returns a per-status
+    content digest over the COMPACTED copy: row count + a bigint sum of
+    sha2-prefix row hashes. The oracle computes the identical digest
+    from the original table, so any row dropped, duplicated, or mutated
+    by the rewrite flips the value hash.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from news_lakehouse_spark.operators.compact import compact_parquet_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "nlh_compact_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    orders.repartition(48).write.parquet(base)
+    stats = compact_parquet_table(spark, base)
+    assert stats["files_after"] < stats["files_before"], stats
+    rowhash = sha2_prefix_long(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.round(F.col("o_totalprice") * 100).cast("long"),
+        ),
+        10,
+    )
+    return (
+        spark.read.parquet(base)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(rowhash).alias("hash_sum"),
+        )
+    )
+
+
+_COMPACT_SQL = """
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       CAST(SUM(CAST(concat('0x', substr(sha256(concat_ws('|',
+              o_orderkey, o_custkey,
+              CAST(ROUND(o_totalprice * 100) AS BIGINT))), 1, 10))
+            AS BIGINT)) AS BIGINT) AS hash_sum
+FROM orders
+GROUP BY o_orderstatus
 """
 
 
@@ -4710,13 +4842,69 @@ SELECT doc_id, source, n_chars FROM r WHERE rn <= 10
 # --- registry -------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
-    # Driver-verification window: the driver oracle-checks only the first 50
-    # entries per round, so queries with no prior CORRECTNESS row are listed
-    # first (round-3 rotation: new TPC-H widening + new r3 operators, then
-    # r2's unchecked set); previously-green entries follow. Five r2-unchecked
-    # queries (x_char_entropy, x_corpus_pipeline, x_boilerplate_removal,
-    # x_source_corpus_stats, x_zorder_key) fall just outside the window — all
-    # have judge-local greens; tools/verify_oracle.py covers the full registry.
+
+    # Driver-verification window (first 50 entries; the driver oracle-checks
+    # registry[:50] each round). Rotation policy, enforced by
+    # tests/test_queries_smoke.py::test_driver_window_covers_unverified:
+    # any registered query with no driver CORRECTNESS row in any
+    # CORRECTNESS_r0*.json MUST sit inside the first 50 positions.
+    # Round-4 window: the 9 queries that had only judge-local greens in r3,
+    # then the SURVEY 2 core set (rotated back for a current-code driver
+    # green), then the r1-era entries not driver-checked since round 1,
+    # then r2-era fillers. tools/verify_oracle.py covers the full registry.
+    "x_time_travel": x_time_travel,
+    "x_compact_roundtrip": x_compact_roundtrip,
+    "x_char_entropy": x_char_entropy,
+    "x_corpus_pipeline": x_corpus_pipeline,
+    "x_boilerplate_removal": x_boilerplate_removal,
+    "x_source_corpus_stats": x_source_corpus_stats,
+    "x_zorder_key": x_zorder_key,
+    "x_kll_rollup": x_kll_rollup,
+    "x_weighted_sample": x_weighted_sample,
+    "x_exact_percentile": x_exact_percentile,
+    "x_exact_group_median": x_exact_group_median,
+    "q1_pricing_summary": q1_pricing_summary,
+    "s2_scan_filter_project": s2_scan_filter_project,
+    "p3_normalize_blank": p3_normalize_blank,
+    "a1_count_left_join": a1_count_left_join,
+    "a2_dedup_exact": a2_dedup_exact,
+    "j1_left_join_enrich": j1_left_join_enrich,
+    "j4_three_way_agg": j4_three_way_agg,
+    "j6_flat_serving_view": j6_flat_serving_view,
+    "s8_merge_upsert": s8_merge_upsert,
+    "s9_merge_insert_only": s9_merge_insert_only,
+    "u1_union_by_name": u1_union_by_name,
+    "w1_dedupe_latest": w1_dedupe_latest,
+    "o1_sort_recency": o1_sort_recency,
+    "o2_topk_per_group": o2_topk_per_group,
+    "f5_sha2_identity": f5_sha2_identity,
+    "f7_text_stats": f7_text_stats,
+    "d1_timestamp_cascade": d1_timestamp_cascade,
+    "d5_date_dimension": d5_date_dimension,
+    "n4_json_map_explode": n4_json_map_explode,
+    "m3_surrogate_sentinel": m3_surrogate_sentinel,
+    "x_quality_metrics": x_quality_metrics,
+    "x_token_count": x_token_count,
+    "x_fingerprint": x_fingerprint,
+    "x_multimodal_bytes": x_multimodal_bytes,
+    "x_range_join": x_range_join,
+    "x_salted_agg": x_salted_agg,
+    "x_salted_join": x_salted_join,
+    "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
+    "x_sim_ivf_topk": x_sim_ivf_topk,
+    "x_stream_stateful": x_stream_stateful,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "t_session_window": t_session_window,
+    "x_scd2_dimension": x_scd2_dimension,
+    "j7_semi_anti": j7_semi_anti,
+    "u2_intersect_except": u2_intersect_except,
+    "a4_rollup": a4_rollup,
+    "a5_cube": a5_cube,
+    "a6_pivot": a6_pivot,
+    # --- end of driver window (first 50) ---
+    "x_approx_distinct": x_approx_distinct,
+    "x_asof_join": x_asof_join,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q9_product_type_profit": q9_product_type_profit,
     "q11_important_parts": q11_important_parts,
@@ -4767,39 +4955,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_substring_removal": x_substring_removal,
     "x_dedup_minhash_incremental": x_dedup_minhash_incremental,
     "x_reservoir_sample": x_reservoir_sample,
-    "x_char_entropy": x_char_entropy,
-    "x_corpus_pipeline": x_corpus_pipeline,
-    "x_boilerplate_removal": x_boilerplate_removal,
-    "x_source_corpus_stats": x_source_corpus_stats,
-    "x_zorder_key": x_zorder_key,
-    "q1_pricing_summary": q1_pricing_summary,
-    "s2_scan_filter_project": s2_scan_filter_project,
-    "p3_normalize_blank": p3_normalize_blank,
-    "a1_count_left_join": a1_count_left_join,
-    "a2_dedup_exact": a2_dedup_exact,
-    "j1_left_join_enrich": j1_left_join_enrich,
-    "j4_three_way_agg": j4_three_way_agg,
-    "j6_flat_serving_view": j6_flat_serving_view,
-    "s8_merge_upsert": s8_merge_upsert,
-    "s9_merge_insert_only": s9_merge_insert_only,
-    "u1_union_by_name": u1_union_by_name,
-    "w1_dedupe_latest": w1_dedupe_latest,
-    "o2_topk_per_group": o2_topk_per_group,
-    "f5_sha2_identity": f5_sha2_identity,
-    "f7_text_stats": f7_text_stats,
-    "d1_timestamp_cascade": d1_timestamp_cascade,
-    "d5_date_dimension": d5_date_dimension,
-    "n4_json_map_explode": n4_json_map_explode,
-    "m3_surrogate_sentinel": m3_surrogate_sentinel,
-    "o1_sort_recency": o1_sort_recency,
-    "j7_semi_anti": j7_semi_anti,
-    "u2_intersect_except": u2_intersect_except,
-    "a4_rollup": a4_rollup,
-    "a5_cube": a5_cube,
-    "a6_pivot": a6_pivot,
-    "x_approx_distinct": x_approx_distinct,
     "x_approx_percentile": x_approx_percentile,
-    "x_asof_join": x_asof_join,
     "t_windowed_agg": t_windowed_agg,
     "x_sessionize": x_sessionize,
     "x_dedup_minhash_lsh": x_dedup_minhash_lsh,
@@ -4822,24 +4978,6 @@ QUERIES: dict[str, QueryFn] = {
     "x_sim_lsh_topk": x_sim_lsh_topk,
     "x_embed_centroid": x_embed_centroid,
     "x_lang_id": x_lang_id,
-    "x_quality_metrics": x_quality_metrics,
-    "x_token_count": x_token_count,
-    "x_fingerprint": x_fingerprint,
-    "x_multimodal_bytes": x_multimodal_bytes,
-    "x_range_join": x_range_join,
-    "x_salted_agg": x_salted_agg,
-    "x_salted_join": x_salted_join,
-    "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
-    "x_sim_ivf_topk": x_sim_ivf_topk,
-    "x_stream_stateful": x_stream_stateful,
-    "q3_shipping_priority": q3_shipping_priority,
-    "q5_local_supplier_volume": q5_local_supplier_volume,
-    "t_session_window": t_session_window,
-    "x_scd2_dimension": x_scd2_dimension,
-    "x_kll_rollup": x_kll_rollup,
-    "x_weighted_sample": x_weighted_sample,
-    "x_exact_percentile": x_exact_percentile,
-    "x_exact_group_median": x_exact_group_median,
 }
 
 ORACLES: dict[str, str] = {
@@ -4937,6 +5075,8 @@ ORACLES: dict[str, str] = {
     "q5_local_supplier_volume": _Q5_SQL,
     "t_session_window": _SESSION_WINDOW_SQL,
     "x_scd2_dimension": _SCD2_SQL,
+    "x_time_travel": _TIME_TRAVEL_SQL,
+    "x_compact_roundtrip": _COMPACT_SQL,
     "x_repetition_metrics": _REPETITION_SQL,
     "x_pii_redaction": _PII_SQL,
     "w2_window_analytics": _W2_SQL,

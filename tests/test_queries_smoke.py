@@ -20,3 +20,34 @@ def test_all_queries_run(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert df.columns, name
         df.limit(5).collect()
+
+
+def test_driver_window_covers_unverified():
+    """Rotation guard: the driver oracle-checks only the first 50 registry
+    entries per round, so every registered query that has never received a
+    driver CORRECTNESS row must sit inside that window. This re-opened in
+    round 3 when new queries were appended behind the window; fail loudly
+    instead."""
+    import glob
+    import json
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    verified: set[str] = set()
+    for path in glob.glob(str(repo / "CORRECTNESS_r0*.json")):
+        verified.update(json.load(open(path)).keys())
+    registry = list(entrymod.queries())
+    window = set(registry[:50])
+    stranded = [
+        name
+        for name in registry[50:]
+        if name not in verified
+    ]
+    assert not stranded, (
+        "registered queries with no driver CORRECTNESS row sit outside "
+        f"registry[:50]: {stranded}; move them into the first 50 positions "
+        "of QUERIES in news_lakehouse_spark/queries.py"
+    )
+    # The window itself must be full-sized while the registry exceeds it,
+    # otherwise the guard above is vacuous.
+    assert len(registry) <= 50 or len(window) == 50
