@@ -40,6 +40,7 @@ PROBES = {
     "x_cms_heavy_hitters": ("documents", 20),
     "x_bm25_search": ("documents", 20),
     "x_sim_topk_bruteforce": ("embeddings", 20),
+    "x_semdedup": ("embeddings", 20),
     "w3_rolling_time_window": ("events", 10),
     # round-3 additions: TPC-H completion + label propagation
     "q9_product_type_profit": ("lineitem", 10),
@@ -102,16 +103,21 @@ def main() -> None:
     spark.range(1).count()
     build_big(spark, base)
 
-    # min of N runs: one cold run per point swings the exponent by
-    # ~0.1-0.15 under this host's ±35% noise (and t_big otherwise gets
-    # a page-cache-warm advantage from being written right before
-    # timing while t_small runs cold-first)
-    runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "3"))
+    # Adaptive repetition: the exponent uses min-of-runs, so what
+    # matters is how reproducible the MIN is, not the worst GC hiccup.
+    # Keep sampling (>= min_runs, <= max_runs) until the two fastest
+    # runs agree within `tol`; report spread as (2nd_min - min)/min —
+    # the uncertainty band of the statistic the exponent is computed
+    # from. Fixed 3 runs left sub-second queries with ±80-160% worst-
+    # case bands that said nothing about the min's stability (r3 ask).
+    min_runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "4"))
+    max_runs = int(os.environ.get("SPARK_GRAFT_PROBE_MAX_RUNS", "9"))
+    tol = 0.15
 
     def run(name: str, sf_dir: str) -> tuple[float, float, int]:
-        times = []
+        times: list[float] = []
         n = QUERIES[name](spark, sf_dir).count()
-        for _ in range(runs):
+        while True:
             t0 = time.perf_counter()
             # noop sink = full-column materialization; count() lets
             # Catalyst prune final columns/joins and under-time (see
@@ -120,8 +126,10 @@ def main() -> None:
                 "overwrite"
             ).save()
             times.append(time.perf_counter() - t0)
-        spread = (max(times) - min(times)) / min(times)
-        return min(times), spread, n
+            if len(times) >= min_runs:
+                best, second = sorted(times)[:2]
+                if (second - best) / best <= tol or len(times) >= max_runs:
+                    return best, (second - best) / best, n
 
     lines = [
         "# SCALE — 10-20x probe vs the sf0.1 bench fixture",
@@ -134,11 +142,12 @@ def main() -> None:
         "~19 extra true pairs per doc by construction, so their OUTPUT",
         "grows faster than input and exp > 1 is expected there).",
         "",
-        f"Each timing is the min of {runs} full-materialization runs",
-        "(noop sink — every output column computed; single cold runs swing the",
-        "exponent ~0.1-0.15 under this host's noise); `spread` is the",
-        "per-point (max-min)/min band across those runs — exponents are",
-        "only trustworthy where the spread is well under the factor.",
+        f"Each timing is the min of {min_runs}-{max_runs} adaptive",
+        "full-materialization runs (noop sink — every output column",
+        "computed), sampled until the two fastest agree within 15%;",
+        "`spread` is (2nd_min - min)/min — the stability band of the",
+        "statistic the exponent is computed from (a worst-run band only",
+        "measured GC hiccups, r3 ask).",
         "",
         "| query | factor | t_small (s) | t_big (s) | rows_big | exp | spread |",
         "|---|---|---|---|---|---|---|",
