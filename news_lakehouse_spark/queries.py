@@ -2399,6 +2399,85 @@ FROM orders
 """
 
 
+def x_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed between two table versions
+    (sources/transaction.py changes() — the Iceberg incremental-read
+    analog: downstream consumers process the delta of a commit, never
+    re-scanning the table; only files differing between the two
+    manifests are read).
+
+    Same two-commit construction as x_time_travel: v1 = orders with
+    key % 5 != 0; v2 = MERGE doubling the price of keys divisible by 5
+    or 7. The delta is therefore: inserts = every %5-or-%7 key at the
+    doubled price (updates surface as delete+insert pairs), deletes =
+    the old image of the updated %7 keys that were present in v1.
+    Returns per-change-type count + content hash-sum.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "nlh_changes_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = VersionedParquetTable(spark, base)
+    t.merge(
+        orders.filter(F.col("o_orderkey") % 5 != 0).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ),
+        ["o_orderkey"],
+        partition_by=["o_orderstatus"],
+    )
+    t.merge(
+        orders.filter(
+            (F.col("o_orderkey") % 5 == 0) | (F.col("o_orderkey") % 7 == 0)
+        ).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        ),
+        ["o_orderkey"],
+    )
+    rowhash = sha2_prefix_long(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey"),
+            F.round(F.col("o_totalprice") * 100).cast("long"),
+        ),
+        10,
+    )
+    return (
+        t.changes(1, 2)
+        .groupBy("_change_type")
+        .agg(F.count("*").alias("cnt"), F.sum(rowhash).alias("hash_sum"))
+    )
+
+
+_TABLE_CHANGES_SQL = """
+WITH ins AS (
+  SELECT o_orderkey, o_totalprice * 2 AS price FROM orders
+  WHERE o_orderkey % 5 = 0 OR o_orderkey % 7 = 0
+), del AS (
+  SELECT o_orderkey, o_totalprice AS price FROM orders
+  WHERE o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+), tagged AS (
+  SELECT 'insert' AS _change_type, o_orderkey, price FROM ins
+  UNION ALL
+  SELECT 'delete', o_orderkey, price FROM del
+)
+SELECT _change_type, COUNT(*) AS cnt,
+       CAST(SUM(CAST(concat('0x', substr(sha256(concat_ws('|',
+              o_orderkey, CAST(ROUND(price * 100) AS BIGINT))), 1, 10))
+            AS BIGINT)) AS BIGINT) AS hash_sum
+FROM tagged GROUP BY _change_type
+"""
+
+
 def x_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction preserves every row bit-for-bit
     (operators/compact.py — the rewrite_data_files maintenance op every
@@ -4853,6 +4932,7 @@ QUERIES: dict[str, QueryFn] = {
     # green), then the r1-era entries not driver-checked since round 1,
     # then r2-era fillers. tools/verify_oracle.py covers the full registry.
     "x_time_travel": x_time_travel,
+    "x_table_changes": x_table_changes,
     "x_compact_roundtrip": x_compact_roundtrip,
     "x_char_entropy": x_char_entropy,
     "x_corpus_pipeline": x_corpus_pipeline,
@@ -4901,8 +4981,8 @@ QUERIES: dict[str, QueryFn] = {
     "u2_intersect_except": u2_intersect_except,
     "a4_rollup": a4_rollup,
     "a5_cube": a5_cube,
-    "a6_pivot": a6_pivot,
     # --- end of driver window (first 50) ---
+    "a6_pivot": a6_pivot,
     "x_approx_distinct": x_approx_distinct,
     "x_asof_join": x_asof_join,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -5076,6 +5156,7 @@ ORACLES: dict[str, str] = {
     "t_session_window": _SESSION_WINDOW_SQL,
     "x_scd2_dimension": _SCD2_SQL,
     "x_time_travel": _TIME_TRAVEL_SQL,
+    "x_table_changes": _TABLE_CHANGES_SQL,
     "x_compact_roundtrip": _COMPACT_SQL,
     "x_repetition_metrics": _REPETITION_SQL,
     "x_pii_redaction": _PII_SQL,

@@ -188,23 +188,65 @@ class VersionedParquetTable:
 
     # --- reads -----------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read; ``version`` time-travels to any retained one."""
+    def read(
+        self,
+        version: int | None = None,
+        partition_filter: dict | None = None,
+    ) -> DataFrame:
+        """Snapshot read; ``version`` time-travels to any retained one.
+
+        ``partition_filter`` ({col: value, ...}) prunes at the MANIFEST
+        level: files whose path fragment doesn't match never reach
+        Spark's listing — the Iceberg-manifest analog that matters when
+        a 100 TB table is 800k files and the query wants one date
+        (directory-listing pruning still costs a full listing first).
+        Filter values render through Spark's own path escaping, so they
+        match exactly what the writer produced.
+        """
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.path}")
         man = self._load_manifest(v)
         schema = StructType.fromJson(man["schema"])
-        if not man["files"]:
+        files_list = man["files"]
+        if partition_filter:
+            spec = man["partition_by"]
+            unknown = [c for c in partition_filter if c not in spec]
+            if unknown:
+                raise ValueError(
+                    f"partition_filter columns {unknown} are not in the "
+                    f"table's partition spec {spec}"
+                )
+            esc = _escape_fn(self.spark)
+            want = {
+                f"{c}={'__HIVE_DEFAULT_PARTITION__' if val is None else esc(str(val))}"
+                for c, val in partition_filter.items()
+            }
+            files_list = [
+                rel
+                for rel in files_list
+                if want <= set(rel.split("/")[2:-1])
+            ]
+        if not files_list:
             return self.spark.createDataFrame([], schema)
+        return self._read_files(files_list, bool(man["partition_by"]), schema)
+
+    def _read_files(
+        self, rels: list[str], partitioned: bool, schema: StructType
+    ) -> DataFrame:
+        """Read an explicit manifest file list, grouped by commit dir so
+        `basePath` parses partition columns from paths, then pinned to
+        the given schema's column order and types (path-inferred
+        partition types would otherwise drift, e.g. a numeric string
+        reading back int; columns absent from older commits null-fill)."""
         groups: dict[str, list[str]] = defaultdict(list)
-        for rel in man["files"]:
+        for rel in rels:
             commit_dir = "/".join(rel.split("/")[:2])
             groups[commit_dir].append(os.path.join(self.path, rel))
         parts = []
         for commit_dir, files in sorted(groups.items()):
             reader = self.spark.read.option("mergeSchema", "true")
-            if man["partition_by"]:
+            if partitioned:
                 reader = reader.option(
                     "basePath", os.path.join(self.path, commit_dir)
                 )
@@ -212,12 +254,49 @@ class VersionedParquetTable:
         df = reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
         )
-        # Restore committed column order and partition-column types:
-        # path-parsed partition columns land last and are type-inferred
-        # from the directory string (a numeric string would come back
-        # int), so pin both to the manifest's schema.
+        for f in schema.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         return df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Row-level change feed between two retained versions — the
+        Iceberg incremental-read analog that lets a downstream pipeline
+        process only the delta of a 100 TB table.
+
+        Reads ONLY files that differ between the two manifests (files
+        carried by reference contribute nothing), then removes the
+        rewritten-but-unchanged rows with exceptAll, so the cost scales
+        with the churn, not the table. Output: to_version's schema plus
+        ``_change_type`` ('insert' | 'delete'); an update appears as a
+        delete of the old image plus an insert of the new one.
+        """
+        to_v = self.latest_version() if to_version is None else to_version
+        man_a = self._load_manifest(from_version)
+        man_b = self._load_manifest(to_v)
+        schema = StructType.fromJson(man_b["schema"])
+        set_a, set_b = set(man_a["files"]), set(man_b["files"])
+        only_a = sorted(set_a - set_b)
+        only_b = sorted(set_b - set_a)
+        empty = self.spark.createDataFrame([], schema)
+        removed = (
+            self._read_files(only_a, bool(man_a["partition_by"]), schema)
+            if only_a
+            else empty
+        )
+        added = (
+            self._read_files(only_b, bool(man_b["partition_by"]), schema)
+            if only_b
+            else empty
+        )
+        return (
+            added.exceptAll(removed)
+            .withColumn("_change_type", F.lit("insert"))
+            .unionByName(
+                removed.exceptAll(added).withColumn("_change_type", F.lit("delete"))
+            )
         )
 
     # --- commits ---------------------------------------------------------
@@ -358,6 +437,36 @@ class VersionedParquetTable:
         raise last_err  # type: ignore[misc]
 
     # --- maintenance -----------------------------------------------------
+
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """Crash-safe small-file compaction: rewrite the current
+        snapshot into a fresh commit sized from the ACTUAL live bytes
+        and publish it as a new version — readers never see a partial
+        rewrite (the in-place compact_parquet_table cannot promise
+        that), and the pre-compaction version stays time-travelable
+        until vacuumed. Partitioned tables cluster by the partition
+        columns (one file per partition); unpartitioned tables split at
+        ``target_file_bytes``. Returns the committed version.
+        """
+        import math
+
+        parent = self.latest_version()
+        if parent is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        man = self._load_manifest(parent)
+        spec = man["partition_by"] or None
+        df = self.read(parent)
+        if spec:
+            out = df.repartition(*[F.col(c) for c in spec])
+        else:
+            total = sum(
+                os.path.getsize(os.path.join(self.path, rel))
+                for rel in man["files"]
+            )
+            out = df.repartition(max(1, math.ceil(total / target_file_bytes)))
+        version = parent + 1
+        files = self._write_commit(out, version, spec)
+        return self._commit(out, files, parent, spec, "compact")
 
     def vacuum(self, keep_last: int = 1) -> dict[str, int]:
         """Drop all but the newest ``keep_last`` manifests and delete data

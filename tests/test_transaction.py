@@ -188,6 +188,57 @@ def test_warehouse_versioned_accessor(spark, tmp_path):
     assert _rows(t.read()) == {(1, "a", 10)}
 
 
+def test_manifest_partition_pruned_read(spark, table):
+    table.merge(
+        _df(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)]),
+        ["k"],
+        partition_by=["d"],
+    )
+    got = table.read(partition_filter={"d": "b"})
+    assert _rows(got) == {(2, "b", 20)}
+    # pruning happens before Spark: only the matching file is read
+    assert len(got.inputFiles()) == 1
+    with pytest.raises(ValueError, match="not in the table's partition spec"):
+        table.read(partition_filter={"nope": 1})
+
+
+def test_changes_between_versions(spark, table):
+    table.merge(
+        _df(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)]),
+        ["k"],
+        partition_by=["d"],
+    )
+    # v2: update key 2, insert key 4 (both in partition b); a,c untouched
+    table.merge(_df(spark, [(2, "b", 99), (4, "b", 40)]), ["k"])
+    delta = table.changes(1, 2)
+    got = {(r["k"], r["d"], r["v"], r["_change_type"]) for r in delta.collect()}
+    assert got == {
+        (2, "b", 99, "insert"),
+        (4, "b", 40, "insert"),
+        (2, "b", 20, "delete"),
+    }
+    # carried files contribute nothing: rows of a/c never enter the diff
+    assert not any(r["d"] in ("a", "c") for r in delta.collect())
+    # no-op diff
+    assert table.changes(2, 2).count() == 0
+
+
+def test_versioned_compact_preserves_rows_and_history(spark, table):
+    rows = [(i, "p" if i % 2 else "q", i * 10) for i in range(20)]
+    for i in range(0, 20, 5):  # five small commits => many small files
+        table.merge(_df(spark, rows[i : i + 5]), ["k"], partition_by=["d"])
+    before = _rows(table.read())
+    files_before = table._load_manifest(table.latest_version())["num_files"]
+    v = table.compact()
+    man = table._load_manifest(v)
+    assert man["operation"] == "compact"
+    assert man["num_files"] < files_before
+    assert man["num_files"] == 2  # one file per partition value
+    assert _rows(table.read()) == before
+    # pre-compaction version still time-travels
+    assert _rows(table.read(version=v - 1)) == before
+
+
 def test_deterministic_survivor_on_merge(spark, table):
     """order_by survivor selection flows through to the versioned merge."""
     table.merge(_df(spark, [(1, "a", 10)]), ["k"])
