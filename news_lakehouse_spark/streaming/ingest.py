@@ -72,7 +72,7 @@ def upsert_silver_batch(
         batch_df.unpersist()
 
 
-def dedupe_stream_within_watermark(
+def dedupe_bronze_stream(
     stream: DataFrame,
     delay: str,
     key_col: str = "url",
@@ -128,7 +128,7 @@ def run_bronze_to_silver_stream(
     """
     stream = read_bronze_stream(spark, bronze_dir, schema, max_files_per_trigger)
     if dedupe_within_watermark is not None:
-        stream = dedupe_stream_within_watermark(stream, dedupe_within_watermark)
+        stream = dedupe_bronze_stream(stream, dedupe_within_watermark)
     query = (
         stream.writeStream.foreachBatch(
             lambda df, _epoch: upsert_silver_batch(spark, df, out_dir)

@@ -117,26 +117,6 @@ def session_window_counts(
     )
 
 
-def dedupe_within_watermark(
-    events: DataFrame,
-    keys: list[str],
-    ts_col: str = "ts",
-    watermark: str = "10 minutes",
-) -> DataFrame:
-    """Streaming dedup with bounded state: dropDuplicatesWithinWatermark.
-
-    Plain streaming dropDuplicates keeps every key seen forever —
-    unbounded state at 100 TB/day. The watermark variant evicts keys
-    older than the bound: exact dedup for any duplicate arriving
-    within the watermark, bounded state always.
-    """
-    return (
-        _ensure_event_time(events, ts_col)
-        .withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(keys)
-    )
-
-
 def dedupe_stream_within_watermark(
     stream: DataFrame,
     keys: list[str],

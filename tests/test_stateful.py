@@ -47,7 +47,9 @@ def test_state_survives_across_micro_batches(spark):
 
 
 def test_dedupe_within_watermark_streaming(spark):
-    from news_lakehouse_spark.streaming.windows import dedupe_within_watermark
+    from news_lakehouse_spark.streaming.windows import (
+        dedupe_stream_within_watermark,
+    )
 
     data_dir = tempfile.mkdtemp(prefix="dedup_stream_")
     ckpt = tempfile.mkdtemp(prefix="ckpt_dedup_")
@@ -72,7 +74,9 @@ def test_dedupe_within_watermark_streaming(spark):
             .option("maxFilesPerTrigger", "1")
             .parquet(data_dir)
         )
-        deduped = dedupe_within_watermark(stream, ["event_id"], "ts", "10 minutes")
+        deduped = dedupe_stream_within_watermark(
+            stream, ["event_id"], "ts", "10 minutes"
+        )
         q = (
             deduped.writeStream.outputMode("append")
             .format("memory")

@@ -84,7 +84,7 @@ def test_stream_dedupe_within_watermark_collapses_cross_batch(spark, tmp_path):
     silver derivations — not merely absorbed by merge idempotency."""
     from news_lakehouse_spark.schemas import NEWS_SCHEMA
     from news_lakehouse_spark.sources.readers import read_bronze_stream
-    from news_lakehouse_spark.streaming.ingest import dedupe_stream_within_watermark
+    from news_lakehouse_spark.streaming.ingest import dedupe_bronze_stream
 
     bronze = tmp_path / "bronze" / "topicA"
     # two files => two micro-batches at maxFilesPerTrigger=1
@@ -93,7 +93,7 @@ def test_stream_dedupe_within_watermark_collapses_cross_batch(spark, tmp_path):
 
     seen = []
     stream = read_bronze_stream(spark, str(tmp_path / "bronze"), NEWS_SCHEMA, 1)
-    deduped = dedupe_stream_within_watermark(stream, "1 hour")
+    deduped = dedupe_bronze_stream(stream, "1 hour")
     q = (
         deduped.writeStream.foreachBatch(
             lambda df, epoch: seen.append((epoch, [r["url"] for r in df.collect()]))
