@@ -7,12 +7,14 @@ frame-sampling run as Arrow-batched Pandas functions over
 ``mapInPandas`` — one Python worker per partition, whole Arrow record
 batches per call, never row-at-a-time.
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so
-the decode bodies are stubbed: `decode_image`/`decode_audio` raise
-NotImplementedError unless given the deterministic fake codec, and
-`extract_features` ships a real, deterministic byte-level feature so
-the full Spark plumbing (schema, batching, partition shape) is
-exercised and tested end-to-end.
+Codec coverage: formats that need no external library decode FOR REAL
+in-container — netpbm P5/P6 and uncompressed 24-bit BMP images (pure
+numpy header+raster parse) and RIFF/WAV PCM audio (stdlib ``wave`` +
+numpy). Compressed formats (PNG/JPEG/MP3/video containers) require
+PIL/soundfile/ffmpeg, absent in this image, and raise
+NotImplementedError at the exact worker call site a real decoder would
+occupy; the deterministic ``codec="fake"`` path remains for plumbing
+tests that want format-independent bytes.
 """
 
 from __future__ import annotations
@@ -42,23 +44,119 @@ def with_binary_payload(
     )
 
 
-def decode_image(payload: bytes, codec: str = "real"):
-    """STUB: image decode requires PIL/opencv, absent in this image.
+def _parse_netpbm(b: bytes):
+    """P5 (gray) / P6 (RGB) binary netpbm → HxWxC uint8 ndarray."""
+    import numpy as np
 
-    reference point: a real implementation decodes to HxWxC uint8 and
-    is called from extract_features' mapInPandas loop — the Spark-side
-    contract is unchanged."""
+    magic = b[:2]
+    channels = 1 if magic == b"P5" else 3
+    # header = magic + 3 ASCII ints (width height maxval), separated by
+    # whitespace, with '#' comments allowed; raster starts after ONE
+    # whitespace byte following maxval
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            pos = b.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(b[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    n = width * height * channels
+    raster = np.frombuffer(b, dtype=np.uint8, count=n, offset=pos)
+    return raster.reshape(height, width, channels)
+
+
+def _parse_bmp(b: bytes):
+    """Uncompressed 24-bit BMP → HxWx3 uint8 ndarray (RGB)."""
+    import struct
+
+    import numpy as np
+
+    offset = struct.unpack_from("<I", b, 10)[0]
+    width, height = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (got bpp={bpp}, "
+            f"compression={compression})"
+        )
+    flipped = height > 0  # positive height = bottom-up row order
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=row_bytes * height, offset=offset
+    ).reshape(height, row_bytes)[:, : width * 3]
+    img = rows.reshape(height, width, 3)[:, :, ::-1]  # BGR → RGB
+    return img[::-1] if flipped else img
+
+
+def decode_image(payload: bytes, codec: str = "auto"):
+    """Decode an image payload to an HxWxC uint8 ndarray.
+
+    REAL for library-free formats — netpbm P5/P6 and uncompressed
+    24-bit BMP — detected by magic bytes. PNG/JPEG/etc. need PIL or
+    opencv (absent in this container) and raise NotImplementedError.
+    ``codec="fake"`` keeps the deterministic byte-stat stub used by
+    format-independent plumbing tests.
+    """
     if codec == "fake":
-        # deterministic fake: 'decode' to (height, width) from byte stats
         return (len(payload) % 31 + 1, len(payload) % 17 + 1)
-    raise NotImplementedError("image codecs not available in this container")
+    b = bytes(payload)
+    if b[:2] in (b"P5", b"P6"):
+        return _parse_netpbm(b)
+    if b[:2] == b"BM":
+        return _parse_bmp(b)
+    raise NotImplementedError(
+        f"image format {b[:4]!r} needs an external codec (PIL/opencv), "
+        "absent in this container; P5/P6 netpbm and 24-bit BMP decode "
+        "natively"
+    )
 
 
-def decode_audio(payload: bytes, codec: str = "real"):
-    """STUB: audio decode requires soundfile/librosa, absent here."""
+def decode_audio(payload: bytes, codec: str = "auto"):
+    """Decode an audio payload to (samples, sample_rate).
+
+    REAL for RIFF/WAV PCM (stdlib ``wave`` + numpy): returns a
+    float32 ndarray shaped (n_frames, n_channels) normalized to
+    [-1, 1]. Compressed audio (MP3/OGG/FLAC) needs soundfile/librosa
+    and raises NotImplementedError. ``codec="fake"`` keeps the stub.
+    """
     if codec == "fake":
         return [b / 255.0 for b in payload[:16]]
-    raise NotImplementedError("audio codecs not available in this container")
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError(
+            f"audio format {b[:4]!r} needs an external codec "
+            "(soundfile/librosa), absent in this container; WAV PCM "
+            "decodes natively"
+        )
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(b)) as w:
+        channels = w.getnchannels()
+        width = w.getsampwidth()
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:  # 8-bit WAV is unsigned
+        samples = (
+            np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0
+        ) / 128.0
+    else:
+        raise NotImplementedError(f"{width * 8}-bit PCM not supported")
+    return samples.reshape(-1, channels), rate
 
 
 def extract_features(payloads: DataFrame, include_hex_sha: bool = False) -> DataFrame:
@@ -111,25 +209,37 @@ def resize_images(
 ) -> DataFrame:
     """Arrow-batched image resize over (doc_id, payload).
 
-    Real path (``codec="real"``) needs PIL/opencv — absent here, so it
-    raises inside the worker exactly where a real decoder would run.
-    The fake codec is a deterministic byte-grid downsample: payload
-    bytes strided to height×width — cardinality, schema, and batch
-    shape identical to the real operator.
+    ``codec="auto"`` REALLY decodes (netpbm/BMP — see decode_image),
+    converts to grayscale, and nearest-neighbor resamples to
+    height×width (numpy index grids; no PIL needed). Compressed
+    formats raise inside the worker exactly where a real decoder
+    would run. The fake codec is a deterministic byte-grid
+    downsample: payload bytes strided to height×width — cardinality,
+    schema, and batch shape identical to the real operator.
     """
     import pandas as pd
 
     n_out = height * width
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
         for pdf in batches:
-            if codec != "fake":
-                decode_image(b"", codec)  # raises NotImplementedError
             pixels = []
             for b in pdf["payload"]:
                 raw = bytes(b) or b"\x00"
-                stride = max(len(raw) // n_out, 1)
-                px = (raw[::stride] + raw * (n_out // len(raw) + 1))[:n_out]
+                if codec == "fake":
+                    stride = max(len(raw) // n_out, 1)
+                    px = (raw[::stride] + raw * (n_out // len(raw) + 1))[:n_out]
+                else:
+                    img = decode_image(raw, codec)
+                    gray = img.mean(axis=2).astype(np.uint8)
+                    h_in, w_in = gray.shape
+                    # nearest-neighbor: sample the source center of
+                    # each output cell
+                    ys = ((np.arange(height) + 0.5) * h_in / height).astype(int)
+                    xs = ((np.arange(width) + 0.5) * w_in / width).astype(int)
+                    px = gray[np.ix_(ys, xs)].tobytes()
                 pixels.append(px)
             yield pd.DataFrame(
                 {
@@ -141,6 +251,64 @@ def resize_images(
             )
 
     return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_kind string, height int, width int, channels int, "
+    "sample_rate int, n_samples int, duration_s double, rms double"
+)
+
+
+def describe_media(df: DataFrame) -> DataFrame:
+    """Arrow-batched media probe over (doc_id, payload): detect the
+    format by magic bytes, REALLY decode the container-free ones, and
+    emit typed metadata — image dims/channels for netpbm/BMP, sample
+    rate / duration / RMS loudness for WAV PCM; undecodable payloads
+    row out with media_kind='unknown' and NULL metrics (a 100 TB
+    corpus always contains garbage; a probe that throws on it is
+    useless). One pass, no shuffle: runs inside the scan partitions.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "media_kind", "height", "width", "channels",
+                "sample_rate", "n_samples", "duration_s", "rms",
+            )}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)
+                row = dict.fromkeys(out)
+                row["doc_id"] = doc_id
+                try:
+                    if raw[:2] in (b"P5", b"P6") or raw[:2] == b"BM":
+                        img = decode_image(raw)
+                        row["media_kind"] = "image"
+                        row["height"], row["width"], row["channels"] = img.shape
+                    elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                        samples, rate = decode_audio(raw)
+                        row["media_kind"] = "audio"
+                        row["sample_rate"] = rate
+                        row["n_samples"] = samples.shape[0]
+                        row["duration_s"] = (
+                            round(samples.shape[0] / rate, 6) if rate else None
+                        )
+                        row["rms"] = (
+                            round(float(np.sqrt((samples**2).mean())), 6)
+                            if samples.size
+                            else None
+                        )
+                    else:
+                        row["media_kind"] = "unknown"
+                except Exception:
+                    row["media_kind"] = "corrupt"
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame bytes".replace("bytes", "binary")

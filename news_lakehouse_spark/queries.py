@@ -2478,6 +2478,44 @@ FROM tagged GROUP BY _change_type
 """
 
 
+def x_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the multimodal probe
+    (operators/multimodal.py describe_media → _parse_netpbm): construct
+    a valid P5 netpbm payload per document IN-PLAN (header from
+    n_chars-derived dimensions + the text's first bytes as raster),
+    decode it in the Arrow-batched worker, and return the parsed
+    dimensions. The oracle recomputes the dimensions analytically, so a
+    header-parse or raster-shape regression flips the hash. Padding to
+    the max raster size keeps every payload decodable regardless of
+    text length.
+    """
+    from news_lakehouse_spark.operators.multimodal import describe_media
+
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    height = (F.col("n_chars") % 5 + 2).cast("int")
+    payload = F.encode(
+        F.concat(
+            F.format_string("P5\n%d %d\n255\n", F.lit(8), height),
+            F.rpad(F.substring(F.col("text"), 1, 48), 48, "x"),
+        ),
+        "UTF-8",
+    )
+    return describe_media(
+        d.select(F.col("doc_id"), payload.alias("payload"))
+    ).select("doc_id", "media_kind", "height", "width", "channels")
+
+
+_MEDIA_PROBE_SQL = """
+SELECT doc_id, 'image' AS media_kind,
+       CAST(n_chars % 5 + 2 AS INT) AS height,
+       CAST(8 AS INT) AS width,
+       CAST(1 AS INT) AS channels
+FROM documents WHERE n_chars IS NOT NULL
+"""
+
+
 def x_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction preserves every row bit-for-bit
     (operators/compact.py — the rewrite_data_files maintenance op every
@@ -4933,6 +4971,7 @@ QUERIES: dict[str, QueryFn] = {
     # then r2-era fillers. tools/verify_oracle.py covers the full registry.
     "x_time_travel": x_time_travel,
     "x_table_changes": x_table_changes,
+    "x_media_probe": x_media_probe,
     "x_compact_roundtrip": x_compact_roundtrip,
     "x_char_entropy": x_char_entropy,
     "x_corpus_pipeline": x_corpus_pipeline,
@@ -4980,8 +5019,8 @@ QUERIES: dict[str, QueryFn] = {
     "j7_semi_anti": j7_semi_anti,
     "u2_intersect_except": u2_intersect_except,
     "a4_rollup": a4_rollup,
-    "a5_cube": a5_cube,
     # --- end of driver window (first 50) ---
+    "a5_cube": a5_cube,
     "a6_pivot": a6_pivot,
     "x_approx_distinct": x_approx_distinct,
     "x_asof_join": x_asof_join,
@@ -5157,6 +5196,7 @@ ORACLES: dict[str, str] = {
     "x_scd2_dimension": _SCD2_SQL,
     "x_time_travel": _TIME_TRAVEL_SQL,
     "x_table_changes": _TABLE_CHANGES_SQL,
+    "x_media_probe": _MEDIA_PROBE_SQL,
     "x_compact_roundtrip": _COMPACT_SQL,
     "x_repetition_metrics": _REPETITION_SQL,
     "x_pii_redaction": _PII_SQL,

@@ -124,6 +124,120 @@ def test_multimodal_stub_contract(spark, sf_dir):
         decode_audio(b"abcdef")
 
 
+def _pgm(width, height, raster: bytes) -> bytes:
+    return b"P5\n# comment\n%d %d\n255\n" % (width, height) + raster
+
+
+def _ppm(width, height, raster: bytes) -> bytes:
+    return b"P6 %d %d 255\n" % (width, height) + raster
+
+
+def _bmp24(width, height, rows_topdown: list[list[tuple]]) -> bytes:
+    """Minimal uncompressed 24-bit BMP (bottom-up, rows padded to 4)."""
+    import struct
+
+    row_bytes = (width * 3 + 3) & ~3
+    raster = b""
+    for row in reversed(rows_topdown):  # bottom-up storage
+        line = b"".join(bytes((b_, g, r)) for (r, g, b_) in row)  # BGR
+        raster += line + b"\x00" * (row_bytes - len(line))
+    header_size = 14 + 40
+    total = header_size + len(raster)
+    return (
+        struct.pack("<2sIHHI", b"BM", total, 0, 0, header_size)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(raster), 2835, 2835, 0, 0)
+        + raster
+    )
+
+
+def _wav(samples, rate=8000) -> bytes:
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            b"".join(struct.pack("<h", int(s * 32767)) for s in samples)
+        )
+    return buf.getvalue()
+
+
+def test_decode_image_real_formats():
+    import numpy as np
+
+    img = decode_image(_pgm(3, 2, bytes([10, 20, 30, 40, 50, 60])))
+    assert img.shape == (2, 3, 1)
+    assert img[0, 0, 0] == 10 and img[1, 2, 0] == 60
+    rgb = decode_image(_ppm(2, 1, bytes([255, 0, 0, 0, 255, 0])))
+    assert rgb.shape == (1, 2, 3)
+    assert tuple(rgb[0, 0]) == (255, 0, 0) and tuple(rgb[0, 1]) == (0, 255, 0)
+    bmp = decode_image(_bmp24(2, 2, [
+        [(255, 0, 0), (0, 255, 0)],
+        [(0, 0, 255), (9, 9, 9)],
+    ]))
+    assert bmp.shape == (2, 2, 3)
+    assert tuple(bmp[0, 0]) == (255, 0, 0)   # top-left survives flip
+    assert tuple(bmp[1, 1]) == (9, 9, 9)
+    assert isinstance(img, np.ndarray)
+
+
+def test_decode_audio_real_wav():
+    import math
+
+    import numpy as np
+
+    rate = 8000
+    sine = [0.5 * math.sin(2 * math.pi * 440 * t / rate) for t in range(rate)]
+    samples, got_rate = decode_audio(_wav(sine, rate))
+    assert got_rate == rate
+    assert samples.shape == (rate, 1)
+    rms = float(np.sqrt((samples**2).mean()))
+    assert abs(rms - 0.5 / math.sqrt(2)) < 0.01  # sine RMS = A/sqrt(2)
+
+
+def test_resize_images_real_codec(spark):
+    from news_lakehouse_spark.operators.multimodal import resize_images
+
+    # 4x4 gray gradient in quadrant blocks → 2x2 nearest = block values
+    raster = bytes(
+        [10, 10, 200, 200,
+         10, 10, 200, 200,
+         90, 90, 250, 250,
+         90, 90, 250, 250]
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(_pgm(4, 4, raster)))], "doc_id long, payload binary"
+    )
+    out = resize_images(df, height=2, width=2, codec="auto").collect()[0]
+    assert bytes(out["pixels"]) == bytes([10, 200, 90, 250])
+
+
+def test_describe_media_mixed_corpus(spark):
+    from news_lakehouse_spark.operators.multimodal import describe_media
+
+    rows = [
+        (1, bytearray(_pgm(3, 2, bytes(6)))),
+        (2, bytearray(_wav([0.0] * 4000, 8000))),
+        (3, bytearray(b"not media at all")),
+        (4, bytearray(b"P5 trunca")),  # corrupt header
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in describe_media(df).collect()}
+    assert got[1]["media_kind"] == "image"
+    assert (got[1]["height"], got[1]["width"], got[1]["channels"]) == (2, 3, 1)
+    assert got[2]["media_kind"] == "audio"
+    assert got[2]["sample_rate"] == 8000
+    assert abs(got[2]["duration_s"] - 0.5) < 1e-9
+    assert got[2]["rms"] == 0.0
+    assert got[3]["media_kind"] == "unknown"
+    assert got[4]["media_kind"] == "corrupt"
+
+
 # --- range join / skew / embedding near-dup -------------------------------
 
 
