@@ -73,6 +73,12 @@ EXTENDED = [
     "x_weighted_sample",
     "x_exact_percentile",
     "x_exact_group_median",
+    # round-4 additions (ACID table layer + real media decode):
+    "x_time_travel",
+    "x_table_changes",
+    "x_compact_roundtrip",
+    "x_media_probe",
+    "x_semdedup",
 ]
 
 
