@@ -4965,7 +4965,8 @@ QUERIES: dict[str, QueryFn] = {
     # tests/test_queries_smoke.py::test_driver_window_covers_unverified:
     # any registered query with no driver CORRECTNESS row in any
     # CORRECTNESS_r0*.json MUST sit inside the first 50 positions.
-    # Round-4 window: the 9 queries that had only judge-local greens in r3,
+    # Round-4 window: the new r4 queries (versioned-table layer + media
+    # probe), then the 9 queries that had only judge-local greens in r3,
     # then the SURVEY 2 core set (rotated back for a current-code driver
     # green), then the r1-era entries not driver-checked since round 1,
     # then r2-era fillers. tools/verify_oracle.py covers the full registry.
