@@ -62,6 +62,47 @@ def zorder_repartition(
     )
 
 
+def assign_training_shards(
+    df: DataFrame,
+    key_cols: list[str],
+    num_shards: int,
+    salt: str = "shard",
+    shard_col: str = "shard",
+    order_col: str = "order_u",
+) -> DataFrame:
+    """Deterministic shard + intra-shard order for training-data export.
+
+    A training run wants the corpus split into N equal shards, each
+    internally shuffled, and the WHOLE assignment reproducible from a
+    seed — re-running the export on a grown corpus must not reshuffle
+    rows that were already placed. Both outputs are pure functions of
+    (salt, key):
+
+    - ``shard``    = floor(hash_fraction(keys, salt) * num_shards)
+    - ``order_u``  = the same sha2-derived uniform [0, 1) value — a
+      data-independent pseudo-random position within the shard.
+
+    Scale: both columns are per-row codegen expressions — no shuffle,
+    no window, no RNG state. The export write is
+    ``repartition(num_shards, shard)`` + ``sortWithinPartitions
+    (order_u)``: one hash exchange plus a partition-local sort, never a
+    global orderBy. Shard sizes are binomial(n, 1/N) — even to within
+    O(sqrt(n/N)) at any corpus size. The sha2 line is the engine's
+    standard one (operators/sampling.hash_fraction), so a DuckDB/ANSI
+    oracle reproduces the assignment exactly.
+    """
+    from news_lakehouse_spark.operators.sampling import hash_fraction
+
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    if not key_cols:
+        raise ValueError("key_cols must name the row-identifying columns")
+    u = hash_fraction(*key_cols, salt=salt)
+    return df.withColumn(order_col, u).withColumn(
+        shard_col, F.floor(F.col(order_col) * num_shards).cast("int")
+    )
+
+
 def morton_sql(exprs: list[str], bits: int = 16) -> str:
     """ANSI-SQL twin of morton_key (for oracles / engines without
     bit-interleave built-ins). Returns a single arithmetic expression.

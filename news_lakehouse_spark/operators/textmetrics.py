@@ -579,3 +579,47 @@ def vocab_coverage(
             F.round(F.sum("n").over(w) / F.col("__total"), 6).alias("cum_share"),
         )
     )
+
+
+def ngram_diversity(
+    df: DataFrame, group_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Per-group n-gram type/token ratio — a corpus-diversity metric.
+
+    distinct n-grams / total n-gram instances per group (source, dump,
+    shard, ...). A heavily templated or boilerplate-ridden source
+    re-uses the same n-grams and scores low; diverse prose scores near
+    1. Used to rank sources for mixture weighting alongside the quality
+    metrics.
+
+    Scale shape: one scan, words array materialized once per row
+    (see dedupe.shingles_of_words on why), NON-distinct n-gram list
+    exploded, then a single groupBy(group, gram) pre-aggregation
+    followed by the per-group rollup — the count-distinct is computed
+    as a two-level aggregate (map-side combine on (group, gram)), so no
+    per-key distinct set is ever buffered. Documents with fewer than n
+    words contribute nothing.
+    """
+    from news_lakehouse_spark.operators.dedupe import normalized_text
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    words = df.select(
+        F.col(group_col), F.split(normalized_text(text_col), " ").alias("__ws")
+    ).filter(F.size("__ws") >= n)
+    if n == 1:
+        grams = words.select(group_col, F.explode("__ws").alias("__gram"))
+    else:
+        idx = F.sequence(F.lit(0), F.size("__ws") - n)
+        grams = words.select(
+            F.col(group_col),
+            F.explode(
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice("__ws", i + 1, n)))
+            ).alias("__gram"),
+        )
+    per_gram = grams.groupBy(group_col, "__gram").agg(F.count("*").alias("__c"))
+    return per_gram.groupBy(group_col).agg(
+        F.sum("__c").alias("total_ngrams"),
+        F.count("*").alias("distinct_ngrams"),
+        F.round(F.count("*") / F.sum("__c"), 6).alias("diversity"),
+    )

@@ -1256,6 +1256,68 @@ FROM h
 """
 
 
+def x_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment + intra-shard order
+    (operators/layout.assign_training_shards): 16 shards, per-row
+    codegen hash line, no shuffle in the operator itself. The query
+    derives each row's within-shard position for the oracle; the
+    production export skips the window and just sortWithinPartitions
+    on order_u after repartitioning by shard."""
+    from pyspark.sql import Window
+
+    from news_lakehouse_spark.operators.layout import assign_training_shards
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    sharded = assign_training_shards(d, ["doc_id"], num_shards=16)
+    w = Window.partitionBy("shard").orderBy("order_u", "doc_id")
+    return sharded.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("shard_pos"),
+    )
+
+
+_SHARD_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(sha256(concat_ws('||', 'shard', doc_id)), 1, 15))
+              AS BIGINT) / 1152921504606846976.0 AS hf
+  FROM documents
+)
+SELECT doc_id,
+       CAST(floor(hf * 16) AS INT) AS shard,
+       row_number() OVER (PARTITION BY CAST(floor(hf * 16) AS INT)
+                          ORDER BY hf, doc_id) AS shard_pos
+FROM h
+"""
+
+
+def x_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source word-bigram type/token ratio
+    (operators/textmetrics.ngram_diversity) — ranks sources by how
+    templated/repetitive their text is, for mixture weighting."""
+    from news_lakehouse_spark.operators.textmetrics import ngram_diversity
+
+    d = read_table(spark, sf_dir, "documents")
+    return ngram_diversity(d, "source", "text", n=2)
+
+
+_NGRAM_DIVERSITY_SQL = f"""
+WITH w AS (
+  SELECT source, string_split({_NT.format(c='text')}, ' ') AS ws FROM documents
+), g AS (
+  SELECT source, unnest([ws[i] || ' ' || ws[i+1]
+                         for i in generate_series(1, len(ws) - 1)]) AS gram
+  FROM w WHERE len(ws) >= 2
+)
+SELECT source,
+       count(*) AS total_ngrams,
+       count(DISTINCT gram) AS distinct_ngrams,
+       round(count(DISTINCT gram) / count(*), 6) AS diversity
+FROM g GROUP BY source
+"""
+
+
 def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test decontamination: corpus docs sharing any 8-gram with a
     (hash-sampled 5%) benchmark slice, excluding the slice itself.
@@ -4974,6 +5036,8 @@ QUERIES: dict[str, QueryFn] = {
     "x_table_changes": x_table_changes,
     "x_media_probe": x_media_probe,
     "x_compact_roundtrip": x_compact_roundtrip,
+    "x_corpus_shard": x_corpus_shard,
+    "x_ngram_diversity": x_ngram_diversity,
     "x_char_entropy": x_char_entropy,
     "x_corpus_pipeline": x_corpus_pipeline,
     "x_boilerplate_removal": x_boilerplate_removal,
@@ -5199,6 +5263,8 @@ ORACLES: dict[str, str] = {
     "x_table_changes": _TABLE_CHANGES_SQL,
     "x_media_probe": _MEDIA_PROBE_SQL,
     "x_compact_roundtrip": _COMPACT_SQL,
+    "x_corpus_shard": _SHARD_SQL,
+    "x_ngram_diversity": _NGRAM_DIVERSITY_SQL,
     "x_repetition_metrics": _REPETITION_SQL,
     "x_pii_redaction": _PII_SQL,
     "w2_window_analytics": _W2_SQL,

@@ -1152,3 +1152,50 @@ def test_exact_order_statistics_tie_mass(spark):
     g = spark.createDataFrame([("x", v) for v in vals], "grp string, v double")
     got = exact_group_order_statistics(g, "grp", "v", p=0.5).collect()[0]
     assert got["p50"] == 5.0
+
+
+def test_training_shards_deterministic_balanced_shuffle_free(spark, sf_dir):
+    from news_lakehouse_spark.operators.layout import assign_training_shards
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    s1 = assign_training_shards(d, ["doc_id"], num_shards=8)
+    # pure per-row expression: no exchange in the plan
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = {r["doc_id"]: (r["shard"], r["order_u"]) for r in s1.collect()}
+    # deterministic: a second independent invocation agrees exactly
+    s2 = assign_training_shards(d, ["doc_id"], num_shards=8)
+    assert {r["doc_id"]: (r["shard"], r["order_u"]) for r in s2.collect()} == rows
+    shards = [v[0] for v in rows.values()]
+    assert set(shards) <= set(range(8))
+    # binomial balance: every shard within 4 sigma of n/8
+    import collections
+    import math
+
+    n = len(shards)
+    sigma = math.sqrt(n * (1 / 8) * (7 / 8))
+    for c in collections.Counter(shards).values():
+        assert abs(c - n / 8) < 4 * sigma
+    # a different salt decorrelates the assignment
+    s3 = assign_training_shards(d, ["doc_id"], num_shards=8, salt="other")
+    moved = sum(
+        1 for r in s3.collect() if rows[r["doc_id"]][0] != r["shard"]
+    )
+    assert moved > n / 2
+
+
+def test_ngram_diversity_exact_counts(spark):
+    from news_lakehouse_spark.operators.textmetrics import ngram_diversity
+
+    df = spark.createDataFrame(
+        [
+            ("a", "the cat sat on the cat"),   # bigrams: the cat, cat sat, sat on, on the, the cat -> 5 total, 4 distinct
+            ("a", "one"),                      # < 2 words: contributes nothing
+            ("b", "x y x y x y"),              # bigrams: x y, y x, x y, y x, x y -> 5 total, 2 distinct
+        ],
+        ["source", "text"],
+    )
+    out = {r["source"]: r for r in ngram_diversity(df, "source", "text", n=2).collect()}
+    assert out["a"]["total_ngrams"] == 5 and out["a"]["distinct_ngrams"] == 4
+    assert out["b"]["total_ngrams"] == 5 and out["b"]["distinct_ngrams"] == 2
+    assert abs(out["b"]["diversity"] - 0.4) < 1e-9
