@@ -472,6 +472,52 @@ def _auto_planes(n_rows: int, target_bucket_rows: int) -> int:
     return min(24, max(1, math.ceil(math.log2(n_rows / target_bucket_rows))))
 
 
+def _bucket_twins_blas(
+    joinable: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """ids with a lower-id cosine twin in their bucket, via a per-bucket
+    Arrow + BLAS kernel (applyInPandas).
+
+    The expression-tree pairwise join evaluates an interpreted
+    higher-order dot product per PAIR (~µs each) — at 4096-row target
+    buckets that is ~8M interpreted lambda evaluations per bucket. This
+    kernel ships each bucket to one Arrow batch, normalizes the matrix
+    once, and takes blocked M_blk @ M.T gram products (vectorized BLAS,
+    ~100× the throughput). One shuffle on bucket — the same exchange
+    the join pays — and per-task memory is bounded by max_bucket_size
+    rows plus a ≤64 MB gram block. Zero-norm vectors propagate NaN
+    rows, and NaN comparisons are False — same no-twin semantics as
+    the expression path.
+    """
+    import numpy as np
+
+    def twins(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.stack(pdf["__vec"].to_numpy()[order]).astype(np.float64)
+        nrm = np.linalg.norm(M, axis=1)
+        nrm[nrm == 0] = np.nan
+        M /= nrm[:, None]
+        n = len(ids)
+        out: list[np.ndarray] = []
+        blk = max(1, (64 << 20) // (max(n, 1) * 8))
+        col = np.arange(n)
+        with np.errstate(invalid="ignore"):
+            for s in range(0, n, blk):
+                g = M[s : s + blk] @ M.T  # (b, n) cosine block
+                rows = np.arange(s, min(s + blk, n))
+                hit = (g >= threshold) & (col[None, :] < rows[:, None])
+                out.append(ids[rows[hit.any(axis=1)]])
+        return pd.DataFrame({id_col: np.concatenate(out) if out else []})
+
+    return (
+        joinable.select(id_col, "bucket", "__vec")
+        .groupBy("bucket")
+        .applyInPandas(twins, schema=f"{id_col} long")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -482,6 +528,7 @@ def semantic_dedup(
     seed: int = 7,
     target_bucket_rows: int = 4096,
     max_bucket_size: int | None = 100_000,
+    kernel: str = "blas",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column
     (arXiv:2303.09540: cluster, then drop within-cluster semantic
@@ -511,8 +558,13 @@ def semantic_dedup(
     `planes` + `max_bucket_size=None` restores the unbounded behavior
     for oracle-pinned tests.
 
-    All expressions are codegen'd JVM arithmetic (zip_with dot
-    products against literal arrays) — no Python boundary.
+    Bucketing is codegen'd JVM arithmetic (zip_with dot products
+    against literal arrays). The in-bucket pairwise comparison has two
+    kernels: ``kernel="blas"`` (default) runs a per-bucket Arrow+BLAS
+    gram-product (see _bucket_twins_blas — a deliberate Arrow boundary,
+    like the MinHash signature kernel, ~100× the interpreted-expression
+    throughput); ``kernel="expr"`` keeps the pure expression-tree join
+    (no Python boundary at all) for environments without numpy.
     """
     if planes == "auto":
         planes = _auto_planes(corpus.count(), target_bucket_rows)
@@ -546,25 +598,45 @@ def semantic_dedup(
             .select("bucket")
         )
         joinable = base.join(ok_buckets, "bucket")
-    a = joinable.select(
-        F.col(id_col).alias("__ida"), F.col("bucket").alias("__ba"), F.col("__vec").alias("__va")
-    )
-    b = joinable.select(
-        F.col(id_col).alias("__idb"), F.col("bucket").alias("__bb"), F.col("__vec").alias("__vb")
-    )
-    cos = cosine_similarity(F.col("__va"), F.col("__vb"))
-    # ids with a smaller-id twin in their bucket (distinct: a vector
-    # may have several twins)
-    dropped = (
-        a.join(
-            b,
-            (F.col("__ba") == F.col("__bb")) & (F.col("__ida") < F.col("__idb")),
+    if kernel == "blas":
+        dropped = _bucket_twins_blas(joinable, id_col, threshold).withColumn(
+            "__dropped", F.lit(1)
         )
-        .filter(cos >= threshold)
-        .select(F.col("__idb").alias(id_col))
-        .distinct()
-        .withColumn("__dropped", F.lit(1))
-    )
+    else:
+        # Pre-normalize ONCE per row (n ops, not n² — cosine(a, b) on
+        # raw vectors recomputes both norms per PAIR, tripling the
+        # dominant cost). __nrm is materialized as a plain column first
+        # so the transform lambda divides by a column reference, not by
+        # a subtree it would re-evaluate per element (interpreted HOFs
+        # — see dedupe.shingles_of_words).
+        normed = joinable.withColumn("__nrm", _norm(F.col("__vec"))).withColumn(
+            "__vn", F.transform("__vec", lambda x: x.cast("double") / F.col("__nrm"))
+        )
+        # Spread the pairwise work across the cluster: the streamed
+        # side's parallelism otherwise inherits the input file layout
+        # (a one-file bucket column = one task doing EVERY bucket's
+        # n²/2^p cosine pairs). Hashing on (bucket, id) rebalances at
+        # the cost of one n-row exchange — noise next to the pair work
+        # it distributes.
+        a = normed.select(
+            F.col(id_col).alias("__ida"), F.col("bucket").alias("__ba"), F.col("__vn").alias("__va")
+        ).repartition(F.col("__ba"), F.col("__ida"))
+        b = normed.select(
+            F.col(id_col).alias("__idb"), F.col("bucket").alias("__bb"), F.col("__vn").alias("__vb")
+        )
+        cos = _dot(F.col("__va"), F.col("__vb"))
+        # ids with a smaller-id twin in their bucket (distinct: a
+        # vector may have several twins)
+        dropped = (
+            a.join(
+                b,
+                (F.col("__ba") == F.col("__bb")) & (F.col("__ida") < F.col("__idb")),
+            )
+            .filter(cos >= threshold)
+            .select(F.col("__idb").alias(id_col))
+            .distinct()
+            .withColumn("__dropped", F.lit(1))
+        )
     return (
         base.join(dropped, id_col, "left")
         .select(

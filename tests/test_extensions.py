@@ -1199,3 +1199,22 @@ def test_ngram_diversity_exact_counts(spark):
     assert out["a"]["total_ngrams"] == 5 and out["a"]["distinct_ngrams"] == 4
     assert out["b"]["total_ngrams"] == 5 and out["b"]["distinct_ngrams"] == 2
     assert abs(out["b"]["diversity"] - 0.4) < 1e-9
+
+
+def test_semantic_dedup_kernel_parity(spark, sf_dir):
+    """The Arrow+BLAS bucket kernel and the pure expression-tree join
+    must agree row for row (same buckets, same kept set)."""
+    from news_lakehouse_spark.operators.similarity import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    kw = dict(dim=64, planes=3, threshold=0.4, seed=7)
+    blas = {
+        r["vec_id"]: (r["bucket"], r["kept"])
+        for r in semantic_dedup(emb, "vec_id", "embedding", kernel="blas", **kw).collect()
+    }
+    expr = {
+        r["vec_id"]: (r["bucket"], r["kept"])
+        for r in semantic_dedup(emb, "vec_id", "embedding", kernel="expr", **kw).collect()
+    }
+    assert blas == expr
+    assert any(v[1] == 0 for v in blas.values())  # the fixture has twins
