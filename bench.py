@@ -79,6 +79,8 @@ EXTENDED = [
     "x_compact_roundtrip",
     "x_media_probe",
     "x_semdedup",
+    "x_corpus_shard",
+    "x_ngram_diversity",
 ]
 
 
