@@ -472,6 +472,126 @@ def _auto_planes(n_rows: int, target_bucket_rows: int) -> int:
     return min(24, max(1, math.ceil(math.log2(n_rows / target_bucket_rows))))
 
 
+def incremental_semantic_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 4,
+    threshold: float = 0.95,
+    seed: int = 7,
+    max_bucket_size: int | None = 100_000,
+) -> DataFrame:
+    """Incremental-ingest SemDeDup: classify each batch embedding
+    against the existing corpus and against earlier batch rows — the
+    embedding analog of ``incremental_minhash_dedupe`` and the way a
+    100 TB pipeline actually runs semantic dedup (per increment, never
+    a full re-pair of the corpus).
+
+    Output per batch row: ``bucket``, ``in_corpus`` (some corpus vector
+    in its hyperplane bucket has cosine ≥ threshold), ``dup_in_batch``
+    (not in corpus, but a lower-id batch row is a semantic twin),
+    ``admit`` (neither) — all 0/1 ints.
+
+    Scale shape: ``planes`` is pinned, not auto-derived — the plane
+    count is part of the persisted index's schema (re-deriving it from
+    a grown corpus count would re-bucket every stored vector). The
+    corpus side is pruned to buckets the batch actually hits with a
+    broadcast semi-join BEFORE any vectors move (store the index
+    bucket-partitioned and this prunes at the file level); each
+    surviving bucket then runs one Arrow+BLAS kernel scoring
+    new-vs-corpus and the new-vs-new lower-id triangle. Per-increment
+    cost is O(batch × bucket_size), independent of corpus size.
+    Oversized degenerate buckets (> max_bucket_size corpus rows) are
+    excluded — their batch rows admit, the same recall-for-boundedness
+    trade as the batch operator.
+    """
+    import numpy as np
+
+    hp = hyperplanes(planes, dim, seed)
+
+    def bucket_of(vec: Column) -> Column:
+        b: Column = F.lit(0).cast("long")
+        for i, plane in enumerate(hp):
+            lits = F.array(*[F.lit(float(x)) for x in plane])
+            dot = F.aggregate(
+                F.zip_with(vec, lits, lambda a, x: a * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            b = b + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return b
+
+    c = corpus.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(vec_col).alias("__vec"),
+        bucket_of(F.col(vec_col)).alias("bucket"),
+        F.lit(0).alias("__new"),
+    )
+    b = batch.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(vec_col).alias("__vec"),
+        bucket_of(F.col(vec_col)).alias("bucket"),
+        F.lit(1).alias("__new"),
+    )
+    hit = b.select("bucket").distinct()
+    c_pruned = c.join(F.broadcast(hit), "bucket", "left_semi")
+    if max_bucket_size is not None:
+        ok = (
+            c_pruned.groupBy("bucket")
+            .agg(F.count("*").alias("__bs"))
+            .filter(F.col("__bs") <= max_bucket_size)
+            .select("bucket")
+        )
+        c_pruned = c_pruned.join(F.broadcast(ok), "bucket", "left_semi")
+    tagged = c_pruned.unionByName(b)
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        new = pdf[pdf["__new"] == 1]
+        old = pdf[pdf["__new"] == 0]
+        ids = new[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        N = np.stack(new["__vec"].to_numpy()[order]).astype(np.float64)
+        nn = np.linalg.norm(N, axis=1)
+        nn[nn == 0] = np.nan
+        N /= nn[:, None]
+        n = len(ids)
+        in_corpus = np.zeros(n, dtype=bool)
+        with np.errstate(invalid="ignore"):
+            if len(old):
+                O = np.stack(old["__vec"].to_numpy()).astype(np.float64)
+                on = np.linalg.norm(O, axis=1)
+                on[on == 0] = np.nan
+                O /= on[:, None]
+                blk = max(1, (64 << 20) // (max(len(O), 1) * 8))
+                for s in range(0, n, blk):
+                    in_corpus[s : s + blk] = (
+                        (N[s : s + blk] @ O.T) >= threshold
+                    ).any(axis=1)
+            T = N @ N.T
+            col = np.arange(n)
+            dup_raw = ((T >= threshold) & (col[None, :] < col[:, None])).any(axis=1)
+        bucket = pdf["bucket"].iloc[0]
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "bucket": bucket,
+                "in_corpus": in_corpus.astype("int32"),
+                "dup_in_batch": (dup_raw & ~in_corpus).astype("int32"),
+                "admit": (~in_corpus & ~dup_raw).astype("int32"),
+            }
+        )
+
+    return tagged.groupBy("bucket").applyInPandas(
+        score,
+        schema=f"{id_col} long, bucket long, in_corpus int, dup_in_batch int, admit int",
+    )
+
+
 def _bucket_twins_blas(
     joinable: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:

@@ -3936,6 +3936,75 @@ FROM b LEFT JOIN dropped d ON b.vec_id = d.vec_id
 _SEMDEDUP_SQL = _semdedup_sql()
 
 
+def x_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup ingest: the embeddings table is split by
+    the standard hash line into an existing index (80%) and an
+    arriving batch (20%); each batch vector is classified against the
+    index and against earlier batch rows without re-pairing the
+    corpus (operators/similarity.incremental_semantic_dedup)."""
+    from news_lakehouse_spark.operators.sampling import hash_fraction
+    from news_lakehouse_spark.operators.similarity import incremental_semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    u = hash_fraction("vec_id", salt="semidx")
+    return incremental_semantic_dedup(
+        emb.filter(u < 0.8),
+        emb.filter(u >= 0.8),
+        "vec_id",
+        "embedding",
+        dim=64,
+        planes=4,
+        threshold=0.4,
+        seed=7,
+    )
+
+
+def _semdedup_incremental_sql() -> str:
+    from news_lakehouse_spark.operators.similarity import hyperplanes
+
+    hp = hyperplanes(4, 64, 7)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(float(x)) for x in plane)}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(hp)
+    )
+    return f"""
+WITH h AS (
+  SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket,
+         CAST(concat('0x', substr(sha256(concat_ws('||', 'semidx', vec_id)), 1, 15))
+              AS BIGINT) / 1152921504606846976.0 AS hf
+  FROM embeddings
+), c AS (
+  SELECT * FROM h WHERE hf < 0.8
+), b AS (
+  SELECT * FROM h WHERE hf >= 0.8
+), ic AS (
+  SELECT DISTINCT b.vec_id
+  FROM b JOIN c ON b.bucket = c.bucket
+  WHERE list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4
+), db AS (
+  SELECT DISTINCT hi.vec_id
+  FROM b lo JOIN b hi ON lo.bucket = hi.bucket AND lo.vec_id < hi.vec_id
+  WHERE list_cosine_similarity(CAST(lo.embedding AS DOUBLE[]),
+                               CAST(hi.embedding AS DOUBLE[])) >= 0.4
+)
+SELECT b.vec_id, b.bucket,
+       CAST(CASE WHEN ic.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_corpus,
+       CAST(CASE WHEN ic.vec_id IS NULL AND db.vec_id IS NOT NULL
+                 THEN 1 ELSE 0 END AS INT) AS dup_in_batch,
+       CAST(CASE WHEN ic.vec_id IS NULL AND db.vec_id IS NULL
+                 THEN 1 ELSE 0 END AS INT) AS admit
+FROM b
+LEFT JOIN ic ON b.vec_id = ic.vec_id
+LEFT JOIN db ON b.vec_id = db.vec_id
+"""
+
+
+_SEMDEDUP_INCREMENTAL_SQL = _semdedup_incremental_sql()
+
+
 def x_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-200 corpus vocabulary with per-word share and cumulative
     coverage (tokenizer-sizing table)."""
@@ -5038,6 +5107,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_compact_roundtrip": x_compact_roundtrip,
     "x_corpus_shard": x_corpus_shard,
     "x_ngram_diversity": x_ngram_diversity,
+    "x_semdedup_incremental": x_semdedup_incremental,
     "x_char_entropy": x_char_entropy,
     "x_corpus_pipeline": x_corpus_pipeline,
     "x_boilerplate_removal": x_boilerplate_removal,
@@ -5265,6 +5335,7 @@ ORACLES: dict[str, str] = {
     "x_compact_roundtrip": _COMPACT_SQL,
     "x_corpus_shard": _SHARD_SQL,
     "x_ngram_diversity": _NGRAM_DIVERSITY_SQL,
+    "x_semdedup_incremental": _SEMDEDUP_INCREMENTAL_SQL,
     "x_repetition_metrics": _REPETITION_SQL,
     "x_pii_redaction": _PII_SQL,
     "w2_window_analytics": _W2_SQL,

@@ -1218,3 +1218,35 @@ def test_semantic_dedup_kernel_parity(spark, sf_dir):
     }
     assert blas == expr
     assert any(v[1] == 0 for v in blas.values())  # the fixture has twins
+
+
+def test_incremental_semantic_dedup_classification(spark):
+    """Planted scenarios: corpus twin -> in_corpus; twin pair inside
+    the batch -> lower id admits, higher id dup_in_batch; unique
+    vector -> admit."""
+    from news_lakehouse_spark.operators.similarity import incremental_semantic_dedup
+
+    dim = 8
+    base = [1.0] + [0.0] * (dim - 1)
+    other = [0.0, 1.0] + [0.0] * (dim - 2)
+    third = [0.0, 0.0, 1.0] + [0.0] * (dim - 3)
+    corpus = spark.createDataFrame([(1, base)], ["vec_id", "embedding"])
+    batch = spark.createDataFrame(
+        [
+            (10, base),   # twin of corpus vec 1 -> in_corpus
+            (20, other),  # first of a batch twin pair -> admit
+            (21, other),  # lower-id twin 20 exists -> dup_in_batch
+            (30, third),  # unique -> admit
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {
+        r["vec_id"]: r
+        for r in incremental_semantic_dedup(
+            corpus, batch, "vec_id", "embedding", dim=dim, planes=3, threshold=0.95
+        ).collect()
+    }
+    assert (out[10]["in_corpus"], out[10]["dup_in_batch"], out[10]["admit"]) == (1, 0, 0)
+    assert (out[20]["in_corpus"], out[20]["dup_in_batch"], out[20]["admit"]) == (0, 0, 1)
+    assert (out[21]["in_corpus"], out[21]["dup_in_batch"], out[21]["admit"]) == (0, 1, 0)
+    assert (out[30]["in_corpus"], out[30]["dup_in_batch"], out[30]["admit"]) == (0, 0, 1)
