@@ -472,6 +472,84 @@ def _auto_planes(n_rows: int, target_bucket_rows: int) -> int:
     return min(24, max(1, math.ceil(math.log2(n_rows / target_bucket_rows))))
 
 
+def _sign_bucket(vec: Column, hp: list[list[float]]) -> Column:
+    """Hyperplane sign-bit bucket id from literal planes (codegen'd)."""
+    b: Column = F.lit(0).cast("long")
+    for i, plane in enumerate(hp):
+        lits = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, lits, lambda a, x: a * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        b = b + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return b
+
+
+def semantic_index_ingest(
+    index,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 4,
+    threshold: float = 0.95,
+    seed: int = 7,
+    max_bucket_size: int | None = 100_000,
+) -> DataFrame:
+    """Persisted-index SemDeDup ingest over a VersionedParquetTable.
+
+    The index table stores ``(id, embedding, bucket)`` PARTITIONED BY
+    bucket; each increment (1) hashes only the batch, (2) reads the
+    index pruned to batch-hit buckets at the MANIFEST level
+    (``read(partition_filter={"bucket": hit})`` — at 100 TB the
+    listing never even sees other buckets' files), (3) classifies the
+    batch with ``incremental_semantic_dedup`` trusting the stored
+    bucket column, and (4) MERGE-commits only the admitted rows as a
+    new atomic version. Returns the verdict DataFrame (persisted —
+    the caller can act on it after the commit without recompute).
+
+    The distinct-bucket collect is bounded by min(2^planes, batch
+    rows). First ingest (no committed version) classifies the batch
+    against itself only.
+    """
+    spark = index.spark
+    hp = hyperplanes(planes, dim, seed)
+    b = batch.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(vec_col).alias(vec_col),
+        _sign_bucket(F.col(vec_col), hp).alias("bucket"),
+    )
+    from pyspark import StorageLevel
+
+    b = b.persist(StorageLevel.MEMORY_AND_DISK)
+    hit = [r["bucket"] for r in b.select("bucket").distinct().collect()]
+    if index.latest_version() is None:
+        corpus = spark.createDataFrame([], b.schema)
+    else:
+        corpus = index.read(partition_filter={"bucket": hit})
+    verdicts = incremental_semantic_dedup(
+        corpus,
+        b,
+        id_col,
+        vec_col,
+        dim=dim,
+        planes=planes,
+        threshold=threshold,
+        seed=seed,
+        max_bucket_size=max_bucket_size,
+        corpus_bucket_col="bucket",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    admitted = b.join(
+        verdicts.filter(F.col("admit") == 1).select(id_col), id_col
+    ).select(id_col, vec_col, "bucket")
+    index.merge(admitted, [id_col], partition_by=["bucket"])
+    b.unpersist()
+    return verdicts
+
+
 def incremental_semantic_dedup(
     corpus: DataFrame,
     batch: DataFrame,
@@ -482,6 +560,7 @@ def incremental_semantic_dedup(
     threshold: float = 0.95,
     seed: int = 7,
     max_bucket_size: int | None = 100_000,
+    corpus_bucket_col: str | None = None,
 ) -> DataFrame:
     """Incremental-ingest SemDeDup: classify each batch embedding
     against the existing corpus and against earlier batch rows — the
@@ -512,23 +591,20 @@ def incremental_semantic_dedup(
     hp = hyperplanes(planes, dim, seed)
 
     def bucket_of(vec: Column) -> Column:
-        b: Column = F.lit(0).cast("long")
-        for i, plane in enumerate(hp):
-            lits = F.array(*[F.lit(float(x)) for x in plane])
-            dot = F.aggregate(
-                F.zip_with(vec, lits, lambda a, x: a * x),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            b = b + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        return b
+        return _sign_bucket(vec, hp)
 
+    # A persisted index stores the bucket as a (partition) column —
+    # pass corpus_bucket_col to trust it instead of re-hashing the
+    # corpus side per increment.
+    c_bucket = (
+        F.col(corpus_bucket_col).cast("long")
+        if corpus_bucket_col
+        else bucket_of(F.col(vec_col))
+    )
     c = corpus.select(
         F.col(id_col).cast("long").alias(id_col),
         F.col(vec_col).alias("__vec"),
-        bucket_of(F.col(vec_col)).alias("bucket"),
+        c_bucket.alias("bucket"),
         F.lit(0).alias("__new"),
     )
     b = batch.select(

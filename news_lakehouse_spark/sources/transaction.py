@@ -195,13 +195,14 @@ class VersionedParquetTable:
     ) -> DataFrame:
         """Snapshot read; ``version`` time-travels to any retained one.
 
-        ``partition_filter`` ({col: value, ...}) prunes at the MANIFEST
-        level: files whose path fragment doesn't match never reach
-        Spark's listing — the Iceberg-manifest analog that matters when
-        a 100 TB table is 800k files and the query wants one date
-        (directory-listing pruning still costs a full listing first).
-        Filter values render through Spark's own path escaping, so they
-        match exactly what the writer produced.
+        ``partition_filter`` ({col: value_or_values, ...}) prunes at
+        the MANIFEST level: files whose path fragment doesn't match
+        never reach Spark's listing — the Iceberg-manifest analog that
+        matters when a 100 TB table is 800k files and the query wants
+        one date (directory-listing pruning still costs a full listing
+        first). A list/set/tuple value keeps files matching ANY of the
+        values (an IN filter). Filter values render through Spark's own
+        path escaping, so they match exactly what the writer produced.
         """
         v = self.latest_version() if version is None else version
         if v is None:
@@ -218,14 +219,18 @@ class VersionedParquetTable:
                     f"table's partition spec {spec}"
                 )
             esc = _escape_fn(self.spark)
-            want = {
-                f"{c}={'__HIVE_DEFAULT_PARTITION__' if val is None else esc(str(val))}"
+
+            def frag(c, val):
+                return f"{c}={'__HIVE_DEFAULT_PARTITION__' if val is None else esc(str(val))}"
+
+            want = [
+                {frag(c, v) for v in (val if isinstance(val, (list, set, tuple)) else [val])}
                 for c, val in partition_filter.items()
-            }
+            ]
             files_list = [
                 rel
                 for rel in files_list
-                if want <= set(rel.split("/")[2:-1])
+                if all(alts & set(rel.split("/")[2:-1]) for alts in want)
             ]
         if not files_list:
             return self.spark.createDataFrame([], schema)

@@ -1250,3 +1250,48 @@ def test_incremental_semantic_dedup_classification(spark):
     assert (out[20]["in_corpus"], out[20]["dup_in_batch"], out[20]["admit"]) == (0, 0, 1)
     assert (out[21]["in_corpus"], out[21]["dup_in_batch"], out[21]["admit"]) == (0, 1, 0)
     assert (out[30]["in_corpus"], out[30]["dup_in_batch"], out[30]["admit"]) == (0, 0, 1)
+
+
+def test_semantic_index_ingest_two_increments(spark, tmp_path):
+    """Persisted bucket-partitioned index: increment 1 admits uniques
+    and collapses its internal twin; increment 2 sees an increment-1
+    admit as in_corpus; the index only ever stores admitted rows."""
+    from news_lakehouse_spark.operators.similarity import semantic_index_ingest
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    dim = 8
+    v = lambda i: [1.0 if j == i else 0.0 for j in range(dim)]
+    idx = VersionedParquetTable(spark, str(tmp_path / "semidx"))
+    b1 = spark.createDataFrame(
+        [(1, v(0)), (2, v(1)), (3, v(1))], ["vec_id", "embedding"]
+    )
+    out1 = {r["vec_id"]: r for r in semantic_index_ingest(
+        idx, b1, dim=dim, planes=3, threshold=0.95
+    ).collect()}
+    assert out1[1]["admit"] == 1 and out1[2]["admit"] == 1
+    assert out1[3]["dup_in_batch"] == 1
+    assert sorted(r["vec_id"] for r in idx.read().collect()) == [1, 2]
+
+    b2 = spark.createDataFrame([(10, v(0)), (11, v(2))], ["vec_id", "embedding"])
+    out2 = {r["vec_id"]: r for r in semantic_index_ingest(
+        idx, b2, dim=dim, planes=3, threshold=0.95
+    ).collect()}
+    assert out2[10]["in_corpus"] == 1
+    assert out2[11]["admit"] == 1
+    assert sorted(r["vec_id"] for r in idx.read().collect()) == [1, 2, 11]
+    # bucket is a real partition column of the stored index
+    assert "bucket" in dict(idx.read().dtypes)
+
+
+def test_partition_filter_accepts_value_lists(spark, tmp_path):
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    t = VersionedParquetTable(spark, str(tmp_path / "vt"))
+    df = spark.createDataFrame(
+        [(i, i % 4) for i in range(40)], ["id", "grp"]
+    )
+    t.write(df, partition_by=["grp"])
+    got = t.read(partition_filter={"grp": [1, 3]})
+    assert sorted(r["id"] % 4 for r in got.collect()) == [1] * 10 + [3] * 10
+    # scalar form unchanged
+    assert t.read(partition_filter={"grp": 2}).count() == 10
