@@ -139,3 +139,64 @@ def run_bronze_to_silver_stream(
     if await_termination:
         query.awaitTermination()
     return query
+
+
+def run_semantic_index_stream(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    schema: T.StructType | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 4,
+    threshold: float = 0.95,
+    await_termination: bool = False,
+):
+    """Streaming SemDeDup ingest: each micro-batch of embeddings is
+    classified against the persisted bucket-partitioned index and only
+    admitted (semantically novel) vectors are committed — exactly-once
+    from the checkpoint plus the MERGE's key idempotency, the same
+    contract as the bronze→silver stream.
+
+    Per epoch this is `operators.similarity.semantic_index_ingest`: the
+    index read prunes to batch-hit bucket partitions at the manifest
+    level, so state never grows with corpus size on the streaming path
+    either — the stream's own state is the file-source log only.
+    Returns the query handle; tests drive it with processAllAvailable().
+    """
+    from news_lakehouse_spark.operators.similarity import semantic_index_ingest
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    sch = schema or T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(vec_col, T.ArrayType(T.DoubleType())),
+        ]
+    )
+    index = VersionedParquetTable(spark, index_path)
+
+    def ingest(df, _epoch):
+        if df.isEmpty():
+            return
+        semantic_index_ingest(
+            index,
+            df,
+            id_col,
+            vec_col,
+            dim=dim,
+            planes=planes,
+            threshold=threshold,
+        )
+
+    query = (
+        spark.readStream.schema(sch)
+        .json(source_dir)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    if await_termination:
+        query.awaitTermination()
+    return query

@@ -338,3 +338,47 @@ def test_streaming_bronze_to_gold_end_to_end(spark, tmp_path):
     fap2 = spark.read.parquet(f"{gold}/fact_article_publication")
     assert fap2.count() == 5
     assert fap2.select("ArticleKey").distinct().count() == 5
+
+
+def test_semantic_index_stream_two_drops(spark, tmp_path):
+    """Streaming SemDeDup ingest: the second micro-batch's twin of an
+    already-indexed vector is rejected; novel vectors commit."""
+    import json
+
+    from news_lakehouse_spark.streaming.ingest import run_semantic_index_stream
+
+    dim = 8
+    v = lambda i: [1.0 if j == i else 0.0 for j in range(dim)]
+    src = tmp_path / "vecs"
+    src.mkdir()
+    (src / "drop1.json").write_text(
+        "\n".join(
+            json.dumps({"vec_id": i, "embedding": v(i)}) for i in range(3)
+        )
+    )
+    q = run_semantic_index_stream(
+        spark,
+        str(src),
+        str(tmp_path / "idx"),
+        str(tmp_path / "ckpt"),
+        dim=dim,
+        planes=3,
+        threshold=0.95,
+    )
+    q.processAllAvailable()
+    # second drop: vec 10 duplicates vec 0 (reject), vec 11 is novel
+    (src / "drop2.json").write_text(
+        "\n".join(
+            [
+                json.dumps({"vec_id": 10, "embedding": v(0)}),
+                json.dumps({"vec_id": 11, "embedding": v(4)}),
+            ]
+        )
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    idx = VersionedParquetTable(spark, str(tmp_path / "idx"))
+    assert sorted(r["vec_id"] for r in idx.read().collect()) == [0, 1, 2, 11]
