@@ -1318,6 +1318,61 @@ FROM g GROUP BY source
 """
 
 
+def x_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level near-dup overlap matrix: for every (source_a <=
+    source_b) pair, how many cross-document 3-gram-Jaccard near-dup
+    pairs link them and at what mean similarity — the provenance
+    analysis behind source-level dedup decisions (which feeds copy
+    from which). Rides the shingle inverted index
+    (operators/dedupe.ngram_jaccard_pairs), then one broadcast join to
+    the doc->source map and a #source² bounded aggregate — no new
+    shuffle shape beyond the pair join itself."""
+    from news_lakehouse_spark.operators.dedupe import ngram_jaccard_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.4, max_df=100)
+    src = d.select("doc_id", "source")
+    joined = (
+        pairs.join(
+            F.broadcast(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("__sa"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("__sb"))),
+            "id_b",
+        )
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+            # pre-round so both engines average identical 6-decimal
+            # values (the oracle's pair CTE emits rounded jaccard)
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+    return joined.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("pair_count"),
+        F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+    )
+
+
+def _source_overlap_sql() -> str:
+    return f"""
+WITH p AS ({_jaccard_oracle(3, 0.4)}),
+s AS (SELECT doc_id, source FROM documents)
+SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       count(*) AS pair_count,
+       round(avg(p.jaccard), 6) AS avg_jaccard
+FROM p
+JOIN s sa ON sa.doc_id = p.id_a
+JOIN s sb ON sb.doc_id = p.id_b
+GROUP BY 1, 2
+"""
+
+
+_SOURCE_OVERLAP_SQL = _source_overlap_sql()
+
+
 def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test decontamination: corpus docs sharing any 8-gram with a
     (hash-sampled 5%) benchmark slice, excluding the slice itself.
@@ -5108,6 +5163,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_corpus_shard": x_corpus_shard,
     "x_ngram_diversity": x_ngram_diversity,
     "x_semdedup_incremental": x_semdedup_incremental,
+    "x_source_overlap": x_source_overlap,
     "x_char_entropy": x_char_entropy,
     "x_corpus_pipeline": x_corpus_pipeline,
     "x_boilerplate_removal": x_boilerplate_removal,
@@ -5336,6 +5392,7 @@ ORACLES: dict[str, str] = {
     "x_corpus_shard": _SHARD_SQL,
     "x_ngram_diversity": _NGRAM_DIVERSITY_SQL,
     "x_semdedup_incremental": _SEMDEDUP_INCREMENTAL_SQL,
+    "x_source_overlap": _SOURCE_OVERLAP_SQL,
     "x_repetition_metrics": _REPETITION_SQL,
     "x_pii_redaction": _PII_SQL,
     "w2_window_analytics": _W2_SQL,
