@@ -81,6 +81,8 @@ EXTENDED = [
     "x_semdedup",
     "x_corpus_shard",
     "x_ngram_diversity",
+    "x_semdedup_incremental",
+    "x_source_overlap",
 ]
 
 

@@ -54,6 +54,10 @@ PROBES = {
     "x_weighted_sample": ("documents", 20),
     "x_exact_percentile": ("lineitem", 10),
     "x_exact_group_median": ("events", 10),
+    # round-4 additions: incremental semantic ingest + corpus analytics
+    "x_semdedup_incremental": ("embeddings", 20),
+    "x_ngram_diversity": ("documents", 20),
+    "x_source_overlap": ("documents", 20),
 }
 
 
