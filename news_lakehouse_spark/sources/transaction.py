@@ -343,6 +343,38 @@ class VersionedParquetTable:
         files = self._write_commit(df, version, partition_by)
         return self._commit(df, files, parent, partition_by, operation)
 
+    def write_audit_publish(
+        self,
+        df: DataFrame,
+        rules: list,
+        partition_by: list[str] | None = None,
+        operation: str = "wap-overwrite",
+    ) -> int:
+        """Write-Audit-Publish: stage the snapshot's data files, audit
+        the STAGED files, publish the manifest only if every
+        expectation holds (the Iceberg WAP pattern, here on the
+        manifest layer directly).
+
+        The audit reads back the files just written — what is checked
+        is byte-for-byte what readers would see, catching write-path
+        corruption a pre-write check can't (type coercion, partition
+        value rendering). A failed audit raises
+        ``operators.validate.enforce``'s ValueError and publishes
+        NOTHING: no manifest references the staged commit dir, readers
+        never see it, and ``vacuum()`` reclaims it as an orphan.
+        ``rules`` is a list of ``operators.validate.Rule``.
+        """
+        from news_lakehouse_spark.operators.validate import enforce
+
+        parent = self.latest_version()
+        if parent is not None and partition_by is None:
+            partition_by = self._load_manifest(parent)["partition_by"] or None
+        version = (parent or 0) + 1
+        files = self._write_commit(df, version, partition_by)
+        staged = self._read_files(files, bool(partition_by), df.schema)
+        enforce(staged, rules)
+        return self._commit(df, files, parent, partition_by, operation)
+
     def merge(
         self,
         source: DataFrame,

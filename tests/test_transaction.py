@@ -245,3 +245,37 @@ def test_deterministic_survivor_on_merge(spark, table):
     src = _df(spark, [(1, "a", 5), (1, "a", 50)])
     table.merge(src, ["k"], order_by=[F.col("v").desc()])
     assert _rows(table.read()) == {(1, "a", 50)}
+
+
+def test_write_audit_publish_gates_bad_snapshots(spark, tmp_path):
+    """WAP: a clean snapshot publishes; a dirty one raises and leaves
+    NO new version (readers still see the old snapshot); vacuum
+    reclaims the orphaned staged files."""
+    import glob
+    import os
+
+    import pytest
+
+    from news_lakehouse_spark.operators.validate import in_range, not_null, unique
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    t = VersionedParquetTable(spark, str(tmp_path / "wap"))
+    rules = [not_null("id"), in_range("v", lo=0), unique(["id"])]
+    good = spark.createDataFrame([(1, 10), (2, 20)], ["id", "v"])
+    v1 = t.write_audit_publish(good, rules)
+    assert v1 == 1 and t.read().count() == 2
+
+    bad = spark.createDataFrame([(3, -5), (3, 7)], ["id", "v"])  # range + dup
+    with pytest.raises(ValueError, match="expectations violated"):
+        t.write_audit_publish(bad, rules)
+    assert t.latest_version() == 1
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2]
+    # staged orphan files exist until vacuum, then disappear
+    n_parquet = lambda: len(
+        glob.glob(str(tmp_path / "wap" / "**" / "*.parquet"), recursive=True)
+    )
+    before = n_parquet()
+    stats = t.vacuum(keep_last=1)
+    assert stats["files_deleted"] > 0
+    assert n_parquet() < before
+    assert t.read().count() == 2
