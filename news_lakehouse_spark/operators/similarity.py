@@ -846,6 +846,86 @@ def semantic_dedup(
     )
 
 
+def hard_negative_mining(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Hard negatives for contrastive training: for each query vector,
+    the k most-similar corpus vectors with a DIFFERENT label —
+    (query_id, query_label, neighbor_id, neighbor_label, cos_sim,
+    rank). The standard mining step behind embedding-model training
+    (most-confusable other-class examples).
+
+    Same scale shape as ``cosine_topk_bruteforce``: queries broadcast,
+    corpus scanned once, two-level partial top-k so the scored set
+    never shuffles. Label comparison is null-safe: a NULL-label
+    neighbor counts as a different label from any non-NULL query
+    label (and same as a NULL one). Ties break on descending
+    neighbor_id, matching the top-k convention.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("query_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("neighbor_id") != F.col("query_id"))
+            & ~F.col("neighbor_label").eqNullSafe(F.col("query_label")),
+        )
+        .withColumn("cos_sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+        .select("query_id", "query_label", "neighbor_id", "neighbor_label", "cos_sim")
+    )
+    head = F.slice(
+        F.sort_array(
+            F.collect_list(F.struct("cos_sim", "neighbor_id", "neighbor_label")),
+            asc=False,
+        ),
+        1,
+        k,
+    )
+    partial = (
+        scored.withColumn("__p", F.spark_partition_id())
+        .groupBy("query_id", "query_label", "__p")
+        .agg(head.alias("top"))
+        .select("query_id", "query_label", F.explode("top").alias("entry"))
+        .select(
+            "query_id",
+            "query_label",
+            "entry.cos_sim",
+            "entry.neighbor_id",
+            "entry.neighbor_label",
+        )
+    )
+    topk = (
+        partial.groupBy("query_id", "query_label")
+        .agg(head.alias("top"))
+        .select("query_id", "query_label", F.posexplode("top").alias("rank0", "entry"))
+        .select(
+            "query_id",
+            "query_label",
+            F.col("entry.neighbor_id").alias("neighbor_id"),
+            F.col("entry.neighbor_label").alias("neighbor_label"),
+            F.col("entry.cos_sim").alias("cos_sim"),
+            (F.col("rank0") + 1).alias("rank"),
+        )
+    )
+    if round_digits is not None:
+        topk = topk.withColumn("cos_sim", F.round("cos_sim", round_digits))
+    return topk
+
+
 def knn_classify(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1617,6 +1617,40 @@ FROM (
 """
 
 
+def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: top-5 most-similar
+    OTHER-label vectors per query (operators/similarity.
+    hard_negative_mining) — broadcast queries, two-level partial
+    top-k, corpus never shuffles."""
+    from news_lakehouse_spark.operators.similarity import hard_negative_mining
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return hard_negative_mining(emb, q, k=5)
+
+
+_HARD_NEG_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS ql
+  FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, q.ql AS query_label, e.vec_id AS neighbor_id,
+         e.label AS neighbor_label,
+         list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+             AS cs
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id AND e.label IS DISTINCT FROM q.ql
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label,
+       round(cs, 6) AS cos_sim, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cs DESC, neighbor_id DESC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 def x_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH ANN, hash-checked via a recall@10 floor against
     brute force: the approximate neighbor set has no SQL twin, so the
@@ -5164,6 +5198,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_ngram_diversity": x_ngram_diversity,
     "x_semdedup_incremental": x_semdedup_incremental,
     "x_source_overlap": x_source_overlap,
+    "x_hard_negatives": x_hard_negatives,
     "x_char_entropy": x_char_entropy,
     "x_corpus_pipeline": x_corpus_pipeline,
     "x_boilerplate_removal": x_boilerplate_removal,
@@ -5393,6 +5428,7 @@ ORACLES: dict[str, str] = {
     "x_ngram_diversity": _NGRAM_DIVERSITY_SQL,
     "x_semdedup_incremental": _SEMDEDUP_INCREMENTAL_SQL,
     "x_source_overlap": _SOURCE_OVERLAP_SQL,
+    "x_hard_negatives": _HARD_NEG_SQL,
     "x_repetition_metrics": _REPETITION_SQL,
     "x_pii_redaction": _PII_SQL,
     "w2_window_analytics": _W2_SQL,

@@ -1295,3 +1295,26 @@ def test_partition_filter_accepts_value_lists(spark, tmp_path):
     assert sorted(r["id"] % 4 for r in got.collect()) == [1] * 10 + [3] * 10
     # scalar form unchanged
     assert t.read(partition_filter={"grp": 2}).count() == 10
+
+
+def test_hard_negative_mining_excludes_same_label(spark, sf_dir):
+    from news_lakehouse_spark.operators.similarity import hard_negative_mining
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    out = hard_negative_mining(emb, q, k=4).collect()
+    labels = {r["vec_id"]: r["label"] for r in q.collect()}
+    assert len(out) == 3 * 4
+    for r in out:
+        assert r["neighbor_label"] != labels[r["query_id"]]
+        assert r["neighbor_id"] != r["query_id"]
+        assert 1 <= r["rank"] <= 4
+    # ranks are densely 1..k per query and similarity is non-increasing
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cos_sim"]))
+    for pairs in by_q.values():
+        pairs.sort()
+        assert [p[0] for p in pairs] == [1, 2, 3, 4]
+        sims = [p[1] for p in pairs]
+        assert all(a >= b for a, b in zip(sims, sims[1:]))
