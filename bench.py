@@ -83,6 +83,7 @@ EXTENDED = [
     "x_ngram_diversity",
     "x_semdedup_incremental",
     "x_source_overlap",
+    "x_hard_negatives",
 ]
 
 
