@@ -57,7 +57,10 @@ PROBES = {
     # round-4 additions: incremental semantic ingest + corpus analytics
     "x_semdedup_incremental": ("embeddings", 20),
     "x_ngram_diversity": ("documents", 20),
-    "x_source_overlap": ("documents", 20),
+    # x_source_overlap is NOT probed: its oracle-pinned max_df=100 band
+    # (exact at fixture df <= 25) excises the 20x-replicated shingles
+    # entirely, so the probe would time an empty output. Its inverted-
+    # index plan is the same one x_dedup_minhash_lsh probes.
 }
 
 
