@@ -180,7 +180,9 @@ def extract_features(payloads: DataFrame, include_hex_sha: bool = False) -> Data
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            raw = pdf["payload"]
+            # NULL payloads feature as empty bytes — same no-crash
+            # contract as describe_media.
+            raw = pdf["payload"].map(lambda b: b"" if b is None else b)
             cols = {
                 "doc_id": pdf["doc_id"],
                 "modality": pdf["modality"],
@@ -227,7 +229,9 @@ def resize_images(
         for pdf in batches:
             pixels = []
             for b in pdf["payload"]:
-                raw = bytes(b) or b"\x00"
+                # NULL payloads resize like empty ones — never crash the
+                # Arrow worker on corpus garbage.
+                raw = (b"" if b is None else bytes(b)) or b"\x00"
                 if codec == "fake":
                     stride = max(len(raw) // n_out, 1)
                     px = (raw[::stride] + raw * (n_out // len(raw) + 1))[:n_out]
@@ -279,9 +283,17 @@ def describe_media(df: DataFrame) -> DataFrame:
                 "sample_rate", "n_samples", "duration_s", "rms",
             )}
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(b)
                 row = dict.fromkeys(out)
                 row["doc_id"] = doc_id
+                if b is None:
+                    # NULL payloads are garbage, not errors: the probe's
+                    # contract is that undecodable rows classify, never
+                    # throw (bytes(None) would TypeError in the worker).
+                    row["media_kind"] = "unknown"
+                    for k, v in row.items():
+                        out[k].append(v)
+                    continue
+                raw = bytes(b)
                 try:
                     if raw[:2] in (b"P5", b"P6") or raw[:2] == b"BM":
                         img = decode_image(raw)
@@ -334,7 +346,7 @@ def sample_frames(
                 )
             ids, idxs, frames = [], [], []
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(b) or b"\x00"
+                raw = (b"" if b is None else bytes(b)) or b"\x00"
                 chunk = max(len(raw) // n_frames, 1)
                 for i in range(n_frames):
                     ids.append(doc_id)

@@ -2502,7 +2502,7 @@ def x_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     base = os.path.join(
         tempfile.gettempdir(),
-        "nlh_time_travel_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+        f"nlh_time_travel_{os.getpid()}_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
     )
     shutil.rmtree(base, ignore_errors=True)
     t = VersionedParquetTable(spark, base)
@@ -2573,7 +2573,7 @@ def x_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     base = os.path.join(
         tempfile.gettempdir(),
-        "nlh_changes_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+        f"nlh_changes_{os.getpid()}_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
     )
     shutil.rmtree(base, ignore_errors=True)
     t = VersionedParquetTable(spark, base)
@@ -2688,7 +2688,7 @@ def x_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     base = os.path.join(
         tempfile.gettempdir(),
-        "nlh_compact_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+        f"nlh_compact_{os.getpid()}_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
     )
     shutil.rmtree(base, ignore_errors=True)
     orders.repartition(48).write.parquet(base)

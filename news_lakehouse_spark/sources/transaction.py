@@ -416,7 +416,22 @@ class VersionedParquetTable:
                     continue
 
             man = self._load_manifest(parent)
-            spec = partition_by or (man["partition_by"] or None)
+            committed_spec = man["partition_by"] or None
+            if partition_by is not None and list(partition_by) != (
+                committed_spec or []
+            ):
+                # A spec that differs from the manifest's would render
+                # affected-partition fragments that never match the old
+                # manifest's paths: every old file would carry over by
+                # reference and updated keys would duplicate. Refuse —
+                # repartitioning an existing table is a rewrite
+                # (write()), not a merge.
+                raise ValueError(
+                    f"merge partition_by={list(partition_by)} conflicts with "
+                    f"the committed partition spec {committed_spec or []}; "
+                    "use write() to change a table's partitioning"
+                )
+            spec = committed_spec
             target = self.read(parent)
 
             if spec:
@@ -505,11 +520,22 @@ class VersionedParquetTable:
         files = self._write_commit(out, version, spec)
         return self._commit(out, files, parent, spec, "compact")
 
-    def vacuum(self, keep_last: int = 1) -> dict[str, int]:
+    def vacuum(
+        self, keep_last: int = 1, grace_seconds: float = 3600.0
+    ) -> dict[str, int]:
         """Drop all but the newest ``keep_last`` manifests and delete data
         files no retained manifest references (orphans from crashed
-        commits included). Must not race an in-flight writer — same
-        contract as Delta VACUUM with zero retention. Returns counts."""
+        commits included). Returns counts.
+
+        Unreferenced files YOUNGER than ``grace_seconds`` (mtime) are
+        kept: a concurrent writer's freshly staged commit dir is
+        unreferenced until its manifest publishes, and deleting it
+        mid-commit would corrupt that commit — the Delta VACUUM
+        retention-window rule. Pass ``grace_seconds=0`` only when no
+        writer can be in flight (zero-retention vacuum)."""
+        import time
+
+        cutoff = time.time() - max(grace_seconds, 0.0)
         vs = self.versions()
         if not vs:
             return {"manifests_dropped": 0, "files_deleted": 0}
@@ -529,6 +555,8 @@ class VersionedParquetTable:
                 abs_f = os.path.join(root, name)
                 rel = os.path.relpath(abs_f, self.path)
                 if rel not in referenced:
+                    if os.path.getmtime(abs_f) > cutoff:
+                        continue  # possibly a writer's in-flight staging
                     os.unlink(abs_f)
                     if name.endswith(".parquet") and not name.startswith((".", "_")):
                         deleted += 1

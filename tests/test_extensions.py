@@ -225,6 +225,7 @@ def test_describe_media_mixed_corpus(spark):
         (2, bytearray(_wav([0.0] * 4000, 8000))),
         (3, bytearray(b"not media at all")),
         (4, bytearray(b"P5 trunca")),  # corrupt header
+        (5, None),  # NULL payload must classify, never crash the worker
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r["doc_id"]: r for r in describe_media(df).collect()}
@@ -236,6 +237,25 @@ def test_describe_media_mixed_corpus(spark):
     assert got[2]["rms"] == 0.0
     assert got[3]["media_kind"] == "unknown"
     assert got[4]["media_kind"] == "corrupt"
+    assert got[5]["media_kind"] == "unknown"
+    assert got[5]["height"] is None and got[5]["rms"] is None
+
+
+def test_resize_and_frames_tolerate_null_payload(spark):
+    from news_lakehouse_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, bytearray(b"abcdef"))], "doc_id long, payload binary"
+    )
+    resized = {r["doc_id"]: r for r in resize_images(df, 2, 2).collect()}
+    assert len(bytes(resized[1]["pixels"])) == 4  # NULL → zero-byte fill
+    frames = sample_frames(df, n_frames=2).collect()
+    assert {(r["doc_id"], r["frame_idx"]) for r in frames} == {
+        (1, 0), (1, 1), (2, 0), (2, 1),
+    }
 
 
 # --- range join / skew / embedding near-dup -------------------------------

@@ -46,6 +46,21 @@ def test_create_then_merge_versions(spark, table):
     assert table.history()[1]["operation"] == "merge"
 
 
+def test_merge_rejects_conflicting_partition_spec(spark, table):
+    """A partition_by that differs from the committed spec would render
+    affected-partition fragments that match no old-manifest path —
+    every old file would carry over and updated keys would duplicate.
+    merge() must refuse instead of silently re-speccing."""
+    table.merge(_df(spark, [(1, "a", 10)]), ["k"], partition_by=["d"])
+    with pytest.raises(ValueError, match="conflicts with the committed"):
+        table.merge(_df(spark, [(1, "a", 99)]), ["k"], partition_by=["v"])
+    with pytest.raises(ValueError, match="conflicts with the committed"):
+        table.merge(_df(spark, [(1, "a", 99)]), ["k"], partition_by=[])
+    # restating the committed spec is fine
+    table.merge(_df(spark, [(1, "a", 99)]), ["k"], partition_by=["d"])
+    assert _rows(table.read()) == {(1, "a", 99)}
+
+
 def test_partitioned_merge_carries_untouched_files(spark, table):
     table.merge(
         _df(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)]),
@@ -157,8 +172,12 @@ def test_vacuum_drops_history_and_orphans(spark, table, monkeypatch):
     monkeypatch.undo()
 
     before = _rows(table.read())
+    # default grace keeps the fresh orphan (it could be a concurrent
+    # writer's in-flight staging); zero-retention vacuum reclaims it
     stats = table.vacuum(keep_last=1)
     assert stats["manifests_dropped"] == 1
+    assert stats["files_deleted"] == 0
+    stats = table.vacuum(keep_last=1, grace_seconds=0)
     assert stats["files_deleted"] >= 1  # v1's b-partition file + orphans
     assert table.versions() == [2]
     assert _rows(table.read()) == before
@@ -275,7 +294,8 @@ def test_write_audit_publish_gates_bad_snapshots(spark, tmp_path):
         glob.glob(str(tmp_path / "wap" / "**" / "*.parquet"), recursive=True)
     )
     before = n_parquet()
-    stats = t.vacuum(keep_last=1)
+    assert t.vacuum(keep_last=1)["files_deleted"] == 0  # default grace
+    stats = t.vacuum(keep_last=1, grace_seconds=0)
     assert stats["files_deleted"] > 0
     assert n_parquet() < before
     assert t.read().count() == 2
