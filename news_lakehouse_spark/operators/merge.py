@@ -53,6 +53,50 @@ def _guard_source(source: DataFrame, keys: list[str], order_by: list[Column] | N
     return guarded.dropDuplicates(keys)
 
 
+MAX_PARTITION_OR_CHAIN = 1000
+
+
+def filter_to_partitions(
+    target: DataFrame,
+    parts: list[dict],
+    partition_by: list[str],
+    max_or_chain: int = MAX_PARTITION_OR_CHAIN,
+) -> DataFrame:
+    """Restrict ``target`` to rows whose partition tuple is in ``parts``
+    (null-safe on every column).
+
+    Up to ``max_or_chain`` partitions this compiles a literal OR-chain
+    predicate — the form Catalyst pushes into partition pruning. Past
+    it (a high-cardinality partition scheme: thousands of dates ×
+    sources), a literal predicate bloats the plan tree and analysis
+    time quadratically, so we switch to a broadcast left-semi join on
+    the partition columns: same rows, one broadcast of a tiny
+    partition-tuple table, and eligible for dynamic partition pruning
+    instead of static.
+    """
+    if not parts:
+        return target.limit(0)
+    if len(parts) <= max_or_chain:
+        cond = None
+        for p in parts:
+            c = None
+            for k in partition_by:
+                e = F.col(k).eqNullSafe(F.lit(p[k]))
+                c = e if c is None else (c & e)
+            cond = c if cond is None else (cond | c)
+        return target.filter(cond)
+    spark = target.sparkSession
+    schema = target.select(*partition_by).schema
+    parts_df = spark.createDataFrame(
+        [tuple(p[c] for c in partition_by) for p in parts], schema
+    )
+    join_cond = None
+    for c in partition_by:
+        e = target[c].eqNullSafe(parts_df[c])
+        join_cond = e if join_cond is None else (join_cond & e)
+    return target.join(F.broadcast(parts_df), join_cond, "left_semi")
+
+
 def _check_add_column_only(target: DataFrame, source: DataFrame) -> None:
     """Schema evolution is add-column ONLY: every target column must be
     present in the source. unionByName(allowMissingColumns=True) would
@@ -140,14 +184,7 @@ def delete_rows(
         parts = [r.asDict() for r in hit_parts.collect()]
         if not parts:
             return 0
-        cond = None
-        for p in parts:
-            c = None
-            for k, v in p.items():
-                e = F.col(k).eqNullSafe(F.lit(v))
-                c = e if c is None else (c & e)
-            cond = c if cond is None else (cond | c)
-        affected = target.filter(cond)
+        affected = filter_to_partitions(target, parts, partition_by)
         kept = affected.join(F.broadcast(dk), on=keys, how="left_anti")
         removed = affected.count() - kept.count()
         staged = kept.localCheckpoint(eager=True)

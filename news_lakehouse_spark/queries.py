@@ -2724,6 +2724,155 @@ GROUP BY o_orderstatus
 """
 
 
+def x_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest column-bounds scan planning
+    (sources/transaction.py files_for/read(predicate=...) — the
+    Iceberg data-file pruning analog: per-file min/max recorded at
+    commit time from parquet footers let a NON-partition-column
+    predicate drop files before Spark ever lists them; reference
+    counterpart is Iceberg 1.6.1 scan planning,
+    docker/etl-gateway/Dockerfile:31-32).
+
+    Commits `orders` range-clustered on o_totalprice (8 range
+    partitions → 8 files with near-disjoint price bounds), then reads
+    with a price predicate. The in-plan assertion REQUIRES that the
+    manifest pruned files — if bounds collection or pruning breaks,
+    the query fails outright; if pruning drops a needed file, the
+    value hash flips. Returns the per-status digest of the
+    predicate-matching rows.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"nlh_stats_prune_{os.getpid()}_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = VersionedParquetTable(spark, base)
+    t.write(orders.repartitionByRange(8, F.col("o_totalprice")))
+    threshold = 300000.0
+    pred = [("o_totalprice", ">=", threshold)]
+    n_all, n_pruned = len(t.files_for()), len(t.files_for(predicate=pred))
+    assert n_pruned < n_all, (n_pruned, n_all)
+    rowhash = sha2_prefix_long(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey"),
+            F.round(F.col("o_totalprice") * 100).cast("long"),
+        ),
+        10,
+    )
+    return (
+        t.read(predicate=pred)
+        .filter(F.col("o_totalprice") >= threshold)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"), F.sum(rowhash).alias("hash_sum"))
+    )
+
+
+_STATS_PRUNE_SQL = """
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       CAST(SUM(CAST(concat('0x', substr(sha256(concat_ws('|',
+              o_orderkey,
+              CAST(ROUND(o_totalprice * 100) AS BIGINT))), 1, 10))
+            AS BIGINT)) AS BIGINT) AS hash_sum
+FROM orders WHERE o_totalprice >= 300000.0
+GROUP BY o_orderstatus
+"""
+
+
+def x_changes_across_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed SPANNING a compaction commit
+    (sources/transaction.py changes() + compact()): compaction rewrites
+    every file but no content, so (a) the feed over the compact commit
+    itself must be EMPTY — asserted in-plan — and (b) a feed spanning
+    it must surface exactly the real merges on either side, even
+    though every file now differs from the from-version's manifest.
+
+    v1 = orders with key%3=0 (partitioned by status); v2 = MERGE
+    tripling the price of %9 keys (pure updates); v3 = compact();
+    v4 = MERGE inserting %5-not-%3 keys. changes(1, 4) must be:
+    inserts = %9 keys at 3x + the new %5 keys, deletes = the old
+    image of the %9 keys.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"nlh_chg_compact_{os.getpid()}_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = VersionedParquetTable(spark, base)
+    t.merge(
+        orders.filter(F.col("o_orderkey") % 3 == 0),
+        ["o_orderkey"],
+        partition_by=["o_orderstatus"],
+    )
+    t.merge(
+        orders.filter(F.col("o_orderkey") % 9 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 3
+        ),
+        ["o_orderkey"],
+    )
+    v3 = t.compact()
+    assert t.changes(v3 - 1, v3).count() == 0, "compact must not feed changes"
+    t.merge(
+        orders.filter(
+            (F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 3 != 0)
+        ),
+        ["o_orderkey"],
+    )
+    rowhash = sha2_prefix_long(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey"),
+            F.round(F.col("o_totalprice") * 100).cast("long"),
+        ),
+        10,
+    )
+    return (
+        t.changes(1, 4)
+        .groupBy("_change_type")
+        .agg(F.count("*").alias("cnt"), F.sum(rowhash).alias("hash_sum"))
+    )
+
+
+_CHANGES_COMPACT_SQL = """
+WITH tagged AS (
+  SELECT 'insert' AS _change_type, o_orderkey, o_totalprice * 3 AS price
+  FROM orders WHERE o_orderkey % 9 = 0
+  UNION ALL
+  SELECT 'insert', o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0
+  UNION ALL
+  SELECT 'delete', o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey % 9 = 0
+)
+SELECT _change_type, COUNT(*) AS cnt,
+       CAST(SUM(CAST(concat('0x', substr(sha256(concat_ws('|',
+              o_orderkey, CAST(ROUND(price * 100) AS BIGINT))), 1, 10))
+            AS BIGINT)) AS BIGINT) AS hash_sum
+FROM tagged GROUP BY _change_type
+"""
+
+
+
 def x_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-2-gram repetition signals (Gopher-style boilerplate flags)."""
     d = read_table(spark, sf_dir, "documents")
@@ -5180,16 +5329,69 @@ SELECT doc_id, source, n_chars FROM r WHERE rn <= 10
 
 QUERIES: dict[str, QueryFn] = {
 
-    # Driver-verification window (first 50 entries; the driver oracle-checks
-    # registry[:50] each round). Rotation policy, enforced by
-    # tests/test_queries_smoke.py::test_driver_window_covers_unverified:
+    # Driver-verification window (first 50 entries; the driver
+    # oracle-checks registry[:50] each round). Rotation policy, enforced
+    # by tests/test_queries_smoke.py::test_driver_window_covers_unverified:
     # any registered query with no driver CORRECTNESS row in any
     # CORRECTNESS_r0*.json MUST sit inside the first 50 positions.
-    # Round-4 window: the new r4 queries (versioned-table layer + media
-    # probe), then the 9 queries that had only judge-local greens in r3,
-    # then the SURVEY 2 core set (rotated back for a current-code driver
-    # green), then the r1-era entries not driver-checked since round 1,
-    # then r2-era fillers. tools/verify_oracle.py covers the full registry.
+    # Round-5 window: the two new r5 queries (manifest column-bounds
+    # scan planning + change feed across compaction), then the 32
+    # queries whose latest driver green is r1/r2 (freshness rotation:
+    # VERDICT r4 ask #2), then 16 r3-era queries whose implementing
+    # modules (similarity/dedupe/sampling/sketches) were touched in r4.
+    # Queries driver-verified in r4 rotate below the line;
+    # tools/verify_oracle.py still covers the full registry.
+    "x_stats_pruned_read": x_stats_pruned_read,
+    "x_changes_across_compact": x_changes_across_compact,
+    "a4_rollup": a4_rollup,
+    "a5_cube": a5_cube,
+    "a6_pivot": a6_pivot,
+    "j7_semi_anti": j7_semi_anti,
+    "t_session_window": t_session_window,
+    "t_windowed_agg": t_windowed_agg,
+    "u2_intersect_except": u2_intersect_except,
+    "x_approx_distinct": x_approx_distinct,
+    "x_approx_percentile": x_approx_percentile,
+    "x_asof_join": x_asof_join,
+    "x_bm25_search": x_bm25_search,
+    "x_char_lm_score": x_char_lm_score,
+    "x_chunk_documents": x_chunk_documents,
+    "x_decontaminate": x_decontaminate,
+    "x_dedup_clusters": x_dedup_clusters,
+    "x_dedup_minhash_lsh": x_dedup_minhash_lsh,
+    "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
+    "x_dedup_simhash": x_dedup_simhash,
+    "x_dedup_simhash_pairs": x_dedup_simhash_pairs,
+    "x_embed_centroid": x_embed_centroid,
+    "x_expectations": x_expectations,
+    "x_funnel": x_funnel,
+    "x_lang_id": x_lang_id,
+    "x_pack_sequences": x_pack_sequences,
+    "x_quantile_bucket": x_quantile_bucket,
+    "x_scd2_dimension": x_scd2_dimension,
+    "x_sessionize": x_sessionize,
+    "x_sim_lsh_topk": x_sim_lsh_topk,
+    "x_sim_topk_bruteforce": x_sim_topk_bruteforce,
+    "x_stratified_sample": x_stratified_sample,
+    "x_tfidf_topterms": x_tfidf_topterms,
+    "x_train_test_split": x_train_test_split,
+    "x_semdedup": x_semdedup,
+    "x_dedup_incremental": x_dedup_incremental,
+    "x_dedup_minhash_incremental": x_dedup_minhash_incremental,
+    "x_dedup_quality_survivor": x_dedup_quality_survivor,
+    "x_substring_duplication": x_substring_duplication,
+    "x_substring_removal": x_substring_removal,
+    "x_knn_classify": x_knn_classify,
+    "x_temperature_mixture": x_temperature_mixture,
+    "x_mixture_sample": x_mixture_sample,
+    "x_dsir_weights": x_dsir_weights,
+    "x_reservoir_sample": x_reservoir_sample,
+    "x_embed_quantize": x_embed_quantize,
+    "x_hll_rollup": x_hll_rollup,
+    "x_cms_heavy_hitters": x_cms_heavy_hitters,
+    "x_key_skew": x_key_skew,
+    "x_group_zscore": x_group_zscore,
+    # --- end of driver window (first 50) ---
     "x_time_travel": x_time_travel,
     "x_table_changes": x_table_changes,
     "x_media_probe": x_media_probe,
@@ -5240,16 +5442,6 @@ QUERIES: dict[str, QueryFn] = {
     "x_stream_stateful": x_stream_stateful,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
-    "t_session_window": t_session_window,
-    "x_scd2_dimension": x_scd2_dimension,
-    "j7_semi_anti": j7_semi_anti,
-    "u2_intersect_except": u2_intersect_except,
-    "a4_rollup": a4_rollup,
-    # --- end of driver window (first 50) ---
-    "a5_cube": a5_cube,
-    "a6_pivot": a6_pivot,
-    "x_approx_distinct": x_approx_distinct,
-    "x_asof_join": x_asof_join,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q9_product_type_profit": q9_product_type_profit,
     "q11_important_parts": q11_important_parts,
@@ -5258,12 +5450,7 @@ QUERIES: dict[str, QueryFn] = {
     "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q20_potential_promotion": q20_potential_promotion,
-    "x_knn_classify": x_knn_classify,
-    "x_dedup_quality_survivor": x_dedup_quality_survivor,
-    "x_temperature_mixture": x_temperature_mixture,
-    "x_semdedup": x_semdedup,
     "x_vocab_coverage": x_vocab_coverage,
-    "x_group_zscore": x_group_zscore,
     "x_event_transitions": x_event_transitions,
     "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -5273,11 +5460,8 @@ QUERIES: dict[str, QueryFn] = {
     "q19_discounted_revenue": q19_discounted_revenue,
     "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
-    "x_dsir_weights": x_dsir_weights,
-    "x_mixture_sample": x_mixture_sample,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q7_nation_volume": q7_nation_volume,
-    "x_dedup_incremental": x_dedup_incremental,
     "x_blocklist_filter": x_blocklist_filter,
     "x_binary_ingest": x_binary_ingest,
     "x_repetition_metrics": x_repetition_metrics,
@@ -5292,37 +5476,6 @@ QUERIES: dict[str, QueryFn] = {
     "w3_rolling_time_window": w3_rolling_time_window,
     "x_retention_cohorts": x_retention_cohorts,
     "x_ts_pattern_search": x_ts_pattern_search,
-    "x_cms_heavy_hitters": x_cms_heavy_hitters,
-    "x_substring_duplication": x_substring_duplication,
-    "x_embed_quantize": x_embed_quantize,
-    "x_hll_rollup": x_hll_rollup,
-    "x_key_skew": x_key_skew,
-    "x_substring_removal": x_substring_removal,
-    "x_dedup_minhash_incremental": x_dedup_minhash_incremental,
-    "x_reservoir_sample": x_reservoir_sample,
-    "x_approx_percentile": x_approx_percentile,
-    "t_windowed_agg": t_windowed_agg,
-    "x_sessionize": x_sessionize,
-    "x_dedup_minhash_lsh": x_dedup_minhash_lsh,
-    "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
-    "x_dedup_simhash": x_dedup_simhash,
-    "x_dedup_simhash_pairs": x_dedup_simhash_pairs,
-    "x_dedup_clusters": x_dedup_clusters,
-    "x_bm25_search": x_bm25_search,
-    "x_tfidf_topterms": x_tfidf_topterms,
-    "x_train_test_split": x_train_test_split,
-    "x_decontaminate": x_decontaminate,
-    "x_funnel": x_funnel,
-    "x_expectations": x_expectations,
-    "x_chunk_documents": x_chunk_documents,
-    "x_char_lm_score": x_char_lm_score,
-    "x_pack_sequences": x_pack_sequences,
-    "x_stratified_sample": x_stratified_sample,
-    "x_quantile_bucket": x_quantile_bucket,
-    "x_sim_topk_bruteforce": x_sim_topk_bruteforce,
-    "x_sim_lsh_topk": x_sim_lsh_topk,
-    "x_embed_centroid": x_embed_centroid,
-    "x_lang_id": x_lang_id,
 }
 
 ORACLES: dict[str, str] = {
@@ -5458,4 +5611,6 @@ ORACLES: dict[str, str] = {
     "x_substring_removal": _SUBSTR_REMOVAL_SQL,
     "x_dedup_minhash_incremental": _minhash_incremental_sql(),
     "x_reservoir_sample": _RESERVOIR_SQL,
+    "x_stats_pruned_read": _STATS_PRUNE_SQL,
+    "x_changes_across_compact": _CHANGES_COMPACT_SQL,
 }

@@ -65,6 +65,138 @@ from pyspark.sql.types import StructType
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
+# File-level column-stat collection (Iceberg manifest column bounds):
+# cap how many columns get stats and how long a stored string bound may
+# be, so the manifest stays metadata-sized at 800k files.
+_STATS_MAX_COLUMNS = 32
+_STATS_MAX_STR = 64
+
+# Spark simpleString type tags eligible for min/max stats. Nested,
+# binary, and interval types never get bounds (same as Iceberg's
+# default metrics config skipping them for pruning purposes).
+_STATS_ORDERED_PREFIXES = ("timestamp", "decimal")
+_STATS_ORDERED_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "string", "boolean", "date",
+}
+
+
+def _stats_type_tag(data_type) -> str | None:
+    s = data_type.simpleString()
+    if s in _STATS_ORDERED_TYPES or s.startswith(_STATS_ORDERED_PREFIXES):
+        return s
+    return None
+
+
+def _truncate_upper(s: str, limit: int = _STATS_MAX_STR) -> str | None:
+    """Shorten a string UPPER bound while keeping it an upper bound:
+    take the prefix and increment its last code point (Iceberg's
+    truncate-and-increment). Returns None when no valid bound exists."""
+    if len(s) <= limit:
+        return s
+    prefix = s[:limit]
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            return prefix[:i] + chr(cp + 1)
+    return None
+
+
+def _json_bound(value, tag: str, upper: bool):
+    """Serialize one min/max bound JSON-natively, WIDENED where the
+    representation could tighten it (floats from Decimal; truncated
+    strings). A widened bound can only keep extra files — never drop a
+    matching one."""
+    import datetime as dt
+    import math
+
+    if value is None:
+        return None
+    if tag == "date":
+        return value.isoformat() if isinstance(value, dt.date) else str(value)
+    if tag.startswith("timestamp"):
+        if isinstance(value, dt.datetime):
+            return value.strftime("%Y-%m-%d %H:%M:%S.%f")
+        return str(value)
+    if tag == "string":
+        s = str(value)
+        if upper:
+            return _truncate_upper(s)
+        return s[:_STATS_MAX_STR]  # a prefix is always a valid lower bound
+    if tag == "boolean":
+        return bool(value)
+    if tag in ("tinyint", "smallint", "int", "bigint"):
+        return int(value)
+    # float/double/decimal → float, nudged outward one ulp
+    f = float(value)
+    if math.isnan(f):
+        return None
+    return math.nextafter(f, math.inf if upper else -math.inf)
+
+
+def _norm_pred_value(value, tag: str):
+    """Render a predicate value into the same JSON-native ordering
+    domain as the stored bounds."""
+    import datetime as dt
+
+    if value is None:
+        return None
+    if tag == "date":
+        if isinstance(value, dt.datetime):
+            value = value.date()
+        if isinstance(value, dt.date):
+            return value.isoformat()
+        return dt.date.fromisoformat(str(value)).isoformat()
+    if tag.startswith("timestamp"):
+        if isinstance(value, dt.date) and not isinstance(value, dt.datetime):
+            value = dt.datetime(value.year, value.month, value.day)
+        if not isinstance(value, dt.datetime):
+            value = dt.datetime.fromisoformat(str(value))
+        return value.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if tag == "string":
+        return str(value)
+    if tag == "boolean":
+        return bool(value)
+    if tag in ("tinyint", "smallint", "int", "bigint"):
+        return int(value)
+    return float(value)
+
+
+def _file_may_match(col_stats, op: str, value) -> bool:
+    """Conservative file-level test: False ONLY when the file's bounds
+    PROVE no row can satisfy `col op value`. Missing stats keep the
+    file."""
+    if col_stats is None:
+        return True
+    mn, mx, null_count, row_count = col_stats
+    if mn is None or mx is None:
+        # No bounds recorded. An all-null file can't satisfy any
+        # comparison (SQL comparisons with NULL are never true).
+        return not (
+            null_count is not None
+            and row_count is not None
+            and null_count == row_count
+        )
+    try:
+        if op in ("=", "=="):
+            return mn <= value <= mx
+        if op == "<":
+            return mn < value
+        if op == "<=":
+            return mn <= value
+        if op == ">":
+            return mx > value
+        if op == ">=":
+            return mx >= value
+        if op == "in":
+            return any(mn <= v <= mx for v in value)
+        if op == "between":
+            lo, hi = value
+            return not (mx < lo or mn > hi)
+    except TypeError:
+        return True  # incomparable → keep
+    raise ValueError(f"unsupported stats predicate op {op!r}")
+
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer published this version first; re-derive and retry."""
@@ -186,29 +318,97 @@ class VersionedParquetTable:
                     files.append(rel)
         return sorted(files)
 
+    def _collect_stats(
+        self,
+        files: list[str],
+        schema: StructType,
+        prior: dict | None = None,
+    ) -> tuple[dict, dict]:
+        """Per-file column min/max/null-count from parquet FOOTERS (no
+        data scan) for up to ``_STATS_MAX_COLUMNS`` primitive columns —
+        the Iceberg manifest column-bounds analog that lets reads prune
+        data files on non-partition predicates.
+
+        Files present in ``prior`` (a parent manifest's stats) carry
+        their stats by reference — a merge re-reads footers only for
+        the files it wrote. Driver-side footer reads are metadata-sized
+        (a few KB each); at 100 TB the same loop runs where Iceberg
+        runs it: collected from write tasks at commit time — this
+        method is that seam.
+        """
+        import pyarrow.parquet as pq
+
+        stat_types: dict[str, str] = {}
+        for f in schema.fields:
+            tag = _stats_type_tag(f.dataType)
+            if tag is not None:
+                stat_types[f.name] = tag
+            if len(stat_types) >= _STATS_MAX_COLUMNS:
+                break
+        prior = prior or {}
+        stats: dict[str, dict] = {}
+        for rel in files:
+            if rel in prior:
+                stats[rel] = prior[rel]
+                continue
+            md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            per_col: dict[str, list] = {}
+            for col, tag in stat_types.items():
+                ci = names.get(col)
+                if ci is None:  # partition column (in path, not file)
+                    continue
+                mn = mx = None
+                nulls, rows, ok = 0, 0, True
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    rows += rg.num_rows
+                    st = rg.column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        if st is not None and st.null_count is not None:
+                            nulls += st.null_count
+                        continue
+                    nulls += st.null_count or 0
+                    try:
+                        mn = st.min if mn is None else min(mn, st.min)
+                        mx = st.max if mx is None else max(mx, st.max)
+                    except TypeError:
+                        ok = False
+                if ok and mn is not None:
+                    lo = _json_bound(mn, tag, upper=False)
+                    hi = _json_bound(mx, tag, upper=True)
+                    if lo is not None and hi is not None:
+                        per_col[col] = [lo, hi, nulls, rows]
+                        continue
+                if rows and nulls == rows:
+                    per_col[col] = [None, None, nulls, rows]  # all-null file
+            stats[rel] = per_col
+        return stats, stat_types
+
     # --- reads -----------------------------------------------------------
 
-    def read(
+    def files_for(
         self,
         version: int | None = None,
         partition_filter: dict | None = None,
-    ) -> DataFrame:
-        """Snapshot read; ``version`` time-travels to any retained one.
+        predicate: list[tuple] | None = None,
+    ) -> list[str]:
+        """Scan-plan a snapshot: the manifest file list after partition
+        pruning AND column-bounds pruning — what `read()` hands Spark.
 
-        ``partition_filter`` ({col: value_or_values, ...}) prunes at
-        the MANIFEST level: files whose path fragment doesn't match
-        never reach Spark's listing — the Iceberg-manifest analog that
-        matters when a 100 TB table is 800k files and the query wants
-        one date (directory-listing pruning still costs a full listing
-        first). A list/set/tuple value keeps files matching ANY of the
-        values (an IN filter). Filter values render through Spark's own
-        path escaping, so they match exactly what the writer produced.
+        ``predicate`` is a list of ``(col, op, value)`` conditions,
+        ANDed; ops: ``= < <= > >= in between`` (``in`` takes a list,
+        ``between`` an inclusive (lo, hi) pair). Pruning is
+        conservative: a file drops only when its stored min/max PROVE
+        no row matches; files or columns without stats are kept. The
+        caller still applies the real row filter — bounds pruning is a
+        scan-planning optimization, exactly Iceberg's.
         """
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.path}")
         man = self._load_manifest(v)
-        schema = StructType.fromJson(man["schema"])
         files_list = man["files"]
         if partition_filter:
             spec = man["partition_by"]
@@ -232,6 +432,60 @@ class VersionedParquetTable:
                 for rel in files_list
                 if all(alts & set(rel.split("/")[2:-1]) for alts in want)
             ]
+        if predicate:
+            stats = man.get("stats", {})
+            stat_types = man.get("stat_types", {})
+            conds = []
+            for col, op, value in predicate:
+                tag = stat_types.get(col)
+                if tag is None:
+                    continue  # no bounds for this column → can't prune on it
+                if op == "in":
+                    value = [_norm_pred_value(x, tag) for x in value]
+                elif op == "between":
+                    value = tuple(_norm_pred_value(x, tag) for x in value)
+                else:
+                    value = _norm_pred_value(value, tag)
+                conds.append((col, op, value))
+            files_list = [
+                rel
+                for rel in files_list
+                if all(
+                    _file_may_match(stats.get(rel, {}).get(col), op, value)
+                    for col, op, value in conds
+                )
+            ]
+        return files_list
+
+    def read(
+        self,
+        version: int | None = None,
+        partition_filter: dict | None = None,
+        predicate: list[tuple] | None = None,
+    ) -> DataFrame:
+        """Snapshot read; ``version`` time-travels to any retained one.
+
+        ``partition_filter`` ({col: value_or_values, ...}) prunes at
+        the MANIFEST level: files whose path fragment doesn't match
+        never reach Spark's listing — the Iceberg-manifest analog that
+        matters when a 100 TB table is 800k files and the query wants
+        one date (directory-listing pruning still costs a full listing
+        first). A list/set/tuple value keeps files matching ANY of the
+        values (an IN filter). Filter values render through Spark's own
+        path escaping, so they match exactly what the writer produced.
+
+        ``predicate`` ([(col, op, value), ...], ANDed) additionally
+        prunes on the manifest's per-file column min/max bounds — the
+        Iceberg scan-planning analog for NON-partition columns (see
+        ``files_for``). Pruning is conservative; callers still apply
+        the row-level filter.
+        """
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        man = self._load_manifest(v)
+        schema = StructType.fromJson(man["schema"])
+        files_list = self.files_for(v, partition_filter, predicate)
         if not files_list:
             return self.spark.createDataFrame([], schema)
         return self._read_files(files_list, bool(man["partition_by"]), schema)
@@ -313,8 +567,10 @@ class VersionedParquetTable:
         parent: int | None,
         partition_by: list[str] | None,
         operation: str,
+        prior_stats: dict | None = None,
     ) -> int:
         version = (parent or 0) + 1
+        stats, stat_types = self._collect_stats(files, df.schema, prior_stats)
         self._publish(
             {
                 "version": version,
@@ -324,6 +580,8 @@ class VersionedParquetTable:
                 "schema": df.schema.jsonValue(),
                 "files": files,
                 "num_files": len(files),
+                "stats": stats,
+                "stat_types": stat_types,
             }
         )
         return version
@@ -396,6 +654,7 @@ class VersionedParquetTable:
         """
         from news_lakehouse_spark.operators.merge import (
             _guard_source,
+            filter_to_partitions,
             merge_insert_only,
             merge_upsert,
         )
@@ -446,14 +705,7 @@ class VersionedParquetTable:
                     r.asDict()
                     for r in new_parts.unionByName(old_parts).distinct().collect()
                 ]
-                cond = None
-                for p in parts:
-                    c = None
-                    for k, v in p.items():
-                        e = F.col(k).eqNullSafe(F.lit(v))
-                        c = e if c is None else (c & e)
-                    cond = c if cond is None else (cond | c)
-                affected = target.filter(cond) if cond is not None else target.limit(0)
+                affected = filter_to_partitions(target, parts, spec)
                 merged = (
                     merge_insert_only(affected, source, keys, evolve_schema=evolve_schema)
                     if insert_only
@@ -472,6 +724,14 @@ class VersionedParquetTable:
                     if _file_partition_fragment(f) not in affected_frags
                 ]
                 files = sorted(carried + new_files)
+                try:
+                    return self._commit(
+                        merged, files, parent, spec, "merge",
+                        prior_stats=man.get("stats"),
+                    )
+                except ConcurrentCommitError as e:
+                    last_err = e  # loser of the race: re-derive from winner
+                    continue
             else:
                 merged = (
                     merge_insert_only(target, source, keys, evolve_schema=evolve_schema)

@@ -299,3 +299,168 @@ def test_write_audit_publish_gates_bad_snapshots(spark, tmp_path):
     assert stats["files_deleted"] > 0
     assert n_parquet() < before
     assert t.read().count() == 2
+
+
+# --- file-level column stats / scan planning (Iceberg column bounds) -----
+
+
+def test_stats_pruned_read_fewer_files_same_rows(spark, table):
+    """A selective predicate on a NON-partition column must prune data
+    files at the manifest level (per-file min/max bounds) and still
+    return exactly the rows the full-scan filter returns."""
+    # partitioned by d, with per-partition disjoint v-ranges → files
+    # whose v-bounds don't overlap (v is NOT a partition column)
+    rows = (
+        [(i, "a", i) for i in range(0, 10)]
+        + [(i, "b", i) for i in range(100, 110)]
+        + [(i, "c", i) for i in range(200, 210)]
+    )
+    table.merge(_df(spark, rows), ["k"], partition_by=["d"])
+    all_files = table.files_for()
+    assert len(all_files) >= 3
+    pruned = table.files_for(predicate=[("v", ">=", 200)])
+    assert len(pruned) < len(all_files)
+    got = table.read(predicate=[("v", ">=", 200)]).filter(F.col("v") >= 200)
+    assert _rows(got) == {(i, "c", i) for i in range(200, 210)}
+    # equality + between + in forms
+    assert len(table.files_for(predicate=[("v", "=", 105)])) < len(all_files)
+    assert _rows(
+        table.read(predicate=[("v", "between", (100, 109))]).filter(
+            F.col("v").between(100, 109)
+        )
+    ) == {(i, "b", i) for i in range(100, 110)}
+    assert len(table.files_for(predicate=[("v", "in", [5, 7])])) < len(all_files)
+
+
+def test_stats_pruning_is_conservative(spark, table):
+    """Files without stats (old-format manifest) and non-stat columns
+    are always kept; string bounds prune too."""
+    table.write(_df(spark, [(1, "apple", 10), (2, "banana", 20)]))
+    table.merge(_df(spark, [(3, "zebra", 30)]), ["k"])
+    # string column bounds
+    assert len(table.files_for(predicate=[("d", ">=", "yak")])) == 1
+    # unknown column → no pruning
+    assert len(table.files_for(predicate=[("nope", "=", 1)])) == 2
+    # manifest without stats (simulate a pre-stats manifest) → keep all
+    man = table._load_manifest(table.latest_version())
+    man.pop("stats"), man.pop("stat_types")
+    import json as _json
+
+    with open(table._manifest_path(table.latest_version()), "w") as f:
+        _json.dump(man, f)
+    assert len(table.files_for(predicate=[("v", ">=", 999)])) == 2
+
+
+def test_stats_carry_over_on_merge(spark, table):
+    """A partitioned merge reuses the parent manifest's stats for
+    carried files — only newly written files get footer reads — and
+    carried-file bounds still prune."""
+    table.merge(
+        _df(spark, [(1, "a", 10), (2, "b", 2000)]), ["k"], partition_by=["d"]
+    )
+    man1 = table._load_manifest(1)
+    table.merge(_df(spark, [(2, "b", 2001)]), ["k"])  # touches only d=b
+    man2 = table._load_manifest(2)
+    carried = [f for f in man2["files"] if f in set(man1["files"])]
+    assert carried  # d=a's file carried by reference
+    for f in carried:
+        assert man2["stats"][f] == man1["stats"][f]
+    # carried file's v-bounds prune a v>=1000 scan down to the new file
+    pruned = table.files_for(predicate=[("v", ">=", 1000)])
+    assert set(pruned) == set(man2["files"]) - set(carried)
+
+
+def test_all_null_stat_column_prunes(spark, table):
+    rows = [Row(k=1, d=None, v=None), Row(k=2, d=None, v=None)]
+    schema = "k bigint, d string, v bigint"
+    table.write(spark.createDataFrame(rows, schema))
+    table.merge(spark.createDataFrame([Row(k=3, d="x", v=5)], schema), ["k"])
+    # the all-null file can't satisfy any comparison on v
+    pruned = table.files_for(predicate=[("v", ">=", 0)])
+    assert len(pruned) == 1
+
+
+# --- join-based partition restriction past the OR-chain threshold --------
+
+
+def test_filter_to_partitions_join_path_matches_or_chain(spark):
+    from news_lakehouse_spark.operators.merge import filter_to_partitions
+
+    df = spark.createDataFrame(
+        [(i, f"p{i % 7}", None if i % 5 == 0 else f"s{i % 3}")
+         for i in range(100)],
+        "k int, d string, s string",
+    )
+    parts = [
+        {"d": f"p{i}", "s": None if i == 0 else f"s{i % 3}"} for i in range(5)
+    ]
+    or_chain = filter_to_partitions(df, parts, ["d", "s"], max_or_chain=1000)
+    joined = filter_to_partitions(df, parts, ["d", "s"], max_or_chain=2)
+    assert {tuple(r) for r in or_chain.collect()} == {
+        tuple(r) for r in joined.collect()
+    }
+    # the join path really is a join, not a literal predicate
+    plan = joined._jdf.queryExecution().toString()
+    assert "LeftSemi" in plan
+
+
+def test_versioned_merge_join_partition_path(spark, table, monkeypatch):
+    """merge() over a high-cardinality partition scheme takes the
+    semi-join partition restriction and stays correct."""
+    import news_lakehouse_spark.operators.merge as m
+
+    monkeypatch.setattr(m, "MAX_PARTITION_OR_CHAIN", 2)
+    rows = [(i, f"p{i}", i * 10) for i in range(8)]
+    table.merge(_df(spark, rows), ["k"], partition_by=["d"])
+    table.merge(_df(spark, [(i, f"p{i}", i * 10 + 1) for i in range(5)]), ["k"])
+    expect = {(i, f"p{i}", i * 10 + 1) for i in range(5)} | {
+        (i, f"p{i}", i * 10) for i in range(5, 8)
+    }
+    assert _rows(table.read()) == expect
+
+
+# --- concurrency + change feed across compaction --------------------------
+
+
+def test_threaded_writers_serialize_no_lost_updates(spark, table):
+    """N genuinely concurrent writers merging disjoint keys: every
+    commit serializes through the create-exclusive publish, nobody's
+    rows are lost, and history depth equals the number of writers."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_writers = 6
+    def work(i):
+        rows = [(i * 10 + j, "d", i * 100 + j) for j in range(3)]
+        return table.merge(_df(spark, rows), ["k"], retries=2 * n_writers)
+
+    with ThreadPoolExecutor(max_workers=n_writers) as ex:
+        versions = list(ex.map(work, range(n_writers)))
+    assert sorted(versions) == list(range(1, n_writers + 1))
+    assert table.versions() == list(range(1, n_writers + 1))
+    got = _rows(table.read())
+    expect = {
+        (i * 10 + j, "d", i * 100 + j)
+        for i in range(n_writers)
+        for j in range(3)
+    }
+    assert got == expect
+
+
+def test_changes_across_compaction_is_empty(spark, table):
+    """Compaction rewrites files but not content: the change feed over
+    a compact commit must be empty, and a feed SPANNING a compact must
+    surface only the real merges on either side."""
+    table.merge(
+        _df(spark, [(1, "a", 10), (2, "b", 20), (3, "a", 30)]),
+        ["k"],
+        partition_by=["d"],
+    )
+    table.merge(_df(spark, [(2, "b", 21)]), ["k"])          # v2: real change
+    v3 = table.compact()                                     # v3: no-op feed
+    assert table.changes(v3 - 1, v3).count() == 0
+    table.merge(_df(spark, [(4, "c", 40)]), ["k"])          # v4: real change
+    got = {
+        (r["k"], r["v"], r["_change_type"])
+        for r in table.changes(1, 4).collect()
+    }
+    assert got == {(2, 21, "insert"), (2, 20, "delete"), (4, 40, "insert")}
