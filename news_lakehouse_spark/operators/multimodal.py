@@ -98,6 +98,53 @@ def _parse_bmp(b: bytes):
     return img[::-1] if flipped else img
 
 
+def _png_header_dims(b: bytes) -> tuple[int, int, int]:
+    """(height, width, channels) from a PNG IHDR chunk — pure byte
+    parse, no codec. The IHDR is mandatory and always first (offset 8:
+    length + 'IHDR' + width/height as big-endian u32 + bit depth +
+    color type), so dimensions are readable without zlib."""
+    import struct
+
+    if b[12:16] != b"IHDR":
+        raise ValueError("PNG missing IHDR")
+    width, height = struct.unpack_from(">II", b, 16)
+    color_type = b[25]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    return height, width, channels
+
+
+def _jpeg_header_dims(b: bytes) -> tuple[int, int, int]:
+    """(height, width, channels) from a JPEG SOF marker — walk the
+    marker segments (0xFF <marker> <len16>) until a start-of-frame
+    (SOF0-15, excluding DHT/JPG/DAC which share the 0xCn range) and
+    read its dimension fields. No entropy decoding; works on any
+    baseline or progressive JPEG."""
+    i = 2
+    n = len(b)
+    while i + 9 < n:
+        if b[i] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            i += 2  # standalone markers carry no length
+            continue
+        if marker == 0xDA:  # start-of-scan: SOF must precede it
+            break
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            raise ValueError("bad JPEG segment length")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            height = int.from_bytes(b[i + 5 : i + 7], "big")
+            width = int.from_bytes(b[i + 7 : i + 9], "big")
+            channels = b[i + 9]
+            return height, width, channels
+        i += 2 + seg_len
+    raise ValueError("no SOF marker before scan data")
+
+
 def decode_image(payload: bytes, codec: str = "auto"):
     """Decode an image payload to an HxWxC uint8 ndarray.
 
@@ -258,19 +305,24 @@ def resize_images(
 
 
 MEDIA_SCHEMA = (
-    "doc_id long, media_kind string, height int, width int, channels int, "
-    "sample_rate int, n_samples int, duration_s double, rms double"
+    "doc_id long, media_kind string, format string, height int, width int, "
+    "channels int, sample_rate int, n_samples int, duration_s double, "
+    "rms double"
 )
 
 
 def describe_media(df: DataFrame) -> DataFrame:
     """Arrow-batched media probe over (doc_id, payload): detect the
-    format by magic bytes, REALLY decode the container-free ones, and
-    emit typed metadata — image dims/channels for netpbm/BMP, sample
-    rate / duration / RMS loudness for WAV PCM; undecodable payloads
-    row out with media_kind='unknown' and NULL metrics (a 100 TB
-    corpus always contains garbage; a probe that throws on it is
-    useless). One pass, no shuffle: runs inside the scan partitions.
+    format by magic bytes and emit typed metadata — image
+    dims/channels for netpbm/BMP (full decode) and for PNG/JPEG
+    (header-only parse: IHDR / SOF marker walk, no codec needed —
+    compressed PIXEL decode stays library-blocked, but a 100 TB
+    corpus audit mostly needs dimensions and format, which are pure
+    bytes), sample rate / duration / RMS loudness for WAV PCM.
+    Undecodable payloads row out with media_kind='unknown' (no
+    recognizable magic) or 'corrupt' (recognized magic, bad
+    structure) and NULL metrics — a probe that throws on garbage is
+    useless. One pass, no shuffle: runs inside the scan partitions.
     """
     import pandas as pd
 
@@ -279,8 +331,8 @@ def describe_media(df: DataFrame) -> DataFrame:
 
         for pdf in batches:
             out = {k: [] for k in (
-                "doc_id", "media_kind", "height", "width", "channels",
-                "sample_rate", "n_samples", "duration_s", "rms",
+                "doc_id", "media_kind", "format", "height", "width",
+                "channels", "sample_rate", "n_samples", "duration_s", "rms",
             )}
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
                 row = dict.fromkeys(out)
@@ -296,10 +348,24 @@ def describe_media(df: DataFrame) -> DataFrame:
                 raw = bytes(b)
                 try:
                     if raw[:2] in (b"P5", b"P6") or raw[:2] == b"BM":
+                        row["format"] = "netpbm" if raw[:1] == b"P" else "bmp"
                         img = decode_image(raw)
                         row["media_kind"] = "image"
                         row["height"], row["width"], row["channels"] = img.shape
+                    elif raw[:8] == b"\x89PNG\r\n\x1a\n":
+                        row["format"] = "png"
+                        row["media_kind"] = "image"
+                        (
+                            row["height"], row["width"], row["channels"],
+                        ) = _png_header_dims(raw)
+                    elif raw[:2] == b"\xff\xd8":
+                        row["format"] = "jpeg"
+                        row["media_kind"] = "image"
+                        (
+                            row["height"], row["width"], row["channels"],
+                        ) = _jpeg_header_dims(raw)
                     elif raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                        row["format"] = "wav"
                         samples, rate = decode_audio(raw)
                         row["media_kind"] = "audio"
                         row["sample_rate"] = rate

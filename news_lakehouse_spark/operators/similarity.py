@@ -47,6 +47,50 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
 
 
+MAX_BROADCAST_QUERIES = 100_000
+
+
+def _pair_with_queries(
+    c: DataFrame,
+    q: DataFrame,
+    cond: Column,
+    max_broadcast_queries: int | None,
+    corpus_blocks: int,
+) -> DataFrame:
+    """All (corpus, query) candidate pairs under ``cond``, by one of
+    two plans:
+
+    - **broadcast** (query set ≤ ``max_broadcast_queries`` rows, or
+      threshold None): ``F.broadcast(q)`` — corpus scanned once, no
+      shuffle. The right plan for probe-sized query sets.
+    - **block-nested shuffle** (past the threshold): the corpus hashes
+      into ``corpus_blocks`` blocks on ``__cb``; queries replicate
+      once per block and the pair-up is a plain shuffle hash join on
+      ``__cb`` — no broadcast of a query set that would OOM the
+      executors. The corpus still moves only once; queries move
+      ``corpus_blocks`` times, which is the right trade when queries
+      outgrow memory but are still far smaller than a 100 TB corpus.
+      (Past ~1M queries prefer ``lsh_bucketed_topk`` / ``ivf_topk`` —
+      exact all-pairs cost is corpus x queries no matter the plan.)
+
+    The size check is one count() on the (smaller) query side; pass
+    ``max_broadcast_queries=0`` to force the shuffled plan without
+    counting, or ``None`` to force broadcast.
+    """
+    if max_broadcast_queries is None or (
+        max_broadcast_queries > 0 and q.count() <= max_broadcast_queries
+    ):
+        return c.join(F.broadcast(q), cond)
+    c2 = c.withColumn(
+        "__cb",
+        F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(corpus_blocks)).cast("int"),
+    )
+    q2 = q.withColumn(
+        "__cb", F.explode(F.sequence(F.lit(0), F.lit(corpus_blocks - 1)))
+    )
+    return c2.join(q2, "__cb").filter(cond).drop("__cb")
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -54,12 +98,15 @@ def cosine_topk_bruteforce(
     vec_col: str = "embedding",
     k: int = 10,
     round_digits: int | None = 6,
+    max_broadcast_queries: int | None = MAX_BROADCAST_QUERIES,
+    corpus_blocks: int = 32,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cos_sim, rank).
 
-    Self-matches (same id) are excluded. Queries are broadcast — the
-    corpus is scanned once with no shuffle until the final per-query
-    top-k aggregation.
+    Self-matches (same id) are excluded. Query sets up to
+    ``max_broadcast_queries`` rows broadcast (corpus scanned once, no
+    shuffle); larger sets switch to a block-nested shuffle join — see
+    ``_pair_with_queries``. Results are identical either way.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -68,7 +115,13 @@ def cosine_topk_bruteforce(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     scored = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        _pair_with_queries(
+            c,
+            q,
+            F.col("neighbor_id") != F.col("query_id"),
+            max_broadcast_queries,
+            corpus_blocks,
+        )
         .withColumn("cos_sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
         .select("query_id", "neighbor_id", "cos_sim")
     )
@@ -854,6 +907,8 @@ def hard_negative_mining(
     label_col: str = "label",
     k: int = 10,
     round_digits: int | None = 6,
+    max_broadcast_queries: int | None = MAX_BROADCAST_QUERIES,
+    corpus_blocks: int = 32,
 ) -> DataFrame:
     """Hard negatives for contrastive training: for each query vector,
     the k most-similar corpus vectors with a DIFFERENT label —
@@ -861,11 +916,14 @@ def hard_negative_mining(
     rank). The standard mining step behind embedding-model training
     (most-confusable other-class examples).
 
-    Same scale shape as ``cosine_topk_bruteforce``: queries broadcast,
-    corpus scanned once, two-level partial top-k so the scored set
-    never shuffles. Label comparison is null-safe: a NULL-label
-    neighbor counts as a different label from any non-NULL query
-    label (and same as a NULL one). Ties break on descending
+    Same scale shape as ``cosine_topk_bruteforce``: probe-sized query
+    sets broadcast (corpus scanned once), sets past
+    ``max_broadcast_queries`` switch to the block-nested shuffle join
+    (``_pair_with_queries``) so a million-query mining run can't OOM
+    the executors; the two-level partial top-k keeps the scored set
+    from shuffling either way. Label comparison is null-safe: a
+    NULL-label neighbor counts as a different label from any non-NULL
+    query label (and same as a NULL one). Ties break on descending
     neighbor_id, matching the top-k convention.
     """
     q = queries.select(
@@ -879,10 +937,13 @@ def hard_negative_mining(
         F.col(label_col).alias("neighbor_label"),
     )
     scored = (
-        c.join(
-            F.broadcast(q),
+        _pair_with_queries(
+            c,
+            q,
             (F.col("neighbor_id") != F.col("query_id"))
             & ~F.col("neighbor_label").eqNullSafe(F.col("query_label")),
+            max_broadcast_queries,
+            corpus_blocks,
         )
         .withColumn("cos_sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
         .select("query_id", "query_label", "neighbor_id", "neighbor_label", "cos_sim")

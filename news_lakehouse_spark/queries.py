@@ -2630,15 +2630,15 @@ FROM tagged GROUP BY _change_type
 
 
 def x_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode through the multimodal probe
-    (operators/multimodal.py describe_media → _parse_netpbm): construct
-    a valid P5 netpbm payload per document IN-PLAN (header from
-    n_chars-derived dimensions + the text's first bytes as raster),
-    decode it in the Arrow-batched worker, and return the parsed
-    dimensions. The oracle recomputes the dimensions analytically, so a
-    header-parse or raster-shape regression flips the hash. Padding to
-    the max raster size keeps every payload decodable regardless of
-    text length.
+    """REAL image metadata through the multimodal probe
+    (operators/multimodal.py describe_media): per document, construct
+    IN-PLAN one of three valid image payloads — a P5 netpbm (fully
+    decoded raster), a PNG whose IHDR carries the dimensions, or a
+    JPEG whose SOF0 marker does (header-only parses; compressed pixel
+    decode is library-blocked, dimensions are pure bytes) — and return
+    the worker-parsed format/dimensions/channels. The oracle recomputes
+    them analytically, so a regression in the netpbm decode, the IHDR
+    parse, or the SOF marker walk flips the hash.
     """
     from news_lakehouse_spark.operators.multimodal import describe_media
 
@@ -2646,23 +2646,50 @@ def x_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").isNotNull()
     )
     height = (F.col("n_chars") % 5 + 2).cast("int")
-    payload = F.encode(
+    pgm = F.encode(
         F.concat(
             F.format_string("P5\n%d %d\n255\n", F.lit(8), height),
             F.rpad(F.substring(F.col("text"), 1, 48), 48, "x"),
         ),
         "UTF-8",
     )
+    # PNG: magic + IHDR(len,'IHDR', width=8, height, bitdepth 8,
+    # colortype 2=RGB, compression/filter/interlace 0) + placeholder CRC
+    png = F.unhex(
+        F.concat(
+            F.lit("89504E470D0A1A0A0000000D49484452"),
+            F.format_string("%08X", F.lit(8)),
+            F.format_string("%08X", height),
+            F.lit("080200000000000000"),
+        )
+    )
+    # JPEG: SOI + SOF0(len 0x11, precision 8, height, width=8,
+    # 3 components with id/sampling/quant-table bytes)
+    jpeg = F.unhex(
+        F.concat(
+            F.lit("FFD8FFC0001108"),
+            F.format_string("%04X", height),
+            F.format_string("%04X", F.lit(8)),
+            F.lit("03010100020101030101"),
+        )
+    )
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, pgm)
+        .when(F.col("doc_id") % 3 == 1, png)
+        .otherwise(jpeg)
+    )
     return describe_media(
         d.select(F.col("doc_id"), payload.alias("payload"))
-    ).select("doc_id", "media_kind", "height", "width", "channels")
+    ).select("doc_id", "media_kind", "format", "height", "width", "channels")
 
 
 _MEDIA_PROBE_SQL = """
 SELECT doc_id, 'image' AS media_kind,
+       CASE doc_id % 3 WHEN 0 THEN 'netpbm' WHEN 1 THEN 'png'
+            ELSE 'jpeg' END AS format,
        CAST(n_chars % 5 + 2 AS INT) AS height,
        CAST(8 AS INT) AS width,
-       CAST(1 AS INT) AS channels
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS INT) AS channels
 FROM documents WHERE n_chars IS NOT NULL
 """
 

@@ -30,6 +30,38 @@ def test_cosine_topk_exact_self_similarity(spark, sf_dir):
     assert abs(top[0]["cos_sim"] - 1.0) < 1e-5
 
 
+def test_cosine_topk_shuffled_fallback_matches_broadcast(spark, sf_dir):
+    """Past max_broadcast_queries the pair-up must switch to the
+    block-nested shuffle join (no broadcast of the query set) and
+    return IDENTICAL results. Plan assert, no OOM reliance."""
+    from news_lakehouse_spark.operators.similarity import hard_negative_mining
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    bcast = cosine_topk_bruteforce(emb, q, k=3)
+    shuf = cosine_topk_bruteforce(
+        emb, q, k=3, max_broadcast_queries=0, corpus_blocks=4
+    )
+    key = lambda df: {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+        for r in df.collect()
+    }
+    assert key(shuf) == key(bcast)
+    # the shuffled plan joins on the corpus-block key, not a broadcast
+    plan = shuf._jdf.queryExecution().analyzed().toString()
+    assert "__cb" in plan
+    bplan = bcast._jdf.queryExecution().analyzed().toString()
+    assert "__cb" not in bplan
+    # hard-negative mining takes the same fallback
+    hshuf = hard_negative_mining(emb, q, k=3, max_broadcast_queries=0)
+    hb = hard_negative_mining(emb, q, k=3)
+    hkey = lambda df: {
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in df.collect()
+    }
+    assert hkey(hshuf) == hkey(hb)
+    assert "__cb" in hshuf._jdf.queryExecution().analyzed().toString()
+
+
 def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     from news_lakehouse_spark.operators.similarity import ann_recall_at_k
 
@@ -226,6 +258,21 @@ def test_describe_media_mixed_corpus(spark):
         (3, bytearray(b"not media at all")),
         (4, bytearray(b"P5 trunca")),  # corrupt header
         (5, None),  # NULL payload must classify, never crash the worker
+        # PNG: magic + IHDR (640x480, color type 6 = RGBA)
+        (6, bytearray(
+            bytes.fromhex("89504E470D0A1A0A0000000D49484452")
+            + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+            + bytes.fromhex("080600000000000000")
+        )),
+        # JPEG: SOI + APP0 stub + SOF2 (progressive), 123x45, 3 comps
+        (7, bytearray(
+            bytes.fromhex("FFD8FFE00004AABB")
+            + bytes.fromhex("FFC2001108")
+            + (45).to_bytes(2, "big") + (123).to_bytes(2, "big")
+            + bytes.fromhex("03010100020101030101")
+        )),
+        (8, bytearray(b"\x89PNG\r\n\x1a\x08bad")),   # corrupt PNG magic tail
+        (9, bytearray(b"\xff\xd8\xff\xc4\x00\x04AB\xff\xda")),  # no SOF
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r["doc_id"]: r for r in describe_media(df).collect()}
@@ -239,6 +286,15 @@ def test_describe_media_mixed_corpus(spark):
     assert got[4]["media_kind"] == "corrupt"
     assert got[5]["media_kind"] == "unknown"
     assert got[5]["height"] is None and got[5]["rms"] is None
+    assert (got[1]["format"], got[2]["format"]) == ("netpbm", "wav")
+    # header-only dims for compressed formats — no codec needed
+    assert got[6]["media_kind"] == "image" and got[6]["format"] == "png"
+    assert (got[6]["height"], got[6]["width"], got[6]["channels"]) == (480, 640, 4)
+    assert got[7]["media_kind"] == "image" and got[7]["format"] == "jpeg"
+    assert (got[7]["height"], got[7]["width"], got[7]["channels"]) == (45, 123, 3)
+    # corrupt headers classify, never throw
+    assert got[8]["media_kind"] == "unknown"  # magic doesn't match PNG
+    assert got[9]["media_kind"] == "corrupt"  # JPEG magic, no SOF
 
 
 def test_resize_and_frames_tolerate_null_payload(spark):
