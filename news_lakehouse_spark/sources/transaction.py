@@ -13,7 +13,7 @@ parquet:
     _manifests/000000000001.json   # one immutable manifest per version
     _manifests/000000000002.json
     data/c000000000001-<nonce>/... # one immutable data dir per commit
-    data/c000000000002-<nonce>/date=2020-01-01/part-*.parquet
+    data/c000000000002-<nonce>/__p_date=2020-01-01/part-*.parquet
 
 A manifest is the FULL list of live data files for that version (plus
 the schema and partition spec). Commit protocol, in order:
@@ -40,10 +40,12 @@ deletes data files no retained manifest references.
 Scale notes (100 TB): manifests are driver-side JSON listing file paths
 — at 128 MB/file a 100 TB table is ~800k entries, a few tens of MB of
 JSON, same order as a Delta checkpoint; the seam to shard manifests per
-partition is `_load_manifest`/`_publish`. Reads hand Spark explicit
-file lists grouped by commit dir with `basePath` set, so partition
-columns still parse from paths and partition/predicate pruning applies
-per group. Merges read old files and write ONLY new directories — no
+partition is `_load_manifest`/`_publish`. Reads hand Spark ONE explicit
+file list as a single parquet relation (partition values are stored in
+the files as data columns, `__p_<col>=v` dirs exist only for manifest
+pruning), so plan size is independent of history depth and predicate
+pruning applies uniformly. Merges read old files and write ONLY new
+directories — no
 read-rewrite cycle, hence no localCheckpoint barrier (unlike the
 in-place emulation) and old versions stay readable during the write.
 The create-exclusive publish uses os.link, atomic on POSIX/NFS/HDFS-
@@ -55,9 +57,6 @@ from __future__ import annotations
 import json
 import os
 import uuid
-from collections import defaultdict
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -213,11 +212,14 @@ def _escape_fn(spark: SparkSession):
 
 
 def partition_suffix(spark: SparkSession, partition_by: list[str], part: dict) -> str:
-    """`date=2020-01-01/region=ASIA` fragment for one partition tuple,
-    using Spark's escaping and NULL convention."""
+    """`__p_date=2020-01-01/__p_region=ASIA` fragment for one partition
+    tuple, using Spark's escaping and NULL convention. Directory names
+    carry the ``__p_`` prefix because commits write partition values
+    BOTH as data columns and as directories (see ``_write_commit``) —
+    the prefix keeps Spark's writer from stripping the real column."""
     esc = _escape_fn(spark)
     return "/".join(
-        f"{c}={'__HIVE_DEFAULT_PARTITION__' if part[c] is None else esc(str(part[c]))}"
+        f"__p_{c}={'__HIVE_DEFAULT_PARTITION__' if part[c] is None else esc(str(part[c]))}"
         for c in partition_by
     )
 
@@ -303,12 +305,32 @@ class VersionedParquetTable:
         partition_by: list[str] | None,
     ) -> list[str]:
         """Step 1: write df into a fresh immutable commit dir; return the
-        manifest-relative paths of the files written."""
+        manifest-relative paths of the files written.
+
+        Partition values are stored BOTH ways: as ordinary data columns
+        inside every file AND as ``__p_<col>=value`` directories (a
+        shadow copy of each partition column feeds the writer, so the
+        real column stays in the file). Directories give the manifest
+        its partition-pruning fragments; in-file values let ``read()``
+        scan ANY set of files from ANY mix of commits as ONE parquet
+        relation with no per-commit ``basePath`` groups — without this,
+        a snapshot read unions one reader per commit dir and plan cost
+        grows linearly with table history (the depth probe caught
+        per-commit merge time doubling between 10 and 50 versions).
+        Iceberg makes the same trade: identity partition values are
+        readable from metadata, not parsed from paths.
+        """
         commit = f"c{version:012d}-{uuid.uuid4().hex[:8]}"
         abs_dir = os.path.join(self.path, _DATA_DIR, commit)
-        writer = df.write.mode("error")
+        out = df
+        writer_partitions = None
         if partition_by:
-            writer = writer.partitionBy(*partition_by)
+            writer_partitions = [f"__p_{c}" for c in partition_by]
+            for c in partition_by:
+                out = out.withColumn(f"__p_{c}", F.col(c))
+        writer = out.write.mode("error")
+        if writer_partitions:
+            writer = writer.partitionBy(*writer_partitions)
         writer.parquet(abs_dir)
         files = []
         for root, _dirs, names in os.walk(abs_dir):
@@ -421,7 +443,7 @@ class VersionedParquetTable:
             esc = _escape_fn(self.spark)
 
             def frag(c, val):
-                return f"{c}={'__HIVE_DEFAULT_PARTITION__' if val is None else esc(str(val))}"
+                return f"__p_{c}={'__HIVE_DEFAULT_PARTITION__' if val is None else esc(str(val))}"
 
             want = [
                 {frag(c, v) for v in (val if isinstance(val, (list, set, tuple)) else [val])}
@@ -488,30 +510,18 @@ class VersionedParquetTable:
         files_list = self.files_for(v, partition_filter, predicate)
         if not files_list:
             return self.spark.createDataFrame([], schema)
-        return self._read_files(files_list, bool(man["partition_by"]), schema)
+        return self._read_files(files_list, schema)
 
-    def _read_files(
-        self, rels: list[str], partitioned: bool, schema: StructType
-    ) -> DataFrame:
-        """Read an explicit manifest file list, grouped by commit dir so
-        `basePath` parses partition columns from paths, then pinned to
-        the given schema's column order and types (path-inferred
-        partition types would otherwise drift, e.g. a numeric string
-        reading back int; columns absent from older commits null-fill)."""
-        groups: dict[str, list[str]] = defaultdict(list)
-        for rel in rels:
-            commit_dir = "/".join(rel.split("/")[:2])
-            groups[commit_dir].append(os.path.join(self.path, rel))
-        parts = []
-        for commit_dir, files in sorted(groups.items()):
-            reader = self.spark.read.option("mergeSchema", "true")
-            if partitioned:
-                reader = reader.option(
-                    "basePath", os.path.join(self.path, commit_dir)
-                )
-            parts.append(reader.parquet(*files))
-        df = reduce(
-            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+    def _read_files(self, rels: list[str], schema: StructType) -> DataFrame:
+        """Read an explicit manifest file list as ONE parquet relation,
+        pinned to the given schema's column order and types (columns
+        absent from older commits null-fill via mergeSchema + the final
+        cast-select). Partition values live inside the files (see
+        ``_write_commit``), so no basePath/path parsing is needed and
+        the plan is a single scan node no matter how many commits the
+        snapshot spans — table history depth never bloats read plans."""
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.path, rel) for rel in rels]
         )
         for f in schema.fields:
             if f.name not in df.columns:
@@ -541,12 +551,12 @@ class VersionedParquetTable:
         only_b = sorted(set_b - set_a)
         empty = self.spark.createDataFrame([], schema)
         removed = (
-            self._read_files(only_a, bool(man_a["partition_by"]), schema)
+            self._read_files(only_a, schema)
             if only_a
             else empty
         )
         added = (
-            self._read_files(only_b, bool(man_b["partition_by"]), schema)
+            self._read_files(only_b, schema)
             if only_b
             else empty
         )
@@ -629,7 +639,7 @@ class VersionedParquetTable:
             partition_by = self._load_manifest(parent)["partition_by"] or None
         version = (parent or 0) + 1
         files = self._write_commit(df, version, partition_by)
-        staged = self._read_files(files, bool(partition_by), df.schema)
+        staged = self._read_files(files, df.schema)
         enforce(staged, rules)
         return self._commit(df, files, parent, partition_by, operation)
 

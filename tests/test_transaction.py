@@ -73,7 +73,7 @@ def test_partitioned_merge_carries_untouched_files(spark, table):
     m2 = table._load_manifest(2)
     carried = set(m1["files"]) & set(m2["files"])
     assert carried, "untouched partitions must carry over by reference"
-    assert all("/d=b/" not in f for f in carried)
+    assert all("/__p_d=b/" not in f for f in carried)
     assert _rows(table.read()) == {
         (1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "b", 40)
     }
@@ -86,7 +86,7 @@ def test_partition_move_leaves_no_ghost(spark, table):
     table.merge(_df(spark, [(1, "c", 11)]), ["k"])
     assert _rows(table.read()) == {(1, "c", 11), (2, "b", 20)}
     m2 = table._load_manifest(2)
-    assert all("/d=a/" not in f for f in m2["files"])
+    assert all("/__p_d=a/" not in f for f in m2["files"])
 
 
 def test_crash_between_data_write_and_publish(spark, table, monkeypatch):

@@ -57,6 +57,13 @@ PROBES = {
     # round-4 additions: incremental semantic ingest + corpus analytics
     "x_semdedup_incremental": ("embeddings", 20),
     "x_ngram_diversity": ("documents", 20),
+    # round-5 additions: versioned table layer at 10x data (each query
+    # rebuilds its table from scratch per run, so the timing covers
+    # commit + manifest + read work end-to-end)
+    "x_time_travel": ("orders", 10),
+    "x_table_changes": ("orders", 10),
+    "x_stats_pruned_read": ("orders", 10),
+    "x_changes_across_compact": ("orders", 10),
     # x_source_overlap is NOT probed: its oracle-pinned max_df=100 band
     # (exact at fixture df <= 25) excises the 20x-replicated shingles
     # entirely, so the probe would time an empty output. Its inverted-
@@ -101,8 +108,108 @@ def build_big(spark, base: str) -> None:
         shutil.copy(f"{base}/{t}.parquet", f"{BIG_DIR}/{t}.parquet")
 
 
+def depth_probe(spark, base: str) -> list[str]:
+    """Manifest-DEPTH probe for the versioned table layer: the data
+    probes above scale the rows; this scales the VERSION COUNT (10 vs
+    50 commits) so manifest handling gets an exponent like every other
+    family. Each commit merges one order-month partition (the
+    realistic incremental shape: one partition rewritten, ~all files
+    carried by reference), so per-commit data work is constant and any
+    superlinear growth is manifest overhead. exp = log(t50/t10)/log(5):
+    merge_total ~1 (linear in commits), time-travel read of an EARLY
+    version / compact / stats-pruned read ~0 (depth-independent).
+    changes(1, latest) grows with accumulated churn (~linear)."""
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    orders = (
+        spark.read.parquet(f"{base}/orders.parquet")
+        .filter(F.col("o_orderkey") % 4 == 0)
+        .select(
+            "o_orderkey",
+            F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias(
+                "o_month"
+            ),
+            "o_totalprice",
+        )
+        .cache()
+    )
+    orders.count()
+    months = sorted(
+        r["o_month"] for r in orders.select("o_month").distinct().collect()
+    )
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def timed(fn, reps: int = 3) -> float:
+        best = math.inf
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            fn()
+            best = min(best, _time.perf_counter() - t0)
+        return best
+
+    metrics: dict[int, dict[str, float]] = {}
+    for depth in (10, 50):
+        path = tempfile.mkdtemp(prefix=f"nlh_depth{depth}_")
+        shutil.rmtree(path)
+        t = VersionedParquetTable(spark, path)
+        t0 = _time.perf_counter()
+        t.write(orders, partition_by=["o_month"])
+        for i in range(depth - 1):
+            m = months[i % len(months)]
+            batch = orders.filter(F.col("o_month") == m).withColumn(
+                "o_totalprice", F.col("o_totalprice") + i + 1
+            )
+            t.merge(batch, ["o_orderkey"])
+        merge_total = _time.perf_counter() - t0
+        metrics[depth] = {
+            "merge_total": merge_total,
+            "merge_per_commit": merge_total / depth,
+            "time_travel_read_v2": timed(lambda: noop(t.read(version=2))),
+            "stats_pruned_read": timed(
+                lambda: noop(
+                    t.read(predicate=[("o_totalprice", ">=", 300000.0)])
+                )
+            ),
+            "changes_full_history": timed(
+                lambda: noop(t.changes(1)), reps=2
+            ),
+            "compact": timed(lambda: t.compact(), reps=1),
+        }
+        shutil.rmtree(path)
+    orders.unpersist()
+
+    lines = [
+        "",
+        "## Manifest-depth probe (versioned table layer)",
+        "",
+        "Version count 10 vs 50 (5x), one order-month partition merged",
+        "per commit at 1x data — per-commit data work constant, so the",
+        "exponent isolates manifest/metadata overhead. exp =",
+        "log(t50/t10)/log(5): merge_total ~1 = flat per-commit cost;",
+        "reads/compact ~0 = depth-independent; changes(1, latest) scans",
+        "accumulated churn so ~1 is expected.",
+        "",
+        "| metric | t@10 versions (s) | t@50 versions (s) | exp vs depth |",
+        "|---|---|---|---|",
+    ]
+    for key in metrics[10]:
+        a, b = metrics[10][key], metrics[50][key]
+        exp = math.log(b / a) / math.log(5) if a > 0 else float("nan")
+        lines.append(f"| {key} | {a:.2f} | {b:.2f} | {exp:.2f} |")
+        print(lines[-1], file=sys.stderr)
+    return lines
+
+
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = set(sys.argv[2:])  # optional probe subset for iteration
     from news_lakehouse_spark.queries import QUERIES
     from news_lakehouse_spark.session import build_session
 
@@ -160,6 +267,8 @@ def main() -> None:
         "|---|---|---|---|---|---|---|",
     ]
     for name, (_table, factor) in PROBES.items():
+        if only and name not in only:
+            continue
         t_small, sp_small, _ = run(name, base)
         t_big, sp_big, n_big = run(name, BIG_DIR)
         exp = math.log(t_big / t_small) / math.log(factor)
@@ -170,9 +279,15 @@ def main() -> None:
         )
         print(lines[-1], file=sys.stderr)
 
+    if not only or "depth" in only:
+        lines.extend(depth_probe(spark, base))
+
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"
     )
+    if only:  # subset iteration: print, don't clobber the full report
+        print("\n".join(lines))
+        return
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out}")
