@@ -84,6 +84,10 @@ EXTENDED = [
     "x_semdedup_incremental",
     "x_source_overlap",
     "x_hard_negatives",
+    # round-5 additions (manifest column-bounds scan planning + change
+    # feed across compaction):
+    "x_stats_pruned_read",
+    "x_changes_across_compact",
 ]
 
 

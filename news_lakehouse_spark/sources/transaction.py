@@ -760,7 +760,11 @@ class VersionedParquetTable:
 
     # --- maintenance -----------------------------------------------------
 
-    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    def compact(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        cluster_by: list[str] | None = None,
+    ) -> int:
         """Crash-safe small-file compaction: rewrite the current
         snapshot into a fresh commit sized from the ACTUAL live bytes
         and publish it as a new version — readers never see a partial
@@ -769,6 +773,18 @@ class VersionedParquetTable:
         until vacuumed. Partitioned tables cluster by the partition
         columns (one file per partition); unpartitioned tables split at
         ``target_file_bytes``. Returns the committed version.
+
+        ``cluster_by`` additionally RANGE-clusters the rewrite on the
+        given columns (repartitionByRange + sortWithinPartitions — the
+        Delta ``OPTIMIZE ZORDER``/Iceberg sort-order analog): after a
+        clustered compact, each file's min/max bounds for those columns
+        are near-disjoint, so the manifest's column-bounds pruning
+        (``files_for(predicate=...)``) drops most files for selective
+        predicates instead of none. The write itself is no more
+        expensive than a plain compact (same one shuffle, now ranged);
+        the payoff repeats on every subsequent read. For multi-column
+        locality use one interleaved key (functions.zorder) as the
+        cluster column.
         """
         import math
 
@@ -778,14 +794,20 @@ class VersionedParquetTable:
         man = self._load_manifest(parent)
         spec = man["partition_by"] or None
         df = self.read(parent)
-        if spec:
+        total = sum(
+            os.path.getsize(os.path.join(self.path, rel))
+            for rel in man["files"]
+        )
+        n_files = max(1, math.ceil(total / target_file_bytes))
+        if cluster_by:
+            cols = [F.col(c) for c in cluster_by]
+            out = df.repartitionByRange(n_files, *cols).sortWithinPartitions(
+                *cols
+            )
+        elif spec:
             out = df.repartition(*[F.col(c) for c in spec])
         else:
-            total = sum(
-                os.path.getsize(os.path.join(self.path, rel))
-                for rel in man["files"]
-            )
-            out = df.repartition(max(1, math.ceil(total / target_file_bytes)))
+            out = df.repartition(n_files)
         version = parent + 1
         files = self._write_commit(out, version, spec)
         return self._commit(out, files, parent, spec, "compact")

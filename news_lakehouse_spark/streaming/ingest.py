@@ -107,6 +107,60 @@ def dedupe_bronze_stream(
     )
 
 
+def run_stream_to_versioned_table(
+    stream: DataFrame,
+    table_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    partition_by: list[str] | None = None,
+    order_by=None,
+    insert_only: bool = False,
+):
+    """Stream → ACID table: each micro-batch MERGEs into a
+    ``VersionedParquetTable`` as ONE atomic manifest commit — the
+    Structured-Streaming-into-Iceberg shape (the reference's lakehouse
+    tables are Iceberg; its streaming story is epochs committing
+    snapshots). Returns the query handle.
+
+    Guarantees stacked from the two layers:
+    - exactly-once END STATE: the checkpoint replays a crashed epoch,
+      and the keyed merge is idempotent, so a replayed batch lands the
+      same rows (no duplicates, no loss);
+    - readers NEVER see a torn epoch: the batch's files publish via the
+      manifest's create-exclusive link or not at all;
+    - every epoch is a retained version: ``history()`` is the stream's
+      commit log, ``read(version=N)`` reproduces any past state, and
+      ``changes(a, b)`` feeds downstream incrementals without
+      re-scanning the table.
+
+    Empty epochs commit nothing (no version churn from idle triggers).
+    ``partition_by`` applies to the CREATING commit only; later epochs
+    inherit the committed spec (merge() rejects conflicts).
+    """
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    spark = stream.sparkSession
+    table = VersionedParquetTable(spark, table_path)
+
+    def sink(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        with pipeline_metrics("stream_versioned_merge"):
+            table.merge(
+                batch_df,
+                keys,
+                partition_by=None if table.exists() else partition_by,
+                order_by=order_by,
+                insert_only=insert_only,
+            )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def run_bronze_to_silver_stream(
     spark: SparkSession,
     bronze_dir: str,

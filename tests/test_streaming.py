@@ -382,3 +382,74 @@ def test_semantic_index_stream_two_drops(spark, tmp_path):
 
     idx = VersionedParquetTable(spark, str(tmp_path / "idx"))
     assert sorted(r["vec_id"] for r in idx.read().collect()) == [0, 1, 2, 11]
+
+
+def test_stream_to_versioned_table_epochs_commit_atomically(spark, tmp_path):
+    """Each micro-batch lands as one manifest commit: history() is the
+    stream's commit log, time travel reproduces per-epoch states, the
+    keyed merge upserts across epochs, and a restart from checkpoint
+    neither duplicates nor loses rows."""
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+    from news_lakehouse_spark.streaming.ingest import (
+        run_stream_to_versioned_table,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "k long, grp string, v long"
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.json(
+            str(src / name)
+        )
+
+    drop("d1", [(1, "a", 10), (2, "b", 20)])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src / "*"))
+    )
+    q = run_stream_to_versioned_table(
+        stream,
+        str(tmp_path / "tbl"),
+        keys=["k"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        partition_by=["grp"],
+    )
+    q.processAllAvailable()
+    q.stop()
+    t = VersionedParquetTable(spark, str(tmp_path / "tbl"))
+    assert t.latest_version() == 1
+
+    drop("d2", [(2, "b", 99), (3, "a", 30)])  # update k=2, insert k=3
+    q = run_stream_to_versioned_table(
+        stream,
+        str(tmp_path / "tbl"),
+        keys=["k"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {tuple(r) for r in t.read().select("k", "grp", "v").collect()}
+    assert rows == {(1, "a", 10), (2, "b", 99), (3, "a", 30)}
+    # epoch 1's state is a retained, readable version
+    assert {
+        tuple(r) for r in t.read(version=1).select("k", "grp", "v").collect()
+    } == {(1, "a", 10), (2, "b", 20)}
+    assert [h["operation"] for h in t.history()] == ["create", "merge"]
+    # change feed between epochs = exactly the second batch's delta
+    delta = {
+        (r["k"], r["v"], r["_change_type"])
+        for r in t.changes(1, 2).collect()
+    }
+    assert delta == {(2, 99, "insert"), (2, 20, "delete"), (3, 30, "insert")}
+    # restart with NO new files: checkpoint replays nothing, no churn
+    q = run_stream_to_versioned_table(
+        stream,
+        str(tmp_path / "tbl"),
+        keys=["k"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert t.latest_version() == 2

@@ -464,3 +464,33 @@ def test_changes_across_compaction_is_empty(spark, table):
         for r in table.changes(1, 4).collect()
     }
     assert got == {(2, 21, "insert"), (2, 20, "delete"), (4, 40, "insert")}
+
+
+def test_cluster_compact_enables_bounds_pruning(spark, table):
+    """compact(cluster_by=...) range-clusters the rewrite so per-file
+    min/max bounds become near-disjoint: a selective predicate that
+    pruned NOTHING before prunes most files after, with identical
+    rows (the OPTIMIZE ZORDER payoff on the manifest layer)."""
+    import random
+
+    vals = list(range(400))
+    random.Random(7).shuffle(vals)
+    df = spark.createDataFrame(
+        [(i, "x", v) for i, v in enumerate(vals)], "k bigint, d string, v bigint"
+    ).repartition(8)  # random placement → every file spans ~full v-range
+    table.write(df)
+    pred = [("v", ">=", 390)]
+    before = table.files_for(predicate=pred)
+    # random placement: the matching rows land in nearly every file,
+    # so bounds pruning barely helps before clustering
+    assert len(before) >= len(table.files_for()) * 3 // 4
+    rows_before = _rows(table.read(predicate=pred).filter(F.col("v") >= 390))
+    v = table.compact(target_file_bytes=2000, cluster_by=["v"])
+    man = table._load_manifest(v)
+    assert man["operation"] == "compact" and man["num_files"] > 1
+    after = table.files_for(predicate=pred)
+    assert len(after) < man["num_files"]
+    assert len(after) < len(before)
+    got = _rows(table.read(predicate=pred).filter(F.col("v") >= 390))
+    assert got == rows_before
+    assert _rows(table.read()) == {(i, "x", val) for i, val in enumerate(vals)}
