@@ -73,12 +73,16 @@ def _pair_with_queries(
       (Past ~1M queries prefer ``lsh_bucketed_topk`` / ``ivf_topk`` —
       exact all-pairs cost is corpus x queries no matter the plan.)
 
-    The size check is one count() on the (smaller) query side; pass
-    ``max_broadcast_queries=0`` to force the shuffled plan without
+    The size check is a LIMIT-bounded count on the (smaller) query
+    side — ``q.limit(threshold + 1).count()`` stops scanning as soon
+    as threshold+1 rows exist, so a huge query set costs one early-out
+    partial scan, not a full materialization of its plan (advice r5).
+    Pass ``max_broadcast_queries=0`` to force the shuffled plan without
     counting, or ``None`` to force broadcast.
     """
     if max_broadcast_queries is None or (
-        max_broadcast_queries > 0 and q.count() <= max_broadcast_queries
+        max_broadcast_queries > 0
+        and q.limit(max_broadcast_queries + 1).count() <= max_broadcast_queries
     ):
         return c.join(F.broadcast(q), cond)
     c2 = c.withColumn(

@@ -2289,6 +2289,43 @@ FROM events GROUP BY user_id
 """
 
 
+def t_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked interval join
+    (streaming/windows.py stream_stream_interval_join, drained by
+    streaming/joins.py): view events joined to the
+    purchases the same user makes within 4 hours, both sides genuine
+    file streams drained with Trigger.AvailableNow. Watermarks + the
+    time-range condition bound the join state (the eviction test lives
+    in tests/test_streaming.py); the oracle is the equivalent batch
+    interval join — inner stream-stream joins emit exactly the batch
+    result."""
+    import tempfile
+    import uuid
+
+    from news_lakehouse_spark.streaming.joins import run_interval_join_over_dir
+
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_join_")
+    return run_interval_join_over_dir(
+        spark, f"{sf_dir}/events.parquet", ckpt, query_name=name
+    )
+
+
+_STREAM_JOIN_SQL = """
+SELECT v.user_id,
+       v.event_id AS l_event_id,
+       CAST(v.ts AS TIMESTAMP) AS l_ts,
+       p.event_id AS r_event_id,
+       CAST(p.ts AS TIMESTAMP) AS r_ts
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 4 HOUR
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+
 
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5361,13 +5398,66 @@ QUERIES: dict[str, QueryFn] = {
     # by tests/test_queries_smoke.py::test_driver_window_covers_unverified:
     # any registered query with no driver CORRECTNESS row in any
     # CORRECTNESS_r0*.json MUST sit inside the first 50 positions.
-    # Round-5 window: the two new r5 queries (manifest column-bounds
-    # scan planning + change feed across compaction), then the 32
-    # queries whose latest driver green is r1/r2 (freshness rotation:
-    # VERDICT r4 ask #2), then 16 r3-era queries whose implementing
-    # modules (similarity/dedupe/sampling/sketches) were touched in r4.
-    # Queries driver-verified in r4 rotate below the line;
+    # Round-6 window: the new stream-stream join, then the 34 queries
+    # whose latest driver green is r3 (oldest-green freshness rotation:
+    # VERDICT r5 ask #7), then 15 r4-era queries prioritizing the ones
+    # whose implementing modules (sources/transaction.py,
+    # operators/similarity.py) were touched in r6 plus the
+    # sampling/sketch regression-watch set (VERDICT r5 ask #5).
+    # Queries driver-verified in r5 rotate below the line;
     # tools/verify_oracle.py still covers the full registry.
+    "t_stream_join": t_stream_join,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_type_profit": q9_product_type_profit,
+    "q11_important_parts": q11_important_parts,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q20_potential_promotion": q20_potential_promotion,
+    "x_vocab_coverage": x_vocab_coverage,
+    "x_event_transitions": x_event_transitions,
+    "q4_order_priority": q4_order_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q8_market_share": q8_market_share,
+    "q12_priority_lateness": q12_priority_lateness,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q19_discounted_revenue": q19_discounted_revenue,
+    "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q7_nation_volume": q7_nation_volume,
+    "x_blocklist_filter": x_blocklist_filter,
+    "x_binary_ingest": x_binary_ingest,
+    "x_repetition_metrics": x_repetition_metrics,
+    "x_pii_redaction": x_pii_redaction,
+    "w2_window_analytics": w2_window_analytics,
+    "a7_grouping_sets": a7_grouping_sets,
+    "a8_stats_agg": a8_stats_agg,
+    "u3_unpivot": u3_unpivot,
+    "d8_date_spine_gapfill": d8_date_spine_gapfill,
+    "q10_returned_items": q10_returned_items,
+    "x_corpus_filter": x_corpus_filter,
+    "w3_rolling_time_window": w3_rolling_time_window,
+    "x_retention_cohorts": x_retention_cohorts,
+    "x_ts_pattern_search": x_ts_pattern_search,
+    "x_time_travel": x_time_travel,
+    "x_table_changes": x_table_changes,
+    "x_compact_roundtrip": x_compact_roundtrip,
+    "x_hard_negatives": x_hard_negatives,
+    "x_kll_rollup": x_kll_rollup,
+    "x_weighted_sample": x_weighted_sample,
+    "x_exact_percentile": x_exact_percentile,
+    "x_exact_group_median": x_exact_group_median,
+    "x_media_probe": x_media_probe,
+    "x_corpus_shard": x_corpus_shard,
+    "x_ngram_diversity": x_ngram_diversity,
+    "x_semdedup_incremental": x_semdedup_incremental,
+    "x_source_overlap": x_source_overlap,
+    "x_char_entropy": x_char_entropy,
+    "x_corpus_pipeline": x_corpus_pipeline,
+
+    # --- below the driver window: latest green r4/r5 ---
     "x_stats_pruned_read": x_stats_pruned_read,
     "x_changes_across_compact": x_changes_across_compact,
     "a4_rollup": a4_rollup,
@@ -5418,25 +5508,9 @@ QUERIES: dict[str, QueryFn] = {
     "x_cms_heavy_hitters": x_cms_heavy_hitters,
     "x_key_skew": x_key_skew,
     "x_group_zscore": x_group_zscore,
-    # --- end of driver window (first 50) ---
-    "x_time_travel": x_time_travel,
-    "x_table_changes": x_table_changes,
-    "x_media_probe": x_media_probe,
-    "x_compact_roundtrip": x_compact_roundtrip,
-    "x_corpus_shard": x_corpus_shard,
-    "x_ngram_diversity": x_ngram_diversity,
-    "x_semdedup_incremental": x_semdedup_incremental,
-    "x_source_overlap": x_source_overlap,
-    "x_hard_negatives": x_hard_negatives,
-    "x_char_entropy": x_char_entropy,
-    "x_corpus_pipeline": x_corpus_pipeline,
     "x_boilerplate_removal": x_boilerplate_removal,
     "x_source_corpus_stats": x_source_corpus_stats,
     "x_zorder_key": x_zorder_key,
-    "x_kll_rollup": x_kll_rollup,
-    "x_weighted_sample": x_weighted_sample,
-    "x_exact_percentile": x_exact_percentile,
-    "x_exact_group_median": x_exact_group_median,
     "q1_pricing_summary": q1_pricing_summary,
     "s2_scan_filter_project": s2_scan_filter_project,
     "p3_normalize_blank": p3_normalize_blank,
@@ -5469,40 +5543,6 @@ QUERIES: dict[str, QueryFn] = {
     "x_stream_stateful": x_stream_stateful,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
-    "q2_min_cost_supplier": q2_min_cost_supplier,
-    "q9_product_type_profit": q9_product_type_profit,
-    "q11_important_parts": q11_important_parts,
-    "q13_customer_distribution": q13_customer_distribution,
-    "q15_top_supplier": q15_top_supplier,
-    "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "q20_potential_promotion": q20_potential_promotion,
-    "x_vocab_coverage": x_vocab_coverage,
-    "x_event_transitions": x_event_transitions,
-    "q4_order_priority": q4_order_priority,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "q8_market_share": q8_market_share,
-    "q12_priority_lateness": q12_priority_lateness,
-    "q14_promo_revenue": q14_promo_revenue,
-    "q19_discounted_revenue": q19_discounted_revenue,
-    "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
-    "q22_global_sales_opportunity": q22_global_sales_opportunity,
-    "q18_large_volume_customers": q18_large_volume_customers,
-    "q7_nation_volume": q7_nation_volume,
-    "x_blocklist_filter": x_blocklist_filter,
-    "x_binary_ingest": x_binary_ingest,
-    "x_repetition_metrics": x_repetition_metrics,
-    "x_pii_redaction": x_pii_redaction,
-    "w2_window_analytics": w2_window_analytics,
-    "a7_grouping_sets": a7_grouping_sets,
-    "a8_stats_agg": a8_stats_agg,
-    "u3_unpivot": u3_unpivot,
-    "d8_date_spine_gapfill": d8_date_spine_gapfill,
-    "q10_returned_items": q10_returned_items,
-    "x_corpus_filter": x_corpus_filter,
-    "w3_rolling_time_window": w3_rolling_time_window,
-    "x_retention_cohorts": x_retention_cohorts,
-    "x_ts_pattern_search": x_ts_pattern_search,
 }
 
 ORACLES: dict[str, str] = {
@@ -5596,6 +5636,7 @@ ORACLES: dict[str, str] = {
     "x_dedup_embedding_cosine": _EMB_COS_SQL,
     "x_sim_ivf_topk": _SIM_IVF_SQL,
     "x_stream_stateful": _STREAM_STATEFUL_SQL,
+    "t_stream_join": _STREAM_JOIN_SQL,
     "q3_shipping_priority": _Q3_SQL,
     "q5_local_supplier_volume": _Q5_SQL,
     "t_session_window": _SESSION_WINDOW_SQL,

