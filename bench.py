@@ -106,10 +106,11 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
-    # 3 runs, report the min: single-run timings on a shared host track
-    # ±35% scheduler/page-cache noise; the per-query min is the stable
-    # statistic (it converges to the plan's actual cost).
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # 5 runs, report the min: single-run timings on a shared host track
+    # ±35% scheduler/page-cache noise, and r6 measured min-of-3 drifting
+    # up to 1.3x across back-to-back full runs with identical code — the
+    # per-query min needs more samples to converge to the plan's cost.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
     def time_queries(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
@@ -134,6 +135,27 @@ def main() -> None:
             )
         return out
 
+    # Host-speed canary: a fixed, code-independent, plan-invariant CPU
+    # job (hash-reduce over a generated range — no IO, no repo code).
+    # Round-over-round bench ratios divide out by this to separate
+    # host drift from real plan regressions: r5's flagged
+    # sampling/sketch "regressions" were uniform across untouched
+    # queries AND rounds-old plans, which only a canary can prove.
+    def canary() -> float:
+        from pyspark.sql import functions as F
+
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            spark.range(50_000_000, numPartitions=32).select(
+                F.xxhash64("id").alias("h")
+            ).agg(F.sum("h")).collect()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    canary_sec = canary()
+    print(f"# host canary: {canary_sec:.3f}s", file=sys.stderr)
+
     timings = time_queries(HEADLINE)
     total = round(sum(timings.values()), 3)
     extended = time_queries(EXTENDED)
@@ -156,6 +178,7 @@ def main() -> None:
                 "materialize": "noop_sink_all_columns",
                 "extended_total_sec": round(sum(extended.values()), 3),
                 "extended": extended,
+                "host_canary_sec": canary_sec,
             }
         )
     )
