@@ -2937,6 +2937,84 @@ FROM tagged GROUP BY _change_type
 
 
 
+def x_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read equality DELETE
+    (sources/transaction.py delete_keys): tombstone a key set WITHOUT
+    rewriting any data file — the Iceberg v2 delete-file analog that
+    makes small deletes O(keys) instead of O(partition rewrite) at
+    100 TB — then merge updates on top (re-inserting the overlap at a
+    newer file version, which must WIN over the tombstone).
+
+    v1 = orders with key%3=0 partitioned by status; v2 = delete_keys
+    of %21 keys (asserted in-plan: the data file set is untouched);
+    v3 = MERGE tripling %9 keys (the %63 overlap resurrects). Final
+    read = %3 keys where (%21!=0 or %9==0), price*3 on %9 keys.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"nlh_mor_del_{os.getpid()}_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = VersionedParquetTable(spark, base)
+    t.merge(
+        orders.filter(F.col("o_orderkey") % 3 == 0),
+        ["o_orderkey"],
+        partition_by=["o_orderstatus"],
+    )
+    t.delete_keys(
+        orders.filter(F.col("o_orderkey") % 21 == 0).select("o_orderkey")
+    )
+    assert set(t.files_for(2)) == set(t.files_for(1)), (
+        "merge-on-read delete must not rewrite data files"
+    )
+    t.merge(
+        orders.filter(F.col("o_orderkey") % 9 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 3
+        ),
+        ["o_orderkey"],
+    )
+    rowhash = sha2_prefix_long(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey"),
+            F.round(F.col("o_totalprice") * 100).cast("long"),
+        ),
+        10,
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"), F.sum(rowhash).alias("hash_sum"))
+    )
+
+
+_MOR_DELETE_SQL = """
+WITH live AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice * 3
+              ELSE o_totalprice END AS price
+  FROM orders
+  WHERE o_orderkey % 3 = 0
+    AND (o_orderkey % 21 <> 0 OR o_orderkey % 9 = 0)
+)
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       CAST(SUM(CAST(concat('0x', substr(sha256(concat_ws('|',
+              o_orderkey, CAST(ROUND(price * 100) AS BIGINT))), 1, 10))
+            AS BIGINT)) AS BIGINT) AS hash_sum
+FROM live GROUP BY o_orderstatus
+"""
+
+
 def x_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-2-gram repetition signals (Gopher-style boilerplate flags)."""
     d = read_table(spark, sf_dir, "documents")
@@ -5407,6 +5485,7 @@ QUERIES: dict[str, QueryFn] = {
     # Queries driver-verified in r5 rotate below the line;
     # tools/verify_oracle.py still covers the full registry.
     "t_stream_join": t_stream_join,
+    "x_mor_delete": x_mor_delete,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q9_product_type_profit": q9_product_type_profit,
     "q11_important_parts": q11_important_parts,
@@ -5637,6 +5716,7 @@ ORACLES: dict[str, str] = {
     "x_sim_ivf_topk": _SIM_IVF_SQL,
     "x_stream_stateful": _STREAM_STATEFUL_SQL,
     "t_stream_join": _STREAM_JOIN_SQL,
+    "x_mor_delete": _MOR_DELETE_SQL,
     "q3_shipping_priority": _Q3_SQL,
     "q5_local_supplier_volume": _Q5_SQL,
     "t_session_window": _SESSION_WINDOW_SQL,

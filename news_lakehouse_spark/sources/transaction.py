@@ -37,6 +37,13 @@ Time travel: ``read(version=N)`` reads any retained manifest;
 ``history()`` lists them; ``vacuum(keep_last)`` drops old manifests and
 deletes data files no retained manifest references.
 
+Merge-on-read deletes: ``delete_keys(df)`` commits a small parquet of
+key tuples (Iceberg v2 equality-delete analog) instead of rewriting
+data files; reads apply them as a broadcast anti-join restricted to
+files older than the tombstone (so later re-inserting merges win);
+``compact()`` materializes and clears them. ``changes()`` composes them
+per-commit so a feed across a delete emits exactly the tombstoned rows.
+
 Scale notes (100 TB): manifests are driver-side JSON listing file paths
 — at 128 MB/file a 100 TB table is ~800k entries. Past
 ``shard_threshold`` files a partitioned manifest SHARDS per partition
@@ -697,6 +704,36 @@ class VersionedParquetTable:
             ]
         return files_list
 
+    def _apply_deletes(self, df: DataFrame, root: dict) -> DataFrame:
+        """Apply a manifest's merge-on-read delete entries: anti-join
+        each entry's key tuples against rows whose FILE was committed
+        before the delete (rows re-inserted by a later merge live in a
+        newer commit dir and survive — same versioned-applicability
+        rule as Iceberg v2 equality deletes). The commit version is
+        parsed from the file path JVM-side; delete key sets are small
+        by construction and broadcast."""
+        entries = root.get("delete_files") or []
+        if not entries:
+            return df
+        out = df.withColumn(
+            "__f_v",
+            F.regexp_extract(F.input_file_name(), r"/c(\d{12})-", 1).cast(
+                "long"
+            ),
+        )
+        for e in entries:
+            kdf = self.spark.read.parquet(
+                *[os.path.join(self.path, p) for p in e["paths"]]
+            )
+            kdf = kdf.select(
+                *[F.col(c).alias(f"__dk_{c}") for c in e["key_cols"]]
+            )
+            cond = F.col("__f_v") < F.lit(int(e["version"]))
+            for c in e["key_cols"]:
+                cond = cond & (F.col(c) == F.col(f"__dk_{c}"))
+            out = out.join(F.broadcast(kdf), cond, "left_anti")
+        return out.drop("__f_v")
+
     def read(
         self,
         version: int | None = None,
@@ -723,11 +760,12 @@ class VersionedParquetTable:
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.path}")
-        schema = StructType.fromJson(self._load_root(v)["schema"])
+        root = self._load_root(v)
+        schema = StructType.fromJson(root["schema"])
         files_list = self.files_for(v, partition_filter, predicate)
         if not files_list:
             return self.spark.createDataFrame([], schema)
-        return self._read_files(files_list, schema)
+        return self._apply_deletes(self._read_files(files_list, schema), root)
 
     def _read_files(self, rels: list[str], schema: StructType) -> DataFrame:
         """Read an explicit manifest file list as ONE parquet relation,
@@ -772,31 +810,82 @@ class VersionedParquetTable:
         """
         to_v = self.latest_version() if to_version is None else to_version
         retained = set(self.versions())
-        man_a = self._load_manifest(from_version)
-        man_b = self._load_manifest(to_v)
-        set_a, set_b = set(man_a["files"]), set(man_b["files"])
+        root_a = self._load_root(from_version)
+        root_b = self._load_root(to_v)
+        set_a = set(self._manifest_files_stats(root_a)[0])
+        set_b = set(self._manifest_files_stats(root_b)[0])
+        dels_a = root_a.get("delete_files") or []
+        dels_b = root_b.get("delete_files") or []
         endpoint = {
+            "mode": "endpoint",
+            "walked": False,
             "added": sorted(set_b - set_a),
             "removed": sorted(set_a - set_b),
-            "walked": False,
+            "steps": [],
         }
         chain = list(range(from_version + 1, to_v + 1))
         if not all(v in retained for v in chain):
-            return endpoint
+            if dels_a == dels_b:
+                return endpoint
+            # merge-on-read deletes changed across a vacuumed chain:
+            # a file diff can't see rows tombstoned in carried files —
+            # only a full snapshot diff is provably correct here
+            return {
+                "mode": "snapshot",
+                "walked": False,
+                "added": sorted(set_b),
+                "removed": sorted(set_a),
+                "steps": [],
+            }
+        steps: list[dict] = []
         added: list[str] = []
         removed: list[str] = []
+        has_delete = False
         prev_files = set_a
+        prev_dels = dels_a
         for v in chain:
             root = self._load_root(v)
             cur_files = (
                 set_b if v == to_v
                 else set(self._manifest_files_stats(root)[0])
             )
-            if root["operation"] != "compact":
-                added.extend(sorted(cur_files - prev_files))
-                removed.extend(sorted(prev_files - cur_files))
+            op = root["operation"]
+            if op == "delete":
+                has_delete = True
+                new_entries = [
+                    e
+                    for e in (root.get("delete_files") or [])
+                    if e["version"] == v
+                ]
+                steps.append(
+                    {"version": v, "op": op, "entries": new_entries}
+                )
+            elif op != "compact":
+                a = sorted(cur_files - prev_files)
+                r = sorted(prev_files - cur_files)
+                if a or r:
+                    steps.append(
+                        {
+                            "version": v,
+                            "op": op,
+                            "added": a,
+                            "removed": r,
+                            "parent_deletes": prev_dels,
+                        }
+                    )
+                    added.extend(a)
+                    removed.extend(r)
             prev_files = cur_files
-        walked = {"added": added, "removed": removed, "walked": True}
+            prev_dels = root.get("delete_files") or []
+        walked = {
+            "mode": "walked",
+            "walked": True,
+            "added": added,
+            "removed": removed,
+            "steps": steps,
+        }
+        if has_delete or dels_a != dels_b:
+            return walked  # only the walk composes tombstones correctly
         if len(added) + len(removed) <= len(endpoint["added"]) + len(
             endpoint["removed"]
         ):
@@ -820,18 +909,86 @@ class VersionedParquetTable:
         """
         to_v = self.latest_version() if to_version is None else to_version
         plan = self.changes_plan(from_version, to_v)
-        schema = StructType.fromJson(self._load_root(to_v)["schema"])
+        root_b = self._load_root(to_v)
+        schema = StructType.fromJson(root_b["schema"])
         empty = self.spark.createDataFrame([], schema)
-        removed = (
-            self._read_files(plan["removed"], schema)
-            if plan["removed"]
-            else empty
-        )
-        added = (
-            self._read_files(plan["added"], schema)
-            if plan["added"]
-            else empty
-        )
+
+        if plan["mode"] == "snapshot":
+            a = self.read(version=from_version)
+            for f in schema.fields:  # align evolved schemas
+                if f.name not in a.columns:
+                    a = a.withColumn(f.name, F.lit(None).cast(f.dataType))
+            a = a.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+            )
+            b = self.read(version=to_v)
+            added, removed = b, a
+        elif plan["mode"] == "endpoint":
+            # identical delete entries at both ends: applying them to
+            # both sides kills already-dead rows on the removed side
+            # and is a no-op on added files (all newer than any entry)
+            removed = (
+                self._apply_deletes(
+                    self._read_files(plan["removed"], schema), root_b
+                )
+                if plan["removed"]
+                else empty
+            )
+            added = (
+                self._apply_deletes(
+                    self._read_files(plan["added"], schema), root_b
+                )
+                if plan["added"]
+                else empty
+            )
+        else:  # walked: compose per-commit diffs
+            adds, rems = [], []
+            for step in plan["steps"]:
+                if step["op"] == "delete":
+                    # rows tombstoned at this commit = live rows of the
+                    # parent snapshot matching the new entries' keys
+                    snap = self.read(version=step["version"] - 1)
+                    for f in schema.fields:  # align evolved schemas
+                        if f.name not in snap.columns:
+                            snap = snap.withColumn(
+                                f.name, F.lit(None).cast(f.dataType)
+                            )
+                    for e in step["entries"]:
+                        kdf = self.spark.read.parquet(
+                            *[os.path.join(self.path, p) for p in e["paths"]]
+                        )
+                        rems.append(
+                            snap.join(
+                                F.broadcast(kdf), e["key_cols"], "left_semi"
+                            ).select(
+                                *[
+                                    F.col(f.name).cast(f.dataType).alias(f.name)
+                                    for f in schema.fields
+                                ]
+                            )
+                        )
+                    continue
+                if step["added"]:
+                    adds.append(self._read_files(step["added"], schema))
+                if step["removed"]:
+                    # apply the PARENT manifest's tombstones: rows that
+                    # were already dead when this commit dropped the
+                    # file must not count as deleted here (they were
+                    # fed by their own delete step, or died pre-span)
+                    rems.append(
+                        self._apply_deletes(
+                            self._read_files(step["removed"], schema),
+                            {"delete_files": step["parent_deletes"]},
+                        )
+                    )
+
+            def union_all(frames):
+                out = empty
+                for f in frames:
+                    out = out.unionByName(f)
+                return out
+
+            added, removed = union_all(adds), union_all(rems)
         return (
             added.exceptAll(removed)
             .withColumn("_change_type", F.lit("insert"))
@@ -850,6 +1007,7 @@ class VersionedParquetTable:
         partition_by: list[str] | None,
         operation: str,
         prior_stats: dict | None = None,
+        delete_files: list[dict] | None = None,
     ) -> int:
         version = (parent or 0) + 1
         stats, stat_types = self._collect_stats(files, df.schema, prior_stats)
@@ -864,6 +1022,57 @@ class VersionedParquetTable:
                 "num_files": len(files),
                 "stats": stats,
                 "stat_types": stat_types,
+                "delete_files": delete_files or [],
+            }
+        )
+        return version
+
+    def delete_keys(
+        self, keys: DataFrame, key_cols: list[str] | None = None
+    ) -> int:
+        """Merge-on-read equality DELETE (Iceberg v2 delete-file
+        analog): commit a SMALL parquet of key tuples instead of
+        rewriting data files — at 100 TB, deleting a handful of keys by
+        copy-on-write means rewriting every touched partition; here the
+        delete commit costs O(keys) and reads pay one broadcast
+        anti-join until ``compact()`` materializes the deletes and
+        clears the entries.
+
+        The entry applies only to files committed BEFORE it (file
+        commit version < delete version), so a later merge re-inserting
+        a deleted key wins. All data files carry over by reference;
+        history/time travel see a normal commit with operation
+        'delete'. Returns the committed version.
+        """
+        parent = self.latest_version()
+        if parent is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        man = self._load_manifest(parent)
+        key_cols = list(key_cols or keys.columns)
+        version = parent + 1
+        commit = f"c{version:012d}-{uuid.uuid4().hex[:8]}"
+        abs_dir = os.path.join(self.path, _DATA_DIR, commit, "_deletes")
+        keys.select(*key_cols).dropna().distinct().coalesce(1).write.mode(
+            "error"
+        ).parquet(abs_dir)
+        paths = sorted(
+            os.path.relpath(os.path.join(abs_dir, n), self.path)
+            for n in os.listdir(abs_dir)
+            if n.endswith(".parquet") and not n.startswith((".", "_"))
+        )
+        self._publish(
+            {
+                "version": version,
+                "parent": parent,
+                "operation": "delete",
+                "partition_by": man["partition_by"],
+                "schema": man["schema"],
+                "files": man["files"],
+                "num_files": man["num_files"],
+                "stats": man.get("stats", {}),
+                "stat_types": man.get("stat_types", {}),
+                "delete_files": (man.get("delete_files") or [])
+                + [{"paths": paths, "key_cols": key_cols, "version": version}],
             }
         )
         return version
@@ -1010,6 +1219,10 @@ class VersionedParquetTable:
                     return self._commit(
                         merged, files, parent, spec, "merge",
                         prior_stats=man.get("stats"),
+                        # carried files still predate the delete entries;
+                        # rewritten files get a newer commit version and
+                        # fall outside them (see delete_keys)
+                        delete_files=man.get("delete_files"),
                     )
                 except ConcurrentCommitError as e:
                     last_err = e  # loser of the race: re-derive from winner
@@ -1025,6 +1238,8 @@ class VersionedParquetTable:
                 version = parent + 1
                 files = self._write_commit(merged, version, None)
             try:
+                # unpartitioned merge rewrites every file, so parent
+                # delete entries are materialized — drop them
                 return self._commit(merged, files, parent, spec, "merge")
             except ConcurrentCommitError as e:
                 last_err = e  # loser of the race: re-derive from winner
@@ -1156,6 +1371,8 @@ class VersionedParquetTable:
             root = self._load_root(v)
             for s in root.get("shards", []):
                 kept_shards.add(s["path"])
+            for e in root.get("delete_files") or []:
+                referenced.update(e["paths"])  # tombstones still apply
             referenced.update(self._manifest_files_stats(root)[0])
         dropped = 0
         for v in vs:

@@ -700,3 +700,129 @@ def test_timestamp_bound_year_padding():
     late = _json_bound(dt.datetime(2020, 1, 1), "timestamp", False)
     assert early < late  # lexicographic == chronological
     assert early.startswith("0999-")
+
+
+# --- round 6: merge-on-read equality deletes ------------------------------
+
+
+def test_delete_keys_merge_on_read(spark, table):
+    """delete_keys() must tombstone rows WITHOUT touching data files,
+    and history/time travel must see a normal commit."""
+    table.merge(
+        _df(spark, [(k, f"p{k % 2}", k * 10) for k in range(1, 9)]),
+        ["k"],
+        partition_by=["d"],
+    )
+    files_before = set(table.files_for(1))
+    v2 = table.delete_keys(spark.createDataFrame([Row(k=2), Row(k=5)]))
+    assert v2 == 2
+    assert set(table.files_for(2)) == files_before  # zero data rewrite
+    assert _rows(table.read().select("k")) == {(k,) for k in (1, 3, 4, 6, 7, 8)}
+    # time travel: pre-delete snapshot intact
+    assert table.read(version=1).count() == 8
+    assert table.history()[-1]["operation"] == "delete"
+
+
+def test_delete_then_reinsert_wins(spark, table):
+    """A merge AFTER a delete re-inserts the key: the tombstone only
+    applies to files older than it (versioned applicability)."""
+    table.merge(
+        _df(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]),
+        ["k"],
+        partition_by=["d"],
+    )
+    table.delete_keys(spark.createDataFrame([Row(k=1)]))
+    assert _rows(table.read().select("k")) == {(2,), (3,)}
+    table.merge(_df(spark, [(1, "a", 111)]), ["k"])
+    got = _rows(table.read())
+    assert (1, "a", 111) in got and len(got) == 3
+    # and the untouched partition's carried file still honors the
+    # tombstone-free read
+    assert (2, "a", 20) in got and (3, "b", 30) in got
+
+
+def test_delete_survives_merge_carry_and_compact_materializes(spark, table):
+    table.merge(
+        _df(spark, [(k, f"p{k % 2}", k) for k in range(1, 7)]),
+        ["k"],
+        partition_by=["d"],
+    )
+    table.delete_keys(spark.createDataFrame([Row(k=4)]))
+    # merge touching ONLY p1 carries p0's files — tombstone must still
+    # apply to the carried file holding k=4
+    table.merge(_df(spark, [(1, "p1", 100)]), ["k"])
+    assert _rows(table.read().select("k")) == {(1,), (2,), (3,), (5,), (6,)}
+    assert table._load_root(3)["delete_files"], "entries must carry"
+    v = table.compact()
+    assert table._load_root(v)["delete_files"] == []  # materialized
+    assert _rows(table.read().select("k")) == {(1,), (2,), (3,), (5,), (6,)}
+
+
+def test_changes_feed_reports_mor_deletes(spark, table):
+    """changes() across a delete commit must emit the tombstoned rows
+    as deletes, and not double-count them when their file is later
+    rewritten or the table compacted."""
+    table.merge(
+        _df(spark, [(k, f"p{k % 2}", k * 10) for k in range(1, 7)]),
+        ["k"],
+        partition_by=["d"],
+    )
+    table.delete_keys(spark.createDataFrame([Row(k=3), Row(k=6)]))  # v2
+    got = {
+        (r["_change_type"], r["k"]) for r in table.changes(1, 2).collect()
+    }
+    assert got == {("delete", 3), ("delete", 6)}
+    # span: delete + compact + a merge rewriting the partition that
+    # held a tombstoned key (k=3 in p1)
+    table.compact()  # v3
+    table.merge(_df(spark, [(5, "p1", 555)]), ["k"])  # v4 churns p1
+    got = {
+        (r["_change_type"], r["k"], r["v"])
+        for r in table.changes(1, 4).collect()
+    }
+    assert got == {
+        ("delete", 3, 30),
+        ("delete", 6, 60),
+        ("delete", 5, 50),
+        ("insert", 5, 555),
+    }
+    # resurrect k=3 after its delete: feed shows delete old + insert new
+    table.merge(_df(spark, [(3, "p1", 333)]), ["k"])  # v5
+    got = {
+        (r["_change_type"], r["k"], r["v"])
+        for r in table.changes(1, 5).collect()
+    }
+    assert got == {
+        ("delete", 3, 30),
+        ("delete", 6, 60),
+        ("delete", 5, 50),
+        ("insert", 5, 555),
+        ("insert", 3, 333),
+    }
+
+
+def test_changes_snapshot_fallback_when_delete_chain_vacuumed(spark, table):
+    """With the middle manifest vacuumed AND tombstones differing at
+    the endpoints, only a full snapshot diff sees rows tombstoned in
+    carried files — the plan must say so."""
+    table.merge(
+        _df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"], partition_by=["d"]
+    )
+    table.delete_keys(spark.createDataFrame([Row(k=1)]))  # v2
+    table.merge(_df(spark, [(3, "b", 30)]), ["k"])  # v3 churns only d=b
+    os.unlink(table._manifest_path(2))  # vacuumed middle with a delete
+    plan = table.changes_plan(1, 3)
+    assert plan["mode"] == "snapshot"
+    got = {(r["_change_type"], r["k"]) for r in table.changes(1, 3).collect()}
+    assert got == {("delete", 1), ("insert", 3)}
+
+
+def test_vacuum_keeps_live_tombstones(spark, table):
+    table.merge(
+        _df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"], partition_by=["d"]
+    )
+    table.delete_keys(spark.createDataFrame([Row(k=1)]))
+    table.merge(_df(spark, [(3, "b", 30)]), ["k"])
+    table.vacuum(keep_last=1, grace_seconds=0)
+    # the tombstone parquet must survive (latest manifest references it)
+    assert _rows(table.read().select("k")) == {(2,), (3,)}
