@@ -88,6 +88,10 @@ EXTENDED = [
     # feed across compaction):
     "x_stats_pruned_read",
     "x_changes_across_compact",
+    # round-6 additions (merge-on-read equality delete + bloom-sidecar
+    # point lookup):
+    "x_mor_delete",
+    "x_bloom_point_lookup",
 ]
 
 

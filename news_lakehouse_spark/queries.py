@@ -3015,6 +3015,54 @@ FROM live GROUP BY o_orderstatus
 """
 
 
+def x_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sidecar point lookup
+    (sources/transaction.py _build_bloom_sidecar / files_for): the
+    table is written SHUFFLED on the key so every file's min/max spans
+    ~the whole key domain — bounds pruning is useless by construction —
+    then an IN-probe must still drop most files via the per-file bloom
+    bitmaps (asserted in-plan) and return exactly the probed rows."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"nlh_bloom_{os.getpid()}_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = VersionedParquetTable(spark, base)
+    t.write(
+        orders.orderBy(F.xxhash64("o_orderkey")).repartition(8),
+        bloom_columns=["o_orderkey"],
+    )
+    keys = [1, 100, 1000]
+    probe = [("o_orderkey", "in", keys)]
+    n_all, n_pruned = len(t.files_for()), len(t.files_for(predicate=probe))
+    assert n_pruned < n_all, (n_pruned, n_all)
+    return (
+        t.read(predicate=probe)
+        .filter(F.col("o_orderkey").isin(keys))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
+_BLOOM_LOOKUP_SQL = """
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+FROM orders WHERE o_orderkey IN (1, 100, 1000)
+"""
+
+
 def x_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-2-gram repetition signals (Gopher-style boilerplate flags)."""
     d = read_table(spark, sf_dir, "documents")
@@ -5486,6 +5534,7 @@ QUERIES: dict[str, QueryFn] = {
     # tools/verify_oracle.py still covers the full registry.
     "t_stream_join": t_stream_join,
     "x_mor_delete": x_mor_delete,
+    "x_bloom_point_lookup": x_bloom_point_lookup,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q9_product_type_profit": q9_product_type_profit,
     "q11_important_parts": q11_important_parts,
@@ -5717,6 +5766,7 @@ ORACLES: dict[str, str] = {
     "x_stream_stateful": _STREAM_STATEFUL_SQL,
     "t_stream_join": _STREAM_JOIN_SQL,
     "x_mor_delete": _MOR_DELETE_SQL,
+    "x_bloom_point_lookup": _BLOOM_LOOKUP_SQL,
     "q3_shipping_priority": _Q3_SQL,
     "q5_local_supplier_volume": _Q5_SQL,
     "t_session_window": _SESSION_WINDOW_SQL,

@@ -44,6 +44,11 @@ files older than the tombstone (so later re-inserting merges win);
 ``compact()`` materializes and clears them. ``changes()`` composes them
 per-commit so a feed across a delete emits exactly the tombstoned rows.
 
+Named refs: ``tag(name)`` pins a version (``read(version="prod")``);
+``vacuum`` retains tagged versions. Bloom sidecars (``write(...,
+bloom_columns=[...])``, the Iceberg puffin analog) give point-lookup
+file pruning that min/max bounds can't on unclustered keys.
+
 Scale notes (100 TB): manifests are driver-side JSON listing file paths
 — at 128 MB/file a 100 TB table is ~800k entries. Past
 ``shard_threshold`` files a partitioned manifest SHARDS per partition
@@ -369,6 +374,61 @@ class VersionedParquetTable:
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self._manifest_dir(), f"{version:012d}.json")
 
+    # --- named refs (tags) ----------------------------------------------
+
+    def _tag_path(self, name: str) -> str:
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9_.-]*", name):
+            raise ValueError(f"invalid tag name {name!r}")
+        return os.path.join(self._manifest_dir(), f"tag-{name}.json")
+
+    def tag(
+        self, name: str, version: int | None = None, replace: bool = False
+    ) -> int:
+        """Pin a retained version under a name (Iceberg tag analog):
+        ``read(version="prod")`` resolves it, and ``vacuum`` RETAINS
+        tagged versions (and their files) regardless of ``keep_last`` —
+        the audit/rollback anchor a 100 TB table needs. Tags are
+        create-only unless ``replace=True``; returns the pinned
+        version."""
+        v = self.latest_version() if version is None else version
+        if v not in set(self.versions()):
+            raise FileNotFoundError(f"version {v} is not retained")
+        p = self._tag_path(name)
+        if os.path.exists(p) and not replace:
+            raise FileExistsError(f"tag {name!r} exists; pass replace=True")
+        tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "version": v}, f)
+        os.replace(tmp, p)
+        return v
+
+    def tags(self) -> dict[str, int]:
+        d = self._manifest_dir()
+        out: dict[str, int] = {}
+        if not os.path.isdir(d):
+            return out
+        for n in os.listdir(d):
+            if n.startswith("tag-") and n.endswith(".json"):
+                with open(os.path.join(d, n)) as f:
+                    t = json.load(f)
+                out[t["name"]] = t["version"]
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        os.unlink(self._tag_path(name))
+
+    def _resolve_version(self, version) -> int | None:
+        if isinstance(version, str):
+            tags = self.tags()
+            if version not in tags:
+                raise FileNotFoundError(
+                    f"no tag {version!r} at {self.path}; have {sorted(tags)}"
+                )
+            return tags[version]
+        return version
+
     def versions(self) -> list[int]:
         d = self._manifest_dir()
         if not os.path.isdir(d):
@@ -648,6 +708,7 @@ class VersionedParquetTable:
         caller still applies the real row filter — bounds pruning is a
         scan-planning optimization, exactly Iceberg's.
         """
+        version = self._resolve_version(version)
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.path}")
@@ -702,6 +763,44 @@ class VersionedParquetTable:
                     for col, op, value in conds
                 )
             ]
+            bloom = root.get("bloom")
+            if bloom and files_list:
+                eq = [
+                    (col, op, value)
+                    for col, op, value in predicate
+                    if col in bloom["columns"] and op in ("=", "==", "in")
+                ]
+                if eq:
+                    side = self._load_bloom_files(bloom)
+                    fields = {
+                        f.name: f
+                        for f in StructType.fromJson(root["schema"]).fields
+                    }
+                    m, k = int(bloom["bits"]), int(bloom["k"])
+                    import base64
+
+                    for col, op, value in eq:
+                        vals = list(value) if op == "in" else [value]
+                        hashes = self._spark_hashes(vals, fields[col])
+                        probe_sets = [
+                            self._bloom_positions(h, m, k)
+                            for h in hashes
+                            if h is not None
+                        ]
+                        if not probe_sets:
+                            continue
+
+                        def may_contain(rel):
+                            b64 = side.get(rel, {}).get(col)
+                            if b64 is None:
+                                return True  # no bloom → keep
+                            bm = base64.b64decode(b64)
+                            return any(
+                                all(bm[p // 8] >> (p % 8) & 1 for p in ps)
+                                for ps in probe_sets
+                            )
+
+                        files_list = [r for r in files_list if may_contain(r)]
         return files_list
 
     def _apply_deletes(self, df: DataFrame, root: dict) -> DataFrame:
@@ -757,6 +856,7 @@ class VersionedParquetTable:
         ``files_for``). Pruning is conservative; callers still apply
         the row-level filter.
         """
+        version = self._resolve_version(version)
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.path}")
@@ -808,7 +908,9 @@ class VersionedParquetTable:
         endpoint plan is available.
         Returns {"added": [...], "removed": [...], "walked": bool}.
         """
-        to_v = self.latest_version() if to_version is None else to_version
+        from_version = self._resolve_version(from_version)
+        to_v = self._resolve_version(to_version)
+        to_v = self.latest_version() if to_v is None else to_v
         retained = set(self.versions())
         root_a = self._load_root(from_version)
         root_b = self._load_root(to_v)
@@ -907,7 +1009,9 @@ class VersionedParquetTable:
         ('insert' | 'delete'); an update appears as a delete of the old
         image plus an insert of the new one.
         """
-        to_v = self.latest_version() if to_version is None else to_version
+        from_version = self._resolve_version(from_version)
+        to_v = self._resolve_version(to_version)
+        to_v = self.latest_version() if to_v is None else to_v
         plan = self.changes_plan(from_version, to_v)
         root_b = self._load_root(to_v)
         schema = StructType.fromJson(root_b["schema"])
@@ -999,6 +1103,105 @@ class VersionedParquetTable:
 
     # --- commits ---------------------------------------------------------
 
+    # --- bloom-filter sidecars (point-lookup pruning) --------------------
+
+    @staticmethod
+    def _bloom_positions(h: int, bits: int, k: int) -> list[int]:
+        """k bit positions from one xxhash64 value, by double hashing.
+        The arithmetic mirrors the Spark expressions in
+        ``_build_bloom_sidecar`` exactly (unsigned shift + pmod), so a
+        driver-side probe tests the same bits an executor set."""
+        u = h & 0xFFFFFFFFFFFFFFFF
+        h1 = u >> 33
+        h2 = u % (1 << 31)
+        return [(h1 + i * h2) % bits for i in range(k)]
+
+    def _build_bloom_sidecar(
+        self, files: list[str], cfg: dict, version: int
+    ) -> str | None:
+        """One Spark job computes a per-file bloom bitmap for each
+        configured column over the given (newly written) files; bitmaps
+        are base64-packed into a sidecar JSON next to the manifests —
+        the Iceberg puffin analog. Min/max bounds cannot prune a point
+        lookup on a high-cardinality column unless the table is
+        clustered on it; a bloom prunes regardless of layout, which is
+        what an id-lookup over an 800k-file table needs. Sidecars load
+        lazily and ONLY when an equality predicate on a bloom column
+        reaches ``files_for``."""
+        import base64
+
+        m, k = int(cfg["bits"]), int(cfg["k"])
+        abs_paths = [os.path.join(self.path, f) for f in files]
+        if not abs_paths:
+            return None
+        df = self.spark.read.parquet(*abs_paths)
+        per_file: dict[str, dict[str, str]] = {}
+        prefix = "file:"
+        root_abs = os.path.abspath(self.path)
+        for col in cfg["columns"]:
+            if col not in df.columns:
+                continue
+            h = F.xxhash64(F.col(col))
+            h1 = F.shiftrightunsigned(h, 33)
+            h2 = F.pmod(h, F.lit(1 << 31))
+            positions = F.array(
+                *[
+                    F.pmod(h1 + F.lit(i) * h2, F.lit(m)).cast("int")
+                    for i in range(k)
+                ]
+            )
+            rows = (
+                df.where(F.col(col).isNotNull())
+                .select(
+                    F.input_file_name().alias("__f"),
+                    F.explode(positions).alias("__p"),
+                )
+                .distinct()
+                .groupBy("__f")
+                .agg(F.collect_set("__p").alias("ps"))
+                .collect()
+            )
+            for r in rows:
+                path = r["__f"]
+                if path.startswith(prefix):
+                    path = path[len(prefix):]
+                    while path.startswith("//"):
+                        path = path[1:]
+                rel = os.path.relpath(path, root_abs)
+                bitmap = bytearray(m // 8)
+                for p in r["ps"]:
+                    bitmap[p // 8] |= 1 << (p % 8)
+                per_file.setdefault(rel, {})[col] = base64.b64encode(
+                    bytes(bitmap)
+                ).decode("ascii")
+        name = f"{version:012d}-{uuid.uuid4().hex[:8]}.bloom-0.json"
+        d = self._manifest_dir()
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, name), "w") as f:
+            json.dump({"bits": m, "k": k, "files": per_file}, f)
+        return name
+
+    def _load_bloom_files(self, bloom: dict) -> dict:
+        out: dict[str, dict[str, str]] = {}
+        d = self._manifest_dir()
+        for name in bloom.get("sidecars", []):
+            try:
+                with open(os.path.join(d, name)) as f:
+                    out.update(json.load(f)["files"])
+            except FileNotFoundError:
+                continue  # vacuumed sidecar: those files keep (no prune)
+        return out
+
+    def _spark_hashes(self, values: list, field) -> list[int]:
+        """xxhash64 of probe values THROUGH SPARK with the column's
+        exact type, so driver-side probes hash identically to the
+        commit job (a Python reimplementation could diverge per type)."""
+        from pyspark.sql.types import StructField, StructType as _ST
+
+        schema = _ST([StructField("v", field.dataType, True)])
+        df = self.spark.createDataFrame([(v,) for v in values], schema)
+        return [r[0] for r in df.select(F.xxhash64("v")).collect()]
+
     def _commit(
         self,
         df: DataFrame,
@@ -1008,9 +1211,23 @@ class VersionedParquetTable:
         operation: str,
         prior_stats: dict | None = None,
         delete_files: list[dict] | None = None,
+        bloom_cfg: dict | None = None,
+        bloom_new_files: list[str] | None = None,
+        bloom_carried: list[str] | None = None,
     ) -> int:
         version = (parent or 0) + 1
         stats, stat_types = self._collect_stats(files, df.schema, prior_stats)
+        bloom = None
+        if bloom_cfg and bloom_cfg.get("columns"):
+            sidecars = list(bloom_carried or [])
+            name = self._build_bloom_sidecar(
+                bloom_new_files if bloom_new_files is not None else files,
+                bloom_cfg,
+                version,
+            )
+            if name:
+                sidecars.append(name)
+            bloom = {**bloom_cfg, "sidecars": sidecars}
         self._publish(
             {
                 "version": version,
@@ -1023,6 +1240,7 @@ class VersionedParquetTable:
                 "stats": stats,
                 "stat_types": stat_types,
                 "delete_files": delete_files or [],
+                "bloom": bloom,
             }
         )
         return version
@@ -1073,6 +1291,7 @@ class VersionedParquetTable:
                 "stat_types": man.get("stat_types", {}),
                 "delete_files": (man.get("delete_files") or [])
                 + [{"paths": paths, "key_cols": key_cols, "version": version}],
+                "bloom": man.get("bloom"),
             }
         )
         return version
@@ -1082,15 +1301,37 @@ class VersionedParquetTable:
         df: DataFrame,
         partition_by: list[str] | None = None,
         operation: str = "overwrite",
+        bloom_columns: list[str] | None = None,
+        bloom_bits: int = 1 << 16,
+        bloom_k: int = 4,
     ) -> int:
         """CREATE / INSERT OVERWRITE: a full new snapshot (old versions
-        remain readable until vacuumed)."""
+        remain readable until vacuumed). ``bloom_columns`` opts the
+        table into per-file bloom sidecars for point-lookup pruning
+        (inherited by later merges; omit to keep the parent's
+        setting)."""
         parent = self.latest_version()
-        if parent is not None and partition_by is None:
-            partition_by = self._load_manifest(parent)["partition_by"] or None
+        bloom_cfg = None
+        if parent is not None:
+            root = self._load_root(parent)
+            if partition_by is None:
+                partition_by = root["partition_by"] or None
+            if bloom_columns is None and root.get("bloom"):
+                b = root["bloom"]
+                bloom_cfg = {
+                    "columns": b["columns"], "bits": b["bits"], "k": b["k"]
+                }
+        if bloom_columns:
+            bloom_cfg = {
+                "columns": list(bloom_columns),
+                "bits": bloom_bits,
+                "k": bloom_k,
+            }
         version = (parent or 0) + 1
         files = self._write_commit(df, version, partition_by)
-        return self._commit(df, files, parent, partition_by, operation)
+        return self._commit(
+            df, files, parent, partition_by, operation, bloom_cfg=bloom_cfg
+        )
 
     def write_audit_publish(
         self,
@@ -1215,6 +1456,7 @@ class VersionedParquetTable:
                     if _file_partition_fragment(f) not in affected_frags
                 ]
                 files = sorted(carried + new_files)
+                b = man.get("bloom")
                 try:
                     return self._commit(
                         merged, files, parent, spec, "merge",
@@ -1223,6 +1465,13 @@ class VersionedParquetTable:
                         # rewritten files get a newer commit version and
                         # fall outside them (see delete_keys)
                         delete_files=man.get("delete_files"),
+                        bloom_cfg=(
+                            {"columns": b["columns"], "bits": b["bits"], "k": b["k"]}
+                            if b
+                            else None
+                        ),
+                        bloom_new_files=new_files,
+                        bloom_carried=(b or {}).get("sidecars"),
                     )
                 except ConcurrentCommitError as e:
                     last_err = e  # loser of the race: re-derive from winner
@@ -1237,10 +1486,19 @@ class VersionedParquetTable:
                 )
                 version = parent + 1
                 files = self._write_commit(merged, version, None)
+            b = man.get("bloom")
             try:
                 # unpartitioned merge rewrites every file, so parent
-                # delete entries are materialized — drop them
-                return self._commit(merged, files, parent, spec, "merge")
+                # delete entries are materialized — drop them (blooms
+                # recompute over the full rewrite)
+                return self._commit(
+                    merged, files, parent, spec, "merge",
+                    bloom_cfg=(
+                        {"columns": b["columns"], "bits": b["bits"], "k": b["k"]}
+                        if b
+                        else None
+                    ),
+                )
             except ConcurrentCommitError as e:
                 last_err = e  # loser of the race: re-derive from winner
         raise last_err  # type: ignore[misc]
@@ -1343,7 +1601,15 @@ class VersionedParquetTable:
             out = df.repartition(n_files)
         version = parent + 1
         files = self._write_commit(out, version, spec)
-        return self._commit(out, files, parent, spec, "compact")
+        b = man.get("bloom")
+        return self._commit(
+            out, files, parent, spec, "compact",
+            bloom_cfg=(
+                {"columns": b["columns"], "bits": b["bits"], "k": b["k"]}
+                if b
+                else None
+            ),
+        )
 
     def vacuum(
         self, keep_last: int = 1, grace_seconds: float = 3600.0
@@ -1365,12 +1631,15 @@ class VersionedParquetTable:
         if not vs:
             return {"manifests_dropped": 0, "files_deleted": 0}
         keep = set(vs[-max(keep_last, 1):])
+        keep |= {v for v in self.tags().values() if v in set(vs)}  # pins
         referenced: set[str] = set()
         kept_shards: set[str] = set()
         for v in keep:
             root = self._load_root(v)
             for s in root.get("shards", []):
                 kept_shards.add(s["path"])
+            for s in (root.get("bloom") or {}).get("sidecars", []):
+                kept_shards.add(s)
             for e in root.get("delete_files") or []:
                 referenced.update(e["paths"])  # tombstones still apply
             referenced.update(self._manifest_files_stats(root)[0])
@@ -1384,7 +1653,9 @@ class VersionedParquetTable:
         # root hasn't linked yet.
         mdir = self._manifest_dir()
         for name in os.listdir(mdir):
-            if ".shard-" not in name or name in kept_shards:
+            if (
+                ".shard-" not in name and ".bloom-" not in name
+            ) or name in kept_shards:
                 continue
             p = os.path.join(mdir, name)
             if os.path.getmtime(p) > cutoff:

@@ -826,3 +826,133 @@ def test_vacuum_keeps_live_tombstones(spark, table):
     table.vacuum(keep_last=1, grace_seconds=0)
     # the tombstone parquet must survive (latest manifest references it)
     assert _rows(table.read().select("k")) == {(2,), (3,)}
+
+
+# --- round 6: named refs (tags) -------------------------------------------
+
+
+def test_tags_resolve_and_pin_through_vacuum(spark, table):
+    table.merge(
+        _df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"], partition_by=["d"]
+    )
+    table.tag("prod")  # pins v1
+    table.merge(_df(spark, [(2, "b", 99)]), ["k"])
+    table.merge(_df(spark, [(3, "a", 30)]), ["k"])
+    assert table.tags() == {"prod": 1}
+    assert _rows(table.read(version="prod")) == {(1, "a", 10), (2, "b", 20)}
+    # vacuum keeps the tagged version AND its files despite keep_last=1
+    table.vacuum(keep_last=1, grace_seconds=0)
+    assert 1 in table.versions()
+    assert _rows(table.read(version="prod")) == {(1, "a", 10), (2, "b", 20)}
+    # change feed accepts tag refs
+    got = {(r["_change_type"], r["k"]) for r in table.changes("prod").collect()}
+    assert got == {("delete", 2), ("insert", 2), ("insert", 3)}
+    # drop + vacuum reclaims
+    table.drop_tag("prod")
+    table.vacuum(keep_last=1, grace_seconds=0)
+    assert table.versions() == [3]
+
+
+def test_tag_create_only_and_validation(spark, table):
+    table.merge(_df(spark, [(1, "a", 10)]), ["k"])
+    table.tag("v1")
+    with pytest.raises(FileExistsError):
+        table.tag("v1")
+    table.merge(_df(spark, [(2, "a", 20)]), ["k"])
+    assert table.tag("v1", replace=True) == 2
+    with pytest.raises(FileNotFoundError):
+        table.read(version="nope")
+    with pytest.raises(ValueError, match="invalid tag name"):
+        table.tag("../escape")
+    with pytest.raises(FileNotFoundError):
+        table.tag("gone", version=99)
+
+
+# --- round 6: bloom-filter point-lookup pruning ---------------------------
+
+
+def test_bloom_prunes_point_lookup_without_clustering(spark, table):
+    """Min/max bounds can't prune an id point-lookup when ids spread
+    across every file; per-file blooms can. Written UNclustered on k,
+    a `k = const` predicate must drop most files yet return the row."""
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("d"),
+        (F.col("id") * 2).alias("v"),
+    )
+    # shuffle rows so every file's k-range spans ~the whole domain
+    table.write(
+        df.orderBy(F.xxhash64("k")).repartition(8),
+        bloom_columns=["k"],
+    )
+    all_files = table.files_for(1)
+    assert len(all_files) >= 4
+    probe = [("k", "=", 1234)]
+    pruned = table.files_for(1, predicate=probe)
+    # bounds are useless here (every file spans ~[0, 4000)); only the
+    # bloom can prune, and the key lives in exactly one file
+    assert len(pruned) < len(all_files), (len(pruned), len(all_files))
+    got = {tuple(r) for r in table.read(predicate=probe).filter("k = 1234").collect()}
+    assert got == {(1234, "1", 2468)}
+    # IN probe: union of candidates, still pruned, still complete
+    probe_in = [("k", "in", [7, 3999])]
+    pruned_in = table.files_for(1, predicate=probe_in)
+    assert len(pruned_in) < len(all_files)
+    got = {
+        r["k"]
+        for r in table.read(predicate=probe_in)
+        .filter(F.col("k").isin(7, 3999))
+        .collect()
+    }
+    assert got == {7, 3999}
+
+
+def test_bloom_inherited_by_merge_and_carried_sidecars(spark, table):
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("d"),
+        F.col("id").alias("v"),
+    )
+    table.write(
+        df.orderBy(F.xxhash64("k")).repartition(4),
+        partition_by=["d"],
+        bloom_columns=["k"],
+    )
+    import pyspark.sql.functions as SF
+
+    table.merge(
+        spark.createDataFrame([Row(k=100000, d="0", v=1)]), ["k"]
+    )  # churns only d=0; d=1 files carry with their blooms
+    root = table._load_root(2)
+    assert root["bloom"] and len(root["bloom"]["sidecars"]) == 2
+    all_files = table.files_for(2)
+    pruned = table.files_for(2, predicate=[("k", "=", 100000)])
+    assert len(pruned) < len(all_files)
+    got = {r["k"] for r in table.read(predicate=[("k", "=", 100000)]).filter("k = 100000").collect()}
+    assert got == {100000}
+    # an existing key in a CARRIED file still found after the merge
+    probe = [("k", "=", 1501)]
+    got = {r["k"] for r in table.read(predicate=probe).filter("k = 1501").collect()}
+    assert got == {1501}
+    # compact recomputes blooms into a single fresh sidecar
+    v = table.compact()
+    root = table._load_root(v)
+    assert len(root["bloom"]["sidecars"]) == 1
+    got = {r["k"] for r in table.read(predicate=probe).filter("k = 1501").collect()}
+    assert got == {1501}
+
+
+def test_bloom_never_false_negative(spark, table):
+    """Every present key must survive bloom pruning (hypothesis-lite:
+    probe all keys of one file)."""
+    df = spark.range(300).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    table.write(df.repartition(3), bloom_columns=["k"])
+    for key in range(0, 300, 29):
+        files = table.files_for(1, predicate=[("k", "=", key)])
+        got = {
+            r["k"]
+            for r in table.read(predicate=[("k", "=", key)])
+            .filter(F.col("k") == key)
+            .collect()
+        }
+        assert got == {key}, key
