@@ -3063,6 +3063,80 @@ FROM orders WHERE o_orderkey IN (1, 100, 1000)
 """
 
 
+def x_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replication (sources/transaction.py apply_changes): a
+    replica synced once at v1 then maintained ONLY by the source's
+    change feed — updates land as upserts, deletes as merge-on-read
+    tombstones — must converge to the source. src: v1 = orders %3
+    partitioned by status; v2 = MERGE tripling %9; v3 = delete %15
+    keys. Replica applies changes(1) and the aggregate below is over
+    the REPLICA (asserted row-identical to the source in-plan)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"nlh_cdc_{os.getpid()}_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = VersionedParquetTable(spark, os.path.join(base, "src"))
+    rep = VersionedParquetTable(spark, os.path.join(base, "rep"))
+    src.merge(
+        orders.filter(F.col("o_orderkey") % 3 == 0),
+        ["o_orderkey"],
+        partition_by=["o_orderstatus"],
+    )
+    rep.write(src.read(version=1), partition_by=["o_orderstatus"])
+    src.merge(
+        orders.filter(F.col("o_orderkey") % 9 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 3
+        ),
+        ["o_orderkey"],
+    )
+    src.delete_keys(
+        orders.filter(F.col("o_orderkey") % 15 == 0).select("o_orderkey")
+    )
+    rep.apply_changes(src.changes(1), ["o_orderkey"])
+    assert rep.read().exceptAll(src.read()).isEmpty()
+    assert src.read().exceptAll(rep.read()).isEmpty()
+    rowhash = sha2_prefix_long(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey"),
+            F.round(F.col("o_totalprice") * 100).cast("long"),
+        ),
+        10,
+    )
+    return (
+        rep.read()
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"), F.sum(rowhash).alias("hash_sum"))
+    )
+
+
+_CDC_REPLICATE_SQL = """
+WITH live AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice * 3
+              ELSE o_totalprice END AS price
+  FROM orders
+  WHERE o_orderkey % 3 = 0 AND o_orderkey % 15 <> 0
+)
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       CAST(SUM(CAST(concat('0x', substr(sha256(concat_ws('|',
+              o_orderkey, CAST(ROUND(price * 100) AS BIGINT))), 1, 10))
+            AS BIGINT)) AS BIGINT) AS hash_sum
+FROM live GROUP BY o_orderstatus
+"""
+
+
 def x_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-2-gram repetition signals (Gopher-style boilerplate flags)."""
     d = read_table(spark, sf_dir, "documents")
@@ -5535,6 +5609,7 @@ QUERIES: dict[str, QueryFn] = {
     "t_stream_join": t_stream_join,
     "x_mor_delete": x_mor_delete,
     "x_bloom_point_lookup": x_bloom_point_lookup,
+    "x_cdc_replicate": x_cdc_replicate,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q9_product_type_profit": q9_product_type_profit,
     "q11_important_parts": q11_important_parts,
@@ -5767,6 +5842,7 @@ ORACLES: dict[str, str] = {
     "t_stream_join": _STREAM_JOIN_SQL,
     "x_mor_delete": _MOR_DELETE_SQL,
     "x_bloom_point_lookup": _BLOOM_LOOKUP_SQL,
+    "x_cdc_replicate": _CDC_REPLICATE_SQL,
     "q3_shipping_priority": _Q3_SQL,
     "q5_local_supplier_volume": _Q5_SQL,
     "t_session_window": _SESSION_WINDOW_SQL,

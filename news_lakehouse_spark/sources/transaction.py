@@ -776,28 +776,31 @@ class VersionedParquetTable:
                         f.name: f
                         for f in StructType.fromJson(root["schema"]).fields
                     }
-                    m, k = int(bloom["bits"]), int(bloom["k"])
+                    k = int(bloom["k"])
                     import base64
 
                     for col, op, value in eq:
                         vals = list(value) if op == "in" else [value]
-                        hashes = self._spark_hashes(vals, fields[col])
-                        probe_sets = [
-                            self._bloom_positions(h, m, k)
-                            for h in hashes
+                        hashes = [
+                            h
+                            for h in self._spark_hashes(vals, fields[col])
                             if h is not None
                         ]
-                        if not probe_sets:
+                        if not hashes:
                             continue
 
                         def may_contain(rel):
-                            b64 = side.get(rel, {}).get(col)
-                            if b64 is None:
+                            ent = side.get(rel, {}).get(col)
+                            if ent is None:
                                 return True  # no bloom → keep
-                            bm = base64.b64decode(b64)
+                            bm = base64.b64decode(ent["b"])
+                            m = int(ent["m"])
                             return any(
-                                all(bm[p // 8] >> (p % 8) & 1 for p in ps)
-                                for ps in probe_sets
+                                all(
+                                    bm[p // 8] >> (p % 8) & 1
+                                    for p in self._bloom_positions(h, m, k)
+                                )
+                                for h in hashes
                             )
 
                         files_list = [r for r in files_list if may_contain(r)]
@@ -1130,55 +1133,85 @@ class VersionedParquetTable:
         reaches ``files_for``."""
         import base64
 
-        m, k = int(cfg["bits"]), int(cfg["k"])
+        min_bits, k = int(cfg["bits"]), int(cfg["k"])
         abs_paths = [os.path.join(self.path, f) for f in files]
         if not abs_paths:
             return None
         df = self.spark.read.parquet(*abs_paths)
-        per_file: dict[str, dict[str, str]] = {}
+        per_file: dict[str, dict[str, dict]] = {}
         prefix = "file:"
         root_abs = os.path.abspath(self.path)
+
+        def to_rel(path: str) -> str:
+            if path.startswith(prefix):
+                path = path[len(prefix):]
+                while path.startswith("//"):
+                    path = path[1:]
+            return os.path.relpath(path, root_abs)
+
         for col in cfg["columns"]:
             if col not in df.columns:
                 continue
-            h = F.xxhash64(F.col(col))
-            h1 = F.shiftrightunsigned(h, 33)
-            h2 = F.pmod(h, F.lit(1 << 31))
-            positions = F.array(
-                *[
-                    F.pmod(h1 + F.lit(i) * h2, F.lit(m)).cast("int")
-                    for i in range(k)
-                ]
-            )
-            rows = (
+            # Per-FILE bitmap sizing from an approx-distinct pre-pass:
+            # a fixed size saturates on big files (19k distinct in
+            # 64Kbit ≈ 22% FP per probe — no pruning at all), so each
+            # file gets the next power of two ≥ 10 bits/distinct
+            # (~1.2% FP at k=4). Files sharing a size are bloomed in
+            # one job; distinct sizes are few because they're powers
+            # of two.
+            sizes = (
                 df.where(F.col(col).isNotNull())
-                .select(
-                    F.input_file_name().alias("__f"),
-                    F.explode(positions).alias("__p"),
-                )
-                .distinct()
-                .groupBy("__f")
-                .agg(F.collect_set("__p").alias("ps"))
+                .groupBy(F.input_file_name().alias("__f"))
+                .agg(F.approx_count_distinct(col).alias("n"))
                 .collect()
             )
-            for r in rows:
-                path = r["__f"]
-                if path.startswith(prefix):
-                    path = path[len(prefix):]
-                    while path.startswith("//"):
-                        path = path[1:]
-                rel = os.path.relpath(path, root_abs)
-                bitmap = bytearray(m // 8)
-                for p in r["ps"]:
-                    bitmap[p // 8] |= 1 << (p % 8)
-                per_file.setdefault(rel, {})[col] = base64.b64encode(
-                    bytes(bitmap)
-                ).decode("ascii")
+            by_m: dict[int, list[str]] = {}
+            for r in sizes:
+                m = min_bits
+                while m < 10 * r["n"] and m < (1 << 24):
+                    m <<= 1
+                by_m.setdefault(m, []).append(r["__f"])
+            for m, uris in by_m.items():
+                sub = self.spark.read.parquet(
+                    *[
+                        os.path.join(self.path, to_rel(u))
+                        for u in uris
+                    ]
+                )
+                h = F.xxhash64(F.col(col))
+                h1 = F.shiftrightunsigned(h, 33)
+                h2 = F.pmod(h, F.lit(1 << 31))
+                positions = F.array(
+                    *[
+                        F.pmod(h1 + F.lit(i) * h2, F.lit(m)).cast("int")
+                        for i in range(k)
+                    ]
+                )
+                rows = (
+                    sub.where(F.col(col).isNotNull())
+                    .select(
+                        F.input_file_name().alias("__f"),
+                        F.explode(positions).alias("__p"),
+                    )
+                    .distinct()
+                    .groupBy("__f")
+                    .agg(F.collect_set("__p").alias("ps"))
+                    .collect()
+                )
+                for r in rows:
+                    rel = to_rel(r["__f"])
+                    bitmap = bytearray(m // 8)
+                    for p in r["ps"]:
+                        bitmap[p // 8] |= 1 << (p % 8)
+                    per_file.setdefault(rel, {})[col] = {
+                        "m": m,
+                        "b": base64.b64encode(bytes(bitmap)).decode("ascii"),
+                    }
         name = f"{version:012d}-{uuid.uuid4().hex[:8]}.bloom-0.json"
         d = self._manifest_dir()
         os.makedirs(d, exist_ok=True)
         with open(os.path.join(d, name), "w") as f:
-            json.dump({"bits": m, "k": k, "files": per_file}, f)
+            json.dump({"k": k, "files": per_file}, f)
         return name
 
     def _load_bloom_files(self, bloom: dict) -> dict:
@@ -1502,6 +1535,43 @@ class VersionedParquetTable:
             except ConcurrentCommitError as e:
                 last_err = e  # loser of the race: re-derive from winner
         raise last_err  # type: ignore[misc]
+
+    def apply_changes(
+        self,
+        feed: DataFrame,
+        keys: list[str],
+        order_by: list[Column] | None = None,
+    ) -> int:
+        """Apply a change feed (``changes()`` output: row schema plus
+        ``_change_type`` 'insert'|'delete') to THIS table — the CDC
+        consumer that lets a downstream replica track an upstream
+        versioned table incrementally: cost scales with the feed, not
+        either table. Updates arrive as delete+insert of the same key
+        and land as one upsert; keys deleted WITHOUT a re-insert in the
+        same feed become a merge-on-read tombstone commit (no data
+        rewrite). At most two commits per application; returns the
+        last committed version."""
+        inserts = feed.filter(F.col("_change_type") == "insert").drop(
+            "_change_type"
+        )
+        deletes = feed.filter(F.col("_change_type") == "delete").drop(
+            "_change_type"
+        )
+        dead = (
+            deletes.select(*keys)
+            .distinct()
+            .join(inserts.select(*keys).distinct(), keys, "left_anti")
+        )
+        version = self.latest_version()
+        if not inserts.isEmpty():
+            version = self.merge(inserts, keys, order_by=order_by)
+        if not dead.isEmpty():
+            version = self.delete_keys(dead, keys)
+        if version is None:
+            raise FileNotFoundError(
+                f"empty feed applied to uncommitted table {self.path}"
+            )
+        return version
 
     # --- maintenance -----------------------------------------------------
 

@@ -956,3 +956,32 @@ def test_bloom_never_false_negative(spark, table):
             .collect()
         }
         assert got == {key}, key
+
+
+# --- round 6: CDC apply (change feed -> replica) --------------------------
+
+
+def test_apply_changes_replicates_table(spark, tmp_path):
+    """A replica fed only by changes() must converge to the source —
+    across updates, partition moves, deletes, and a re-insert."""
+    src = VersionedParquetTable(spark, str(tmp_path / "src"))
+    rep = VersionedParquetTable(spark, str(tmp_path / "rep"))
+    src.merge(
+        _df(spark, [(k, f"p{k % 2}", k * 10) for k in range(1, 7)]),
+        ["k"],
+        partition_by=["d"],
+    )
+    rep.write(src.read(version=1), partition_by=["d"])  # initial sync @ v1
+
+    src.merge(_df(spark, [(2, "p0", 222), (7, "p1", 70)]), ["k"])  # update+insert
+    src.delete_keys(spark.createDataFrame([Row(k=5), Row(k=3)]))
+    src.merge(_df(spark, [(3, "p1", 333)]), ["k"])  # resurrect 3
+
+    rep.apply_changes(src.changes(1), ["k"])
+    assert _rows(rep.read()) == _rows(src.read())
+    # feed-sized work: the replica saw at most 2 commits for the batch
+    assert rep.latest_version() <= 3
+    # second application of an EMPTY span is a no-op shape
+    v = src.latest_version()
+    feed = src.changes(v, v)
+    assert feed.count() == 0

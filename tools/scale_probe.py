@@ -64,8 +64,12 @@ PROBES = {
     "x_table_changes": ("orders", 10),
     "x_stats_pruned_read": ("orders", 10),
     "x_changes_across_compact": ("orders", 10),
-    # round-6 addition: merge-on-read delete (tombstone commit + MOR read)
+    # round-6 additions: merge-on-read delete (tombstone commit + MOR
+    # read), bloom point lookup (sidecar build + pruned read), CDC
+    # replication (feed-sized replica maintenance)
     "x_mor_delete": ("orders", 10),
+    "x_bloom_point_lookup": ("orders", 10),
+    "x_cdc_replicate": ("orders", 10),
     # x_source_overlap is NOT probed: its oracle-pinned max_df=100 band
     # (exact at fixture df <= 25) excises the 20x-replicated shingles
     # entirely, so the probe would time an empty output. Its inverted-
