@@ -3137,6 +3137,103 @@ FROM live GROUP BY o_orderstatus
 """
 
 
+def x_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view (operators/matview.py): a GROUP BY
+    aggregate refreshed from the source's change feed in O(churn) —
+    the scale path for the reference's full-rebuild gold refresh
+    (gcs_silver_to_gold.py). src: v1 = orders %3 (partitioned by
+    status); v2 = MERGE %7 with doubled cents (update where also %3,
+    insert otherwise); v3 = delete %15. The view full-builds at v1,
+    then ONE incremental refresh covers v2+v3 — deletes force the
+    min/max affected-group rescan. Asserted in-plan equal to a
+    from-scratch aggregate of the live snapshot."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from news_lakehouse_spark.operators.matview import IncrementalAggView
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"nlh_ivm_{os.getpid()}_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = VersionedParquetTable(spark, os.path.join(base, "src"))
+    view = IncrementalAggView(
+        spark,
+        os.path.join(base, "view"),
+        group_by=["o_orderstatus", "o_orderpriority"],
+        sum_cols=["cents"],
+        minmax_cols=["cents"],
+    )
+    src.merge(
+        orders.filter(F.col("o_orderkey") % 3 == 0),
+        ["o_orderkey"],
+        partition_by=["o_orderstatus"],
+    )
+    view.refresh(src)  # full build at v1
+    src.merge(
+        orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "cents", F.col("cents") * 2
+        ),
+        ["o_orderkey"],
+    )
+    src.delete_keys(
+        orders.filter(F.col("o_orderkey") % 15 == 0).select("o_orderkey")
+    )
+    view.refresh(src)  # incremental: one feed covering v2+v3
+    got = view.read()
+    full = (
+        src.read()
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("cents").alias("sum_cents"),
+            (F.sum("cents") / F.count("cents")).alias("avg_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+    assert got.exceptAll(full).isEmpty() and full.exceptAll(got).isEmpty()
+    return got.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "cnt",
+        "sum_cents",
+        F.round("avg_cents", 6).alias("avg_cents"),
+        "min_cents",
+        "max_cents",
+    )
+
+
+_IVM_REFRESH_SQL = """
+WITH live AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CASE WHEN o_orderkey % 7 = 0
+              THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) * 2
+              ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents
+  FROM orders
+  WHERE (o_orderkey % 3 = 0 OR o_orderkey % 7 = 0)
+    AND o_orderkey % 15 <> 0
+)
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       ROUND(AVG(cents), 6) AS avg_cents,
+       MIN(cents) AS min_cents,
+       MAX(cents) AS max_cents
+FROM live GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
 def x_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-2-gram repetition signals (Gopher-style boilerplate flags)."""
     d = read_table(spark, sf_dir, "documents")
@@ -5610,6 +5707,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_mor_delete": x_mor_delete,
     "x_bloom_point_lookup": x_bloom_point_lookup,
     "x_cdc_replicate": x_cdc_replicate,
+    "x_ivm_refresh": x_ivm_refresh,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q9_product_type_profit": q9_product_type_profit,
     "q11_important_parts": q11_important_parts,
@@ -5843,6 +5941,7 @@ ORACLES: dict[str, str] = {
     "x_mor_delete": _MOR_DELETE_SQL,
     "x_bloom_point_lookup": _BLOOM_LOOKUP_SQL,
     "x_cdc_replicate": _CDC_REPLICATE_SQL,
+    "x_ivm_refresh": _IVM_REFRESH_SQL,
     "q3_shipping_priority": _Q3_SQL,
     "q5_local_supplier_volume": _Q5_SQL,
     "t_session_window": _SESSION_WINDOW_SQL,

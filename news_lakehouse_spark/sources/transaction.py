@@ -506,6 +506,19 @@ class VersionedParquetTable:
             for m in (self._load_root(v) for v in self.versions())
         ]
 
+    def snapshot_properties(self, version: int | None = None) -> dict:
+        """User-supplied commit metadata (the Iceberg snapshot-summary
+        analog): the ``properties`` dict passed to ``write``/``merge``,
+        read back from that version's manifest. Lets a consumer record
+        its sync cursor ATOMICALLY with the commit that applied it —
+        e.g. ``IncrementalAggView`` stores the source version a refresh
+        incorporated, so a crash between commits can never double-apply
+        a delta."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        return self._load_root(self._resolve_version(v)).get("properties", {})
+
     def _publish(self, manifest: dict) -> None:
         """Atomic create-exclusive publish of a manifest (step 3).
 
@@ -1247,6 +1260,7 @@ class VersionedParquetTable:
         bloom_cfg: dict | None = None,
         bloom_new_files: list[str] | None = None,
         bloom_carried: list[str] | None = None,
+        properties: dict | None = None,
     ) -> int:
         version = (parent or 0) + 1
         stats, stat_types = self._collect_stats(files, df.schema, prior_stats)
@@ -1274,6 +1288,7 @@ class VersionedParquetTable:
                 "stat_types": stat_types,
                 "delete_files": delete_files or [],
                 "bloom": bloom,
+                "properties": properties or {},
             }
         )
         return version
@@ -1337,6 +1352,7 @@ class VersionedParquetTable:
         bloom_columns: list[str] | None = None,
         bloom_bits: int = 1 << 16,
         bloom_k: int = 4,
+        properties: dict | None = None,
     ) -> int:
         """CREATE / INSERT OVERWRITE: a full new snapshot (old versions
         remain readable until vacuumed). ``bloom_columns`` opts the
@@ -1363,7 +1379,8 @@ class VersionedParquetTable:
         version = (parent or 0) + 1
         files = self._write_commit(df, version, partition_by)
         return self._commit(
-            df, files, parent, partition_by, operation, bloom_cfg=bloom_cfg
+            df, files, parent, partition_by, operation,
+            bloom_cfg=bloom_cfg, properties=properties,
         )
 
     def write_audit_publish(
@@ -1407,6 +1424,7 @@ class VersionedParquetTable:
         order_by: list[Column] | None = None,
         evolve_schema: bool = False,
         retries: int = 2,
+        properties: dict | None = None,
     ) -> int:
         """Atomic MERGE commit (S8/S9 semantics from operators/merge.py).
 
@@ -1433,7 +1451,8 @@ class VersionedParquetTable:
                 files = self._write_commit(merged, version, partition_by)
                 try:
                     return self._commit(
-                        merged, files, None, partition_by, "create"
+                        merged, files, None, partition_by, "create",
+                        properties=properties,
                     )
                 except ConcurrentCommitError as e:
                     last_err = e
@@ -1505,6 +1524,7 @@ class VersionedParquetTable:
                         ),
                         bloom_new_files=new_files,
                         bloom_carried=(b or {}).get("sidecars"),
+                        properties=properties,
                     )
                 except ConcurrentCommitError as e:
                     last_err = e  # loser of the race: re-derive from winner
@@ -1531,6 +1551,7 @@ class VersionedParquetTable:
                         if b
                         else None
                     ),
+                    properties=properties,
                 )
             except ConcurrentCommitError as e:
                 last_err = e  # loser of the race: re-derive from winner

@@ -70,6 +70,7 @@ PROBES = {
     "x_mor_delete": ("orders", 10),
     "x_bloom_point_lookup": ("orders", 10),
     "x_cdc_replicate": ("orders", 10),
+    "x_ivm_refresh": ("orders", 10),
     # x_source_overlap is NOT probed: its oracle-pinned max_df=100 band
     # (exact at fixture df <= 25) excises the 20x-replicated shingles
     # entirely, so the probe would time an empty output. Its inverted-
