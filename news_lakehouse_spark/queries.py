@@ -2666,6 +2666,85 @@ FROM tagged GROUP BY _change_type
 """
 
 
+def x_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only snapshot restore (sources/transaction.py
+    rollback() — the Iceberg rollback / Delta RESTORE analog the
+    reference gets from its Iceberg catalog): after a bad commit, one
+    manifest write points the table back at the prior snapshot without
+    reading or rewriting data, and the change feed across the restore
+    is the exact inverse of the bad commit's delta (so a CDC replica
+    un-applies it via apply_changes).
+
+    Same two-commit construction as x_time_travel (v1 = keys %5 != 0;
+    v2 = MERGE doubling %5-or-%7 keys), then rollback(1). Returns the
+    restored snapshot's aggregate plus the per-change-type counts of
+    the feed across the restore: inserts = the %7 keys' old images
+    coming back, deletes = every doubled row leaving.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"nlh_rollback_{os.getpid()}_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = VersionedParquetTable(spark, base)
+    t.merge(
+        orders.filter(F.col("o_orderkey") % 5 != 0).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ),
+        ["o_orderkey"],
+        partition_by=["o_orderstatus"],
+    )
+    t.merge(
+        orders.filter(
+            (F.col("o_orderkey") % 5 == 0) | (F.col("o_orderkey") % 7 == 0)
+        ).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        ),
+        ["o_orderkey"],
+    )
+    t.rollback(1)
+    restored = (
+        t.read()
+        .groupBy()
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(F.lit("restored").alias("kind"), "cnt", "total")
+    )
+    feed = (
+        t.changes(2, 3)
+        .groupBy(F.col("_change_type").alias("kind"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+    return restored.unionByName(feed)
+
+
+_ROLLBACK_SQL = """
+SELECT 'restored' AS kind, COUNT(*) AS cnt,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders WHERE o_orderkey % 5 <> 0
+UNION ALL
+SELECT 'insert', COUNT(*), ROUND(SUM(o_totalprice), 2)
+FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+UNION ALL
+SELECT 'delete', COUNT(*), ROUND(SUM(o_totalprice * 2), 2)
+FROM orders WHERE o_orderkey % 5 = 0 OR o_orderkey % 7 = 0
+"""
+
+
 def x_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image metadata through the multimodal probe
     (operators/multimodal.py describe_media): per document, construct
@@ -5744,6 +5823,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_ts_pattern_search": x_ts_pattern_search,
     "x_time_travel": x_time_travel,
     "x_table_changes": x_table_changes,
+    "x_rollback": x_rollback,
     "x_compact_roundtrip": x_compact_roundtrip,
     "x_hard_negatives": x_hard_negatives,
     "x_kll_rollup": x_kll_rollup,
@@ -5948,6 +6028,7 @@ ORACLES: dict[str, str] = {
     "x_scd2_dimension": _SCD2_SQL,
     "x_time_travel": _TIME_TRAVEL_SQL,
     "x_table_changes": _TABLE_CHANGES_SQL,
+    "x_rollback": _ROLLBACK_SQL,
     "x_media_probe": _MEDIA_PROBE_SQL,
     "x_compact_roundtrip": _COMPACT_SQL,
     "x_corpus_shard": _SHARD_SQL,

@@ -1594,6 +1594,44 @@ class VersionedParquetTable:
             )
         return version
 
+    def rollback(self, version: int | str) -> int:
+        """Restore the table to an older retained snapshot by COMMITTING
+        a new version whose manifest references that snapshot's files —
+        the Iceberg rollback / Delta RESTORE analog. Metadata-only: no
+        data is read or rewritten, so restoring a 100 TB table after a
+        bad commit costs one manifest write. History keeps both the bad
+        commits and the restore (time travel still reaches them until
+        ``vacuum``), and ``changes()`` across the restore emits the
+        row-level delta back to the restored state — a downstream CDC
+        consumer un-applies the bad data automatically via
+        ``apply_changes``. Accepts a version number or tag name;
+        returns the committed version (the current version unchanged
+        when it already matches the target snapshot's manifest)."""
+        target = self._resolve_version(version)
+        parent = self.latest_version()
+        if parent is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        if target == parent:
+            return parent
+        old = self._load_manifest(target)
+        self._publish(
+            {
+                "version": parent + 1,
+                "parent": parent,
+                "operation": "rollback",
+                "partition_by": old["partition_by"],
+                "schema": old["schema"],
+                "files": old["files"],
+                "num_files": old["num_files"],
+                "stats": old.get("stats", {}),
+                "stat_types": old.get("stat_types", {}),
+                "delete_files": old.get("delete_files") or [],
+                "bloom": old.get("bloom"),
+                "properties": {"rollback_of": target},
+            }
+        )
+        return parent + 1
+
     # --- maintenance -----------------------------------------------------
 
     def compact(

@@ -985,3 +985,50 @@ def test_apply_changes_replicates_table(spark, tmp_path):
     v = src.latest_version()
     feed = src.changes(v, v)
     assert feed.count() == 0
+
+
+def test_rollback_restores_snapshot_metadata_only(spark, table):
+    """rollback(v) commits a NEW version whose content equals the old
+    snapshot without reading or rewriting any data (Iceberg rollback /
+    Delta RESTORE): the restore manifest references the old files, the
+    bad commit stays time-travelable, and the change feed across the
+    restore is exactly the inverse of the bad commit's delta."""
+    table.merge(_df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"])
+    files_v1 = set(table.files_for(1))
+    table.merge(_df(spark, [(2, "b", 99), (3, "a", 30)]), ["k"])
+    v3 = table.rollback(1)
+    assert v3 == 3
+    assert _rows(table.read()) == {(1, "a", 10), (2, "b", 20)}
+    # metadata-only: the restore references v1's files verbatim
+    assert set(table.files_for(3)) == files_v1
+    assert table.history()[-1]["operation"] == "rollback"
+    assert table.snapshot_properties(3) == {"rollback_of": 1}
+    # the bad commit is still reachable until vacuumed
+    assert _rows(table.read(version=2)) == {
+        (1, "a", 10), (2, "b", 99), (3, "a", 30)
+    }
+    # feed across the restore = inverse of the bad commit's feed
+    fwd = {
+        (r["k"], r["d"], r["v"], r["_change_type"])
+        for r in table.changes(1, 2).collect()
+    }
+    back = {
+        (r["k"], r["d"], r["v"], r["_change_type"])
+        for r in table.changes(2, 3).collect()
+    }
+    flip = {"insert": "delete", "delete": "insert"}
+    assert back == {(k, d, v, flip[c]) for k, d, v, c in fwd}
+    # rolling back to the current snapshot is a no-op commit-wise
+    assert table.rollback(3) == 3
+
+
+def test_rollback_by_tag_and_vacuum_retains_restored_files(spark, table):
+    table.merge(_df(spark, [(1, "a", 10)]), ["k"], partition_by=["d"])
+    table.tag("good")
+    table.merge(_df(spark, [(1, "a", 99), (2, "b", 5)]), ["k"])
+    assert table.rollback("good") == 3
+    table.drop_tag("good")
+    stats = table.vacuum(keep_last=1, grace_seconds=0)
+    assert stats["manifests_dropped"] == 2
+    # the restored snapshot's (v1-era) files survive the vacuum
+    assert _rows(table.read()) == {(1, "a", 10)}
