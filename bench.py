@@ -92,6 +92,11 @@ EXTENDED = [
     # point lookup):
     "x_mor_delete",
     "x_bloom_point_lookup",
+    # round-6 additions (incremental materialized view + CDC replica +
+    # metadata-only snapshot restore):
+    "x_ivm_refresh",
+    "x_cdc_replicate",
+    "x_rollback",
 ]
 
 

@@ -1294,7 +1294,10 @@ class VersionedParquetTable:
         return version
 
     def delete_keys(
-        self, keys: DataFrame, key_cols: list[str] | None = None
+        self,
+        keys: DataFrame,
+        key_cols: list[str] | None = None,
+        properties: dict | None = None,
     ) -> int:
         """Merge-on-read equality DELETE (Iceberg v2 delete-file
         analog): commit a SMALL parquet of key tuples instead of
@@ -1340,6 +1343,7 @@ class VersionedParquetTable:
                 "delete_files": (man.get("delete_files") or [])
                 + [{"paths": paths, "key_cols": key_cols, "version": version}],
                 "bloom": man.get("bloom"),
+                "properties": properties or {},
             }
         )
         return version
@@ -1562,6 +1566,7 @@ class VersionedParquetTable:
         feed: DataFrame,
         keys: list[str],
         order_by: list[Column] | None = None,
+        properties: dict | None = None,
     ) -> int:
         """Apply a change feed (``changes()`` output: row schema plus
         ``_change_type`` 'insert'|'delete') to THIS table — the CDC
@@ -1571,7 +1576,9 @@ class VersionedParquetTable:
         and land as one upsert; keys deleted WITHOUT a re-insert in the
         same feed become a merge-on-read tombstone commit (no data
         rewrite). At most two commits per application; returns the
-        last committed version."""
+        last committed version. ``properties`` ride the LAST commit
+        only — a sync cursor recorded this way (see ``sync_from``)
+        never claims a partially-applied feed."""
         inserts = feed.filter(F.col("_change_type") == "insert").drop(
             "_change_type"
         )
@@ -1583,16 +1590,94 @@ class VersionedParquetTable:
             .distinct()
             .join(inserts.select(*keys).distinct(), keys, "left_anti")
         )
+        has_inserts = not inserts.isEmpty()
+        has_dead = not dead.isEmpty()
         version = self.latest_version()
-        if not inserts.isEmpty():
-            version = self.merge(inserts, keys, order_by=order_by)
-        if not dead.isEmpty():
-            version = self.delete_keys(dead, keys)
+        if has_inserts:
+            version = self.merge(
+                inserts,
+                keys,
+                order_by=order_by,
+                properties=None if has_dead else properties,
+            )
+        if has_dead:
+            version = self.delete_keys(dead, keys, properties=properties)
         if version is None:
             raise FileNotFoundError(
                 f"empty feed applied to uncommitted table {self.path}"
             )
         return version
+
+    def sync_from(
+        self,
+        source: "VersionedParquetTable",
+        keys: list[str],
+        order_by: list[Column] | None = None,
+    ) -> int:
+        """One-call incremental replica sync: pull the upstream's
+        change feed since the last synced version and apply it, with
+        the cursor recorded ATOMICALLY in the final commit's manifest
+        properties — the crash-safe CDC loop a downstream copy of a
+        100 TB table runs on a schedule. First call full-copies the
+        current snapshot; every later call costs O(churn).
+
+        Crash-safety is by idempotence, not coordination: the cursor
+        rides only the LAST commit of an application (see
+        ``apply_changes``), so a crash mid-apply leaves the old cursor
+        in place and the retry re-applies the same feed — re-upserting
+        identical rows and re-tombstoning dead keys are both no-ops.
+        Returns the replica version now current (unchanged when the
+        upstream hasn't advanced)."""
+        upstream = source.latest_version()
+        if upstream is None:
+            raise FileNotFoundError(f"no committed version at {source.path}")
+        cursor = (
+            self.snapshot_properties().get("sync_from_version")
+            if self.exists()
+            else None
+        )
+        if cursor is None:
+            root = source._load_root(upstream)
+            return self.write(
+                source.read(version=upstream),
+                partition_by=root["partition_by"] or None,
+                operation="sync",
+                properties={"sync_from_version": upstream},
+            )
+        cursor = int(cursor)
+        if cursor >= upstream:
+            return self.latest_version()
+        feed = source.changes(cursor, upstream)
+        if feed.isEmpty():  # churn cancelled out: advance cursor only
+            man = self._load_manifest(self.latest_version())
+            self._publish(
+                {
+                    **{
+                        k: man[k]
+                        for k in (
+                            "partition_by",
+                            "schema",
+                            "files",
+                            "num_files",
+                        )
+                    },
+                    "version": self.latest_version() + 1,
+                    "parent": self.latest_version(),
+                    "operation": "sync",
+                    "stats": man.get("stats", {}),
+                    "stat_types": man.get("stat_types", {}),
+                    "delete_files": man.get("delete_files") or [],
+                    "bloom": man.get("bloom"),
+                    "properties": {"sync_from_version": upstream},
+                }
+            )
+            return self.latest_version()
+        return self.apply_changes(
+            feed,
+            keys,
+            order_by=order_by,
+            properties={"sync_from_version": upstream},
+        )
 
     def rollback(self, version: int | str) -> int:
         """Restore the table to an older retained snapshot by COMMITTING

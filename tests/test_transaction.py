@@ -1032,3 +1032,68 @@ def test_rollback_by_tag_and_vacuum_retains_restored_files(spark, table):
     assert stats["manifests_dropped"] == 2
     # the restored snapshot's (v1-era) files survive the vacuum
     assert _rows(table.read()) == {(1, "a", 10)}
+
+
+def test_sync_from_incremental_replica_with_cursor(spark, tmp_path):
+    """sync_from pulls the upstream feed since the recorded cursor and
+    applies it; the cursor rides the final commit atomically, so the
+    whole CDC loop is one call per schedule tick."""
+    src = VersionedParquetTable(spark, str(tmp_path / "src"))
+    rep = VersionedParquetTable(spark, str(tmp_path / "rep"))
+    src.merge(_df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"], partition_by=["d"])
+    # initial sync = full copy
+    rep.sync_from(src, ["k"])
+    assert _rows(rep.read()) == _rows(src.read())
+    assert rep.snapshot_properties()["sync_from_version"] == 1
+    # upstream churns: update, insert, delete
+    src.merge(_df(spark, [(2, "b", 99), (3, "a", 30)]), ["k"])
+    src.delete_keys(spark.createDataFrame([(1,)], "k int"), ["k"])
+    rep.sync_from(src, ["k"])
+    assert _rows(rep.read()) == _rows(src.read()) == {(2, "b", 99), (3, "a", 30)}
+    assert rep.snapshot_properties()["sync_from_version"] == 3
+    # upstream unchanged: no new replica commit
+    v = rep.latest_version()
+    assert rep.sync_from(src, ["k"]) == v
+
+
+def test_sync_from_crash_retry_is_idempotent(spark, tmp_path, monkeypatch):
+    """A crash between the merge and the tombstone commit leaves the
+    OLD cursor in place (it rides only the last commit), so the retry
+    re-applies the same feed — idempotent by upsert/tombstone
+    semantics, never a double-apply or a lost delete."""
+    src = VersionedParquetTable(spark, str(tmp_path / "src"))
+    rep = VersionedParquetTable(spark, str(tmp_path / "rep"))
+    src.merge(_df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"])
+    rep.sync_from(src, ["k"])
+    src.merge(_df(spark, [(2, "b", 99)]), ["k"])
+    src.delete_keys(spark.createDataFrame([(1,)], "k int"), ["k"])
+
+    real = VersionedParquetTable.delete_keys
+
+    def boom(self, *a, **kw):
+        raise RuntimeError("injected crash before tombstone commit")
+
+    monkeypatch.setattr(VersionedParquetTable, "delete_keys", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        rep.sync_from(src, ["k"])
+    # merge landed, cursor did NOT advance
+    assert rep.snapshot_properties().get("sync_from_version") != 3
+    monkeypatch.setattr(VersionedParquetTable, "delete_keys", real)
+    rep.sync_from(src, ["k"])
+    assert _rows(rep.read()) == _rows(src.read()) == {(2, "b", 99)}
+    assert rep.snapshot_properties()["sync_from_version"] == 3
+
+
+def test_sync_from_cancelled_churn_advances_cursor_only(spark, tmp_path):
+    """An upstream span whose churn cancels out (bad commit + rollback)
+    yields an empty feed; sync advances the cursor with a metadata-only
+    commit so the next tick doesn't re-diff the same span."""
+    src = VersionedParquetTable(spark, str(tmp_path / "src"))
+    rep = VersionedParquetTable(spark, str(tmp_path / "rep"))
+    src.merge(_df(spark, [(1, "a", 10)]), ["k"])
+    rep.sync_from(src, ["k"])
+    src.merge(_df(spark, [(1, "a", 777), (9, "z", 9)]), ["k"])
+    src.rollback(1)
+    rep.sync_from(src, ["k"])
+    assert rep.snapshot_properties()["sync_from_version"] == 3
+    assert _rows(rep.read()) == {(1, "a", 10)}
