@@ -1579,34 +1579,45 @@ class VersionedParquetTable:
         last committed version. ``properties`` ride the LAST commit
         only — a sync cursor recorded this way (see ``sync_from``)
         never claims a partially-applied feed."""
-        inserts = feed.filter(F.col("_change_type") == "insert").drop(
-            "_change_type"
-        )
-        deletes = feed.filter(F.col("_change_type") == "delete").drop(
-            "_change_type"
-        )
-        dead = (
-            deletes.select(*keys)
-            .distinct()
-            .join(inserts.select(*keys).distinct(), keys, "left_anti")
-        )
-        has_inserts = not inserts.isEmpty()
-        has_dead = not dead.isEmpty()
-        version = self.latest_version()
-        if has_inserts:
-            version = self.merge(
-                inserts,
-                keys,
-                order_by=order_by,
-                properties=None if has_dead else properties,
+        # The feed plan (per-commit manifest diffs + exceptAll +
+        # tombstone anti-joins) would otherwise recompute for EVERY
+        # downstream action — the emptiness probes, then the merge,
+        # which alone evaluates its source several times (key sets,
+        # affected partitions, the rewrite). The feed is O(churn) by
+        # construction, so materializing it once is always cheaper
+        # than re-deriving it from the table's history.
+        feed = feed.persist()
+        try:
+            inserts = feed.filter(F.col("_change_type") == "insert").drop(
+                "_change_type"
             )
-        if has_dead:
-            version = self.delete_keys(dead, keys, properties=properties)
-        if version is None:
-            raise FileNotFoundError(
-                f"empty feed applied to uncommitted table {self.path}"
+            deletes = feed.filter(F.col("_change_type") == "delete").drop(
+                "_change_type"
             )
-        return version
+            dead = (
+                deletes.select(*keys)
+                .distinct()
+                .join(inserts.select(*keys).distinct(), keys, "left_anti")
+            )
+            has_inserts = not inserts.isEmpty()
+            has_dead = not dead.isEmpty()
+            version = self.latest_version()
+            if has_inserts:
+                version = self.merge(
+                    inserts,
+                    keys,
+                    order_by=order_by,
+                    properties=None if has_dead else properties,
+                )
+            if has_dead:
+                version = self.delete_keys(dead, keys, properties=properties)
+            if version is None:
+                raise FileNotFoundError(
+                    f"empty feed applied to uncommitted table {self.path}"
+                )
+            return version
+        finally:
+            feed.unpersist()
 
     def sync_from(
         self,
