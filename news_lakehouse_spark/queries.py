@@ -2587,6 +2587,72 @@ FROM orders
 """
 
 
+def x_table_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata inspection tables over the versioned warehouse
+    (sources/transaction.py inspect() — the Iceberg `table.files` /
+    `.snapshots` / `.partitions` analog; the reference gets the same
+    surface from Iceberg's metadata tables on its MERGE snapshots,
+    gcs_bronze_to_silver.py:50,457-475).
+
+    Builds a versioned orders table partitioned by o_orderstatus in two
+    commits, then answers "how big is each partition" FROM METADATA
+    ONLY: inspect("partitions") aggregates per-file record counts that
+    were collected from parquet footers at commit time — no data file
+    is scanned, which is the point at 100 TB (the compaction planner
+    and ops dashboards read manifests, not the table). The oracle
+    recomputes the same per-partition row counts from the raw data.
+    In-plan asserts pin the non-SQL-expressible half: snapshot lineage
+    (create→merge), file-level rows matching the scan plan, and
+    positive on-disk sizes.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"nlh_table_meta_{os.getpid()}_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = VersionedParquetTable(spark, base)
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    t.merge(
+        orders.filter(F.col("o_orderkey") % 3 != 0).select(*cols),
+        ["o_orderkey"],
+        partition_by=["o_orderstatus"],
+    )
+    t.merge(
+        orders.filter(F.col("o_orderkey") % 3 == 0).select(*cols),
+        ["o_orderkey"],
+    )
+
+    snaps = t.inspect("snapshots").orderBy("version").collect()
+    assert [r.operation for r in snaps] == ["create", "merge"]
+    assert snaps[1].parent == snaps[0].version
+    files = t.inspect("files")
+    assert files.count() == len(t.files_for())
+    assert files.agg(F.min("size_bytes")).first()[0] > 0
+
+    return (
+        t.inspect("partitions")
+        .select("partition", "record_count")
+        .orderBy("partition")
+    )
+
+
+_TABLE_METADATA_SQL = """
+SELECT 'o_orderstatus=' || o_orderstatus AS partition,
+       COUNT(*) AS record_count
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY partition
+"""
+
+
 def x_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level change feed between two table versions
     (sources/transaction.py changes() — the Iceberg incremental-read
@@ -5824,6 +5890,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_retention_cohorts": x_retention_cohorts,
     "x_ts_pattern_search": x_ts_pattern_search,
     "x_time_travel": x_time_travel,
+    "x_table_metadata": x_table_metadata,
     "x_table_changes": x_table_changes,
     "x_rollback": x_rollback,
     "x_compact_roundtrip": x_compact_roundtrip,
@@ -6029,6 +6096,7 @@ ORACLES: dict[str, str] = {
     "t_session_window": _SESSION_WINDOW_SQL,
     "x_scd2_dimension": _SCD2_SQL,
     "x_time_travel": _TIME_TRAVEL_SQL,
+    "x_table_metadata": _TABLE_METADATA_SQL,
     "x_table_changes": _TABLE_CHANGES_SQL,
     "x_rollback": _ROLLBACK_SQL,
     "x_media_probe": _MEDIA_PROBE_SQL,

@@ -506,6 +506,120 @@ class VersionedParquetTable:
             for m in (self._load_root(v) for v in self.versions())
         ]
 
+    def inspect(self, kind: str, version: int | None = None) -> DataFrame:
+        """Metadata inspection TABLES — the Iceberg ``table.files`` /
+        ``.snapshots`` / ``.partitions`` analog (and Delta's DESCRIBE
+        DETAIL/HISTORY): the table's own metadata as a DataFrame, so
+        operational queries ("which partitions grew this week", "how
+        many small files need compaction") are ordinary Spark queries
+        instead of manifest spelunking.
+
+        - ``snapshots``: one row per retained version (version, parent,
+          operation, num_files, num_delete_entries, properties JSON).
+        - ``files``: one row per live data file of ``version`` (path,
+          partition fragment, record_count from manifest stats,
+          size_bytes).
+        - ``partitions``: ``files`` aggregated per partition fragment
+          (file_count, record_count, size_bytes) — the compaction
+          planner's input.
+
+        Everything comes from manifests + footer stats already
+        collected at commit time — no data files are scanned. File
+        sizes fan out as one Spark job past ``_DIST_STATS_THRESHOLD``
+        files (driver stat calls below it), the same flat-in-file-count
+        contract as commit stats."""
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+        )
+
+        if kind == "snapshots":
+            rows = []
+            for v in self.versions():
+                r = self._load_root(v)
+                rows.append(
+                    (
+                        r["version"],
+                        r.get("parent"),
+                        r["operation"],
+                        r["num_files"],
+                        len(r.get("delete_files") or []),
+                        json.dumps(r.get("properties") or {}, sort_keys=True),
+                    )
+                )
+            schema = StructType(
+                [
+                    StructField("version", LongType(), False),
+                    StructField("parent", LongType(), True),
+                    StructField("operation", StringType(), False),
+                    StructField("num_files", LongType(), False),
+                    StructField("num_delete_entries", LongType(), False),
+                    StructField("properties", StringType(), False),
+                ]
+            )
+            return self.spark.createDataFrame(rows, schema)
+        if kind not in ("files", "partitions"):
+            raise ValueError(
+                f"unknown metadata table {kind!r}; "
+                "one of: snapshots, files, partitions"
+            )
+        v = self._resolve_version(version)
+        v = self.latest_version() if v is None else v
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        man = self._load_manifest(v)
+        stats = man.get("stats", {})
+        rels = man["files"]
+        root_path = self.path
+        if len(rels) >= _DIST_STATS_THRESHOLD:
+            sizes = dict(
+                self.spark.sparkContext.parallelize(
+                    rels, max(1, min(len(rels) // 8, 256))
+                )
+                .map(
+                    lambda rel: (
+                        rel,
+                        os.path.getsize(os.path.join(root_path, rel)),
+                    )
+                )
+                .collect()
+            )
+        else:
+            sizes = {
+                rel: os.path.getsize(os.path.join(root_path, rel))
+                for rel in rels
+            }
+        rows = []
+        for rel in rels:
+            per_col = stats.get(rel) or {}
+            rec = next(
+                (b[3] for b in per_col.values() if b[3] is not None), None
+            )
+            frag = _file_partition_fragment(rel)
+            shown = "/".join(
+                s[len("__p_"):] if s.startswith("__p_") else s
+                for s in frag.split("/")
+                if s
+            )
+            rows.append((rel, shown, rec, sizes[rel]))
+        schema = StructType(
+            [
+                StructField("path", StringType(), False),
+                StructField("partition", StringType(), False),
+                StructField("record_count", LongType(), True),
+                StructField("size_bytes", LongType(), False),
+            ]
+        )
+        files_df = self.spark.createDataFrame(rows, schema)
+        if kind == "files":
+            return files_df
+        return files_df.groupBy("partition").agg(
+            F.count("*").alias("file_count"),
+            F.sum("record_count").alias("record_count"),
+            F.sum("size_bytes").alias("size_bytes"),
+        )
+
     def snapshot_properties(self, version: int | None = None) -> dict:
         """User-supplied commit metadata (the Iceberg snapshot-summary
         analog): the ``properties`` dict passed to ``write``/``merge``,

@@ -1097,3 +1097,43 @@ def test_sync_from_cancelled_churn_advances_cursor_only(spark, tmp_path):
     rep.sync_from(src, ["k"])
     assert rep.snapshot_properties()["sync_from_version"] == 3
     assert _rows(rep.read()) == {(1, "a", 10)}
+
+
+def test_inspect_metadata_tables(spark, table):
+    table.merge(
+        _df(spark, [(1, "a", 10), (2, "b", 20), (3, "b", 30)]),
+        ["k"],
+        partition_by=["d"],
+    )
+    table.merge(_df(spark, [(4, "a", 40)]), ["k"])
+
+    snaps = table.inspect("snapshots").orderBy("version").collect()
+    assert [(r.version, r.operation) for r in snaps] == [
+        (1, "create"),
+        (2, "merge"),
+    ]
+    assert snaps[0].parent is None and snaps[1].parent == 1
+
+    files = table.inspect("files").collect()
+    assert len(files) == len(table.files_for())
+    assert all(r.size_bytes > 0 for r in files)
+    assert {r.partition.split("=")[0] for r in files} == {"d"}
+    # record counts come from commit stats, no data scan
+    assert sum(r.record_count for r in files) == 4
+
+    parts = {
+        r.partition: (r.file_count, r.record_count)
+        for r in table.inspect("partitions").collect()
+    }
+    assert parts["d=b"] == (1, 2)
+    assert parts["d=a"][1] == 2
+
+    # time travel: v1 had 3 rows, partition a only one
+    v1 = {
+        r.partition: r.record_count
+        for r in table.inspect("partitions", version=1).collect()
+    }
+    assert v1 == {"d=a": 1, "d=b": 2}
+
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        table.inspect("manifests")
