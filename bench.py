@@ -97,6 +97,9 @@ EXTENDED = [
     "x_ivm_refresh",
     "x_cdc_replicate",
     "x_rollback",
+    # round-6 additions (metadata tables + partition-spec evolution):
+    "x_table_metadata",
+    "x_partition_evolution",
 ]
 
 

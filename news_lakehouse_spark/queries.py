@@ -2644,6 +2644,87 @@ def x_table_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution (sources/transaction.py
+    set_partition_spec — Iceberg's ALTER TABLE ... REPLACE PARTITION
+    FIELD analog, the capability Iceberg holds over Hive layouts;
+    reference tables are Iceberg, gcs_bronze_to_silver.py:73-158).
+
+    v1 commits orders partitioned by o_orderstatus; a METADATA-ONLY
+    commit evolves the spec to (o_orderstatus, o_orderpriority) — at
+    100 TB this costs one manifest, not a table rewrite; a merge then
+    updates status-F keys divisible by 7 (doubling their price), which
+    rewrites ONLY the overlapping old-spec files into the new layout
+    while untouched statuses carry over by reference (incremental
+    migration — asserted in-plan, along with the evolve commit's empty
+    change feed). The returned aggregate reads through a
+    partition_filter on the NEW spec column, exercising conservative
+    pruning + row-filter compensation over the mixed-layout snapshot.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"nlh_part_evo_{os.getpid()}_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = VersionedParquetTable(spark, base)
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
+    t.merge(
+        orders.select(*cols), ["o_orderkey"], partition_by=["o_orderstatus"]
+    )
+    v_evo = t.set_partition_spec(["o_orderstatus", "o_orderpriority"])
+    assert t.changes(v_evo - 1, v_evo).isEmpty()  # metadata-only commit
+    untouched = {
+        f for f in t.files_for() if "__p_o_orderstatus=O" in f
+    }
+    t.merge(
+        orders.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 7 == 0)
+        ).select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        ),
+        ["o_orderkey"],
+    )
+    live = set(t.files_for())
+    assert untouched <= live  # non-overlapping old-spec files carried
+    assert any("__p_o_orderpriority=" in f for f in live)  # new layout
+
+    return (
+        t.read(
+            partition_filter={"o_orderpriority": ["1-URGENT", "2-HIGH"]}
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_PARTITION_EVOLUTION_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS cnt,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'F' AND o_orderkey % 7 = 0
+                      THEN o_totalprice * 2 ELSE o_totalprice END),
+             2) AS total
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 _TABLE_METADATA_SQL = """
 SELECT 'o_orderstatus=' || o_orderstatus AS partition,
        COUNT(*) AS record_count
@@ -5891,6 +5972,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_ts_pattern_search": x_ts_pattern_search,
     "x_time_travel": x_time_travel,
     "x_table_metadata": x_table_metadata,
+    "x_partition_evolution": x_partition_evolution,
     "x_table_changes": x_table_changes,
     "x_rollback": x_rollback,
     "x_compact_roundtrip": x_compact_roundtrip,
@@ -6097,6 +6179,7 @@ ORACLES: dict[str, str] = {
     "x_scd2_dimension": _SCD2_SQL,
     "x_time_travel": _TIME_TRAVEL_SQL,
     "x_table_metadata": _TABLE_METADATA_SQL,
+    "x_partition_evolution": _PARTITION_EVOLUTION_SQL,
     "x_table_changes": _TABLE_CHANGES_SQL,
     "x_rollback": _ROLLBACK_SQL,
     "x_media_probe": _MEDIA_PROBE_SQL,

@@ -333,10 +333,13 @@ def _file_partition_fragment(rel_path: str) -> str:
 
 def _partition_want(
     spark: SparkSession, partition_filter: dict
-) -> list[set[str]]:
-    """Render a partition filter as per-column sets of acceptable path
-    segments (`__p_c=v`); a fragment matches when every column's set
-    intersects its segments. List/set/tuple values mean IN."""
+) -> list[tuple[str, set[str]]]:
+    """Render a partition filter as per-column (segment prefix, set of
+    acceptable path segments `__p_c=v`). List/set/tuple values mean
+    IN. Matching is CONSERVATIVE under partition-spec evolution: a
+    fragment written under an older spec may not carry a column at all
+    — such files are kept (they can't be pruned by path) and the read
+    applies the row-level filter instead."""
     esc = _escape_fn(spark)
 
     def frag(c, val):
@@ -346,14 +349,37 @@ def _partition_want(
         )
 
     return [
-        {frag(c, v) for v in (val if isinstance(val, (list, set, tuple)) else [val])}
+        (
+            f"__p_{c}=",
+            {
+                frag(c, v)
+                for v in (
+                    val if isinstance(val, (list, set, tuple)) else [val]
+                )
+            },
+        )
         for c, val in partition_filter.items()
     ]
 
 
-def _frag_matches(fragment: str, want: list[set[str]]) -> bool:
-    segs = set(fragment.split("/"))
-    return all(alts & segs for alts in want)
+def _frag_matches(fragment: str, want: list[tuple[str, set[str]]]) -> bool:
+    """False only when the fragment PROVES exclusion: it carries a
+    segment for the filtered column and none of the wanted values
+    match. Fragments lacking the column (older partition spec) match
+    conservatively."""
+    segs = [s for s in fragment.split("/") if s]
+    for prefix, alts in want:
+        mine = {s for s in segs if s.startswith(prefix)}
+        if mine and not (mine & alts):
+            return False
+    return True
+
+
+def _frag_columns(fragment: str) -> dict[str, str]:
+    """{'__p_c': '__p_c=v', ...} for a file's partition fragment."""
+    return {
+        s.split("=", 1)[0]: s for s in fragment.split("/") if s
+    }
 
 
 class VersionedParquetTable:
@@ -854,11 +880,19 @@ class VersionedParquetTable:
         want = None
         if partition_filter:
             spec = root["partition_by"]
-            unknown = [c for c in partition_filter if c not in spec]
+            names = {
+                f.name for f in StructType.fromJson(root["schema"]).fields
+            }
+            # Under spec evolution a filter column may be in an OLDER
+            # spec only (prunes that era's files) or the current one
+            # (older files kept conservatively) — any schema column is
+            # legal; read() compensates with a row filter when pruning
+            # was inexact.
+            unknown = [c for c in partition_filter if c not in names]
             if unknown:
                 raise ValueError(
                     f"partition_filter columns {unknown} are not in the "
-                    f"table's partition spec {spec}"
+                    f"table's partition spec {spec} nor its schema"
                 )
             want = _partition_want(self.spark, partition_filter)
         files_list, stats = self._manifest_files_stats(root, want)
@@ -995,7 +1029,31 @@ class VersionedParquetTable:
         files_list = self.files_for(v, partition_filter, predicate)
         if not files_list:
             return self.spark.createDataFrame([], schema)
-        return self._apply_deletes(self._read_files(files_list, schema), root)
+        df = self._apply_deletes(self._read_files(files_list, schema), root)
+        if partition_filter:
+            # Path pruning is exact only for files whose fragment
+            # carries the column; files written under an older
+            # partition spec survive pruning conservatively, so apply
+            # the row-level filter for those columns (pushed down to
+            # the scan — partition values are data columns).
+            for c, val in partition_filter.items():
+                key = f"__p_{c}"
+                if all(
+                    key in _frag_columns(_file_partition_fragment(rel))
+                    for rel in files_list
+                ):
+                    continue  # every kept file was path-pruned exactly
+                vals = (
+                    list(val)
+                    if isinstance(val, (list, set, tuple))
+                    else [val]
+                )
+                nn = [x for x in vals if x is not None]
+                cond = F.col(c).isin(nn) if nn else F.lit(False)
+                if any(x is None for x in vals):
+                    cond = cond | F.col(c).isNull()
+                df = df.filter(cond)
+        return df
 
     def _read_files(self, rels: list[str], schema: StructType) -> DataFrame:
         """Read an explicit manifest file list as ONE parquet relation,
@@ -1501,6 +1559,61 @@ class VersionedParquetTable:
             bloom_cfg=bloom_cfg, properties=properties,
         )
 
+    def set_partition_spec(
+        self,
+        partition_by: list[str] | None,
+        properties: dict | None = None,
+    ) -> int:
+        """Partition-spec EVOLUTION (Iceberg's ALTER TABLE ... REPLACE
+        PARTITION FIELD analog): a METADATA-ONLY commit that changes
+        how FUTURE writes are laid out. No data file is touched — at
+        100 TB that is the entire point: repartitioning by rewrite
+        costs a full-table pass, while this costs one manifest.
+
+        Existing files keep their old-spec path fragments; reads stay
+        correct because partition values live inside the files as data
+        columns, partition-filter pruning keeps old-spec files
+        conservatively (read() adds the row filter for them), and
+        merges rewrite old-spec files into the current spec only when
+        they overlap affected partitions (incremental migration).
+        ``compact()`` materializes the new layout table-wide in one
+        go. Returns the committed version (or the current one when the
+        spec is unchanged)."""
+        parent = self.latest_version()
+        if parent is None:
+            raise FileNotFoundError(
+                f"no committed version at {self.path}; create the table "
+                "with write()/merge(partition_by=...) instead"
+            )
+        man = self._load_manifest(parent)
+        new = list(partition_by or [])
+        names = {f.name for f in StructType.fromJson(man["schema"]).fields}
+        missing = [c for c in new if c not in names]
+        if missing:
+            raise ValueError(
+                f"partition spec columns {missing} are not in the table "
+                "schema"
+            )
+        if new == (man["partition_by"] or []):
+            return parent
+        self._publish(
+            {
+                "version": parent + 1,
+                "parent": parent,
+                "operation": "evolve-spec",
+                "partition_by": new,
+                "schema": man["schema"],
+                "files": man["files"],
+                "num_files": man["num_files"],
+                "stats": man.get("stats", {}),
+                "stat_types": man.get("stat_types", {}),
+                "delete_files": man.get("delete_files") or [],
+                "bloom": man.get("bloom"),
+                "properties": properties or {},
+            }
+        )
+        return parent + 1
+
     def write_audit_publish(
         self,
         df: DataFrame,
@@ -1555,7 +1668,6 @@ class VersionedParquetTable:
         """
         from news_lakehouse_spark.operators.merge import (
             _guard_source,
-            filter_to_partitions,
             merge_insert_only,
             merge_upsert,
         )
@@ -1581,16 +1693,15 @@ class VersionedParquetTable:
             if partition_by is not None and list(partition_by) != (
                 committed_spec or []
             ):
-                # A spec that differs from the manifest's would render
-                # affected-partition fragments that never match the old
-                # manifest's paths: every old file would carry over by
-                # reference and updated keys would duplicate. Refuse —
-                # repartitioning an existing table is a rewrite
-                # (write()), not a merge.
+                # A spec passed here that differs from the manifest's
+                # is almost always a bug (the caller thinks the table
+                # is partitioned differently than it is). Evolving the
+                # spec is an explicit, metadata-only operation.
                 raise ValueError(
                     f"merge partition_by={list(partition_by)} conflicts with "
                     f"the committed partition spec {committed_spec or []}; "
-                    "use write() to change a table's partitioning"
+                    "use set_partition_spec() to evolve a table's "
+                    "partitioning"
                 )
             spec = committed_spec
             target = self.read(parent)
@@ -1607,7 +1718,56 @@ class VersionedParquetTable:
                     r.asDict()
                     for r in new_parts.unionByName(old_parts).distinct().collect()
                 ]
-                affected = filter_to_partitions(target, parts, spec)
+                affected_frags = {
+                    partition_suffix(self.spark, spec, p) for p in parts
+                }
+                spec_keys = {f"__p_{c}" for c in spec}
+                part_segs = [
+                    {
+                        f"__p_{c}": partition_suffix(self.spark, [c], p)
+                        for c in spec
+                    }
+                    for p in parts
+                ]
+
+                def _is_affected(rel: str) -> bool:
+                    segs = _frag_columns(_file_partition_fragment(rel))
+                    if set(segs) == spec_keys:
+                        # current-spec file: fragment is exactly the
+                        # partition tuple
+                        return (
+                            _file_partition_fragment(rel) in affected_frags
+                        )
+                    # written under an OLDER spec (evolution): rewrite
+                    # it into the current spec unless its fragment
+                    # PROVES it overlaps no affected partition — the
+                    # incremental-migration path, Iceberg-style: each
+                    # merge converts only the old-spec files it must
+                    # touch, never the whole table.
+                    return any(
+                        all(
+                            segs[k] == ps[k]
+                            for k in spec_keys
+                            if k in segs
+                        )
+                        for ps in part_segs
+                    )
+
+                affected_files = [
+                    f for f in man["files"] if _is_affected(f)
+                ]
+                schema = StructType.fromJson(man["schema"])
+                # Read ONLY the affected files (not the whole snapshot
+                # row-filtered): the scan is proportional to the churn,
+                # and old-spec files' rows ride along whole-file so the
+                # rewrite under the current spec loses nothing.
+                affected = (
+                    self._apply_deletes(
+                        self._read_files(affected_files, schema), man
+                    )
+                    if affected_files
+                    else self.spark.createDataFrame([], schema)
+                )
                 merged = (
                     merge_insert_only(affected, source, keys, evolve_schema=evolve_schema)
                     if insert_only
@@ -1617,14 +1777,8 @@ class VersionedParquetTable:
                 )
                 version = parent + 1
                 new_files = self._write_commit(merged, version, spec)
-                affected_frags = {
-                    partition_suffix(self.spark, spec, p) for p in parts
-                }
-                carried = [
-                    f
-                    for f in man["files"]
-                    if _file_partition_fragment(f) not in affected_frags
-                ]
+                dropped = set(affected_files)
+                carried = [f for f in man["files"] if f not in dropped]
                 files = sorted(carried + new_files)
                 b = man.get("bloom")
                 try:

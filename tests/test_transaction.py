@@ -1137,3 +1137,75 @@ def test_inspect_metadata_tables(spark, table):
 
     with pytest.raises(ValueError, match="unknown metadata table"):
         table.inspect("manifests")
+
+
+# --- partition-spec evolution ---------------------------------------------
+
+
+def test_evolve_spec_unpartitioned_to_partitioned(spark, table):
+    table.merge(_df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"])
+    v = table.set_partition_spec(["d"])
+    assert table.inspect("snapshots").orderBy("version").collect()[-1].operation == "evolve-spec"
+    # metadata-only: same files
+    assert table.files_for(v) == table.files_for(v - 1)
+    # evolve-spec commit produces an empty change feed
+    assert table.changes(v - 1, v).isEmpty()
+    # first merge rewrites the old-spec file into the new layout
+    table.merge(_df(spark, [(2, "b", 21), (3, "c", 30)]), ["k"])
+    assert _rows(table.read()) == {(1, "a", 10), (2, "b", 21), (3, "c", 30)}
+    frags = {f.split("/")[2] for f in table.files_for()}
+    assert all(s.startswith("__p_d=") for s in frags)
+    got = table.read(partition_filter={"d": "b"})
+    assert _rows(got) == {(2, "b", 21)}
+
+
+def test_evolve_spec_incremental_migration(spark, table):
+    """Old-spec files NOT overlapping affected partitions carry over
+    untouched — a merge's cost stays proportional to its churn even
+    mid-migration."""
+    table.merge(
+        _df(spark, [(1, "a", 10), (2, "b", 20), (3, "b", 30)]),
+        ["k"],
+        partition_by=["d"],
+    )
+    old_files = set(table.files_for())
+    a_files = {f for f in old_files if "__p_d=a" in f}
+    table.set_partition_spec(["d", "k"])
+    # merge touches only d=b rows: the d=a old-spec file must survive
+    # by reference, the d=b one is rewritten under the new spec
+    table.merge(_df(spark, [(2, "b", 21)]), ["k"])
+    now = set(table.files_for())
+    assert a_files <= now
+    assert not any("__p_d=b" in f and "__p_k=" not in f for f in now)
+    assert _rows(table.read()) == {(1, "a", 10), (2, "b", 21), (3, "b", 30)}
+    # partition filter on a column only the NEW spec has: old-spec
+    # files are kept conservatively + row-filtered
+    assert _rows(table.read(partition_filter={"k": 1})) == {(1, "a", 10)}
+    # filter on the shared column still prunes the old-spec file
+    got = table.read(partition_filter={"d": "b"})
+    assert _rows(got) == {(2, "b", 21), (3, "b", 30)}
+    assert not any("__p_d=a" in f for f in got.inputFiles())
+
+
+def test_evolve_spec_compact_materializes(spark, table):
+    table.merge(
+        _df(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)]),
+        ["k"],
+        partition_by=["d"],
+    )
+    table.set_partition_spec([])
+    table.compact()
+    assert _rows(table.read()) == {(1, "a", 10), (2, "b", 20), (3, "c", 30)}
+    assert all(
+        "__p_" not in f for f in table.files_for()
+    ), table.files_for()
+
+
+def test_evolve_spec_validates_and_noops(spark, table):
+    table.merge(_df(spark, [(1, "a", 10)]), ["k"], partition_by=["d"])
+    with pytest.raises(ValueError, match="not in the table schema"):
+        table.set_partition_spec(["nope"])
+    v = table.latest_version()
+    assert table.set_partition_spec(["d"]) == v  # unchanged spec: no-op
+    with pytest.raises(ValueError, match="set_partition_spec"):
+        table.merge(_df(spark, [(1, "a", 11)]), ["k"], partition_by=["k"])
