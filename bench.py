@@ -100,6 +100,7 @@ EXTENDED = [
     # round-6 additions (metadata tables + partition-spec evolution):
     "x_table_metadata",
     "x_partition_evolution",
+    "x_sim_pq_topk",
 ]
 
 

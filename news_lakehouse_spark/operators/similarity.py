@@ -1082,3 +1082,232 @@ def quantize_embeddings(
         F.transform(F.col("__v"), lambda x: F.round(x / F.col("scale"), 0).cast("int")),
     ).otherwise(F.transform(F.col("__v"), lambda x: F.lit(0)))
     return d.select(F.col(id_col), qv.alias("qvec"), F.col("scale"))
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 4,
+    sample_n: int = 256,
+    iters: int = 5,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jégou et al., PAMI 2011 —
+    the compression scheme under FAISS's IVF-PQ).
+
+    The vector space splits into ``m`` subspaces of dim/m dims; each
+    gets its own k-means codebook of 2**nbits centroids, so a vector
+    stores as m small codes — 64 float64 dims become 8 nibbles, a ~64×
+    shrink, which is what makes a 100 TB embedding store scannable.
+
+    Training runs DRIVER-SIDE on a deterministic sample (smallest
+    xxhash64(id, seed), the same device as ivf_topk's init): k-means
+    on sample_n × dim doubles is milliseconds of numpy, and
+    sample-trained codebooks are the standard practice at any corpus
+    size — only encode/search touch the full data. Returns
+    ``m`` codebooks, each 2**nbits × (dim/m), as plain nested lists
+    (broadcastable, JSON-serializable for a persisted index).
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(
+            F.col(id_col).cast("long").alias("__id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("__v"),
+        )
+        .withColumn("__v", F.transform("__v", lambda x: x / _norm(F.col("__v"))))
+        .withColumn("__h", F.xxhash64("__id", F.lit(seed)))
+        .orderBy("__h")
+        .limit(sample_n)
+        .select("__v")
+        .collect()
+    )
+    X = np.stack([np.asarray(r["__v"], dtype="float64") for r in rows])
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub, k = dim // m, 1 << nbits
+    rng = np.random.RandomState(seed)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        cent = S[rng.choice(len(S), size=min(k, len(S)), replace=False)]
+        if len(cent) < k:  # degenerate tiny sample: pad with jitter
+            pad = cent[rng.choice(len(cent), size=k - len(cent))]
+            cent = np.vstack([cent, pad + rng.normal(0, 1e-6, pad.shape)])
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = S[mask].mean(axis=0)
+        books.append(cent.tolist())
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` sub-codes: (id, codes array<int>).
+
+    One Arrow-batched pass, argmin-L2 per subspace as a numpy matmul
+    against the (tiny, task-broadcast) codebooks — no shuffle, no
+    per-row Python. This is the table you PERSIST: the 100 TB float
+    store becomes a few TB of codes that every ADC scan reads instead.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = [np.asarray(b, dtype="float64") for b in codebooks]
+    m = len(cents)
+    dsub = cents[0].shape[1]
+
+    def fn(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["__v"].to_numpy())
+            codes = np.empty((len(X), m), dtype="int32")
+            for j in range(m):
+                S = X[:, j * dsub : (j + 1) * dsub]
+                # argmin ||s-c||^2 == argmax s.c - ||c||^2/2
+                scores = S @ cents[j].T - 0.5 * (cents[j] ** 2).sum(axis=1)
+                codes[:, j] = scores.argmax(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["__id"], "codes": list(codes)}
+            )
+
+    d = corpus.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("__v"),
+    ).withColumn("__v", F.transform("__v", lambda x: x / _norm(F.col("__v"))))
+    return d.mapInPandas(fn, "vec_id long, codes array<int>")
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus: DataFrame | None = None,
+    shortlist: int = 4,
+) -> DataFrame:
+    """ADC (asymmetric distance) top-k over PQ codes, with optional
+    exact re-rank — the FAISS search pipeline re-expressed on Spark.
+
+    Per Arrow batch the kernel builds each query's lookup table
+    LUT[j][c] = q_j · codebook_j[c] (Q × m × 2^nbits doubles, queries
+    ride along task-broadcast) and scores a row as sum_j LUT[j,
+    codes[j]] — the full-precision corpus is never touched. Each batch
+    emits only its own top candidates per query (partial top-k
+    pushdown: the shuffle moves ≤ Q·k·partitions rows, not the
+    corpus), then one global top-k. With ``corpus`` given, the ADC
+    pass shortlists ``shortlist``·k candidates and an exact cosine
+    re-rank of just those rows (a broadcast-semi-join-sized read)
+    produces the final ranking — the standard recall repair that costs
+    O(Q·k) full vectors instead of a full scan.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from news_lakehouse_spark.operators.windows import top_k_per_group
+
+    cents = [np.asarray(b, dtype="float64") for b in codebooks]
+    m = len(cents)
+    dsub = cents[0].shape[1]
+    q_rows = (
+        queries.select(
+            F.col(id_col).cast("long").alias("__qid"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("__qv"),
+        )
+        .withColumn(
+            "__qv", F.transform("__qv", lambda x: x / _norm(F.col("__qv")))
+        )
+        .collect()
+    )
+    qids = np.asarray([r["__qid"] for r in q_rows], dtype="int64")
+    Q = np.stack([np.asarray(r["__qv"], dtype="float64") for r in q_rows])
+    # LUT[q, j, c] = dot(q_sub_j, cent_j_c)
+    lut = np.stack(
+        [Q[:, j * dsub : (j + 1) * dsub] @ cents[j].T for j in range(m)],
+        axis=1,
+    )
+    want = k * (shortlist if corpus is not None else 1)
+
+    def fn(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype("int64")
+            ids = pdf["vec_id"].to_numpy()
+            # scores[q, n] = sum_j lut[q, j, codes[n, j]]
+            scores = np.zeros((len(qids), len(ids)))
+            for j in range(m):
+                scores += lut[:, j, codes[:, j]]
+            take = min(want, len(ids))
+            top = np.argpartition(-scores, take - 1, axis=1)[:, :take]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                sel = top[qi]
+                sel = sel[ids[sel] != qids[qi]]
+                out_q.extend([qids[qi]] * len(sel))
+                out_n.extend(ids[sel])
+                out_s.extend(scores[qi, sel])
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "adc_score": pd.Series(out_s, dtype="float64"),
+                }
+            )
+
+    cand = top_k_per_group(
+        codes_df.mapInPandas(
+            fn, "query_id long, neighbor_id long, adc_score double"
+        ),
+        ["query_id"],
+        [F.col("adc_score").desc(), F.col("neighbor_id").asc()],
+        want,
+    )
+    if corpus is None:
+        return top_k_per_group(
+            cand,
+            ["query_id"],
+            [F.col("adc_score").desc(), F.col("neighbor_id").asc()],
+            k,
+        ).select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc_score", 6).alias("adc_score"),
+            "rank",
+        )
+    vecs = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("__nv"),
+    ).withColumn("__nv", F.transform("__nv", lambda x: x / _norm(F.col("__nv"))))
+    qdf = F.broadcast(
+        codes_df.sparkSession.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in zip(qids, Q)],
+            "query_id long, __qv array<double>",
+        )
+    )
+    reranked = (
+        vecs.join(F.broadcast(cand.select("query_id", "neighbor_id")), "neighbor_id")
+        .join(qdf, "query_id")
+        .withColumn("cos_sim", F.round(_dot(F.col("__qv"), F.col("__nv")), 6))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    return top_k_per_group(
+        reranked,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+    )

@@ -1394,3 +1394,58 @@ def test_hard_negative_mining_excludes_same_label(spark, sf_dir):
         assert [p[0] for p in pairs] == [1, 2, 3, 4]
         sims = [p[1] for p in pairs]
         assert all(a >= b for a, b in zip(sims, sims[1:]))
+
+
+def test_pq_lossless_codebook_equals_bruteforce(spark):
+    """m=1 with one centroid per distinct vector makes PQ encoding
+    lossless, so ADC ranking must equal exact brute force."""
+    import math
+
+    from news_lakehouse_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    rows = [
+        (i, [math.cos(0.37 * i + d * 0.11) for d in range(4)])
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(df, m=1, nbits=3, sample_n=8, iters=4)
+    codes = pq_encode(df, books)
+    got = codes.collect()
+    assert all(0 <= c < 8 for r in got for c in r["codes"])
+    # 8 distinct vectors, 8 centroids: every vector quantizes to itself
+    assert len({tuple(r["codes"]) for r in got}) == 8
+
+    adc = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in pq_topk(codes, df, books, k=3).collect()
+    }
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk_bruteforce(df, df, k=3).collect()
+    }
+    assert adc == exact
+
+
+def test_pq_rerank_scores_are_exact_cosine(spark, sf_dir):
+    from news_lakehouse_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 2)
+    books = pq_train(emb, m=8, nbits=4, sample_n=128)
+    codes = pq_encode(emb, books)
+    rr = pq_topk(codes, q, books, k=5, corpus=emb, shortlist=6)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in cosine_topk_bruteforce(emb, q, k=200).collect()
+    }
+    for r in rr.collect():
+        # reranked scores are TRUE cosines, not ADC approximations
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
