@@ -382,6 +382,33 @@ def _frag_columns(fragment: str) -> dict[str, str]:
     }
 
 
+def _overlap_selector(spark: SparkSession, spec: list[str], parts: list[dict]):
+    """Predicate over manifest file paths: does this file overlap any
+    of ``parts`` (partition tuples over the CURRENT spec)? Current-spec
+    files match exactly by fragment; files written under an OLDER spec
+    (partition evolution) match unless their fragment PROVES exclusion
+    from every tuple — the conservative rule both merge and partial
+    compaction use to migrate old-spec files incrementally."""
+    frags = {partition_suffix(spark, spec, p) for p in parts}
+    spec_keys = {f"__p_{c}" for c in spec}
+    part_segs = [
+        {f"__p_{c}": partition_suffix(spark, [c], p) for c in spec}
+        for p in parts
+    ]
+
+    def sel(rel: str) -> bool:
+        frag = _file_partition_fragment(rel)
+        segs = _frag_columns(frag)
+        if set(segs) == spec_keys:
+            return frag in frags
+        return any(
+            all(segs[k] == ps[k] for k in spec_keys if k in segs)
+            for ps in part_segs
+        )
+
+    return sel
+
+
 class VersionedParquetTable:
     """A parquet table with atomic, versioned, time-travelable commits."""
 
@@ -1718,41 +1745,14 @@ class VersionedParquetTable:
                     r.asDict()
                     for r in new_parts.unionByName(old_parts).distinct().collect()
                 ]
-                affected_frags = {
-                    partition_suffix(self.spark, spec, p) for p in parts
-                }
-                spec_keys = {f"__p_{c}" for c in spec}
-                part_segs = [
-                    {
-                        f"__p_{c}": partition_suffix(self.spark, [c], p)
-                        for c in spec
-                    }
-                    for p in parts
-                ]
-
-                def _is_affected(rel: str) -> bool:
-                    segs = _frag_columns(_file_partition_fragment(rel))
-                    if set(segs) == spec_keys:
-                        # current-spec file: fragment is exactly the
-                        # partition tuple
-                        return (
-                            _file_partition_fragment(rel) in affected_frags
-                        )
-                    # written under an OLDER spec (evolution): rewrite
-                    # it into the current spec unless its fragment
-                    # PROVES it overlaps no affected partition — the
-                    # incremental-migration path, Iceberg-style: each
-                    # merge converts only the old-spec files it must
-                    # touch, never the whole table.
-                    return any(
-                        all(
-                            segs[k] == ps[k]
-                            for k in spec_keys
-                            if k in segs
-                        )
-                        for ps in part_segs
-                    )
-
+                # Affected files by fragment overlap: current-spec
+                # files match their partition tuple exactly; old-spec
+                # files (evolution) rewrite into the current spec when
+                # they can't be proven disjoint — the incremental-
+                # migration path, Iceberg-style: each merge converts
+                # only the old-spec files it must touch, never the
+                # whole table.
+                _is_affected = _overlap_selector(self.spark, spec, parts)
                 affected_files = [
                     f for f in man["files"] if _is_affected(f)
                 ]
@@ -1998,10 +1998,58 @@ class VersionedParquetTable:
 
     # --- maintenance -----------------------------------------------------
 
+    def plan_compaction(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        min_files: int = 2,
+    ) -> list[dict]:
+        """Pick the partitions worth compacting, FROM METADATA ONLY:
+        a partition qualifies when it holds more files than its live
+        bytes justify at ``target_file_bytes`` (small-file buildup from
+        many merges) and at least ``min_files`` files. Returns a list
+        of partition-value dicts ready for ``compact(partitions=...)``
+        — the maintenance loop for a 100 TB table is
+        ``compact(partitions=plan_compaction())`` on a schedule, never
+        a full rewrite. Empty list means nothing to do (also for
+        unpartitioned tables — compact() handles those whole)."""
+        import math
+
+        parent = self.latest_version()
+        if parent is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        man = self._load_manifest(parent)
+        spec = man["partition_by"] or None
+        if not spec:
+            return []
+        unesc = _unescape_fn(self.spark)
+        frag_files: dict[str, int] = {}
+        frag_bytes: dict[str, int] = {}
+        for rel in man["files"]:
+            frag = _file_partition_fragment(rel)
+            frag_files[frag] = frag_files.get(frag, 0) + 1
+            frag_bytes[frag] = frag_bytes.get(frag, 0) + os.path.getsize(
+                os.path.join(self.path, rel)
+            )
+        out = []
+        for frag, n in sorted(frag_files.items()):
+            justified = max(1, math.ceil(frag_bytes[frag] / target_file_bytes))
+            if n >= min_files and n > justified:
+                part: dict = {}
+                for seg in frag.split("/"):
+                    c, _, v = seg.partition("=")
+                    part[c[len("__p_"):]] = (
+                        None
+                        if v == "__HIVE_DEFAULT_PARTITION__"
+                        else str(unesc(v))
+                    )
+                out.append(part)
+        return out
+
     def compact(
         self,
         target_file_bytes: int = 128 * 1024 * 1024,
         cluster_by: list[str] | None = None,
+        partitions: list[dict] | None = None,
     ) -> int:
         """Crash-safe small-file compaction: rewrite the current
         snapshot into a fresh commit sized from the ACTUAL live bytes
@@ -2028,6 +2076,19 @@ class VersionedParquetTable:
         the payoff repeats on every subsequent read. For multi-column
         locality use one interleaved key (functions.zorder) as the
         cluster column.
+
+        ``partitions`` (a list of partition-value dicts over the
+        current spec, e.g. ``plan_compaction()``'s output) restricts
+        the rewrite to those partitions — PARTIAL compaction, the only
+        kind that exists operationally at 100 TB: files elsewhere
+        carry over by reference, merge-on-read delete entries stay (a
+        rewritten file's newer commit version exempts it from them
+        automatically, so the chosen partitions' tombstones
+        materialize while carried files keep theirs), and the commit
+        is content-preserving like any compact (``changes()`` skips
+        it). Files written under an older partition spec rewrite when
+        they overlap a chosen partition — the same incremental
+        migration rule as merge.
         """
         import math
 
@@ -2036,6 +2097,15 @@ class VersionedParquetTable:
             raise FileNotFoundError(f"no committed version at {self.path}")
         man = self._load_manifest(parent)
         spec = man["partition_by"] or None
+        if partitions is not None:
+            if not spec:
+                raise ValueError(
+                    "partial compaction needs a partitioned table; call "
+                    "compact() without partitions"
+                )
+            return self._compact_partial(
+                man, parent, spec, partitions, target_file_bytes
+            )
         df = self.read(parent)
         total = sum(
             os.path.getsize(os.path.join(self.path, rel))
@@ -2060,36 +2130,7 @@ class VersionedParquetTable:
                 frag: max(1, math.ceil(b / target_file_bytes))
                 for frag, b in frag_bytes.items()
             }
-            if all(n == 1 for n in frag_n.values()):
-                out = df.repartition(*[F.col(c) for c in spec])
-            else:
-                # Oversized partitions split by a deterministic salt:
-                # hash every column so the split is stable and roughly
-                # even regardless of value skew within the partition.
-                n_col = F.lit(1)
-                unesc = _unescape_fn(self.spark)
-                for frag, n in frag_n.items():
-                    if n == 1:
-                        continue
-                    cond = F.lit(True)
-                    for seg in frag.split("/"):
-                        c, _, v = seg.partition("=")
-                        c = c[len("__p_"):]
-                        if v == "__HIVE_DEFAULT_PARTITION__":
-                            cond = cond & F.col(c).isNull()
-                        else:
-                            cond = cond & (
-                                F.col(c).cast("string") == str(unesc(v))
-                            )
-                    n_col = F.when(cond, F.lit(n)).otherwise(n_col)
-                salt = F.pmod(
-                    F.xxhash64(*[F.col(c) for c in df.columns]), n_col
-                )
-                out = df.repartition(
-                    max(sum(frag_n.values()), 1),
-                    *[F.col(c) for c in spec],
-                    salt,
-                )
+            out = self._spec_sized_repartition(df, spec, frag_n)
         else:
             out = df.repartition(n_files)
         version = parent + 1
@@ -2102,6 +2143,94 @@ class VersionedParquetTable:
                 if b
                 else None
             ),
+        )
+
+    def _spec_sized_repartition(
+        self, df: DataFrame, spec: list[str], frag_n: dict[str, int]
+    ) -> DataFrame:
+        """Repartition a rewrite on the partition spec, splitting any
+        fragment budgeted more than one file (``frag_n``, from live
+        manifest bytes — no scan) by a deterministic row-hash salt, so
+        a hot partition compacts to N right-sized files instead of one
+        unsplittable giant written by one task."""
+        if all(n == 1 for n in frag_n.values()):
+            return df.repartition(*[F.col(c) for c in spec])
+        # Oversized partitions split by a deterministic salt: hash
+        # every column so the split is stable and roughly even
+        # regardless of value skew within the partition.
+        n_col = F.lit(1)
+        unesc = _unescape_fn(self.spark)
+        for frag, n in frag_n.items():
+            if n == 1:
+                continue
+            cond = F.lit(True)
+            for seg in frag.split("/"):
+                c, _, v = seg.partition("=")
+                c = c[len("__p_"):]
+                if v == "__HIVE_DEFAULT_PARTITION__":
+                    cond = cond & F.col(c).isNull()
+                else:
+                    cond = cond & (
+                        F.col(c).cast("string") == str(unesc(v))
+                    )
+            n_col = F.when(cond, F.lit(n)).otherwise(n_col)
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), n_col)
+        return df.repartition(
+            max(sum(frag_n.values()), 1),
+            *[F.col(c) for c in spec],
+            salt,
+        )
+
+    def _compact_partial(
+        self,
+        man: dict,
+        parent: int,
+        spec: list[str],
+        partitions: list[dict],
+        target_file_bytes: int,
+    ) -> int:
+        """Rewrite only ``partitions``' files (see compact()); all
+        other files carry over by reference. Returns the committed
+        version, or ``parent`` unchanged when nothing matches."""
+        import math
+
+        sel = _overlap_selector(self.spark, spec, partitions)
+        chosen = [f for f in man["files"] if sel(f)]
+        if not chosen:
+            return parent
+        schema = StructType.fromJson(man["schema"])
+        df = self._apply_deletes(self._read_files(chosen, schema), man)
+        frag_bytes: dict[str, int] = {}
+        for rel in chosen:
+            frag = _file_partition_fragment(rel)
+            frag_bytes[frag] = frag_bytes.get(frag, 0) + os.path.getsize(
+                os.path.join(self.path, rel)
+            )
+        frag_n = {
+            frag: max(1, math.ceil(b / target_file_bytes))
+            for frag, b in frag_bytes.items()
+        }
+        out = self._spec_sized_repartition(df, spec, frag_n)
+        version = parent + 1
+        new_files = self._write_commit(out, version, spec)
+        dropped = set(chosen)
+        carried = [f for f in man["files"] if f not in dropped]
+        files = sorted(carried + new_files)
+        b = man.get("bloom")
+        return self._commit(
+            out, files, parent, spec, "compact",
+            prior_stats=man.get("stats"),
+            # entries keep applying to carried files; the rewritten
+            # files' newer commit version exempts them (their
+            # tombstones just materialized)
+            delete_files=man.get("delete_files"),
+            bloom_cfg=(
+                {"columns": b["columns"], "bits": b["bits"], "k": b["k"]}
+                if b
+                else None
+            ),
+            bloom_new_files=new_files,
+            bloom_carried=(b or {}).get("sidecars"),
         )
 
     def vacuum(

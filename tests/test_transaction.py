@@ -1209,3 +1209,54 @@ def test_evolve_spec_validates_and_noops(spark, table):
     assert table.set_partition_spec(["d"]) == v  # unchanged spec: no-op
     with pytest.raises(ValueError, match="set_partition_spec"):
         table.merge(_df(spark, [(1, "a", 11)]), ["k"], partition_by=["k"])
+
+
+def test_partial_compact_rewrites_only_chosen_partitions(spark, table):
+    table.merge(
+        _df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"], partition_by=["d"]
+    )
+    table.merge(_df(spark, [(3, "b", 30)]), ["k"])
+    table.merge(_df(spark, [(4, "b", 40)]), ["k"])
+    before = set(table.files_for())
+    a_files = {f for f in before if "__p_d=a" in f}
+    b_files = {f for f in before if "__p_d=b" in f}
+    # the last merge's rewrite of partition b split across tasks —
+    # small-file buildup the planner must spot
+    assert len(b_files) >= 2
+
+    plan = table.plan_compaction(min_files=2)
+    assert plan == [{"d": "b"}]  # only b has small-file buildup
+
+    v = table.compact(partitions=plan)
+    now = set(table.files_for())
+    assert a_files <= now  # untouched partition carried by reference
+    assert len({f for f in now if "__p_d=b" in f}) == 1
+    assert _rows(table.read()) == {
+        (1, "a", 10), (2, "b", 20), (3, "b", 30), (4, "b", 40)
+    }
+    # content-preserving: the feed across the partial compact is empty
+    assert table.changes(v - 1, v).isEmpty()
+    # nothing to do → no empty commit
+    assert table.compact(partitions=[{"d": "zzz"}]) == v
+    assert table.plan_compaction(min_files=2) == []
+
+
+def test_partial_compact_materializes_tombstones_in_chosen_partition(
+    spark, table
+):
+    table.merge(
+        _df(spark, [(1, "a", 10), (2, "b", 20), (3, "b", 30)]),
+        ["k"],
+        partition_by=["d"],
+    )
+    table.merge(_df(spark, [(4, "b", 40)]), ["k"])
+    table.delete_keys(spark.createDataFrame([(3,), (1,)], "k long"), ["k"])
+    table.compact(partitions=[{"d": "b"}])
+    man = table._load_manifest(table.latest_version())
+    assert man["delete_files"]  # entries stay for the carried files
+    assert _rows(table.read()) == {(2, "b", 20), (4, "b", 40)}
+    # key 3's tombstone materialized in the rewritten partition; key
+    # 1's still applies via the carried a-file's older commit version
+    full = table.compact()
+    assert not table._load_manifest(full)["delete_files"]
+    assert _rows(table.read()) == {(2, "b", 20), (4, "b", 40)}
