@@ -382,27 +382,25 @@ def _frag_columns(fragment: str) -> dict[str, str]:
     }
 
 
-def _overlap_selector(spark: SparkSession, spec: list[str], parts: list[dict]):
+def _overlap_selector(spark: SparkSession, parts: list[dict]):
     """Predicate over manifest file paths: does this file overlap any
-    of ``parts`` (partition tuples over the CURRENT spec)? Current-spec
-    files match exactly by fragment; files written under an OLDER spec
-    (partition evolution) match unless their fragment PROVES exclusion
-    from every tuple — the conservative rule both merge and partial
-    compaction use to migrate old-spec files incrementally."""
-    frags = {partition_suffix(spark, spec, p) for p in parts}
-    spec_keys = {f"__p_{c}" for c in spec}
+    of ``parts``? Each part is a dict of partition-column values —
+    a FULL tuple over the current spec (merge's affected partitions)
+    or any subset of partition columns (partial compaction by, say,
+    just the date across sub-partitions). A file is excluded only when
+    its fragment PROVES disjointness: it carries a segment for one of
+    the part's columns with a different value. Fragments lacking a
+    column (written under another spec — partition evolution) can't
+    prove it, so they match conservatively and migrate on rewrite."""
     part_segs = [
-        {f"__p_{c}": partition_suffix(spark, [c], p) for c in spec}
+        {f"__p_{c}": partition_suffix(spark, [c], p) for c in p}
         for p in parts
     ]
 
     def sel(rel: str) -> bool:
-        frag = _file_partition_fragment(rel)
-        segs = _frag_columns(frag)
-        if set(segs) == spec_keys:
-            return frag in frags
+        segs = _frag_columns(_file_partition_fragment(rel))
         return any(
-            all(segs[k] == ps[k] for k in spec_keys if k in segs)
+            all(segs.get(k, ps[k]) == ps[k] for k in ps)
             for ps in part_segs
         )
 
@@ -1752,7 +1750,7 @@ class VersionedParquetTable:
                 # migration path, Iceberg-style: each merge converts
                 # only the old-spec files it must touch, never the
                 # whole table.
-                _is_affected = _overlap_selector(self.spark, spec, parts)
+                _is_affected = _overlap_selector(self.spark, parts)
                 affected_files = [
                     f for f in man["files"] if _is_affected(f)
                 ]
@@ -2088,7 +2086,9 @@ class VersionedParquetTable:
         is content-preserving like any compact (``changes()`` skips
         it). Files written under an older partition spec rewrite when
         they overlap a chosen partition — the same incremental
-        migration rule as merge.
+        migration rule as merge. A dict may name any SUBSET of
+        partition columns (``[{"d": "2020-01-01"}]`` compacts that
+        date across all sub-partitions).
         """
         import math
 
@@ -2194,7 +2194,7 @@ class VersionedParquetTable:
         version, or ``parent`` unchanged when nothing matches."""
         import math
 
-        sel = _overlap_selector(self.spark, spec, partitions)
+        sel = _overlap_selector(self.spark, partitions)
         chosen = [f for f in man["files"] if sel(f)]
         if not chosen:
             return parent

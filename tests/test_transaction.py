@@ -1260,3 +1260,20 @@ def test_partial_compact_materializes_tombstones_in_chosen_partition(
     full = table.compact()
     assert not table._load_manifest(full)["delete_files"]
     assert _rows(table.read()) == {(2, "b", 20), (4, "b", 40)}
+
+
+def test_partial_compact_accepts_partition_column_subset(spark, table):
+    table.merge(
+        _df(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]),
+        ["k"],
+        partition_by=["d", "k"],
+    )
+    table.merge(_df(spark, [(2, "a", 21)]), ["k"])
+    before = set(table.files_for())
+    b_files = {f for f in before if "__p_d=b" in f}
+    # one dict naming only d compacts BOTH a-subpartitions
+    table.compact(partitions=[{"d": "a"}])
+    now = set(table.files_for())
+    assert b_files <= now
+    assert len({f for f in now if "__p_d=a" in f}) == 2  # one per (d,k)
+    assert _rows(table.read()) == {(1, "a", 10), (2, "a", 21), (3, "b", 30)}
