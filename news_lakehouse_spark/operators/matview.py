@@ -115,9 +115,21 @@ class IncrementalAggView:
             return src_v
         if src_v <= last:
             return last
-        feed = source.changes(last, src_v)
-        updated = self._apply_delta(feed, source, src_v)
-        self.table.merge(updated, self.group_by, properties=props)
+        # The feed plan (per-commit manifest diffs + exceptAll) appears
+        # twice in the delta plan (signed agg + delete-group rescan
+        # semi-join) and merge() evaluates ITS source several times
+        # (key sets, affected partitions, the rewrite) — persist both
+        # the O(churn) feed and the view-sized delta so neither plan
+        # re-derives the feed from table history per evaluation.
+        feed = source.changes(last, src_v).persist()
+        try:
+            updated = self._apply_delta(feed, source, src_v).persist()
+            try:
+                self.table.merge(updated, self.group_by, properties=props)
+            finally:
+                updated.unpersist()
+        finally:
+            feed.unpersist()
         return src_v
 
     def _apply_delta(

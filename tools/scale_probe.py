@@ -71,6 +71,10 @@ PROBES = {
     "x_bloom_point_lookup": ("orders", 10),
     "x_cdc_replicate": ("orders", 10),
     "x_ivm_refresh": ("orders", 10),
+    # round-6 additions: metadata tables, partition evolution, PQ ANN
+    "x_table_metadata": ("orders", 10),
+    "x_partition_evolution": ("orders", 10),
+    "x_sim_pq_topk": ("embeddings", 20),
     # x_source_overlap is NOT probed: its oracle-pinned max_df=100 band
     # (exact at fixture df <= 25) excises the 20x-replicated shingles
     # entirely, so the probe would time an empty output. Its inverted-
@@ -214,6 +218,92 @@ def depth_probe(spark, base: str) -> list[str]:
     return lines
 
 
+def evolution_probe(spark, base: str) -> list[str]:
+    """Partition-evolution + partial-compaction probe: both must cost
+    ~0 in TABLE size. Two tables share an IDENTICAL chosen month; the
+    big one carries 16x the rows everywhere else. exp =
+    log(t_big/t_small)/log(16): set_partition_spec (one manifest
+    write) and compact(partitions=[chosen]) (reads only that month's
+    files) ~0; full compact() ~1 is the contrast row — the cost
+    partial compaction exists to avoid."""
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    orders = spark.read.parquet(f"{base}/orders.parquet").select(
+        "o_orderkey",
+        F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias(
+            "o_month"
+        ),
+        (F.col("o_orderkey") % 4).alias("o_kbin"),
+        "o_totalprice",
+    )
+    chosen = orders.agg(F.min("o_month")).first()[0]
+    small_df = orders.filter(F.col("o_orderkey") % 16 == 0)
+    big_df = orders.filter(
+        (F.col("o_month") != chosen) | (F.col("o_orderkey") % 16 == 0)
+    )
+
+    def timed(fn, reps: int = 3) -> float:
+        best = math.inf
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            fn()
+            best = min(best, _time.perf_counter() - t0)
+        return best
+
+    metrics: dict[str, dict[str, float]] = {}
+    for label, df in (("small", small_df), ("big", big_df)):
+        path = tempfile.mkdtemp(prefix=f"nlh_evo_{label}_")
+        shutil.rmtree(path)
+        t = VersionedParquetTable(spark, path)
+        t.write(df, partition_by=["o_month"])
+        specs = [["o_month", "o_kbin"], ["o_month"]]
+        state = {"i": 0}
+
+        def evolve():
+            t.set_partition_spec(specs[state["i"] % 2])
+            state["i"] += 1
+
+        metrics[label] = {
+            "set_partition_spec": timed(evolve),
+            "plan_compaction": timed(t.plan_compaction),
+            "partial_compact_one_month": timed(
+                lambda: t.compact(partitions=[{"o_month": chosen}]), reps=2
+            ),
+            "full_compact": timed(t.compact, reps=1),
+        }
+        shutil.rmtree(path)
+
+    lines = [
+        "",
+        "## Partition-evolution + partial-compaction probe",
+        "",
+        "Two tables with an IDENTICAL chosen month; the big table is",
+        "16x everywhere else. exp = log(t_big/t_small)/log(16):",
+        "set_partition_spec is one manifest write and",
+        "compact(partitions=[chosen]) reads only that month, so both",
+        "~0 (flat in table size); full compact() rewrites the whole",
+        "table and is the contrast row — at sf0.1 its absolute time is",
+        "still part-dominated by fixed per-commit overhead, so read",
+        "the partial-vs-full ABSOLUTE gap on the big table, not just",
+        "the exponent. plan_compaction is metadata-only (manifest",
+        "parse, no data read).",
+        "",
+        "| metric | t_small (s) | t_big (s) | exp vs 16x data |",
+        "|---|---|---|---|",
+    ]
+    for key in metrics["small"]:
+        a, b = metrics["small"][key], metrics["big"][key]
+        exp = math.log(b / a) / math.log(16) if a > 0 else float("nan")
+        lines.append(f"| {key} | {a:.3f} | {b:.3f} | {exp:.2f} |")
+        print(lines[-1], file=sys.stderr)
+    return lines
+
+
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     only = set(sys.argv[2:])  # optional probe subset for iteration
@@ -288,6 +378,8 @@ def main() -> None:
 
     if not only or "depth" in only:
         lines.extend(depth_probe(spark, base))
+    if not only or "evolution" in only:
+        lines.extend(evolution_probe(spark, base))
 
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"
