@@ -101,6 +101,8 @@ EXTENDED = [
     "x_table_metadata",
     "x_partition_evolution",
     "x_sim_pq_topk",
+    "x_partial_compact",
+    "t_stream_dedup",
 ]
 
 

@@ -2349,6 +2349,43 @@ def t_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with bounded state
+    (streaming/windows.py dedupe_stream_within_watermark, drained by
+    streaming/joins.py run_stream_dedup_over_dir): the events file
+    read as TWO unioned streams — every event delivered twice, the
+    at-least-once upstream shape — deduped on event_id by
+    dropDuplicatesWithinWatermark, whose state the watermark evicts
+    (plain dropDuplicates on a 100 TB/day stream grows state forever).
+    The oracle is the batch distinct: with all duplicates inside one
+    AvailableNow batch the streamed result is exactly the unique
+    events."""
+    import tempfile
+    import uuid
+
+    from news_lakehouse_spark.streaming.joins import run_stream_dedup_over_dir
+
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_dedup_")
+    out = run_stream_dedup_over_dir(
+        spark, f"{sf_dir}/events.parquet", ckpt, query_name=name
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    )
+
+
+_STREAM_DEDUP_SQL = """
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+       ROUND(CAST(value AS DOUBLE), 6) AS value
+FROM events
+"""
+
+
 _STREAM_JOIN_SQL = """
 SELECT v.user_id,
        v.event_id AS l_event_id,
@@ -2760,6 +2797,83 @@ FROM orders
 WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
+"""
+
+
+def x_partial_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial compaction driven by the metadata-only planner
+    (sources/transaction.py plan_compaction + compact(partitions=...)
+    — Iceberg rewrite_data_files-with-filter / Delta OPTIMIZE WHERE
+    analog). Three merges build small-file pressure in the F-status
+    partition only; plan_compaction must name exactly that partition
+    from the manifest alone, and compacting it must leave every other
+    partition's files untouched (asserted in-plan, along with the
+    compact commit's empty change feed — content preservation). At
+    100 TB this is the only compaction shape that exists: cost follows
+    the churned partition, never the table. The returned aggregate
+    re-reads the compacted table; the oracle recomputes it from raw
+    data.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"nlh_partial_cmp_{os.getpid()}_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = VersionedParquetTable(spark, base)
+    t.merge(orders, ["o_orderkey"], partition_by=["o_orderstatus"])
+    # two more merges churn ONLY status F → small-file buildup there
+    for mod in (7, 11):
+        t.merge(
+            orders.filter(
+                (F.col("o_orderstatus") == "F")
+                & (F.col("o_orderkey") % mod == 0)
+            ).withColumn("o_totalprice", F.col("o_totalprice") + mod),
+            ["o_orderkey"],
+        )
+    untouched = {
+        f for f in t.files_for() if "__p_o_orderstatus=F" not in f
+    }
+    plan = t.plan_compaction(min_files=2)
+    assert {"o_orderstatus": "F"} in plan, plan
+    v = t.compact(partitions=[{"o_orderstatus": "F"}])
+    assert t.changes(v - 1, v).isEmpty()  # content-preserving
+    live = set(t.files_for())
+    assert untouched <= live  # other partitions carried by reference
+
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_PARTIAL_COMPACT_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS cnt,
+       ROUND(SUM(CASE
+                   WHEN o_orderstatus = 'F' AND o_orderkey % 11 = 0
+                     THEN o_totalprice + 11
+                   WHEN o_orderstatus = 'F' AND o_orderkey % 7 = 0
+                     THEN o_totalprice + 7
+                   ELSE o_totalprice
+                 END), 2) AS total
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
 """
 
 
@@ -5970,6 +6084,7 @@ QUERIES: dict[str, QueryFn] = {
     # Queries driver-verified in r5 rotate below the line;
     # tools/verify_oracle.py still covers the full registry.
     "t_stream_join": t_stream_join,
+    "t_stream_dedup": t_stream_dedup,
     "x_mor_delete": x_mor_delete,
     "x_bloom_point_lookup": x_bloom_point_lookup,
     "x_cdc_replicate": x_cdc_replicate,
@@ -6010,6 +6125,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_ts_pattern_search": x_ts_pattern_search,
     "x_time_travel": x_time_travel,
     "x_table_metadata": x_table_metadata,
+    "x_partial_compact": x_partial_compact,
     "x_partition_evolution": x_partition_evolution,
     "x_table_changes": x_table_changes,
     "x_rollback": x_rollback,
@@ -6209,6 +6325,7 @@ ORACLES: dict[str, str] = {
     "x_sim_pq_topk": _SIM_PQ_SQL,
     "x_stream_stateful": _STREAM_STATEFUL_SQL,
     "t_stream_join": _STREAM_JOIN_SQL,
+    "t_stream_dedup": _STREAM_DEDUP_SQL,
     "x_mor_delete": _MOR_DELETE_SQL,
     "x_bloom_point_lookup": _BLOOM_LOOKUP_SQL,
     "x_cdc_replicate": _CDC_REPLICATE_SQL,
@@ -6219,6 +6336,7 @@ ORACLES: dict[str, str] = {
     "x_scd2_dimension": _SCD2_SQL,
     "x_time_travel": _TIME_TRAVEL_SQL,
     "x_table_metadata": _TABLE_METADATA_SQL,
+    "x_partial_compact": _PARTIAL_COMPACT_SQL,
     "x_partition_evolution": _PARTITION_EVOLUTION_SQL,
     "x_table_changes": _TABLE_CHANGES_SQL,
     "x_rollback": _ROLLBACK_SQL,

@@ -89,3 +89,63 @@ def run_interval_join_over_dir(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_stream_dedup_over_dir(
+    spark: SparkSession,
+    parquet_path: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_dedup",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Drain a DOUBLED events stream (the same files read as two
+    streams, unioned — every event arrives twice, the duplicated-
+    delivery shape an at-least-once upstream produces) through
+    ``streaming.windows.dedupe_stream_within_watermark`` on event_id
+    with Trigger.AvailableNow into a memory sink. The result must be
+    exactly the distinct events — the batch oracle. State is bounded
+    by the watermark (the eviction property dropDuplicates-without-
+    watermark lacks); the state-bound test lives in tests/.
+    """
+    import os
+
+    from news_lakehouse_spark.streaming.windows import (
+        dedupe_stream_within_watermark,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(parquet_path).schema
+
+    def open_stream():
+        reader = spark.readStream.schema(schema)
+        if os.path.isfile(parquet_path.replace("file://", "")):
+            reader = reader.option(
+                "pathGlobFilter", os.path.basename(parquet_path)
+            )
+            stream = reader.parquet(os.path.dirname(parquet_path))
+        else:
+            stream = reader.parquet(parquet_path)
+        if dict(stream.dtypes).get("ts") == "bigint":
+            stream = stream.withColumn(
+                "ts", F.expr("timestamp_micros(ts div 1000)")
+            )
+        if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        return stream.select(
+            "event_id", "user_id", "ts", "event_type", "value"
+        )
+
+    doubled = open_stream().unionByName(open_stream())
+    deduped = dedupe_stream_within_watermark(
+        doubled, ["event_id"], ts_col="ts", watermark=watermark
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
