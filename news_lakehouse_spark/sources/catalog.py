@@ -114,3 +114,22 @@ class ParquetWarehouse:
         """S12 analog: expose every table as a temp view for spark.sql."""
         for t in self.list_tables():
             self.read(t).createOrReplaceTempView(f"{prefix}{t}")
+
+    def register_versioned_view(
+        self, table: str, version=None, name: str | None = None
+    ) -> str:
+        """SQL access to a versioned-table snapshot — time travel from
+        ``spark.sql`` (the Iceberg ``VERSION AS OF`` analog on the
+        manifest layer). ``version`` accepts a number or a tag;
+        omitted = latest. The view is named ``table`` for the live
+        snapshot or ``table_v<N>`` for a pinned one (override with
+        ``name``). Returns the view name. The view captures the
+        resolved snapshot's FILE LIST, so later commits don't leak in
+        — re-register to follow the head."""
+        t = self.versioned(table)
+        resolved = t._resolve_version(version)
+        view = name or (
+            table if version is None else f"{table}_v{resolved}"
+        )
+        t.read(version=version).createOrReplaceTempView(view)
+        return view

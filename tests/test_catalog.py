@@ -106,3 +106,23 @@ def test_csv_permissive_malformed_rows(spark, tmp_path):
     vals = [(r["id"], r["v"]) for r in back]
     assert (1, 2.5) in vals and (3, 1.0) in vals
     assert any(r["id"] is None for r in back)  # malformed → nulls, no failure
+
+
+def test_register_versioned_view_time_travel(spark, tmp_path):
+    from news_lakehouse_spark.sources.catalog import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.create_namespace()
+    t = wh.versioned("articles")
+    t.merge(spark.createDataFrame([(1, 10)], "k long, v long"), ["k"])
+    t.tag("first")
+    t.merge(spark.createDataFrame([(1, 99), (2, 20)], "k long, v long"), ["k"])
+
+    live = wh.register_versioned_view("articles")
+    pinned = wh.register_versioned_view("articles", version="first")
+    assert live == "articles" and pinned == "articles_v1"
+    assert spark.sql("SELECT sum(v) FROM articles").first()[0] == 119
+    assert spark.sql("SELECT sum(v) FROM articles_v1").first()[0] == 10
+    # the live view is a snapshot too: a later commit doesn't leak in
+    t.merge(spark.createDataFrame([(3, 300)], "k long, v long"), ["k"])
+    assert spark.sql("SELECT sum(v) FROM articles").first()[0] == 119
