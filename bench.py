@@ -103,6 +103,7 @@ EXTENDED = [
     "x_sim_pq_topk",
     "x_partial_compact",
     "t_stream_dedup",
+    "x_pq_index_incremental",
 ]
 
 

@@ -1311,3 +1311,49 @@ def pq_topk(
         [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
         k,
     )
+
+
+def pq_index_ingest(
+    index,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 6,
+    sample_n: int = 400,
+    iters: int = 5,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Persisted PQ index over a VersionedParquetTable: ``(vec_id,
+    codes)`` maintained incrementally, the ANN sibling of
+    ``semantic_index_ingest``.
+
+    The FIRST ingest trains codebooks on the batch and every commit
+    carries them in the manifest ``properties`` (m·2^nbits·dim/m
+    doubles — manifest-sized); later ingests LOAD the stored codebooks
+    and encode ONLY the new batch, merge-committing its codes: codes
+    stay mutually comparable because the codebooks never retrain (the
+    FAISS contract — retraining requires re-encoding, i.e. a new
+    index). Search = ``pq_topk(index.read(), queries, books, ...)``;
+    at 100 TB the code table the ADC scan reads is ~64× smaller than
+    the float store and each ingest costs one Arrow pass over the
+    batch plus an O(batch) merge. Returns the codebooks.
+    """
+    import json as _json
+
+    key = "pq_codebooks"
+    if index.latest_version() is None:
+        books = pq_train(
+            batch, id_col, vec_col, m, nbits, sample_n, iters, seed
+        )
+    else:
+        stored = index.snapshot_properties().get(key)
+        if not stored:
+            raise ValueError(
+                f"index at {index.path} has no {key} property; was it "
+                "created by pq_index_ingest?"
+            )
+        books = _json.loads(stored)
+    codes = pq_encode(batch, books, id_col, vec_col)
+    index.merge(codes, ["vec_id"], properties={key: _json.dumps(books)})
+    return books

@@ -2302,6 +2302,58 @@ SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 5
 """
 
 
+def x_pq_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental persisted PQ index
+    (operators/similarity.py pq_index_ingest over a
+    VersionedParquetTable): the first ingest (80% of the corpus by key
+    hash) trains the codebooks and commits codes + codebooks (manifest
+    properties); the second ingest (the other 20%) must LOAD the
+    stored codebooks — never retrain, so codes stay comparable — and
+    encode only its batch. In-plan asserts pin codebook reuse
+    (byte-identical across ingests) and that the code table covers the
+    corpus exactly once. Search reads the code table (at 100 TB, ~64×
+    smaller than the float store), reranks exactly, and the oracle
+    pins recall@10 >= 0.4 per query vs in-query brute force.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from news_lakehouse_spark.operators.similarity import (
+        pq_index_ingest,
+        pq_topk,
+    )
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"nlh_pq_index_{os.getpid()}_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    index = VersionedParquetTable(spark, base)
+    is_b2 = F.pmod(F.xxhash64("vec_id", F.lit(3)), F.lit(5)) == 0
+    books1 = pq_index_ingest(index, emb.filter(~is_b2))
+    books2 = pq_index_ingest(index, emb.filter(is_b2))
+    assert books2 == books1  # stored codebooks reused, never retrained
+    codes = index.read()
+    assert codes.count() == emb.count()
+
+    q = emb.filter(F.col("vec_id") < 5)
+    approx = pq_topk(codes, q, books2, k=10, corpus=emb, shortlist=8)
+    exact = cosine_topk_bruteforce(emb, q, k=10)
+    rec = ann_recall_at_k(approx, exact, k=10)
+    return rec.select(
+        "query_id", (F.col("recall") >= 0.4).cast("int").alias("recall_ok")
+    )
+
+
+_PQ_INDEX_SQL = """
+SELECT vec_id AS query_id, 1 AS recall_ok FROM embeddings WHERE vec_id < 5
+"""
+
+
 def x_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming op (applyInPandasWithState): per-user
     running (count, sum, max ts) drained with Trigger.AvailableNow.
@@ -6227,6 +6279,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
     "x_sim_ivf_topk": x_sim_ivf_topk,
     "x_sim_pq_topk": x_sim_pq_topk,
+    "x_pq_index_incremental": x_pq_index_incremental,
     "x_stream_stateful": x_stream_stateful,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -6323,6 +6376,7 @@ ORACLES: dict[str, str] = {
     "x_dedup_embedding_cosine": _EMB_COS_SQL,
     "x_sim_ivf_topk": _SIM_IVF_SQL,
     "x_sim_pq_topk": _SIM_PQ_SQL,
+    "x_pq_index_incremental": _PQ_INDEX_SQL,
     "x_stream_stateful": _STREAM_STATEFUL_SQL,
     "t_stream_join": _STREAM_JOIN_SQL,
     "t_stream_dedup": _STREAM_DEDUP_SQL,
