@@ -1082,20 +1082,18 @@ class VersionedParquetTable:
 
     def _read_files(self, rels: list[str], schema: StructType) -> DataFrame:
         """Read an explicit manifest file list as ONE parquet relation,
-        pinned to the given schema's column order and types (columns
-        absent from older commits null-fill via mergeSchema + the final
-        cast-select). Partition values live inside the files (see
+        pinned to the MANIFEST's schema: passing the schema to the
+        reader skips the footer-sampling inference job (mergeSchema
+        paid one per read — measurable when every merge, feed, and
+        time-travel read builds a fresh relation) and null-fills
+        columns absent from older commits by name, which is exactly
+        the add-column evolution ``merge(evolve_schema=True)``
+        supports. Partition values live inside the files (see
         ``_write_commit``), so no basePath/path parsing is needed and
         the plan is a single scan node no matter how many commits the
         snapshot spans — table history depth never bloats read plans."""
-        df = self.spark.read.option("mergeSchema", "true").parquet(
+        return self.spark.read.schema(schema).parquet(
             *[os.path.join(self.path, rel) for rel in rels]
-        )
-        for f in schema.fields:
-            if f.name not in df.columns:
-                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-        return df.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
 
     def changes_plan(
