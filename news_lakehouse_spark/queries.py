@@ -6127,7 +6127,9 @@ QUERIES: dict[str, QueryFn] = {
     # by tests/test_queries_smoke.py::test_driver_window_covers_unverified:
     # any registered query with no driver CORRECTNESS row in any
     # CORRECTNESS_r0*.json MUST sit inside the first 50 positions.
-    # Round-6 window: the new stream-stream join, then the 34 queries
+    # Round-6 window: the new stream-stream join + the round-6-built
+    # queries with no driver row yet (stream dedup, PQ ANN pair, table
+    # layer additions), then the 34 queries
     # whose latest driver green is r3 (oldest-green freshness rotation:
     # VERDICT r5 ask #7), then 15 r4-era queries prioritizing the ones
     # whose implementing modules (sources/transaction.py,
@@ -6137,6 +6139,8 @@ QUERIES: dict[str, QueryFn] = {
     # tools/verify_oracle.py still covers the full registry.
     "t_stream_join": t_stream_join,
     "t_stream_dedup": t_stream_dedup,
+    "x_sim_pq_topk": x_sim_pq_topk,
+    "x_pq_index_incremental": x_pq_index_incremental,
     "x_mor_delete": x_mor_delete,
     "x_bloom_point_lookup": x_bloom_point_lookup,
     "x_cdc_replicate": x_cdc_replicate,
@@ -6278,8 +6282,6 @@ QUERIES: dict[str, QueryFn] = {
     "x_salted_join": x_salted_join,
     "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
     "x_sim_ivf_topk": x_sim_ivf_topk,
-    "x_sim_pq_topk": x_sim_pq_topk,
-    "x_pq_index_incremental": x_pq_index_incremental,
     "x_stream_stateful": x_stream_stateful,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
