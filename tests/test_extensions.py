@@ -1449,3 +1449,25 @@ def test_pq_rerank_scores_are_exact_cosine(spark, sf_dir):
     for r in rr.collect():
         # reranked scores are TRUE cosines, not ADC approximations
         assert exact[(r["query_id"], r["neighbor_id"])] == r["cos_sim"]
+
+
+def test_pq_index_ingest_requires_own_table(spark, tmp_path):
+    """An index table not created by pq_index_ingest (no codebooks in
+    its commit properties) must be refused, not silently re-trained —
+    retraining would make old and new codes incomparable."""
+    import pytest as _pytest
+
+    from news_lakehouse_spark.operators.similarity import pq_index_ingest
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    t = VersionedParquetTable(spark, str(tmp_path / "pq"))
+    t.write(spark.createDataFrame([(1, [0.1] * 8)], "vec_id long, embedding array<double>"))
+    with _pytest.raises(ValueError, match="pq_codebooks"):
+        pq_index_ingest(
+            t,
+            spark.createDataFrame(
+                [(2, [0.2] * 8)], "vec_id long, embedding array<double>"
+            ),
+            m=2,
+            nbits=2,
+        )
