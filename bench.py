@@ -104,6 +104,7 @@ EXTENDED = [
     "x_partial_compact",
     "t_stream_dedup",
     "x_pq_index_incremental",
+    "x_resample_ffill",
 ]
 
 

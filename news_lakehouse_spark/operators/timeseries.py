@@ -76,3 +76,72 @@ def sliding_window_topk(
         .orderBy("dist", user_col, "win_start")
         .limit(k)
     )
+
+
+def resample_fill(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    step_seconds: int,
+    sum_cols: list[str] | None = None,
+    fill: str = "ffill",
+) -> DataFrame:
+    """Fixed-step resample + gap densification per key — the
+    time-series regularization every downstream model wants (equal-
+    spaced buckets, no missing steps), done without a driver loop.
+
+    Buckets = floor(epoch/step)*step per key; ``n_events`` counts rows
+    per bucket and each of ``sum_cols`` sums into ``sum_<c>``. The
+    DENSE grid comes from per-key min/max bucket + ``F.sequence`` +
+    explode — generated JVM-side, distributed on the key, never
+    collected. Gaps get ``n_events = 0``; sums are forward-filled from
+    the last observed bucket (``fill="ffill"``, a running
+    last-non-null window over the already-bucketed rows — state is one
+    row per key) or left NULL (``fill="null"``). Two keyed shuffles
+    total (bucket agg, then the per-key window); the grid join
+    broadcasts nothing and moves only bucket-level rows, so cost
+    follows keys × steps, not raw events.
+    """
+    if fill not in ("ffill", "null"):
+        raise ValueError(f"unknown fill mode {fill!r}")
+    sum_cols = list(sum_cols or [])
+    ts = F.col(ts_col).cast("timestamp")
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp(ts) / step_seconds).cast("long") * step_seconds
+    )
+    aggs = [F.count("*").alias("n_events")] + [
+        F.sum(F.col(c).cast("double")).alias(f"sum_{c}") for c in sum_cols
+    ]
+    per_bucket = (
+        df.withColumn("__bucket", bucket)
+        .groupBy(*key_cols, "__bucket")
+        .agg(*aggs)
+    )
+    grid = (
+        per_bucket.groupBy(*key_cols)
+        .agg(F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi"))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence(
+                    "__lo", "__hi", F.expr(f"INTERVAL {step_seconds} SECOND")
+                )
+            ).alias("__bucket"),
+        )
+    )
+    out = grid.join(per_bucket, [*key_cols, "__bucket"], "left").withColumn(
+        "n_events", F.coalesce(F.col("n_events"), F.lit(0))
+    )
+    if fill == "ffill" and sum_cols:
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy("__bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        for c in sum_cols:
+            out = out.withColumn(
+                f"sum_{c}", F.last(f"sum_{c}", ignorenulls=True).over(w)
+            )
+    return out.withColumnRenamed("__bucket", "bucket")

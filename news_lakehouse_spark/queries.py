@@ -4112,6 +4112,77 @@ WINDOW w AS (
 """
 
 
+def x_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-step resample + gap densification with forward fill
+    (operators/timeseries.py resample_fill): per-user 6-hour buckets
+    over the events stream, every missing bucket materialized with
+    n_events = 0 and the value sum carried forward from the last
+    observed bucket — the regular, equal-spaced series a forecasting
+    or feature pipeline consumes. The grid is F.sequence/explode per
+    key (JVM-side, never collected) and the fill is one bounded
+    running window per key, so cost follows keys x steps. Returned
+    per-user aggregate (bucket count, zero-bucket count, ffilled sum
+    total) keeps the oracle row count small while hashing every grid
+    cell's fill decision.
+    """
+    from news_lakehouse_spark.operators.timeseries import resample_fill
+
+    events = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 7 == 0
+    )
+    grid = resample_fill(
+        events, ["user_id"], "ts", 6 * 3600, sum_cols=["value"]
+    )
+    return (
+        grid.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum((F.col("n_events") == 0).cast("int")).alias("n_gaps"),
+            F.round(F.sum("sum_value"), 4).alias("ffill_total"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_RESAMPLE_SQL = """
+WITH per_bucket AS (
+  SELECT user_id,
+         to_timestamp((epoch(CAST(ts AS TIMESTAMP))::BIGINT // 21600) * 21600)
+           AS bucket,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DOUBLE)) AS sum_value
+  FROM events
+  WHERE user_id % 7 = 0
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(lo, hi, INTERVAL 21600 SECOND))
+           AS bucket
+  FROM (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+        FROM per_bucket GROUP BY user_id)
+),
+filled AS (
+  SELECT g.user_id,
+         g.bucket,
+         COALESCE(p.n_events, 0) AS n_events,
+         LAST_VALUE(p.sum_value IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS sum_value
+  FROM grid g LEFT JOIN per_bucket p
+    ON g.user_id = p.user_id AND g.bucket = p.bucket
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(CASE WHEN n_events = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gaps,
+       ROUND(SUM(sum_value), 4) AS ffill_total
+FROM filled
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def x_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention over the events stream.
 
@@ -6141,6 +6212,7 @@ QUERIES: dict[str, QueryFn] = {
     "t_stream_dedup": t_stream_dedup,
     "x_sim_pq_topk": x_sim_pq_topk,
     "x_pq_index_incremental": x_pq_index_incremental,
+    "x_resample_ffill": x_resample_ffill,
     "x_mor_delete": x_mor_delete,
     "x_bloom_point_lookup": x_bloom_point_lookup,
     "x_cdc_replicate": x_cdc_replicate,
@@ -6378,6 +6450,7 @@ ORACLES: dict[str, str] = {
     "x_dedup_embedding_cosine": _EMB_COS_SQL,
     "x_sim_ivf_topk": _SIM_IVF_SQL,
     "x_sim_pq_topk": _SIM_PQ_SQL,
+    "x_resample_ffill": _RESAMPLE_SQL,
     "x_pq_index_incremental": _PQ_INDEX_SQL,
     "x_stream_stateful": _STREAM_STATEFUL_SQL,
     "t_stream_join": _STREAM_JOIN_SQL,

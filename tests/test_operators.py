@@ -828,3 +828,28 @@ def test_incremental_minhash_classifies_batch(spark):
                       "doc_id", F.col("doc_id") + 100),
                   "doc_id", "text", threshold=0.5).collect()}
     assert replay == {111: 1, 113: 1}
+
+
+def test_resample_fill_densifies_and_ffills(spark):
+    from news_lakehouse_spark.operators.timeseries import resample_fill
+
+    rows = [
+        (1, "2024-01-01 00:10:00", 5.0),
+        (1, "2024-01-01 02:20:00", 7.0),   # hour 1 missing entirely
+        (2, "2024-01-01 00:30:00", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double")
+    out = resample_fill(df, ["user_id"], "ts", 3600, sum_cols=["value"])
+    got = {
+        (r["user_id"], str(r["bucket"]), r["n_events"], r["sum_value"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, "2024-01-01 00:00:00", 1, 5.0),
+        (1, "2024-01-01 01:00:00", 0, 5.0),  # gap: 0 events, ffilled sum
+        (1, "2024-01-01 02:00:00", 1, 7.0),
+        (2, "2024-01-01 00:00:00", 1, 1.0),
+    }
+    nulls = resample_fill(df, ["user_id"], "ts", 3600, sum_cols=["value"], fill="null")
+    gap = [r for r in nulls.collect() if r["n_events"] == 0]
+    assert len(gap) == 1 and gap[0]["sum_value"] is None
