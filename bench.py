@@ -105,6 +105,7 @@ EXTENDED = [
     "t_stream_dedup",
     "x_pq_index_incremental",
     "x_resample_ffill",
+    "x_fuzzy_join",
 ]
 
 

@@ -4183,6 +4183,64 @@ ORDER BY user_id
 """
 
 
+def x_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity (fuzzy) JOIN across two corpora
+    (operators/fuzzyjoin.py fuzzy_token_join): link every left
+    document (doc_id % 97) to the right documents (doc_id % 2) whose
+    token-set Jaccard >= 0.8 — the entity-resolution / record-linkage
+    primitive, computed as an inverted-index candidate join (postings
+    equi-join on the token, one keyed shuffle) + one intersection
+    aggregation + exact verification against full set sizes. No UDFs,
+    no cross product; posting lists are df-capped at scale (the cap is
+    set unbinding here so the oracle — the same pipeline in SQL — is
+    an exact twin).
+    """
+    from news_lakehouse_spark.operators.fuzzyjoin import fuzzy_token_join
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = fuzzy_token_join(
+        docs.filter(F.col("doc_id") % 97 == 0),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        "doc_id",
+        "doc_id",
+        "text",
+        "text",
+        threshold=0.8,
+        max_df=100_000,
+    )
+    return pairs.orderBy("doc_id_l", "doc_id_r")
+
+
+_FUZZY_JOIN_SQL = """
+WITH l AS (
+  SELECT doc_id AS l_id,
+         list_distinct(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))
+           AS toks
+  FROM documents WHERE doc_id % 97 = 0
+), r AS (
+  SELECT doc_id AS r_id,
+         list_distinct(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))
+           AS toks
+  FROM documents WHERE doc_id % 2 = 0
+), lp AS (SELECT l_id, unnest(toks) AS token FROM l),
+   rp AS (SELECT r_id, unnest(toks) AS token FROM r),
+   inter AS (
+     SELECT l_id, r_id, count(*) AS c
+     FROM lp JOIN rp USING (token) GROUP BY 1, 2
+   )
+SELECT i.l_id AS doc_id_l,
+       i.r_id AS doc_id_r,
+       ROUND(c * 1.0 / (len(l.toks) + len(r.toks) - c), 6) AS jaccard
+FROM inter i
+JOIN l ON i.l_id = l.l_id
+JOIN r ON i.r_id = r.r_id
+WHERE c * 1.0 / (len(l.toks) + len(r.toks) - c) >= 0.8
+ORDER BY doc_id_l, doc_id_r
+"""
+
+
 def x_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention over the events stream.
 
@@ -6213,6 +6271,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_sim_pq_topk": x_sim_pq_topk,
     "x_pq_index_incremental": x_pq_index_incremental,
     "x_resample_ffill": x_resample_ffill,
+    "x_fuzzy_join": x_fuzzy_join,
     "x_mor_delete": x_mor_delete,
     "x_bloom_point_lookup": x_bloom_point_lookup,
     "x_cdc_replicate": x_cdc_replicate,
@@ -6451,6 +6510,7 @@ ORACLES: dict[str, str] = {
     "x_sim_ivf_topk": _SIM_IVF_SQL,
     "x_sim_pq_topk": _SIM_PQ_SQL,
     "x_resample_ffill": _RESAMPLE_SQL,
+    "x_fuzzy_join": _FUZZY_JOIN_SQL,
     "x_pq_index_incremental": _PQ_INDEX_SQL,
     "x_stream_stateful": _STREAM_STATEFUL_SQL,
     "t_stream_join": _STREAM_JOIN_SQL,

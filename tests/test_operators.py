@@ -853,3 +853,32 @@ def test_resample_fill_densifies_and_ffills(spark):
     nulls = resample_fill(df, ["user_id"], "ts", 3600, sum_cols=["value"], fill="null")
     gap = [r for r in nulls.collect() if r["n_events"] == 0]
     assert len(gap) == 1 and gap[0]["sum_value"] is None
+
+
+def test_fuzzy_token_join_exact_jaccard(spark):
+    from news_lakehouse_spark.operators.fuzzyjoin import fuzzy_token_join
+
+    left = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "zz yy xx")],
+        "id long, name string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "Alpha beta GAMMA epsilon"),  # jaccard 3/5 with left 1
+            (11, "alpha beta gamma delta"),    # exact copy: 1.0
+            (12, "totally different words"),
+        ],
+        "id long, name string",
+    )
+    got = {
+        (r["id_l"], r["id_r"]): r["jaccard"]
+        for r in fuzzy_token_join(
+            left, right, "id", "id", "name", "name", threshold=0.5
+        ).collect()
+    }
+    assert got == {(1, 10): 0.6, (1, 11): 1.0}
+    # df cap: a token in > max_df right rows generates no candidates
+    none = fuzzy_token_join(
+        left, right, "id", "id", "name", "name", threshold=0.5, max_df=0
+    )
+    assert none.count() == 0
