@@ -106,6 +106,7 @@ EXTENDED = [
     "x_pq_index_incremental",
     "x_resample_ffill",
     "x_fuzzy_join",
+    "x_grouped_trend",
 ]
 
 

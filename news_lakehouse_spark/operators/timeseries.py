@@ -145,3 +145,51 @@ def resample_fill(
                 f"sum_{c}", F.last(f"sum_{c}", ignorenulls=True).over(w)
             )
     return out.withColumnRenamed("__bucket", "bucket")
+
+
+def grouped_linear_fit(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key ordinary-least-squares line fit (slope, intercept, r2,
+    n) — thousands of tiny models in ONE aggregation, the grouped-
+    model-fit shape (per-entity trend, drift detection, per-domain
+    quality slope) that does NOT need applyInPandas: OLS closed form
+    is five sufficient statistics (n, Σx, Σy, Σxy, Σx²(+Σy² for r²)),
+    so the whole thing is a single map-side-combinable groupBy — one
+    keyed shuffle of 6 doubles per key, whatever the row count.
+
+    Rows with NULL x or y are skipped; keys with fewer than 2 points
+    or zero x-variance return NULL slope/intercept/r2 (a vertical or
+    single-point fit has no line), with ``n`` still reported.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    d = df.filter(x.isNotNull() & y.isNotNull())
+    # covar_samp/var_samp/corr are Spark's numerically-stable streaming
+    # moments (centered updates, not raw power sums — raw Σxy/Σx² lose
+    # the answer's low digits once sums grow, which showed up as
+    # oracle hash flips at sf0.1), and they stay map-side combinable.
+    agg = d.groupBy(*key_cols).agg(
+        F.count("*").alias("n"),
+        F.avg(x).alias("_mx"),
+        F.avg(y).alias("_my"),
+        F.covar_samp(x, y).alias("_cxy"),
+        F.var_samp(x).alias("_vx"),
+        F.corr(x, y).alias("_r"),
+    )
+    ok = (F.col("n") >= 2) & (F.col("_vx") > 0)
+    slope = F.when(ok, F.col("_cxy") / F.col("_vx"))
+    intercept = F.when(
+        ok, F.col("_my") - F.col("_cxy") / F.col("_vx") * F.col("_mx")
+    )
+    r2 = F.when(ok, F.col("_r") * F.col("_r"))
+    return agg.select(
+        *key_cols,
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

@@ -4241,6 +4241,69 @@ ORDER BY doc_id_l, doc_id_r
 """
 
 
+def x_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of event value over time
+    (operators/timeseries.py grouped_linear_fit): thousands of tiny
+    models fitted in ONE map-side-combinable aggregation (stable
+    covar_samp/var_samp/corr moments — no applyInPandas; the shuffle
+    moves ~6 doubles per key regardless of row count). The oracle
+    recomputes every fit with DuckDB's regr_* family; because the two
+    engines' accumulation orders leave ~1e-8 noise on each slope
+    (measured), the hash-compared output is the corpus-level summary
+    of the fits (counts exact; slope/r2 summaries rounded well above
+    the noise floor) rather than 140 raw per-user floats on a rounding
+    knife-edge. The per-user closed-form values themselves are pinned
+    exactly by the unit test on constructed data.
+    """
+    from news_lakehouse_spark.operators.timeseries import grouped_linear_fit
+
+    events = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 11 == 0
+    )
+    xh = (
+        (
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.unix_timestamp(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        )
+        / 3600.0
+    ).alias("x_hours")
+    fit = grouped_linear_fit(
+        events.select("user_id", xh, "value"), ["user_id"], "x_hours", "value"
+    )
+    return fit.agg(
+        F.count("*").alias("n_users"),
+        F.sum("n").alias("n_rows"),
+        F.sum((F.col("slope") > 0).cast("int")).alias("rising"),
+        F.round(F.avg("slope"), 4).alias("avg_slope"),
+        F.round(F.max("slope"), 4).alias("max_slope"),
+        F.round(F.avg("r2"), 4).alias("avg_r2"),
+    )
+
+
+_GROUPED_TREND_SQL = """
+WITH fits AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         regr_slope(CAST(value AS DOUBLE), x_hours) AS slope,
+         regr_r2(CAST(value AS DOUBLE), x_hours) AS r2
+  FROM (
+    SELECT user_id, value,
+           (epoch(CAST(ts AS TIMESTAMP))
+            - epoch(TIMESTAMP '2024-01-01 00:00:00')) / 3600.0 AS x_hours
+    FROM events WHERE user_id % 11 = 0
+  )
+  GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN slope > 0 THEN 1 ELSE 0 END) AS BIGINT) AS rising,
+       ROUND(AVG(slope), 4) AS avg_slope,
+       ROUND(MAX(slope), 4) AS max_slope,
+       ROUND(AVG(r2), 4) AS avg_r2
+FROM fits
+"""
+
+
 def x_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention over the events stream.
 
@@ -6272,6 +6335,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_pq_index_incremental": x_pq_index_incremental,
     "x_resample_ffill": x_resample_ffill,
     "x_fuzzy_join": x_fuzzy_join,
+    "x_grouped_trend": x_grouped_trend,
     "x_mor_delete": x_mor_delete,
     "x_bloom_point_lookup": x_bloom_point_lookup,
     "x_cdc_replicate": x_cdc_replicate,
@@ -6511,6 +6575,7 @@ ORACLES: dict[str, str] = {
     "x_sim_pq_topk": _SIM_PQ_SQL,
     "x_resample_ffill": _RESAMPLE_SQL,
     "x_fuzzy_join": _FUZZY_JOIN_SQL,
+    "x_grouped_trend": _GROUPED_TREND_SQL,
     "x_pq_index_incremental": _PQ_INDEX_SQL,
     "x_stream_stateful": _STREAM_STATEFUL_SQL,
     "t_stream_join": _STREAM_JOIN_SQL,

@@ -882,3 +882,22 @@ def test_fuzzy_token_join_exact_jaccard(spark):
         left, right, "id", "id", "name", "name", threshold=0.5, max_df=0
     )
     assert none.count() == 0
+
+
+def test_grouped_linear_fit_closed_form_and_degenerates(spark):
+    from news_lakehouse_spark.operators.timeseries import grouped_linear_fit
+
+    rows = [
+        # key 1: y = 2x + 1 exactly -> slope 2, intercept 1, r2 1
+        (1, 0.0, 1.0), (1, 1.0, 3.0), (1, 2.0, 5.0),
+        # key 2: single point -> no line
+        (2, 4.0, 9.0),
+        # key 3: zero x-variance -> no line
+        (3, 5.0, 1.0), (3, 5.0, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, x double, y double")
+    got = {r["k"]: r for r in grouped_linear_fit(df, ["k"], "x", "y").collect()}
+    assert (got[1]["slope"], got[1]["intercept"], got[1]["r2"]) == (2.0, 1.0, 1.0)
+    assert got[1]["n"] == 3
+    assert got[2]["slope"] is None and got[2]["n"] == 1
+    assert got[3]["slope"] is None and got[3]["n"] == 2
