@@ -49,6 +49,15 @@ Named refs: ``tag(name)`` pins a version (``read(version="prod")``);
 bloom_columns=[...])``, the Iceberg puffin analog) give point-lookup
 file pruning that min/max bounds can't on unclustered keys.
 
+Partition-spec evolution: ``set_partition_spec`` is a metadata-only
+commit; mixed-layout snapshots read correctly (conservative path
+pruning + a pushed-down row filter) and merges migrate old-spec files
+incrementally as they touch them. Maintenance: ``plan_compaction``
+finds small-file buildup from the manifest alone and
+``compact(partitions=...)`` rewrites only those partitions;
+``inspect("snapshots"|"files"|"partitions")`` exposes the metadata as
+DataFrames (the Iceberg metadata-table analog).
+
 Scale notes (100 TB): manifests are driver-side JSON listing file paths
 — at 128 MB/file a 100 TB table is ~800k entries. Past
 ``shard_threshold`` files a partitioned manifest SHARDS per partition
