@@ -107,6 +107,7 @@ EXTENDED = [
     "x_resample_ffill",
     "x_fuzzy_join",
     "x_grouped_trend",
+    "x_kmv_overlap",
 ]
 
 

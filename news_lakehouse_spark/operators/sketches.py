@@ -399,3 +399,83 @@ def exact_group_order_statistics(
             ).alias(name)
         )
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch per group — the
+    bottom-k theta-sketch family (Bar-Yossef et al. 2002): keep the k
+    smallest hash values of the column's DISTINCT elements. Where HLL
+    only unions, KMV supports INTERSECTION estimates (audience
+    overlap between segments) because the kept hashes are a uniform
+    sample of the distinct universe.
+
+    Two-level min-k, the same partial-top-k shape as the cosine
+    brute-force reducer: each input partition reduces its group's
+    distinct hashes to its k smallest BEFORE the shuffle, so at most
+    k x partitions values move per group regardless of cardinality.
+    The hash is the engine-portable sha2 idiom (functions.keys), so an
+    external engine — and the DuckDB oracle — reproduces the sketch
+    value-for-value. Output: key cols + ``kmv`` (sorted array<long>,
+    ≤ k entries; fewer means the group's true distinct count is below
+    k and estimates become exact).
+    """
+    from news_lakehouse_spark.functions.keys import sha2_prefix_long
+
+    h = sha2_prefix_long(
+        F.concat_ws("#", F.lit("kmv"), F.col(value_col).cast("string")), 15
+    )
+    mink = F.slice(F.array_sort(F.collect_set("__h")), 1, k)
+    lvl1 = (
+        df.select(*key_cols, h.alias("__h"))
+        .withColumn("__part", F.spark_partition_id())
+        .groupBy(*key_cols, "__part")
+        .agg(mink.alias("__hs"))
+        .select(*key_cols, F.explode("__hs").alias("__h"))
+    )
+    return lvl1.groupBy(*key_cols).agg(mink.alias("kmv"))
+
+
+# Hash domain of the 15-hex sha2 prefix: [0, 16^15).
+_KMV_DOMAIN = float(16**15)
+
+
+def kmv_distinct_estimate(kmv: Column, k: int) -> Column:
+    """Distinct-count estimate from a KMV array: exact size when the
+    sketch is unsaturated (< k values — every distinct hash is
+    present), else (k-1)/u_k with u_k the kth smallest hash normalized
+    to (0,1]. Relative error ~ 1/sqrt(k-2)."""
+    n = F.size(kmv)
+    u_k = F.element_at(kmv, k) / F.lit(_KMV_DOMAIN)
+    return F.when(n < k, n.cast("double")).otherwise((k - 1) / u_k)
+
+
+def kmv_intersect_estimate(a: Column, b: Column, k: int) -> dict[str, Column]:
+    """Intersection / union / Jaccard estimates from two same-k KMV
+    arrays: the k smallest of the COMBINED hashes are a uniform sample
+    of the union, so the fraction of that sample present in BOTH
+    sketches estimates Jaccard, and intersection = jaccard x
+    union_estimate. Returns {'union_est', 'jaccard_est',
+    'intersect_est'} column expressions (all exact when both sketches
+    are unsaturated)."""
+    combined = F.slice(F.array_sort(F.array_union(a, b)), 1, k)
+    k_eff = F.size(combined)
+    u_k = F.element_at(combined, k) / F.lit(_KMV_DOMAIN)
+    union_est = F.when(k_eff < k, k_eff.cast("double")).otherwise(
+        (k - 1) / u_k
+    )
+    sample = F.when(k_eff < k, combined).otherwise(
+        F.slice(combined, 1, k - 1)
+    )
+    both = F.size(F.array_intersect(F.array_intersect(sample, a), b))
+    denom = F.when(k_eff < k, k_eff).otherwise(F.lit(k - 1))
+    jaccard = both / denom
+    return {
+        "union_est": union_est,
+        "jaccard_est": jaccard,
+        "intersect_est": jaccard * union_est,
+    }

@@ -901,3 +901,41 @@ def test_grouped_linear_fit_closed_form_and_degenerates(spark):
     assert got[1]["n"] == 3
     assert got[2]["slope"] is None and got[2]["n"] == 1
     assert got[3]["slope"] is None and got[3]["n"] == 2
+
+
+def test_kmv_sketch_exact_when_unsaturated_and_calibrated(spark):
+    from news_lakehouse_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_intersect_estimate,
+        kmv_sketch,
+    )
+
+    # unsaturated: estimates are EXACT set arithmetic
+    rows = [("a", i) for i in range(10)] + [("b", i) for i in range(5, 20)]
+    df = spark.createDataFrame(rows, "seg string, v long")
+    sk = kmv_sketch(df, ["seg"], "v", k=64)
+    one = (
+        sk.filter(F.col("seg") == "a").select(F.col("kmv").alias("ka"))
+        .crossJoin(sk.filter(F.col("seg") == "b").select(F.col("kmv").alias("kb")))
+    )
+    est = kmv_intersect_estimate(F.col("ka"), F.col("kb"), 64)
+    got = one.select(
+        kmv_distinct_estimate(F.col("ka"), 64).alias("a"),
+        est["union_est"].alias("u"),
+        est["jaccard_est"].alias("j"),
+        est["intersect_est"].alias("i"),
+    ).first()
+    assert (got["a"], got["u"], got["i"]) == (10.0, 20.0, 5.0)
+    assert abs(got["j"] - 0.25) < 1e-12
+
+    # saturated: distinct estimate within ~4/sqrt(k) of truth
+    big = spark.createDataFrame(
+        [("c", i) for i in range(5000)], "seg string, v long"
+    )
+    k = 256
+    est_c = (
+        kmv_sketch(big, ["seg"], "v", k=k)
+        .select(kmv_distinct_estimate(F.col("kmv"), k).alias("e"))
+        .first()["e"]
+    )
+    assert abs(est_c - 5000) / 5000 < 4 / (k - 2) ** 0.5
