@@ -2111,7 +2111,8 @@ class VersionedParquetTable:
                     "compact() without partitions"
                 )
             return self._compact_partial(
-                man, parent, spec, partitions, target_file_bytes
+                man, parent, spec, partitions, target_file_bytes,
+                cluster_by=cluster_by,
             )
         df = self.read(parent)
         total = sum(
@@ -2195,9 +2196,13 @@ class VersionedParquetTable:
         spec: list[str],
         partitions: list[dict],
         target_file_bytes: int,
+        cluster_by: list[str] | None = None,
     ) -> int:
         """Rewrite only ``partitions``' files (see compact()); all
-        other files carry over by reference. Returns the committed
+        other files carry over by reference. ``cluster_by``
+        range-clusters the rewrite within the chosen partitions so
+        their new files carry near-disjoint column bounds (the partial
+        flavor of the clustered compact). Returns the committed
         version, or ``parent`` unchanged when nothing matches."""
         import math
 
@@ -2217,7 +2222,13 @@ class VersionedParquetTable:
             frag: max(1, math.ceil(b / target_file_bytes))
             for frag, b in frag_bytes.items()
         }
-        out = self._spec_sized_repartition(df, spec, frag_n)
+        if cluster_by:
+            cols = [F.col(c) for c in spec] + [F.col(c) for c in cluster_by]
+            out = df.repartitionByRange(
+                max(sum(frag_n.values()), 1), *cols
+            ).sortWithinPartitions(*cols)
+        else:
+            out = self._spec_sized_repartition(df, spec, frag_n)
         version = parent + 1
         new_files = self._write_commit(out, version, spec)
         dropped = set(chosen)

@@ -1277,3 +1277,26 @@ def test_partial_compact_accepts_partition_column_subset(spark, table):
     assert b_files <= now
     assert len({f for f in now if "__p_d=a" in f}) == 2  # one per (d,k)
     assert _rows(table.read()) == {(1, "a", 10), (2, "a", 21), (3, "b", 30)}
+
+
+def test_partial_compact_with_clustering_enables_pruning(spark, table):
+    rows = [(i, "b" if i % 2 else "a", i * 3) for i in range(64)]
+    table.merge(_df(spark, rows), ["k"], partition_by=["d"])
+    table.merge(_df(spark, [(99, "b", 999)]), ["k"])
+    # cluster partition b on v while compacting ONLY it, splitting into
+    # several files: bounds pruning on v must then drop b-files
+    table.shard_threshold = 10**9
+    table.compact(
+        partitions=[{"d": "b"}],
+        cluster_by=["v"],
+        target_file_bytes=1,  # force multiple range-clustered files
+    )
+    files_all = table.files_for()
+    b_files = [f for f in files_all if "__p_d=b" in f]
+    assert len(b_files) > 1
+    pruned = table.files_for(
+        partition_filter={"d": "b"}, predicate=[("v", ">=", 900)]
+    )
+    assert len(pruned) < len(b_files)
+    got = table.read(predicate=[("v", ">=", 900)]).filter(F.col("v") >= 900)
+    assert _rows(got) == {(99, "b", 999)}
