@@ -6455,6 +6455,10 @@ QUERIES: dict[str, QueryFn] = {
     "x_fuzzy_join": x_fuzzy_join,
     "x_grouped_trend": x_grouped_trend,
     "x_kmv_overlap": x_kmv_overlap,
+    "x_rollback": x_rollback,
+    "x_partition_evolution": x_partition_evolution,
+    "x_partial_compact": x_partial_compact,
+    "x_table_metadata": x_table_metadata,
     "x_mor_delete": x_mor_delete,
     "x_bloom_point_lookup": x_bloom_point_lookup,
     "x_cdc_replicate": x_cdc_replicate,
@@ -6494,11 +6498,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_retention_cohorts": x_retention_cohorts,
     "x_ts_pattern_search": x_ts_pattern_search,
     "x_time_travel": x_time_travel,
-    "x_table_metadata": x_table_metadata,
-    "x_partial_compact": x_partial_compact,
-    "x_partition_evolution": x_partition_evolution,
     "x_table_changes": x_table_changes,
-    "x_rollback": x_rollback,
     "x_compact_roundtrip": x_compact_roundtrip,
     "x_hard_negatives": x_hard_negatives,
     "x_kll_rollup": x_kll_rollup,
