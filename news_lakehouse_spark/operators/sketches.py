@@ -479,3 +479,18 @@ def kmv_intersect_estimate(a: Column, b: Column, k: int) -> dict[str, Column]:
         "jaccard_est": jaccard,
         "intersect_est": jaccard * union_est,
     }
+
+
+def kmv_merge(kmv_col: Column, k: int) -> Column:
+    """Aggregate expression merging grouped KMV sketches: the bottom-k
+    of the union of all hashes — EXACTLY the sketch of the combined
+    input (bottom-k is a lossless-merge summary, like HLL registers):
+    daily sketches roll up to weekly/monthly without touching raw
+    data, the property that makes a sketch a sketch."""
+    return F.slice(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list(kmv_col)))
+        ),
+        1,
+        k,
+    )

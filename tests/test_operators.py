@@ -939,3 +939,20 @@ def test_kmv_sketch_exact_when_unsaturated_and_calibrated(spark):
         .first()["e"]
     )
     assert abs(est_c - 5000) / 5000 < 4 / (k - 2) ** 0.5
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    from news_lakehouse_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    rows = [("d1", i) for i in range(300)] + [
+        ("d2", i) for i in range(200, 500)
+    ]
+    df = spark.createDataFrame(rows, "day string, v long")
+    k = 64
+    daily = kmv_sketch(df, ["day"], "v", k=k)
+    merged = daily.agg(kmv_merge(F.col("kmv"), k).alias("kmv")).first()["kmv"]
+    whole = (
+        kmv_sketch(df.withColumn("g", F.lit(1)), ["g"], "v", k=k)
+        .first()["kmv"]
+    )
+    assert merged == whole  # lossless merge: sketch(parts) == sketch(union)
