@@ -6437,16 +6437,13 @@ QUERIES: dict[str, QueryFn] = {
     # by tests/test_queries_smoke.py::test_driver_window_covers_unverified:
     # any registered query with no driver CORRECTNESS row in any
     # CORRECTNESS_r0*.json MUST sit inside the first 50 positions.
-    # Round-6 window: the new stream-stream join + the round-6-built
-    # queries with no driver row yet (stream dedup, PQ ANN pair, table
-    # layer additions), then the 34 queries
-    # whose latest driver green is r3 (oldest-green freshness rotation:
-    # VERDICT r5 ask #7), then 15 r4-era queries prioritizing the ones
-    # whose implementing modules (sources/transaction.py,
-    # operators/similarity.py) were touched in r6 plus the
-    # sampling/sketch regression-watch set (VERDICT r5 ask #5).
-    # Queries driver-verified in r5 rotate below the line;
-    # tools/verify_oracle.py still covers the full registry.
+    # Round-6 window: ALL 16 queries with no driver CORRECTNESS row
+    # yet (the round-6 builds: stream join/dedup, PQ ANN pair + index,
+    # resample, fuzzy join, grouped trend, KMV overlap, and the table-
+    # layer additions) occupy positions 0-15, then rotation slots for
+    # the oldest-green queries (freshness: VERDICT r5 ask #7) and the
+    # r6-touched modules. Queries driver-verified in r5 rotate below
+    # the line; tools/verify_oracle.py still covers the full registry.
     "t_stream_join": t_stream_join,
     "t_stream_dedup": t_stream_dedup,
     "x_sim_pq_topk": x_sim_pq_topk,
