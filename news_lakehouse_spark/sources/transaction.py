@@ -108,7 +108,10 @@ _SHARD_THRESHOLD = 512
 # loop once a commit writes at least this many new files.
 _DIST_STATS_THRESHOLD = 64
 
-_PRED_OPS = ("=", "==", "<", "<=", ">", ">=", "in", "between")
+_PRED_OPS = (
+    "=", "==", "<", "<=", ">", ">=", "in", "between",
+    "is_null", "not_null",
+)
 
 # File-level column-stat collection (Iceberg manifest column bounds):
 # cap how many columns get stats and how long a stored string bound may
@@ -226,6 +229,16 @@ def _file_may_match(col_stats, op: str, value) -> bool:
     if col_stats is None:
         return True
     mn, mx, null_count, row_count = col_stats
+    if op == "is_null":
+        # prune only when the footer PROVES zero nulls
+        return not (null_count is not None and null_count == 0)
+    if op == "not_null":
+        # prune only when the file is provably all-null
+        return not (
+            null_count is not None
+            and row_count is not None
+            and null_count == row_count
+        )
     if mn is None or mx is None:
         # No bounds recorded. An all-null file can't satisfy any
         # comparison (SQL comparisons with NULL are never true).
@@ -947,6 +960,8 @@ class VersionedParquetTable:
                     value = [_norm_pred_value(x, tag) for x in value]
                 elif op == "between":
                     value = tuple(_norm_pred_value(x, tag) for x in value)
+                elif op in ("is_null", "not_null"):
+                    value = None  # null-count ops carry no value
                 else:
                     value = _norm_pred_value(value, tag)
                 conds.append((col, op, value))

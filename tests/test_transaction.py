@@ -1300,3 +1300,37 @@ def test_partial_compact_with_clustering_enables_pruning(spark, table):
     assert len(pruned) < len(b_files)
     got = table.read(predicate=[("v", ">=", 900)]).filter(F.col("v") >= 900)
     assert _rows(got) == {(99, "b", 999)}
+
+
+def test_null_count_predicate_pruning(spark, table):
+    no_nulls = spark.createDataFrame(
+        [Row(k=i, d="a", v=i) for i in range(4)]
+    )
+    all_null = spark.createDataFrame(
+        [Row(k=10 + i, d="b", v=None) for i in range(4)],
+        "k long, d string, v long",
+    )
+    mixed = spark.createDataFrame(
+        [Row(k=20, d="c", v=None), Row(k=21, d="c", v=5)]
+    )
+    table.merge(
+        no_nulls.unionByName(all_null).unionByName(mixed),
+        ["k"],
+        partition_by=["d"],
+    )
+    files = table.files_for()
+    # IS NULL prunes the provably-null-free file only
+    isnull = table.files_for(predicate=[("v", "is_null", None)])
+    assert not any("__p_d=a" in f for f in isnull)
+    assert any("__p_d=b" in f for f in isnull)
+    assert any("__p_d=c" in f for f in isnull)
+    # IS NOT NULL prunes the provably-all-null file only
+    notnull = table.files_for(predicate=[("v", "not_null", None)])
+    assert not any("__p_d=b" in f for f in notnull)
+    assert any("__p_d=a" in f for f in notnull)
+    assert len(isnull) < len(files) and len(notnull) < len(files)
+    # read + row filter stays correct over the pruned scan
+    got = table.read(predicate=[("v", "not_null", None)]).filter(
+        F.col("v").isNotNull()
+    )
+    assert got.count() == 5
