@@ -108,6 +108,7 @@ EXTENDED = [
     "x_fuzzy_join",
     "x_grouped_trend",
     "x_kmv_overlap",
+    "x_kmv_rollup",
 ]
 
 

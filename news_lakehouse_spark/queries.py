@@ -4422,6 +4422,92 @@ FROM est
 """
 
 
+def x_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch ROLLUP (operators/sketches.py kmv_merge): per-day
+    bottom-64 user sketches merge into the month's sketch without
+    touching raw data — bottom-k of the union of bottoms IS the
+    bottom-k of the union (lossless merge, the property that makes a
+    sketch a sketch; the unit test pins merge == sketch-of-whole).
+    The merged sketch's distinct estimate lands next to the exact
+    month-level distinct count with an err_ok calibration bool
+    (<= 50% relative at k=64, ~4 sigma). Deterministic portable-sha2
+    math, so the oracle is an exact SQL twin of both the daily
+    sketches and the merge.
+    """
+    from news_lakehouse_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    k = 64
+    events = read_table(spark, sf_dir, "events")
+    days = events.select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"), "user_id"
+    )
+    daily = kmv_sketch(days, ["day"], "user_id", k=k)
+    merged = daily.agg(
+        F.count("*").alias("n_days"),
+        kmv_merge(F.col("kmv"), k).alias("kmv"),
+    )
+    exact = events.agg(
+        F.countDistinct("user_id").alias("distinct_exact")
+    )
+    return (
+        merged.select(
+            "n_days",
+            F.round(kmv_distinct_estimate(F.col("kmv"), k), 4).alias(
+                "distinct_est"
+            ),
+        )
+        .crossJoin(exact)
+        .withColumn(
+            "err_ok",
+            (
+                F.abs(F.col("distinct_est") - F.col("distinct_exact"))
+                / F.col("distinct_exact")
+                <= 0.5
+            ).cast("int"),
+        )
+    )
+
+
+_KMV_ROLLUP_SQL = """
+WITH dh AS (
+  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(concat('0x',
+           substr(sha256(concat_ws('#', 'kmv', CAST(user_id AS VARCHAR))),
+                  1, 15)) AS BIGINT) AS h
+  FROM events
+), ranked AS (
+  SELECT day, h, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn
+  FROM dh
+), daily AS (SELECT day, h FROM ranked WHERE rn <= 64),
+   comb AS (
+     SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+     FROM (SELECT DISTINCT h FROM daily)
+   ),
+   kc AS (SELECT h FROM comb WHERE rn <= 64),
+   st AS (
+     SELECT (SELECT COUNT(*) FROM kc) AS k_eff,
+            (SELECT MAX(h) FROM kc) AS h_k
+   )
+SELECT (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) FROM dh) AS n_days,
+       ROUND(CASE WHEN st.k_eff < 64 THEN CAST(st.k_eff AS DOUBLE)
+                  ELSE 63.0 / (st.h_k / 1152921504606846976.0) END,
+             4) AS distinct_est,
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+         AS distinct_exact,
+       CAST(CASE WHEN ABS(
+              ROUND(CASE WHEN st.k_eff < 64 THEN CAST(st.k_eff AS DOUBLE)
+                         ELSE 63.0 / (st.h_k / 1152921504606846976.0) END, 4)
+              - (SELECT COUNT(DISTINCT user_id) FROM events))
+              / (SELECT COUNT(DISTINCT user_id) FROM events) <= 0.5
+            THEN 1 ELSE 0 END AS INT) AS err_ok
+FROM st
+"""
+
+
 def x_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention over the events stream.
 
@@ -6452,6 +6538,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_fuzzy_join": x_fuzzy_join,
     "x_grouped_trend": x_grouped_trend,
     "x_kmv_overlap": x_kmv_overlap,
+    "x_kmv_rollup": x_kmv_rollup,
     "x_rollback": x_rollback,
     "x_partition_evolution": x_partition_evolution,
     "x_partial_compact": x_partial_compact,
@@ -6693,6 +6780,7 @@ ORACLES: dict[str, str] = {
     "x_fuzzy_join": _FUZZY_JOIN_SQL,
     "x_grouped_trend": _GROUPED_TREND_SQL,
     "x_kmv_overlap": _KMV_SQL,
+    "x_kmv_rollup": _KMV_ROLLUP_SQL,
     "x_pq_index_incremental": _PQ_INDEX_SQL,
     "x_stream_stateful": _STREAM_STATEFUL_SQL,
     "t_stream_join": _STREAM_JOIN_SQL,
