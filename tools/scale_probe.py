@@ -75,6 +75,13 @@ PROBES = {
     "x_table_metadata": ("orders", 10),
     "x_partition_evolution": ("orders", 10),
     "x_sim_pq_topk": ("embeddings", 20),
+    # round-6 late additions: maintenance, fuzzy join, resample, KMV,
+    # incremental PQ index
+    "x_partial_compact": ("orders", 10),
+    "x_fuzzy_join": ("documents", 20),
+    "x_resample_ffill": ("events", 10),
+    "x_kmv_rollup": ("events", 10),
+    "x_pq_index_incremental": ("embeddings", 20),
     # x_source_overlap is NOT probed: its oracle-pinned max_df=100 band
     # (exact at fixture df <= 25) excises the 20x-replicated shingles
     # entirely, so the probe would time an empty output. Its inverted-
