@@ -1363,8 +1363,6 @@ class VersionedParquetTable:
         what an id-lookup over an 800k-file table needs. Sidecars load
         lazily and ONLY when an equality predicate on a bloom column
         reaches ``files_for``."""
-        import base64
-
         min_bits, k = int(cfg["bits"]), int(cfg["k"])
         abs_paths = [os.path.join(self.path, f) for f in files]
         if not abs_paths:
@@ -1419,6 +1417,37 @@ class VersionedParquetTable:
                         for i in range(k)
                     ]
                 )
+                # Pack the bitmap EXECUTOR-side: the driver receives
+                # m/8 base64 bytes per file, never the k*n_distinct
+                # position lists (GBs for a big table at m=2^24) that
+                # a collect_set would ship. One group per file; numpy
+                # sets all bits in a vectorized pass.
+                m_local = m
+
+                def _pack(pdf):
+                    import base64 as _b64
+
+                    import numpy as _np
+                    import pandas as _pd
+
+                    bitmap = _np.zeros(m_local // 8, dtype=_np.uint8)
+                    p = pdf["__p"].to_numpy()
+                    _np.bitwise_or.at(
+                        bitmap,
+                        p // 8,
+                        _np.left_shift(1, p % 8).astype(_np.uint8),
+                    )
+                    return _pd.DataFrame(
+                        {
+                            "__f": [pdf["__f"].iloc[0]],
+                            "b": [
+                                _b64.b64encode(bitmap.tobytes()).decode(
+                                    "ascii"
+                                )
+                            ],
+                        }
+                    )
+
                 rows = (
                     sub.where(F.col(col).isNotNull())
                     .select(
@@ -1427,17 +1456,13 @@ class VersionedParquetTable:
                     )
                     .distinct()
                     .groupBy("__f")
-                    .agg(F.collect_set("__p").alias("ps"))
+                    .applyInPandas(_pack, "__f string, b string")
                     .collect()
                 )
                 for r in rows:
-                    rel = to_rel(r["__f"])
-                    bitmap = bytearray(m // 8)
-                    for p in r["ps"]:
-                        bitmap[p // 8] |= 1 << (p % 8)
-                    per_file.setdefault(rel, {})[col] = {
+                    per_file.setdefault(to_rel(r["__f"]), {})[col] = {
                         "m": m,
-                        "b": base64.b64encode(bytes(bitmap)).decode("ascii"),
+                        "b": r["b"],
                     }
         name = f"{version:012d}-{uuid.uuid4().hex[:8]}.bloom-0.json"
         d = self._manifest_dir()

@@ -958,6 +958,36 @@ def test_bloom_never_false_negative(spark, table):
         assert got == {key}, key
 
 
+def test_bloom_sidecar_driver_bytes_flat_in_distinct_count(spark, tmp_path):
+    """Commit-time driver traffic for blooms is the PACKED bitmap
+    (m/8 bytes b64 per file), not the k*n_distinct position list: at a
+    fixed bitmap size, a file with 50x the distinct keys must produce a
+    byte-identical-SIZED sidecar entry (round-7 fix: executor-side
+    packing via applyInPandas)."""
+    import base64
+    import json
+    import os
+
+    sizes = {}
+    for name, n in (("small", 200), ("big", 10000)):
+        t = VersionedParquetTable(spark, str(tmp_path / name))
+        df = spark.range(n).select(F.col("id").alias("k"), F.col("id").alias("v"))
+        # one file, fixed m: 1<<17 bits covers 10k distinct at 10 bits/key
+        t.write(df.coalesce(1), bloom_columns=["k"], bloom_bits=1 << 17)
+        root = t._load_root(1)
+        sidecar = root["bloom"]["sidecars"][0]
+        with open(os.path.join(t._manifest_dir(), sidecar)) as f:
+            files = json.load(f)["files"]
+        (entry,) = [v["k"] for v in files.values()]
+        assert entry["m"] == 1 << 17
+        assert len(base64.b64decode(entry["b"])) == (1 << 17) // 8
+        sizes[name] = len(entry["b"])
+        # and the bloom still works: point lookup finds the key
+        got = {r["k"] for r in t.read(predicate=[("k", "=", n - 1)]).filter(F.col("k") == n - 1).collect()}
+        assert got == {n - 1}
+    assert sizes["small"] == sizes["big"]
+
+
 # --- round 6: CDC apply (change feed -> replica) --------------------------
 
 
