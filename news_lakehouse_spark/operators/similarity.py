@@ -1190,6 +1190,15 @@ def pq_encode(
     return d.mapInPandas(fn, "vec_id long, codes array<int>")
 
 
+PQ_MAX_LUT_QUERIES = 4096
+"""Query-count ceiling for a single task-broadcast ADC lookup table.
+The LUT is Q x m x 2^nbits doubles (e.g. 16 KiB/query at m=8,
+nbits=8); 4096 queries cap it at ~64 MiB per task — comfortably under
+executor memory. Past the cap ``pq_topk`` splits the query set into
+hash chunks and runs one ADC pass per chunk instead of building one
+giant LUT (mirrors ``_pair_with_queries``'s limit-probe + fallback)."""
+
+
 def pq_topk(
     codes_df: DataFrame,
     queries: DataFrame,
@@ -1199,6 +1208,7 @@ def pq_topk(
     vec_col: str = "embedding",
     corpus: DataFrame | None = None,
     shortlist: int = 4,
+    max_lut_queries: int | None = PQ_MAX_LUT_QUERIES,
 ) -> DataFrame:
     """ADC (asymmetric distance) top-k over PQ codes, with optional
     exact re-rank — the FAISS search pipeline re-expressed on Spark.
@@ -1214,6 +1224,15 @@ def pq_topk(
     re-rank of just those rows (a broadcast-semi-join-sized read)
     produces the final ranking — the standard recall repair that costs
     O(Q·k) full vectors instead of a full scan.
+
+    Query sets past ``max_lut_queries`` (limit-probed, never a full
+    materialization) are split into ``xxhash64``-hash chunks of
+    expected chunk size ≤ the cap and each chunk runs its own ADC
+    pass; per-query top-k results are independent across disjoint
+    chunks, so the union is exactly the single-pass answer. Pass
+    ``None`` to force the single-LUT plan, ``0`` to force chunking
+    (tests). The corpus code table is scanned once per chunk — the
+    right trade when the alternative is a driver/task OOM on the LUT.
     """
     import numpy as np
     import pandas as pd
@@ -1223,6 +1242,31 @@ def pq_topk(
     cents = [np.asarray(b, dtype="float64") for b in codebooks]
     m = len(cents)
     dsub = cents[0].shape[1]
+    if max_lut_queries is not None and (
+        max_lut_queries == 0
+        or queries.limit(max_lut_queries + 1).count() > max_lut_queries
+    ):
+        cap = max(max_lut_queries, 1)
+        n_chunks = max(
+            2, -(-queries.select(id_col).count() // cap)  # ceil div
+        )
+        chunk = F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(n_chunks))
+        out = None
+        for i in range(n_chunks):
+            part = pq_topk(
+                codes_df,
+                queries.filter(chunk == i),
+                codebooks,
+                k,
+                id_col,
+                vec_col,
+                corpus,
+                shortlist,
+                max_lut_queries=None,
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
     q_rows = (
         queries.select(
             F.col(id_col).cast("long").alias("__qid"),
@@ -1233,6 +1277,13 @@ def pq_topk(
         )
         .collect()
     )
+    if not q_rows:  # an empty hash chunk: keep the union shape stable
+        schema = (
+            "query_id long, neighbor_id long, adc_score double, rank int"
+            if corpus is None
+            else "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
+        return codes_df.sparkSession.createDataFrame([], schema)
     qids = np.asarray([r["__qid"] for r in q_rows], dtype="int64")
     Q = np.stack([np.asarray(r["__qv"], dtype="float64") for r in q_rows])
     # LUT[q, j, c] = dot(q_sub_j, cent_j_c)

@@ -1430,6 +1430,41 @@ def test_pq_lossless_codebook_equals_bruteforce(spark):
     assert adc == exact
 
 
+def test_pq_topk_chunked_fallback_matches_single_lut(spark, sf_dir):
+    """Past max_lut_queries pq_topk must split the query set into hash
+    chunks (one ADC pass each, bounded task-broadcast LUT) and return
+    IDENTICAL results to the single-LUT plan — both with and without
+    the exact re-rank. Plan assert: the chunked plan is a Union, the
+    single-LUT plan is not."""
+    from news_lakehouse_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 9)
+    books = pq_train(emb, m=4, nbits=4, sample_n=128)
+    codes = pq_encode(emb, books)
+    single = pq_topk(codes, q, books, k=3, max_lut_queries=None)
+    chunked = pq_topk(codes, q, books, k=3, max_lut_queries=4)
+    key = lambda df: {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["adc_score"])
+        for r in df.collect()
+    }
+    assert key(chunked) == key(single)
+    assert "Union" in chunked._jdf.queryExecution().analyzed().toString()
+    assert "Union" not in single._jdf.queryExecution().analyzed().toString()
+    # re-ranked flavor takes the same fallback and stays exact
+    rr_single = pq_topk(codes, q, books, k=3, corpus=emb, max_lut_queries=None)
+    rr_chunked = pq_topk(codes, q, books, k=3, corpus=emb, max_lut_queries=0)
+    rkey = lambda df: {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+        for r in df.collect()
+    }
+    assert rkey(rr_chunked) == rkey(rr_single)
+
+
 def test_pq_rerank_scores_are_exact_cosine(spark, sf_dir):
     from news_lakehouse_spark.operators.similarity import (
         pq_encode,
