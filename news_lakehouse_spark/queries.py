@@ -4211,17 +4211,17 @@ def x_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("doc_id_l", "doc_id_r")
 
 
-_FUZZY_JOIN_SQL = """
+_FUZZY_JOIN_SQL = r"""
 WITH l AS (
   SELECT doc_id AS l_id,
          list_distinct(list_filter(
-           string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))
+           string_split_regex(lower(text), '[^\p{L}\p{N}]+'), t -> t <> ''))
            AS toks
   FROM documents WHERE doc_id % 97 = 0
 ), r AS (
   SELECT doc_id AS r_id,
          list_distinct(list_filter(
-           string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))
+           string_split_regex(lower(text), '[^\p{L}\p{N}]+'), t -> t <> ''))
            AS toks
   FROM documents WHERE doc_id % 2 = 0
 ), lp AS (SELECT l_id, unnest(toks) AS token FROM l),

@@ -83,6 +83,8 @@ from __future__ import annotations
 import json
 import os
 import uuid
+import warnings
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -579,6 +581,32 @@ class VersionedParquetTable:
             for m in (self._load_root(v) for v in self.versions())
         ]
 
+    def _file_sizes(self, rels: list[str]) -> dict[str, int]:
+        """Sizes for the given live files: driver stat calls below
+        ``_DIST_STATS_THRESHOLD`` files, one Spark fan-out past it —
+        the flat-in-file-count contract every metadata path (inspect,
+        plan_compaction) shares with commit stats. At the documented
+        ~800k-file scale serial driver I/O here would dominate the
+        maintenance planner."""
+        root_path = self.path
+        if len(rels) >= _DIST_STATS_THRESHOLD:
+            return dict(
+                self.spark.sparkContext.parallelize(
+                    rels, max(1, min(len(rels) // 8, 256))
+                )
+                .map(
+                    lambda rel: (
+                        rel,
+                        os.path.getsize(os.path.join(root_path, rel)),
+                    )
+                )
+                .collect()
+            )
+        return {
+            rel: os.path.getsize(os.path.join(root_path, rel))
+            for rel in rels
+        }
+
     def inspect(self, kind: str, version: int | None = None) -> DataFrame:
         """Metadata inspection TABLES — the Iceberg ``table.files`` /
         ``.snapshots`` / ``.partitions`` analog (and Delta's DESCRIBE
@@ -644,25 +672,7 @@ class VersionedParquetTable:
         man = self._load_manifest(v)
         stats = man.get("stats", {})
         rels = man["files"]
-        root_path = self.path
-        if len(rels) >= _DIST_STATS_THRESHOLD:
-            sizes = dict(
-                self.spark.sparkContext.parallelize(
-                    rels, max(1, min(len(rels) // 8, 256))
-                )
-                .map(
-                    lambda rel: (
-                        rel,
-                        os.path.getsize(os.path.join(root_path, rel)),
-                    )
-                )
-                .collect()
-            )
-        else:
-            sizes = {
-                rel: os.path.getsize(os.path.join(root_path, rel))
-                for rel in rels
-            }
+        sizes = self._file_sizes(rels)
         rows = []
         for rel in rels:
             per_col = stats.get(rel) or {}
@@ -1955,12 +1965,28 @@ class VersionedParquetTable:
         upstream = source.latest_version()
         if upstream is None:
             raise FileNotFoundError(f"no committed version at {source.path}")
-        cursor = (
-            self.snapshot_properties().get("sync_from_version")
-            if self.exists()
-            else None
-        )
+        # The cursor is the MOST RECENT sync commit's property, not the
+        # latest commit's: an interleaved replica commit (the scheduled
+        # compact() the maintenance docs recommend, or a manual merge)
+        # must not hide it — that would silently degrade the next sync
+        # from an O(churn) feed to a full-table copy. Scan retained
+        # versions newest-first; only a replica with NO sync history
+        # does the initial full copy.
+        cursor = None
+        for v in reversed(self.versions()):
+            c = (self.snapshot_properties(v) or {}).get("sync_from_version")
+            if c is not None:
+                cursor = c
+                break
         if cursor is None:
+            if self.exists():
+                warnings.warn(
+                    f"replica at {self.path} has commits but no "
+                    "sync_from_version cursor in any retained version "
+                    "(vacuumed past the last sync?); falling back to a "
+                    "FULL-TABLE copy",
+                    stacklevel=2,
+                )
             root = source._load_root(upstream)
             return self.write(
                 source.read(version=upstream),
@@ -2067,26 +2093,40 @@ class VersionedParquetTable:
         if not spec:
             return []
         unesc = _unescape_fn(self.spark)
+        sizes = self._file_sizes(man["files"])
         frag_files: dict[str, int] = {}
         frag_bytes: dict[str, int] = {}
         for rel in man["files"]:
             frag = _file_partition_fragment(rel)
             frag_files[frag] = frag_files.get(frag, 0) + 1
-            frag_bytes[frag] = frag_bytes.get(frag, 0) + os.path.getsize(
-                os.path.join(self.path, rel)
-            )
+            frag_bytes[frag] = frag_bytes.get(frag, 0) + sizes[rel]
+        spec_cols = set(spec)
         out = []
         for frag, n in sorted(frag_files.items()):
             justified = max(1, math.ceil(frag_bytes[frag] / target_file_bytes))
-            if n >= min_files and n > justified:
-                part: dict = {}
-                for seg in frag.split("/"):
-                    c, _, v = seg.partition("=")
-                    part[c[len("__p_"):]] = (
-                        None
-                        if v == "__HIVE_DEFAULT_PARTITION__"
-                        else str(unesc(v))
-                    )
+            if not (n >= min_files and n > justified):
+                continue
+            # Only emit dicts over the CURRENT spec: a file written
+            # under an older spec (or before partitioning) carries a
+            # stale/empty fragment, and feeding its columns to
+            # compact(partitions=...) makes the overlap selector
+            # conservatively match every current-spec file missing
+            # that column — a planned partial compaction silently
+            # ballooning into a near-full rewrite. Old-spec buildup is
+            # handled by compact()'s incremental-migration rule when
+            # its current-spec partition is chosen, or a full compact.
+            part: dict = {}
+            for seg in frag.split("/"):
+                c, _, v = seg.partition("=")
+                if not c.startswith("__p_"):
+                    part = {}
+                    break
+                part[c[len("__p_"):]] = (
+                    None
+                    if v == "__HIVE_DEFAULT_PARTITION__"
+                    else str(unesc(v))
+                )
+            if part and set(part) <= spec_cols:
                 out.append(part)
         return out
 

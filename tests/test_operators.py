@@ -884,6 +884,57 @@ def test_fuzzy_token_join_exact_jaccard(spark):
     assert none.count() == 0
 
 
+def test_fuzzy_join_prefix_filter_exact_and_cuts_candidates(spark):
+    """The ppjoin prefix cut must be invisible in the OUTPUT (it is
+    exact: any pair with Jaccard >= t shares a token inside both
+    df-ordered prefixes) while materially shrinking the candidate set
+    that the verification phase pays for."""
+    from news_lakehouse_spark.operators.fuzzyjoin import (
+        _candidate_pairs,
+        _token_sets,
+        fuzzy_token_join,
+    )
+
+    # every doc shares 4 stopwords (huge posting lists) + has rare
+    # tail tokens; near-dup pairs differ by one tail token
+    mk = lambda i, tail: f"the of and to {tail} item{i}"
+    left = spark.createDataFrame(
+        [(i, mk(i, f"rare{i} extra{i}")) for i in range(30)],
+        "id long, name string",
+    )
+    right = spark.createDataFrame(
+        [(100 + i, mk(i, f"rare{i} extra{i}")) for i in range(30)]
+        + [(500, "the of and to unrelated stuff")],
+        "id long, name string",
+    )
+    kw = dict(threshold=0.8, max_df=10**6)
+    out = lambda pf: {
+        (r["id_l"], r["id_r"], r["jaccard"])
+        for r in fuzzy_token_join(
+            left, right, "id", "id", "name", "name",
+            prefix_filter=pf, **kw
+        ).collect()
+    }
+    with_pf, without_pf = out(True), out(False)
+    assert with_pf == without_pf
+    assert {(i, 100 + i, 1.0) for i in range(30)} <= with_pf
+
+    _, l_post = _token_sets(left, "id", "name", "l")
+    _, r_post = _token_sets(right, "id", "name", "r")
+    n_pref = _candidate_pairs(l_post, r_post, 0.8, 10**6, True).count()
+    n_full = _candidate_pairs(l_post, r_post, 0.8, 10**6, False).count()
+    # stopword postings generate ~30x31 candidates without the cut;
+    # rare-first prefixes keep essentially only the true pairs
+    assert n_pref <= n_full / 5, (n_pref, n_full)
+
+    # non-ASCII tokens: Spark tokenizer is \p{L}\p{N}, same as the
+    # DuckDB oracle (advice r6) — accents must not split tokens
+    l2 = spark.createDataFrame([(1, "café naïve über 42")], "id long, name string")
+    r2 = spark.createDataFrame([(2, "Café NAÏVE über 42")], "id long, name string")
+    got = fuzzy_token_join(l2, r2, "id", "id", "name", "name", threshold=0.9).collect()
+    assert [(r["id_l"], r["id_r"], r["jaccard"]) for r in got] == [(1, 2, 1.0)]
+
+
 def test_grouped_linear_fit_closed_form_and_degenerates(spark):
     from news_lakehouse_spark.operators.timeseries import grouped_linear_fit
 

@@ -1129,6 +1129,103 @@ def test_sync_from_cancelled_churn_advances_cursor_only(spark, tmp_path):
     assert _rows(rep.read()) == {(1, "a", 10)}
 
 
+def test_sync_from_cursor_survives_interleaved_replica_commits(
+    spark, tmp_path
+):
+    """A replica commit between syncs (the scheduled compact() the
+    maintenance docs recommend) must NOT hide the cursor: the next
+    sync stays an O(churn) feed application, never a silent full-table
+    copy (advice r6)."""
+    import warnings as _w
+
+    src = VersionedParquetTable(spark, str(tmp_path / "src"))
+    rep = VersionedParquetTable(spark, str(tmp_path / "rep"))
+    src.merge(_df(spark, [(k, "a", k) for k in range(1, 5)]), ["k"])
+    rep.sync_from(src, ["k"])
+    rep.compact()  # interleaved maintenance: latest commit has no cursor
+    src.merge(_df(spark, [(2, "a", 99), (9, "z", 9)]), ["k"])
+    v_before = rep.latest_version()
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # a full-copy fallback would warn -> fail
+        rep.sync_from(src, ["k"])
+    assert _rows(rep.read()) == _rows(src.read())
+    # incremental path: apply_changes commits merge ops, never a fresh
+    # full "sync" write
+    ops = [h["operation"] for h in rep.history() if h["version"] > v_before]
+    assert ops and "sync" not in ops
+    assert rep.snapshot_properties()["sync_from_version"] == 2
+
+
+def test_sync_from_warns_on_cursorless_replica_full_copy(spark, tmp_path):
+    """A replica with commits but no sync history anywhere (e.g.
+    vacuumed past the last sync, or hand-built) falls back to a full
+    copy — loudly, not silently."""
+    src = VersionedParquetTable(spark, str(tmp_path / "src"))
+    rep = VersionedParquetTable(spark, str(tmp_path / "rep"))
+    src.merge(_df(spark, [(1, "a", 10)]), ["k"])
+    rep.write(src.read())  # hand-built: no cursor in any version
+    with pytest.warns(UserWarning, match="FULL-TABLE copy"):
+        rep.sync_from(src, ["k"])
+    assert _rows(rep.read()) == _rows(src.read())
+    assert rep.snapshot_properties()["sync_from_version"] == 1
+
+
+def test_plan_compaction_skips_old_spec_fragments(spark, table):
+    """After partition-spec evolution, plan_compaction must emit only
+    CURRENT-spec partition dicts: an old-spec dict (or a bogus {'': ''}
+    from unpartitioned-era files) would make compact(partitions=...)'s
+    overlap selector conservatively match every current-spec file
+    missing that column — a planned partial compaction silently
+    becoming a near-full rewrite (advice r6)."""
+    # small-file buildup under the OLD spec (d), then evolve to (v):
+    # the d=... fragments are stale relative to the current spec
+    table.merge(
+        _df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"], partition_by=["d"]
+    )
+    table.merge(_df(spark, [(3, "a", 10)]), ["k"])
+    table.merge(_df(spark, [(4, "a", 10)]), ["k"])
+    assert table.plan_compaction(min_files=2)  # sanity: buildup visible
+    table.set_partition_spec(["v"])
+    plan = table.plan_compaction(min_files=2)
+    assert all(set(p) <= {"v"} for p in plan), plan
+    assert plan == []  # only old-spec buildup exists -> nothing plannable
+
+    # unpartitioned-era files must never yield a bogus {'': ''} entry
+    t2 = VersionedParquetTable(spark, str(table.path) + "_u")
+    t2.write(_df(spark, [(1, "a", 10), (2, "b", 20)]).repartition(3))
+    t2.set_partition_spec(["d"])
+    plan2 = t2.plan_compaction(min_files=2)
+    assert all("" not in p and set(p) <= {"d"} for p in plan2), plan2
+    assert plan2 == []
+
+
+def test_plan_compaction_uses_distributed_sizes_past_threshold(
+    spark, table, monkeypatch
+):
+    """plan_compaction shares inspect()'s flat-in-file-count contract:
+    past _DIST_STATS_THRESHOLD live files the sizes come from one Spark
+    fan-out, not O(files) serial driver stat calls."""
+    from news_lakehouse_spark.sources import transaction as T
+
+    table.write(
+        _df(spark, [(k, f"p{k % 2}", k) for k in range(40)]).repartition(8),
+        partition_by=["d"],
+    )
+    monkeypatch.setattr(T, "_DIST_STATS_THRESHOLD", 4)
+    calls = {"n": 0}
+    real = os.path.getsize
+
+    def counting(p):
+        calls["n"] += 1
+        return real(p)
+
+    monkeypatch.setattr(T.os.path, "getsize", counting)
+    plan = table.plan_compaction(min_files=2)
+    # driver-side stat calls stayed zero — sizes came from the fan-out
+    assert calls["n"] == 0, calls["n"]
+    assert isinstance(plan, list)
+
+
 def test_inspect_metadata_tables(spark, table):
     table.merge(
         _df(spark, [(1, "a", 10), (2, "b", 20), (3, "b", 30)]),
