@@ -109,6 +109,8 @@ EXTENDED = [
     "x_grouped_trend",
     "x_kmv_overlap",
     "x_kmv_rollup",
+    # round-7 additions (stream-stream left-outer interval join):
+    "t_stream_left_join",
 ]
 
 

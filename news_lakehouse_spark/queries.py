@@ -2453,6 +2453,77 @@ WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 """
 
 
+def t_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked LEFT-OUTER interval join — the
+    funnel-drop query (streaming/windows.py stream_stream_interval_join
+    how='left_outer', drained by streaming/joins.py): every view
+    joined to the purchases the same user makes within 4 hours, PLUS
+    one null-extended row per view for which the watermark proves no
+    purchase can still arrive. Null emission is watermark-expiry
+    semantics, so the oracle replicates the horizon exactly: each side
+    watermarks AFTER its event_type filter, Spark tracks per-side max
+    event time in floor-to-millisecond precision, the global watermark
+    is the min of the two sides minus the 10-minute delay, and a view
+    emits as unmatched iff view_ts + 4h < that watermark (views near
+    the stream's tail stay pending in state — inherent to the
+    semantics, not a buffering artifact). AvailableNow's terminal
+    no-data micro-batch flushes exactly the provably-dead rows."""
+    import tempfile
+    import uuid
+
+    from news_lakehouse_spark.streaming.joins import run_interval_join_over_dir
+
+    name = f"stream_ljoin_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_ljoin_")
+    return run_interval_join_over_dir(
+        spark,
+        f"{sf_dir}/events.parquet",
+        ckpt,
+        query_name=name,
+        how="left_outer",
+    )
+
+
+_STREAM_LEFT_JOIN_SQL = """
+WITH v AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+), wm AS (
+  -- global watermark: min over both sides' floor-to-ms max event
+  -- times, minus the 10-minute delay, in MICROS (Spark's internal
+  -- representation of the eviction horizon)
+  SELECT (least((SELECT epoch_us(max(ts)) // 1000 FROM v),
+                (SELECT epoch_us(max(ts)) // 1000 FROM p))
+          - 600000) * 1000 AS wm_us
+)
+SELECT v.user_id,
+       v.event_id AS l_event_id,
+       v.ts AS l_ts,
+       p.event_id AS r_event_id,
+       p.ts AS r_ts
+FROM v JOIN p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 4 HOUR
+UNION ALL
+SELECT v.user_id,
+       v.event_id AS l_event_id,
+       v.ts AS l_ts,
+       CAST(NULL AS BIGINT) AS r_event_id,
+       CAST(NULL AS TIMESTAMP) AS r_ts
+FROM v, wm
+WHERE epoch_us(v.ts) + 14400000000 < wm.wm_us
+  AND NOT EXISTS (
+    SELECT 1 FROM p
+    WHERE p.user_id = v.user_id
+      AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR
+  )
+"""
+
+
 
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6531,6 +6602,7 @@ QUERIES: dict[str, QueryFn] = {
     # r6-touched modules. Queries driver-verified in r5 rotate below
     # the line; tools/verify_oracle.py still covers the full registry.
     "t_stream_join": t_stream_join,
+    "t_stream_left_join": t_stream_left_join,
     "t_stream_dedup": t_stream_dedup,
     "x_sim_pq_topk": x_sim_pq_topk,
     "x_pq_index_incremental": x_pq_index_incremental,
@@ -6784,6 +6856,7 @@ ORACLES: dict[str, str] = {
     "x_pq_index_incremental": _PQ_INDEX_SQL,
     "x_stream_stateful": _STREAM_STATEFUL_SQL,
     "t_stream_join": _STREAM_JOIN_SQL,
+    "t_stream_left_join": _STREAM_LEFT_JOIN_SQL,
     "t_stream_dedup": _STREAM_DEDUP_SQL,
     "x_mor_delete": _MOR_DELETE_SQL,
     "x_bloom_point_lookup": _BLOOM_LOOKUP_SQL,

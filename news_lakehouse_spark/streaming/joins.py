@@ -29,12 +29,18 @@ def run_interval_join_over_dir(
     within: str = "4 hours",
     watermark: str = "10 minutes",
     max_files_per_trigger: int | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Drain one events directory through the stream-stream interval
     join (both sides read the SAME files, filtered by event_type) with
     Trigger.AvailableNow into a memory sink; return the joined rows.
     Single-source fan-out is the conversion-funnel shape: one physical
-    stream, two logical streams.
+    stream, two logical streams. ``how='left_outer'`` adds the
+    funnel-drop rows (left events with no right match within the
+    interval, nulls on the right) for every left row whose no-match
+    status the FINAL watermark can prove — the terminal no-data
+    micro-batch AvailableNow runs after the last data batch flushes
+    exactly those rows from state.
 
     events.ts is parquet TIMESTAMP(NANOS) in the test corpus — read as
     raw nanos and truncated to micros, same contract as
@@ -78,6 +84,7 @@ def run_interval_join_over_dir(
         key="user_id",
         watermark=watermark,
         interval=within,
+        how=how,
     )
     q = (
         joined.writeStream.outputMode("append")

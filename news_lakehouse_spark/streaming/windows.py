@@ -149,8 +149,9 @@ def stream_stream_interval_join(
     right_ts: str = "ts",
     watermark: str = "10 minutes",
     interval: str = "5 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join within a time interval (T-family).
+    """Stream-stream join within a time interval (T-family).
 
     Matches right rows whose timestamp falls in
     [left_ts, left_ts + interval], with BOTH sides watermarked — the
@@ -160,9 +161,22 @@ def stream_stream_interval_join(
     state store a provable purge horizon (unbounded state otherwise,
     the stream-stream join's classic OOM).
 
+    ``how='left_outer'`` additionally emits each unmatched left row
+    ONCE, with nulls on the right — the conversion-funnel-drop shape
+    (views with no purchase within the interval). Emission is
+    watermark-driven: a left row surfaces as unmatched only when the
+    global watermark proves no matching right row can still arrive
+    (left_ts + interval < watermark), so rows near the head of the
+    stream stay pending until more data advances the watermark —
+    inherent to the semantics, not a buffering artifact.
+
     Columns are prefixed l_/r_ (except the join key) because both
     sides usually share names.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"how must be 'inner' or 'left_outer', got {how!r}"
+        )
     l = _ensure_event_time(left, left_ts).withWatermark(left_ts, watermark).select(
         F.col(key),
         *[
@@ -184,4 +198,4 @@ def stream_stream_interval_join(
         & (F.col(f"r_{right_ts}") >= F.col(f"l_{left_ts}"))
         & (F.col(f"r_{right_ts}") <= F.col(f"l_{left_ts}") + F.expr(f"INTERVAL {interval}"))
     )
-    return l.join(r, cond, "inner").drop("__rk")
+    return l.join(r, cond, how).drop("__rk")

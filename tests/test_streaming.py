@@ -485,9 +485,17 @@ def test_interval_join_state_bounded_across_batches(spark, tmp_path):
         )
     for f in range(n_files):  # one hour-ish of events per file
         chunk = rows[f * per_file : (f + 1) * per_file]
-        pq.write_table(
-            pa.Table.from_pylist(chunk), src / f"part-{f:03d}.parquet"
-        )
+        path = src / f"part-{f:03d}.parquet"
+        pq.write_table(pa.Table.from_pylist(chunk), path)
+        # FileStreamSource drains in MODIFICATION-TIME order; fast
+        # back-to-back writes share an mtime and the tie-break is
+        # nondeterministic, letting a late file jump the queue, spike
+        # the watermark, and late-drop the earlier files' rows. Pin
+        # strictly increasing mtimes so the drain order matches event
+        # time — the scenario this test is about.
+        import os as _os
+
+        _os.utime(path, (1_700_000_000 + f, 1_700_000_000 + f))
 
     schema = spark.read.parquet(str(src)).schema
 
@@ -543,3 +551,115 @@ def test_interval_join_state_bounded_across_batches(spark, tmp_path):
     got = {tuple(r) for r in spark.table("sj_state_test").collect()}
     assert got == {tuple(r) for r in expect.collect()}
     assert len(got) > 0
+
+
+def test_interval_left_join_emits_drops_and_bounds_state(spark, tmp_path):
+    """LEFT-OUTER stream-stream interval join (the funnel-drop shape):
+    unmatched left rows must surface exactly once with nulls on the
+    right — but only those whose no-match status the final watermark
+    can prove (l_ts + interval < wm); state must still evict."""
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from news_lakehouse_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    src = tmp_path / "lj_src"
+    src.mkdir()
+    t0 = datetime(2024, 1, 1)
+    n_files, per_file = 6, 40
+    rows = []
+    for i in range(n_files * per_file):
+        if i % 2 == 1 and i % 10 == 5:
+            continue  # kill every purchase at i%10==5: views at
+            # i%10==0 lose BOTH their candidate matches (i+5, i+15)
+        rows.append(
+            {
+                "user_id": i % 5,
+                "event_id": i,
+                "ts": t0 + timedelta(minutes=i),
+                "event_type": "view" if i % 2 == 0 else "purchase",
+            }
+        )
+    for f in range(n_files):
+        chunk = [r for r in rows if f * per_file <= r["event_id"] < (f + 1) * per_file]
+        path = src / f"part-{f:03d}.parquet"
+        pq.write_table(pa.Table.from_pylist(chunk), path)
+        # pin drain order to event-time order (see the inner-join
+        # state test above: mtime ties make file order nondeterministic)
+        import os as _os
+
+        _os.utime(path, (1_700_000_000 + f, 1_700_000_000 + f))
+
+    schema = spark.read.parquet(str(src)).schema
+
+    def stream():
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        if dict(s.dtypes).get("ts") == "timestamp_ntz":
+            s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return s
+
+    joined = stream_stream_interval_join(
+        stream().filter(F.col("event_type") == "view").drop("event_type"),
+        stream().filter(F.col("event_type") == "purchase").drop("event_type"),
+        key="user_id",
+        watermark="5 minutes",
+        interval="15 minutes",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lj_state_test")
+        .option("checkpointLocation", str(tmp_path / "lj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state_rows = [
+        op["numRowsTotal"]
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+        if op.get("numRowsTotal") is not None
+    ]
+    assert state_rows and max(state_rows) < len(rows) / 2, state_rows
+
+    got = {tuple(r) for r in spark.table("lj_state_test").collect()}
+    got_nulls = {r for r in got if r[3] is None}
+    got_matched = {r for r in got if r[3] is not None}
+
+    # batch expectation: inner matches + horizon-eligible unmatched
+    views = [r for r in rows if r["event_type"] == "view"]
+    purchases = [r for r in rows if r["event_type"] == "purchase"]
+    matched, matched_view_ids = set(), set()
+    for v in views:
+        for p in purchases:
+            if (
+                p["user_id"] == v["user_id"]
+                and v["ts"] <= p["ts"] <= v["ts"] + timedelta(minutes=15)
+            ):
+                matched.add(
+                    (v["user_id"], v["event_id"], v["ts"], p["event_id"], p["ts"])
+                )
+                matched_view_ids.add(v["event_id"])
+    wm = min(
+        max(v["ts"] for v in views), max(p["ts"] for p in purchases)
+    ) - timedelta(minutes=5)
+    expect_nulls = {
+        (v["user_id"], v["event_id"], v["ts"], None, None)
+        for v in views
+        if v["event_id"] not in matched_view_ids
+        and v["ts"] + timedelta(minutes=15) < wm
+    }
+    assert got_matched == matched, sorted(matched - got_matched)[:6]
+    assert got_nulls == expect_nulls
+    assert expect_nulls  # the construction really produced drops
+    # inner mode on the same data must NOT emit nulls
+    assert all(r[3] is not None for r in matched)
