@@ -44,11 +44,52 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def _last_verified_rounds() -> dict[str, int]:
+    """query name -> newest round with a GREEN driver CORRECTNESS row
+    (0 = never verified). Read from the committed CORRECTNESS_r*.json
+    files, so the ordering below is deterministic per round."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            ok = (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
+            if ok:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
+    """One entry per implemented operator from SURVEY.md §2
+    (+ extensions), ordered STALEST-FIRST: the driver oracle-checks
+    only the first 50 entries per round, so rotating never-verified
+    queries first and then by oldest green round guarantees every
+    query re-verifies on a bounded cadence instead of the head of the
+    registry monopolizing the window."""
     from news_lakehouse_spark.queries import QUERIES
 
-    return dict(QUERIES)
+    last = _last_verified_rounds()
+    names = list(QUERIES)
+    order = sorted(range(len(names)), key=lambda i: (last.get(names[i], 0), i))
+    return {names[i]: QUERIES[names[i]] for i in order}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -109,8 +109,10 @@ EXTENDED = [
     "x_grouped_trend",
     "x_kmv_overlap",
     "x_kmv_rollup",
-    # round-7 additions (stream-stream left-outer interval join):
+    # round-7 additions (stream-stream left-outer interval join +
+    # field-id schema evolution):
     "t_stream_left_join",
+    "x_schema_evolution",
 ]
 
 

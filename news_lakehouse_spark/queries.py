@@ -2910,6 +2910,93 @@ def x_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-id schema evolution (sources/transaction.py
+    rename_column/widen_column — Iceberg ALTER TABLE analogs; the
+    reference's tables are Iceberg DDL, gcs_bronze_to_silver.py:73-158,
+    whose format allows exactly these metadata-only changes).
+
+    v1 commits an orders subset; a METADATA-ONLY rename
+    (o_totalprice→price) and int→bigint widen (ship) follow — both
+    asserted in-plan to touch zero data files and emit an empty change
+    feed (at 100 TB each costs one manifest, not a table rewrite). A
+    merge then updates keys divisible by 13 under the NEW schema, so
+    the final snapshot mixes files written under three schema epochs,
+    all mapped by field id at read time. The returned frame aggregates
+    the current snapshot under the new names AND the v1 snapshot via
+    time travel under the original names — both value-checked by the
+    oracle."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"nlh_schema_evo_{os.getpid()}_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = VersionedParquetTable(spark, base)
+    sub = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_custkey").cast("int").alias("ship"),
+    )
+    t.merge(sub, ["o_orderkey"])
+    files_v1 = set(t.files_for())
+    v_ren = t.rename_column("o_totalprice", "price")
+    v_wide = t.widen_column("ship", "bigint")
+    assert set(t.files_for()) == files_v1  # both commits metadata-only
+    assert t.changes(v_ren - 1, v_wide).isEmpty()
+    t.merge(
+        orders.filter(
+            (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 13 == 0)
+        ).select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).alias("price"),
+            F.col("o_custkey").cast("bigint").alias("ship"),
+        ),
+        ["o_orderkey"],
+    )
+
+    def agg(df, price_col, tag):
+        return df.agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(price_col), 2).alias("total_price"),
+            F.sum("ship").cast("bigint").alias("ship_sum"),
+        ).select(F.lit(tag).alias("snap"), "cnt", "total_price", "ship_sum")
+
+    return (
+        agg(t.read(), "price", "current")
+        .unionByName(agg(t.read(version=1), "o_totalprice", "v1"))
+        .orderBy("snap")
+    )
+
+
+_SCHEMA_EVOLUTION_SQL = """
+WITH sub AS (
+  SELECT o_orderkey, o_totalprice, CAST(o_custkey AS INT) AS ship
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT 'current' AS snap,
+       COUNT(*) AS cnt,
+       ROUND(SUM(CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 2
+                      ELSE o_totalprice END), 2) AS total_price,
+       CAST(SUM(ship) AS BIGINT) AS ship_sum
+FROM sub
+UNION ALL
+SELECT 'v1' AS snap,
+       COUNT(*) AS cnt,
+       ROUND(SUM(o_totalprice), 2) AS total_price,
+       CAST(SUM(ship) AS BIGINT) AS ship_sum
+FROM sub
+ORDER BY snap
+"""
+
+
 _PARTITION_EVOLUTION_SQL = """
 SELECT o_orderpriority,
        COUNT(*) AS cnt,
@@ -6613,6 +6700,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_kmv_rollup": x_kmv_rollup,
     "x_rollback": x_rollback,
     "x_partition_evolution": x_partition_evolution,
+    "x_schema_evolution": x_schema_evolution,
     "x_partial_compact": x_partial_compact,
     "x_table_metadata": x_table_metadata,
     "x_mor_delete": x_mor_delete,
@@ -6870,6 +6958,7 @@ ORACLES: dict[str, str] = {
     "x_table_metadata": _TABLE_METADATA_SQL,
     "x_partial_compact": _PARTIAL_COMPACT_SQL,
     "x_partition_evolution": _PARTITION_EVOLUTION_SQL,
+    "x_schema_evolution": _SCHEMA_EVOLUTION_SQL,
     "x_table_changes": _TABLE_CHANGES_SQL,
     "x_rollback": _ROLLBACK_SQL,
     "x_media_probe": _MEDIA_PROBE_SQL,

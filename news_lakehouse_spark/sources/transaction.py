@@ -431,6 +431,63 @@ def _overlap_selector(spark: SparkSession, parts: list[dict]):
     return sel
 
 
+# --- field-id schema evolution (rename / drop / widen / add) -------------
+#
+# Iceberg-style: every column carries a stable FIELD ID in the manifest
+# schema's per-field metadata ({"fid": n}); the manifest additionally
+# stores `schema_id` (the current epoch), `schemas` (epoch -> schema
+# JSON, append-only) and `file_sids` (file -> epoch it was WRITTEN
+# under; sparse — files at the current epoch are omitted). Reads map
+# each file's physical columns to the current logical schema BY ID, so
+# rename/drop/type-widen are metadata-only commits, time travel across
+# a rename reads old snapshots correctly, and a re-added column name
+# never resurrects dropped data (new name, new id). Tables never
+# touched by rename/drop/widen/add_column stay in the legacy name-
+# mapped format with zero overhead.
+
+_WIDENINGS = {
+    "byte": ("short", "integer", "long"),
+    "short": ("integer", "long"),
+    "integer": ("long",),
+    "float": ("double",),
+}
+
+
+def _field_fid(field_json: dict) -> int | None:
+    return (field_json.get("metadata") or {}).get("fid")
+
+
+def _schema_signature(schema_json: dict) -> list[tuple]:
+    """(name, type, fid) per field — epoch identity for a schema."""
+    return [
+        (f["name"], json.dumps(f["type"], sort_keys=True), _field_fid(f))
+        for f in schema_json["fields"]
+    ]
+
+
+def _with_positional_fids(schema_json: dict) -> dict:
+    """Upgrade a legacy schema: field i gets fid i+1. Deterministic, so
+    a legacy snapshot's columns map into epoch 0 consistently. Legacy
+    data files are all name-compatible with this epoch (pre-upgrade
+    evolution was add-column only), so epoch 0 reads them by name."""
+    fields = [
+        {**f, "metadata": {**(f.get("metadata") or {}), "fid": i + 1}}
+        for i, f in enumerate(schema_json["fields"])
+    ]
+    return {**schema_json, "fields": fields}
+
+
+def _max_fid(schemas: dict[str, dict]) -> int:
+    return max(
+        (
+            _field_fid(f) or 0
+            for s in schemas.values()
+            for f in s["fields"]
+        ),
+        default=0,
+    )
+
+
 class VersionedParquetTable:
     """A parquet table with atomic, versioned, time-travelable commits."""
 
@@ -1047,8 +1104,14 @@ class VersionedParquetTable:
             kdf = self.spark.read.parquet(
                 *[os.path.join(self.path, p) for p in e["paths"]]
             )
+            # a rename_column re-keys the entry logically; the key
+            # parquet keeps the name current when the delete committed
+            file_cols = e.get("file_cols", e["key_cols"])
             kdf = kdf.select(
-                *[F.col(c).alias(f"__dk_{c}") for c in e["key_cols"]]
+                *[
+                    F.col(fc).alias(f"__dk_{c}")
+                    for fc, c in zip(file_cols, e["key_cols"])
+                ]
             )
             cond = F.col("__f_v") < F.lit(int(e["version"]))
             for c in e["key_cols"]:
@@ -1088,7 +1151,9 @@ class VersionedParquetTable:
         files_list = self.files_for(v, partition_filter, predicate)
         if not files_list:
             return self.spark.createDataFrame([], schema)
-        df = self._apply_deletes(self._read_files(files_list, schema), root)
+        df = self._apply_deletes(
+            self._read_files(files_list, schema, self._sid_ctx(root)), root
+        )
         if partition_filter:
             # Path pruning is exact only for files whose fragment
             # carries the column; files written under an older
@@ -1114,21 +1179,98 @@ class VersionedParquetTable:
                 df = df.filter(cond)
         return df
 
-    def _read_files(self, rels: list[str], schema: StructType) -> DataFrame:
-        """Read an explicit manifest file list as ONE parquet relation,
-        pinned to the MANIFEST's schema: passing the schema to the
-        reader skips the footer-sampling inference job (mergeSchema
-        paid one per read — measurable when every merge, feed, and
-        time-travel read builds a fresh relation) and null-fills
-        columns absent from older commits by name, which is exactly
-        the add-column evolution ``merge(evolve_schema=True)``
-        supports. Partition values live inside the files (see
-        ``_write_commit``), so no basePath/path parsing is needed and
-        the plan is a single scan node no matter how many commits the
-        snapshot spans — table history depth never bloats read plans."""
-        return self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.path, rel) for rel in rels]
-        )
+    @staticmethod
+    def _carry_epochs(man: dict) -> dict:
+        """Schema-epoch keys a metadata-only commit (delete, evolve-
+        spec, sync cursor, rollback) copies from its parent manifest
+        unchanged ({} on legacy tables)."""
+        if "schemas" not in man:
+            return {}
+        return {
+            "schema_id": man["schema_id"],
+            "schemas": man["schemas"],
+            "file_sids": man.get("file_sids") or {},
+            "next_fid": man.get("next_fid", _max_fid(man["schemas"]) + 1),
+        }
+
+    @staticmethod
+    def _sid_ctx(root: dict) -> dict | None:
+        """Schema-epoch context of a manifest, or None for a legacy
+        (never rename/drop/widen-evolved) table."""
+        if "schemas" not in root:
+            return None
+        return {
+            "schema_id": root["schema_id"],
+            "schemas": root["schemas"],
+            "file_sids": root.get("file_sids") or {},
+        }
+
+    def _read_files(
+        self,
+        rels: list[str],
+        schema: StructType,
+        sid_ctx: dict | None = None,
+    ) -> DataFrame:
+        """Read an explicit manifest file list pinned to the MANIFEST's
+        schema: passing the schema to the reader skips the
+        footer-sampling inference job (mergeSchema paid one per read —
+        measurable when every merge, feed, and time-travel read builds
+        a fresh relation) and null-fills columns absent from older
+        commits by name, which is exactly the add-column evolution
+        ``merge(evolve_schema=True)`` supports. Partition values live
+        inside the files (see ``_write_commit``), so no basePath/path
+        parsing is needed and the plan is a single scan node no matter
+        how many commits the snapshot spans — table history depth
+        never bloats read plans.
+
+        With ``sid_ctx`` (a manifest carrying schema epochs — see
+        module notes), files group by the epoch they were WRITTEN
+        under and each group's physical columns map to the target
+        ``schema`` BY FIELD ID: renames re-alias, widened types cast,
+        later-added fields null-fill, and a re-added name with a new
+        id never reads a dropped column's bytes. One scan node per
+        live epoch (few — compaction collapses them), each with full
+        pushdown/pruning; epoch-identical groups skip the projection
+        entirely."""
+        if sid_ctx is None:
+            return self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, rel) for rel in rels]
+            )
+        target_json = schema.jsonValue()
+        target_sig = _schema_signature(target_json)
+        cur_sid = sid_ctx["schema_id"]
+        fs = sid_ctx["file_sids"]
+        groups: dict[int, list[str]] = {}
+        for rel in rels:
+            groups.setdefault(fs.get(rel, cur_sid), []).append(rel)
+        frames = []
+        for sid in sorted(groups):
+            paths = [os.path.join(self.path, r) for r in groups[sid]]
+            phys_json = sid_ctx["schemas"][str(sid)]
+            if _schema_signature(phys_json) == target_sig:
+                frames.append(self.spark.read.schema(schema).parquet(*paths))
+                continue
+            phys = StructType.fromJson(phys_json)
+            by_fid = {
+                _field_fid(f): f["name"]
+                for f in phys_json["fields"]
+                if _field_fid(f) is not None
+            }
+            raw = self.spark.read.schema(phys).parquet(*paths)
+            sel = []
+            for tf, tj in zip(schema.fields, target_json["fields"]):
+                fid = _field_fid(tj)
+                if fid in by_fid:
+                    sel.append(
+                        F.col(by_fid[fid]).cast(tf.dataType).alias(tf.name)
+                    )
+                else:  # added after this epoch (or re-added post-drop)
+                    sel.append(F.lit(None).cast(tf.dataType).alias(tf.name))
+            frames.append(raw.select(*sel))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     def changes_plan(
         self, from_version: int, to_version: int | None = None
@@ -1260,32 +1402,90 @@ class VersionedParquetTable:
         plan = self.changes_plan(from_version, to_v)
         root_b = self._load_root(to_v)
         schema = StructType.fromJson(root_b["schema"])
+        schema_json = root_b["schema"]
+        ctx_b = self._sid_ctx(root_b)
         empty = self.spark.createDataFrame([], schema)
 
-        if plan["mode"] == "snapshot":
-            a = self.read(version=from_version)
-            for f in schema.fields:  # align evolved schemas
-                if f.name not in a.columns:
-                    a = a.withColumn(f.name, F.lit(None).cast(f.dataType))
-            a = a.select(
-                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        def ctx_for(root: dict) -> dict | None:
+            """Epoch context for files listed in ``root``: a legacy
+            manifest inside an epoch-tracked span maps to epoch 0 (its
+            files all predate the fid upgrade, whose epoch-0 schema
+            names them all)."""
+            if ctx_b is None:
+                return None
+            c = self._sid_ctx(root)
+            if c is None:
+                return {
+                    "schema_id": 0,
+                    "schemas": ctx_b["schemas"],
+                    "file_sids": {},
+                }
+            return c
+
+        def align(df: DataFrame, src_root: dict) -> DataFrame:
+            """Project a frame in ``src_root``'s logical schema to the
+            ENDPOINT schema — by field id when the endpoint tracks
+            epochs (rename/widen/drop-safe; a legacy source root maps
+            through epoch 0, whose names it shares), by name when the
+            whole table is legacy."""
+            if ctx_b is not None:
+                if "schemas" in src_root:
+                    src_fields = src_root["schema"]["fields"]
+                else:  # pre-upgrade snapshot: epoch 0 names its columns
+                    src_fields = [
+                        f
+                        for f in ctx_b["schemas"]["0"]["fields"]
+                        if f["name"] in df.columns
+                    ]
+                src_by_fid = {
+                    _field_fid(f): f["name"]
+                    for f in src_fields
+                    if _field_fid(f) is not None
+                }
+                return df.select(
+                    *[
+                        (
+                            F.col(src_by_fid[_field_fid(fj)])
+                            .cast(f.dataType)
+                            .alias(f.name)
+                            if _field_fid(fj) in src_by_fid
+                            else F.lit(None).cast(f.dataType).alias(f.name)
+                        )
+                        for f, fj in zip(schema.fields, schema_json["fields"])
+                    ]
+                )
+            for f in schema.fields:
+                if f.name not in df.columns:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            return df.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
             )
+
+        if plan["mode"] == "snapshot":
+            a = align(self.read(version=from_version), self._load_root(from_version))
             b = self.read(version=to_v)
             added, removed = b, a
         elif plan["mode"] == "endpoint":
             # identical delete entries at both ends: applying them to
             # both sides kills already-dead rows on the removed side
-            # and is a no-op on added files (all newer than any entry)
+            # and is a no-op on added files (all newer than any entry).
+            # Removed files live in the FROM manifest — their epochs
+            # resolve there; added files live in the endpoint's.
+            root_a = self._load_root(from_version)
             removed = (
                 self._apply_deletes(
-                    self._read_files(plan["removed"], schema), root_b
+                    self._read_files(plan["removed"], schema, ctx_for(root_a)),
+                    root_b,
                 )
                 if plan["removed"]
                 else empty
             )
             added = (
                 self._apply_deletes(
-                    self._read_files(plan["added"], schema), root_b
+                    self._read_files(plan["added"], schema, ctx_b), root_b
                 )
                 if plan["added"]
                 else empty
@@ -1296,29 +1496,37 @@ class VersionedParquetTable:
                 if step["op"] == "delete":
                     # rows tombstoned at this commit = live rows of the
                     # parent snapshot matching the new entries' keys
+                    parent_root = self._load_root(step["version"] - 1)
                     snap = self.read(version=step["version"] - 1)
-                    for f in schema.fields:  # align evolved schemas
-                        if f.name not in snap.columns:
-                            snap = snap.withColumn(
-                                f.name, F.lit(None).cast(f.dataType)
-                            )
                     for e in step["entries"]:
                         kdf = self.spark.read.parquet(
                             *[os.path.join(self.path, p) for p in e["paths"]]
                         )
+                        fc = e.get("file_cols", e["key_cols"])
+                        kdf = kdf.select(
+                            *[
+                                F.col(a).alias(b)
+                                for a, b in zip(fc, e["key_cols"])
+                            ]
+                        )
                         rems.append(
-                            snap.join(
-                                F.broadcast(kdf), e["key_cols"], "left_semi"
-                            ).select(
-                                *[
-                                    F.col(f.name).cast(f.dataType).alias(f.name)
-                                    for f in schema.fields
-                                ]
+                            align(
+                                snap.join(
+                                    F.broadcast(kdf),
+                                    e["key_cols"],
+                                    "left_semi",
+                                ),
+                                parent_root,
                             )
                         )
                     continue
+                step_root = self._load_root(step["version"])
                 if step["added"]:
-                    adds.append(self._read_files(step["added"], schema))
+                    adds.append(
+                        self._read_files(
+                            step["added"], schema, ctx_for(step_root)
+                        )
+                    )
                 if step["removed"]:
                     # apply the PARENT manifest's tombstones: rows that
                     # were already dead when this commit dropped the
@@ -1326,7 +1534,13 @@ class VersionedParquetTable:
                     # fed by their own delete step, or died pre-span)
                     rems.append(
                         self._apply_deletes(
-                            self._read_files(step["removed"], schema),
+                            self._read_files(
+                                step["removed"],
+                                schema,
+                                ctx_for(
+                                    self._load_root(step["version"] - 1)
+                                ),
+                            ),
                             {"delete_files": step["parent_deletes"]},
                         )
                     )
@@ -1529,23 +1743,88 @@ class VersionedParquetTable:
             if name:
                 sidecars.append(name)
             bloom = {**bloom_cfg, "sidecars": sidecars}
-        self._publish(
-            {
-                "version": version,
-                "parent": parent,
-                "operation": operation,
-                "partition_by": partition_by or [],
-                "schema": df.schema.jsonValue(),
-                "files": files,
-                "num_files": len(files),
-                "stats": stats,
-                "stat_types": stat_types,
-                "delete_files": delete_files or [],
-                "bloom": bloom,
-                "properties": properties or {},
-            }
-        )
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "operation": operation,
+            "partition_by": partition_by or [],
+            "schema": df.schema.jsonValue(),
+            "files": files,
+            "num_files": len(files),
+            "stats": stats,
+            "stat_types": stat_types,
+            "delete_files": delete_files or [],
+            "bloom": bloom,
+            "properties": properties or {},
+        }
+        manifest.update(self._epoch_state(df.schema.jsonValue(), parent, files, version))
+        self._publish(manifest)
         return version
+
+    def _epoch_state(
+        self,
+        schema_json: dict,
+        parent: int | None,
+        files: list[str],
+        version: int,
+    ) -> dict:
+        """Schema-epoch keys for a DATA commit on an epoch-tracked
+        table ({} for legacy tables — zero overhead until the first
+        rename/drop/widen/add_column). Fields keep their parent fid by
+        name; genuinely new columns (merge evolve_schema) get fresh
+        ids and bump the epoch. New data files belong to the resulting
+        epoch; carried files keep the epoch they were written under
+        (sparse map: current-epoch files are omitted)."""
+        if parent is None:
+            return {}
+        p_root = self._load_root(parent)
+        if "schemas" not in p_root:
+            return {}
+        p_sid = p_root["schema_id"]
+        schemas = dict(p_root["schemas"])
+        p_by_name = {
+            f["name"]: _field_fid(f)
+            for f in schemas[str(p_sid)]["fields"]
+        }
+        # monotone across ROLLBACKS too: a restored manifest's schemas
+        # table forgets post-target epochs, but their fids must never
+        # be reissued (a changes() span crossing the rollback would
+        # alias two different columns)
+        next_fid = max(p_root.get("next_fid", 0), _max_fid(schemas) + 1)
+        fields = []
+        for f in schema_json["fields"]:
+            fid = p_by_name.get(f["name"])
+            if fid is None:
+                fid = next_fid
+                next_fid += 1
+            fields.append(
+                {**f, "metadata": {**(f.get("metadata") or {}), "fid": fid}}
+            )
+        new_json = {**schema_json, "fields": fields}
+        if _schema_signature(new_json) == _schema_signature(
+            schemas[str(p_sid)]
+        ):
+            sid = p_sid
+            new_json = schemas[str(p_sid)]
+        else:
+            sid = p_sid + 1
+            schemas[str(sid)] = new_json
+        p_fs = p_root.get("file_sids") or {}
+        prefix = f"{_DATA_DIR}/c{version:012d}-"
+        file_sids = {}
+        for rel in files:
+            if rel.startswith(prefix):
+                continue  # written by THIS commit → current epoch
+            s = p_fs.get(rel, p_sid)
+            if s != sid:
+                file_sids[rel] = s
+        return {
+            "schema": new_json,
+            "schema_id": sid,
+            "schemas": schemas,
+            "file_sids": file_sids,
+            "next_fid": next_fid,
+        }
 
     def delete_keys(
         self,
@@ -1598,6 +1877,7 @@ class VersionedParquetTable:
                 + [{"paths": paths, "key_cols": key_cols, "version": version}],
                 "bloom": man.get("bloom"),
                 "properties": properties or {},
+                **self._carry_epochs(man),
             }
         )
         return version
@@ -1692,9 +1972,216 @@ class VersionedParquetTable:
                 "delete_files": man.get("delete_files") or [],
                 "bloom": man.get("bloom"),
                 "properties": properties or {},
+                **self._carry_epochs(man),
             }
         )
         return parent + 1
+
+    # --- schema evolution (metadata-only; see module notes) ---------------
+
+    def _evolve_commit(
+        self, mutate, operation: str, properties: dict | None = None
+    ) -> int:
+        """Shared core of rename/drop/widen/add_column: upgrade the
+        table to epoch tracking if needed (legacy schema becomes epoch
+        0 with positional field ids; every live file pins to the epoch
+        it was written under), apply ``mutate`` to the current epoch's
+        schema JSON, and publish the result as a METADATA-ONLY commit —
+        no data file is read or written, so evolving a 100 TB table
+        costs one manifest. Reference tables are fixed-schema
+        (gcs_bronze_to_silver.py:73-158 DDL), but their Iceberg layer
+        allows all four operations; this is the parity surface."""
+        parent = self.latest_version()
+        if parent is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        man = self._load_manifest(parent)
+        if "schemas" in man:
+            sid = man["schema_id"]
+            schemas = dict(man["schemas"])
+            cur = schemas[str(sid)]
+            abs_sids = {
+                rel: (man.get("file_sids") or {}).get(rel, sid)
+                for rel in man["files"]
+            }
+        else:  # first evolution: upgrade in place
+            sid = 0
+            cur = _with_positional_fids(man["schema"])
+            schemas = {"0": cur}
+            abs_sids = {rel: 0 for rel in man["files"]}
+        next_fid = max(man.get("next_fid", 0), _max_fid(schemas) + 1)
+        new_schema, extra = mutate(dict(cur), next_fid)
+        new_sid = sid + 1
+        schemas[str(new_sid)] = new_schema
+        self._publish(
+            {
+                "version": parent + 1,
+                "parent": parent,
+                "operation": operation,
+                "partition_by": man["partition_by"],
+                "schema": new_schema,
+                "schema_id": new_sid,
+                "schemas": schemas,
+                "file_sids": {
+                    rel: s for rel, s in abs_sids.items() if s != new_sid
+                },
+                "next_fid": max(next_fid, _max_fid(schemas) + 1),
+                "files": man["files"],
+                "num_files": man["num_files"],
+                "stats": man.get("stats", {}),
+                "stat_types": man.get("stat_types", {}),
+                "delete_files": extra.get(
+                    "delete_files", man.get("delete_files") or []
+                ),
+                "bloom": man.get("bloom"),
+                "properties": properties or {},
+            }
+        )
+        return parent + 1
+
+    def _guard_evolve_col(self, man_like: str, name: str) -> None:
+        parent = self.latest_version()
+        root = self._load_root(parent)
+        if name in (root["partition_by"] or []):
+            raise ValueError(
+                f"column {name!r} is in the partition spec; evolve the "
+                "spec first (set_partition_spec)"
+            )
+        if name in ((root.get("bloom") or {}).get("columns") or []):
+            raise ValueError(
+                f"column {name!r} carries bloom sidecars; disable them "
+                "before evolving it"
+            )
+
+    def rename_column(
+        self, old: str, new: str, properties: dict | None = None
+    ) -> int:
+        """Metadata-only RENAME (Iceberg ALTER TABLE ... RENAME COLUMN
+        analog): the column keeps its field id, so every existing data
+        file — written under the old name — reads correctly under the
+        new one, in the current snapshot and across time travel.
+        Merge-on-read delete entries tracking the column re-key to the
+        new logical name (their key parquets keep the old physical
+        name). Partition-spec and bloom columns are refused."""
+        self._guard_evolve_col("rename", old)
+
+        def mutate(schema_json, _next_fid):
+            names = [f["name"] for f in schema_json["fields"]]
+            if old not in names:
+                raise ValueError(f"no column {old!r} to rename")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            fields = [
+                {**f, "name": new} if f["name"] == old else f
+                for f in schema_json["fields"]
+            ]
+            man = self._load_manifest(self.latest_version())
+            dels = []
+            for e in man.get("delete_files") or []:
+                if old in e["key_cols"]:
+                    e = {
+                        **e,
+                        "file_cols": e.get("file_cols", e["key_cols"]),
+                        "key_cols": [
+                            new if c == old else c for c in e["key_cols"]
+                        ],
+                    }
+                dels.append(e)
+            return {**schema_json, "fields": fields}, {"delete_files": dels}
+
+        return self._evolve_commit(mutate, "rename-column", properties)
+
+    def drop_column(self, name: str, properties: dict | None = None) -> int:
+        """Metadata-only DROP: the field leaves the logical schema; its
+        bytes stay in old files but are unreadable (and a LATER
+        add_column with the same name gets a NEW field id, so the
+        dropped data never resurrects — the Iceberg field-id
+        guarantee). Partition-spec, bloom, and merge-on-read delete-key
+        columns are refused."""
+        self._guard_evolve_col("drop", name)
+        man = self._load_manifest(self.latest_version())
+        for e in man.get("delete_files") or []:
+            if name in e["key_cols"]:
+                raise ValueError(
+                    f"column {name!r} keys live merge-on-read delete "
+                    "entries; compact() to materialize them first"
+                )
+
+        def mutate(schema_json, _next_fid):
+            names = [f["name"] for f in schema_json["fields"]]
+            if name not in names:
+                raise ValueError(f"no column {name!r} to drop")
+            if len(names) == 1:
+                raise ValueError("cannot drop the only column")
+            fields = [f for f in schema_json["fields"] if f["name"] != name]
+            return {**schema_json, "fields": fields}, {}
+
+        return self._evolve_commit(mutate, "drop-column", properties)
+
+    def widen_column(
+        self, name: str, new_type: str, properties: dict | None = None
+    ) -> int:
+        """Metadata-only type WIDENING (byte→short→int→long,
+        float→double — the Iceberg-safe promotions): old files keep
+        their narrow physical encoding and reads cast by field id; new
+        files write the wide type. Narrowing is refused — it would
+        corrupt existing values."""
+        self._guard_evolve_col("widen", name)
+        tgt = {"int": "integer", "bigint": "long"}.get(new_type, new_type)
+
+        def mutate(schema_json, _next_fid):
+            fields = []
+            hit = False
+            for f in schema_json["fields"]:
+                if f["name"] == name:
+                    hit = True
+                    cur_t = f["type"]
+                    if not isinstance(cur_t, str):
+                        raise ValueError(
+                            f"column {name!r} is not a primitive type"
+                        )
+                    if tgt == cur_t:
+                        raise ValueError(
+                            f"column {name!r} is already {tgt}"
+                        )
+                    if tgt not in _WIDENINGS.get(cur_t, ()):
+                        raise ValueError(
+                            f"cannot widen {name!r} from {cur_t} to "
+                            f"{tgt}; allowed: "
+                            f"{_WIDENINGS.get(cur_t, ()) or 'nothing'}"
+                        )
+                    f = {**f, "type": tgt}
+                fields.append(f)
+            if not hit:
+                raise ValueError(f"no column {name!r} to widen")
+            return {**schema_json, "fields": fields}, {}
+
+        return self._evolve_commit(mutate, "widen-column", properties)
+
+    def add_column(
+        self, name: str, dtype: str, properties: dict | None = None
+    ) -> int:
+        """Metadata-only ADD: existing rows read NULL for the new
+        column; the field gets a fresh id (so if it shadows a
+        previously dropped name, the old bytes stay invisible).
+        ``merge(evolve_schema=True)`` remains the add-with-data path."""
+
+        def mutate(schema_json, next_fid):
+            from pyspark.sql.types import _parse_datatype_string
+
+            if name in [f["name"] for f in schema_json["fields"]]:
+                raise ValueError(f"column {name!r} already exists")
+            t = _parse_datatype_string(dtype).jsonValue()
+            fields = schema_json["fields"] + [
+                {
+                    "name": name,
+                    "type": t,
+                    "nullable": True,
+                    "metadata": {"fid": next_fid},
+                }
+            ]
+            return {**schema_json, "fields": fields}, {}
+
+        return self._evolve_commit(mutate, "add-column", properties)
 
     def write_audit_publish(
         self,
@@ -1818,7 +2305,10 @@ class VersionedParquetTable:
                 # rewrite under the current spec loses nothing.
                 affected = (
                     self._apply_deletes(
-                        self._read_files(affected_files, schema), man
+                        self._read_files(
+                            affected_files, schema, self._sid_ctx(man)
+                        ),
+                        man,
                     )
                     if affected_files
                     else self.spark.createDataFrame([], schema)
@@ -2019,6 +2509,7 @@ class VersionedParquetTable:
                     "delete_files": man.get("delete_files") or [],
                     "bloom": man.get("bloom"),
                     "properties": {"sync_from_version": upstream},
+                    **self._carry_epochs(man),
                 }
             )
             return self.latest_version()
@@ -2049,6 +2540,19 @@ class VersionedParquetTable:
         if target == parent:
             return parent
         old = self._load_manifest(target)
+        cur_root = self._load_root(parent)
+        if "schemas" in cur_root and "schemas" not in old:
+            # restoring a pre-fid-upgrade manifest would strip the
+            # epoch bookkeeping that post-upgrade manifests (still
+            # retained, still time-travelable) depend on for their own
+            # file mappings — refuse rather than corrupt; the restored
+            # STATE is reachable by re-upgrading from that snapshot.
+            raise ValueError(
+                f"version {target} predates this table's schema-id "
+                "upgrade; rollback across the upgrade boundary is not "
+                "supported (read(version=...) + write() restores the "
+                "same state)"
+            )
         self._publish(
             {
                 "version": parent + 1,
@@ -2063,6 +2567,24 @@ class VersionedParquetTable:
                 "delete_files": old.get("delete_files") or [],
                 "bloom": old.get("bloom"),
                 "properties": {"rollback_of": target},
+                **{
+                    **self._carry_epochs(old),
+                    # fids stay monotone across the restore (see
+                    # _epoch_state): forgotten post-target epochs must
+                    # never get their ids reissued
+                    **(
+                        {
+                            "next_fid": max(
+                                self._carry_epochs(old).get("next_fid", 0),
+                                self._carry_epochs(cur_root).get(
+                                    "next_fid", 0
+                                ),
+                            )
+                        }
+                        if "schemas" in old
+                        else {}
+                    ),
+                },
             }
         )
         return parent + 1
@@ -2291,7 +2813,9 @@ class VersionedParquetTable:
         if not chosen:
             return parent
         schema = StructType.fromJson(man["schema"])
-        df = self._apply_deletes(self._read_files(chosen, schema), man)
+        df = self._apply_deletes(
+            self._read_files(chosen, schema, self._sid_ctx(man)), man
+        )
         frag_bytes: dict[str, int] = {}
         for rel in chosen:
             frag = _file_partition_fragment(rel)

@@ -22,32 +22,37 @@ def test_all_queries_run(spark, sf_dir):
         df.limit(5).collect()
 
 
-def test_driver_window_covers_unverified():
-    """Rotation guard: the driver oracle-checks only the first 50 registry
-    entries per round, so every registered query that has never received a
-    driver CORRECTNESS row must sit inside that window. This re-opened in
-    round 3 when new queries were appended behind the window; fail loudly
-    instead."""
-    import glob
-    import json
-    import pathlib
-
-    repo = pathlib.Path(__file__).resolve().parents[1]
-    verified: set[str] = set()
-    for path in glob.glob(str(repo / "CORRECTNESS_r0*.json")):
-        verified.update(json.load(open(path)).keys())
+def test_driver_window_covers_unverified_and_rotates_stalest_first():
+    """Rotation guard: the driver oracle-checks only the first 50
+    queries() entries per round. queries() orders the registry
+    stalest-first from the committed CORRECTNESS records, so (a) every
+    never-verified query sits inside the window, (b) the window holds
+    exactly the least-recently-green queries — no entry outside it is
+    staler than one inside — and (c) with a 50/round window nothing can
+    strand unverified behind the head (this re-opened in round 3 when
+    new queries were appended behind a fixed window)."""
     registry = list(entrymod.queries())
-    window = set(registry[:50])
-    stranded = [
-        name
-        for name in registry[50:]
-        if name not in verified
-    ]
+    last = entrymod._last_verified_rounds()
+    window, rest = registry[:50], registry[50:]
+    stranded = [n for n in rest if last.get(n, 0) == 0]
     assert not stranded, (
-        "registered queries with no driver CORRECTNESS row sit outside "
-        f"registry[:50]: {stranded}; move them into the first 50 positions "
-        "of QUERIES in news_lakehouse_spark/queries.py"
+        "never-verified queries outside the driver window: "
+        f"{stranded} — queries() rotation is broken"
     )
-    # The window itself must be full-sized while the registry exceeds it,
-    # otherwise the guard above is vacuous.
-    assert len(registry) <= 50 or len(window) == 50
+    if rest:
+        assert max(last.get(n, 0) for n in window) <= min(
+            last.get(n, 0) for n in rest
+        ), "window is not the stalest-50 prefix"
+        assert len(set(window)) == 50
+    # Surface long-stale queries: with rotation and a ~150-query
+    # registry, nothing should go more than ceil(N/50)=3 full rounds
+    # without a green driver row once it has had one window slot.
+    current = max(last.values(), default=0)
+    overdue = [
+        n
+        for n in rest
+        if 0 < last.get(n, 0) <= current - 4
+    ]
+    assert not overdue, (
+        f"queries stale more than 3 rounds sit outside the window: {overdue}"
+    )

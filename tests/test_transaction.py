@@ -1461,3 +1461,165 @@ def test_null_count_predicate_pruning(spark, table):
         F.col("v").isNotNull()
     )
     assert got.count() == 5
+
+
+# --- round 7: field-id schema evolution (rename / drop / widen / add) ------
+
+
+def test_rename_column_metadata_only_and_time_travel(spark, table):
+    """RENAME is one manifest commit: old files (physical old name)
+    read under the new name via field ids, a merge after the rename
+    works against the new schema, and time travel to a pre-rename
+    version still shows the old name."""
+    table.merge(_df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"])
+    files_before = set(table.files_for())
+    v = table.rename_column("v", "amount")
+    assert set(table.files_for()) == files_before  # no data churn
+    assert _rows(table.read()) == {(1, "a", 10), (2, "b", 20)}
+    assert table.read().columns == ["k", "d", "amount"]
+    # time travel: the pre-rename snapshot keeps its own schema
+    assert table.read(version=1).columns == ["k", "d", "v"]
+    assert _rows(table.read(version=1)) == {(1, "a", 10), (2, "b", 20)}
+    # merge AFTER the rename: new schema in, old files still join in
+    table.merge(
+        spark.createDataFrame([Row(k=2, d="b", amount=99), Row(k=3, d="c", amount=30)]),
+        ["k"],
+    )
+    assert _rows(table.read()) == {(1, "a", 10), (2, "b", 99), (3, "c", 30)}
+    assert table.read().columns == ["k", "d", "amount"]
+    # history shows the metadata-only commit
+    assert table.history()[v - 1]["operation"] == "rename-column"
+
+
+def test_rename_then_filter_and_changes_use_endpoint_names(spark, table):
+    table.merge(
+        _df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"], partition_by=["d"]
+    )
+    table.rename_column("v", "amount")
+    table.merge(
+        spark.createDataFrame([Row(k=3, d="a", amount=30)]), ["k"]
+    )
+    got = table.read().filter(F.col("amount") > 15)
+    assert _rows(got) == {(2, "b", 20), (3, "a", 30)}
+    feed = table.changes(1)  # span crosses the rename
+    assert "amount" in feed.columns and "v" not in feed.columns
+    ins = {tuple(r) for r in feed.filter("_change_type = 'insert'").drop("_change_type").collect()}
+    assert ins == {(3, "a", 30)}
+
+
+def test_drop_column_never_resurrects_on_readd(spark, table):
+    """The Iceberg field-id guarantee: after DROP, re-adding the same
+    NAME mints a new id, so the dropped column's bytes stay invisible
+    for old rows while new writes populate the new column."""
+    table.merge(_df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"])
+    table.drop_column("v")
+    assert table.read().columns == ["k", "d"]
+    table.add_column("v", "bigint")
+    got = {r["k"]: r["v"] for r in table.read().collect()}
+    assert got == {1: None, 2: None}  # old bytes NOT resurrected
+    table.merge(
+        spark.createDataFrame([Row(k=1, d="a", v=111)]), ["k"]
+    )
+    got = {r["k"]: r["v"] for r in table.read().collect()}
+    assert got == {1: 111, 2: None}
+    # pre-drop time travel still shows the original values
+    assert _rows(table.read(version=1)) == {(1, "a", 10), (2, "b", 20)}
+
+
+def test_widen_column_int_to_long_metadata_only(spark, table):
+    df = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "k int, d string, v int")
+    table.write(df)
+    files_before = set(table.files_for())
+    table.widen_column("v", "bigint")
+    assert set(table.files_for()) == files_before
+    assert dict(table.read().dtypes)["v"] == "bigint"
+    assert _rows(table.read()) == {(1, "a", 10), (2, "b", 20)}
+    # merge a value that needs the wide type; old narrow files coexist
+    table.merge(
+        spark.createDataFrame([(3, "c", 5_000_000_000)], "k int, d string, v long"),
+        ["k"],
+    )
+    assert _rows(table.read()) == {(1, "a", 10), (2, "b", 20), (3, "c", 5_000_000_000)}
+    # float -> double too; narrowing refused
+    with pytest.raises(ValueError, match="cannot widen"):
+        table.widen_column("v", "int")
+
+
+def test_evolution_guards(spark, table):
+    table.merge(
+        _df(spark, [(1, "a", 10)]), ["k"], partition_by=["d"]
+    )
+    with pytest.raises(ValueError, match="partition spec"):
+        table.rename_column("d", "dd")
+    with pytest.raises(ValueError, match="partition spec"):
+        table.drop_column("d")
+    with pytest.raises(ValueError, match="already exists"):
+        table.rename_column("v", "k")
+    with pytest.raises(ValueError, match="no column"):
+        table.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        table.add_column("v", "int")
+    # bloom columns are pinned
+    t2 = VersionedParquetTable(spark, str(table.path) + "_b")
+    t2.write(
+        spark.createDataFrame([(1, 1)], "k long, v long"),
+        bloom_columns=["k"],
+    )
+    with pytest.raises(ValueError, match="bloom"):
+        t2.rename_column("k", "kk")
+    # delete-key columns can't drop until compacted
+    t3 = VersionedParquetTable(spark, str(table.path) + "_d")
+    t3.write(spark.createDataFrame([(1, 5), (2, 6)], "k long, v long"))
+    t3.delete_keys(spark.createDataFrame([(1,)], "k long"))
+    with pytest.raises(ValueError, match="delete"):
+        t3.drop_column("k")
+
+
+def test_rename_keeps_mor_delete_entries_applying(spark, table):
+    """A rename re-keys live merge-on-read delete entries to the new
+    logical name while their key parquets keep the old physical name
+    (file_cols) — the tombstones keep applying."""
+    table.write(_df(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)]))
+    table.delete_keys(spark.createDataFrame([(2,)], "k bigint"), ["k"])
+    assert _rows(table.read()) == {(1, "a", 10), (3, "c", 30)}
+    table.rename_column("k", "key_id")
+    assert table.read().columns == ["key_id", "d", "v"]
+    assert _rows(table.read()) == {(1, "a", 10), (3, "c", 30)}
+    # and a delete AFTER the rename works under the new name
+    table.delete_keys(spark.createDataFrame([(3,)], "key_id bigint"), ["key_id"])
+    assert _rows(table.read()) == {(1, "a", 10)}
+
+
+def test_evolution_compact_collapses_epochs(spark, table):
+    """compact() rewrites every live file at the current epoch: the
+    sparse file->epoch map empties and reads collapse back to one
+    scan group, values identical."""
+    table.merge(_df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"])
+    table.rename_column("v", "amount")
+    table.merge(spark.createDataFrame([Row(k=3, d="c", amount=30)]), ["k"])
+    before = _rows(table.read())
+    v = table.compact()
+    root = table._load_root(v)
+    assert root.get("file_sids") == {}
+    assert _rows(table.read()) == before
+    assert table.read().columns == ["k", "d", "amount"]
+
+
+def test_rollback_across_fid_upgrade_refused_but_within_ok(spark, table):
+    table.merge(_df(spark, [(1, "a", 10)]), ["k"])       # v1 legacy
+    table.rename_column("v", "amount")                    # v2 upgrade
+    table.merge(spark.createDataFrame([Row(k=2, d="b", amount=20)]), ["k"])  # v3
+    with pytest.raises(ValueError, match="upgrade boundary"):
+        table.rollback(1)
+    v = table.rollback(2)
+    assert table.read().columns == ["k", "d", "amount"]
+    assert _rows(table.read()) == {(1, "a", 10)}
+    # fids stay monotone across the restore: a new column never reuses
+    # a forgotten epoch's id
+    table.add_column("extra", "int")
+    root = table._load_root(table.latest_version())
+    fids = [
+        (f["name"], f["metadata"]["fid"])
+        for f in root["schema"]["fields"]
+    ]
+    assert len({fid for _n, fid in fids}) == len(fids)

@@ -82,6 +82,10 @@ PROBES = {
     "x_resample_ffill": ("events", 10),
     "x_kmv_rollup": ("events", 10),
     "x_pq_index_incremental": ("embeddings", 20),
+    # round-7 additions: field-id schema evolution (metadata-only
+    # commits + mixed-epoch read) and the prefix-filtered fuzzy join
+    # re-probe rides the existing x_fuzzy_join row
+    "x_schema_evolution": ("orders", 10),
     # x_source_overlap is NOT probed: its oracle-pinned max_df=100 band
     # (exact at fixture df <= 25) excises the 20x-replicated shingles
     # entirely, so the probe would time an empty output. Its inverted-
