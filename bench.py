@@ -121,6 +121,10 @@ def main() -> None:
     from news_lakehouse_spark.queries import QUERIES
     from news_lakehouse_spark.session import build_session
 
+    # time the operators, not their O(table) verification asserts —
+    # x_cdc_replicate / x_ivm_refresh keep those on every correctness
+    # run (the driver oracle gate never sets this)
+    os.environ["SPARK_GRAFT_BENCH_LEAN"] = "1"
     spark = build_session("bench")
     # warm the JVM + parquet footers with a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()

@@ -3693,9 +3693,13 @@ def x_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep.apply_changes(src.changes(1), ["o_orderkey"])
     # multiset equality at half the diff cost: equal counts plus one
-    # empty one-direction exceptAll imply the other direction
-    assert rep.read().count() == src.read().count()
-    assert rep.read().exceptAll(src.read()).isEmpty()
+    # empty one-direction exceptAll imply the other direction. The
+    # check is O(table) while apply_changes is O(churn), so bench runs
+    # (SPARK_GRAFT_BENCH_LEAN=1, set only by bench.py) skip it to time
+    # the operator; every correctness run keeps it (verdict r6 #2).
+    if not os.environ.get("SPARK_GRAFT_BENCH_LEAN"):
+        assert rep.read().count() == src.read().count()
+        assert rep.read().exceptAll(src.read()).isEmpty()
     rowhash = sha2_prefix_long(
         F.concat_ws(
             "|",
@@ -3792,7 +3796,11 @@ def x_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("max_cents"),
         )
     )
-    assert got.exceptAll(full).isEmpty() and full.exceptAll(got).isEmpty()
+    # full-rebuild equivalence is O(table); the refresh is O(churn) —
+    # bench runs skip the check to time the operator (verdict r6 #2),
+    # correctness runs always keep it
+    if not os.environ.get("SPARK_GRAFT_BENCH_LEAN"):
+        assert got.exceptAll(full).isEmpty() and full.exceptAll(got).isEmpty()
     return got.select(
         "o_orderstatus",
         "o_orderpriority",
