@@ -5,23 +5,26 @@ training-data pipeline wants (match crawl records to a canonical list,
 link near-identical titles across sources): join rows whose TOKEN SETS
 overlap enough (Jaccard >= threshold), without the cross product.
 
-Plan shape (prefix-filtered inverted-index set-similarity join — the
-ppjoin/AllPairs candidate cut, Bayardo et al. WWW'07 / Xiao et al.
-WWW'08, re-expressed as DataFrame ops):
+Two plans, both exact, chosen by ``prefix_filter``:
 
-1. tokenize both sides (JVM-side split/explode, distinct tokens);
-2. order every set by ascending document frequency (rare tokens
-   first) and index ONLY each set's PREFIX — its first
-   |s| - ceil(t*|s|) + 1 tokens. Two sets with Jaccard >= t must
-   share a token inside both prefixes (pigeonhole on the overlap
-   bound |L∩R| >= ceil(t*|L|)), so the cut is EXACT while shrinking
-   posting lists by ~t/(1+t) and, because rare tokens sort first,
-   moving the surviving postings to the shortest lists;
-3. equi-join prefix postings on the token (one keyed shuffle,
-   candidate count = sum of PREFIX posting-list cross sizes);
-4. verify each distinct candidate pair against the FULL token arrays
-   (size(array_intersect)) — surviving pairs carry their exact
-   Jaccard.
+- **direct** (default): tokenize both sides (JVM split/explode,
+  distinct tokens), equi-join postings on the token (one keyed
+  shuffle), count intersections per pair in ONE aggregation riding
+  the per-posting set sizes — no distinct pass, no array
+  materialization. Cost ∝ Σ_token l_df·r_df (the candidate count).
+- **prefix cut** (the ppjoin/AllPairs filter, Bayardo et al. WWW'07 /
+  Xiao et al. WWW'08): order every set by ascending document
+  frequency and index ONLY its first |s| − ⌈t·|s|⌉ + 1 tokens; two
+  sets with Jaccard ≥ t must share a token inside both prefixes
+  (pigeonhole on the overlap bound |L∩R| ≥ ⌈t·|L|⌉), so the cut is
+  exact; surviving candidate pairs verify against the full token
+  arrays (size(array_intersect)) for true Jaccard. This bounds the
+  quadratic worst case (stopword-heavy corpora, low thresholds,
+  uncapped vocabularies) at the price of two per-set ranking
+  shuffles + per-candidate array work.
+- ``prefix_filter=None`` auto-chooses: one vocab-sized aggregate
+  computes the direct plan's exact candidate count up front and the
+  cut engages only past a real blowup.
 
 Everything is columnar JVM work — no UDFs. Tokens whose right-side
 document frequency exceeds ``max_df`` generate no candidates (the
@@ -83,18 +86,59 @@ def _prefix(postings: DataFrame, side: str, threshold: float) -> DataFrame:
     )
 
 
+PREFIX_BLOWUP_FACTOR = 64
+PREFIX_MIN_CANDIDATES = 20_000_000
+"""Auto mode takes the prefix cut only when the DIRECT plan's exact
+candidate count (Σ_token l_df·r_df over uncapped tokens, one small agg
+over the two vocab-sized df tables) is both large in absolute terms
+AND a blowup multiple of the posting count — the stopword-heavy /
+low-threshold / uncapped-at-100TB regime where the postings join goes
+quadratic. Below that, the direct plan (intersections counted straight
+out of the postings join, no distinct, no array materialization) is
+the cheap one: measured 3x faster at sf0.1, where the near-dup fixture
+explodes candidate COUNT mildly but the cut removes almost none (true
+pairs share rare tokens too)."""
+
+
+def _estimate_direct_candidates(
+    l_post: DataFrame, df_counts: DataFrame, max_df: int
+) -> tuple[int, int]:
+    """(exact candidate-row count of the direct plan, total postings)
+    from the vocab-sized df tables — cost ~ one keyed agg over the
+    vocabulary, independent of the candidate count itself."""
+    est = (
+        l_post.groupBy("token")
+        .agg(F.count("*").alias("__ldf"))
+        .join(df_counts.filter(F.col("__df") <= max_df), "token")
+        .agg(
+            F.sum(F.col("__ldf") * F.col("__df")).alias("cand"),
+            F.sum("__ldf").alias("lp"),
+            F.sum("__df").alias("rp"),
+        )
+        .first()
+    )
+    return int(est["cand"] or 0), max(int(est["lp"] or 0) + int(est["rp"] or 0), 1)
+
+
 def _candidate_pairs(
     l_post: DataFrame,
     r_post: DataFrame,
     threshold: float,
     max_df: int,
-    prefix_filter: bool = True,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
     """Distinct (l_id, r_id) candidates from the inverted index; with
     ``prefix_filter`` only prefix postings join (exact — see module
-    docstring), without it every posting joins (the pre-r7 plan,
-    kept for the equivalence test)."""
+    docstring), without it every posting joins. ``None`` picks per
+    corpus (see PREFIX_BLOWUP_FACTOR)."""
     df_counts = r_post.groupBy("token").agg(F.count("*").alias("__df"))
+    if prefix_filter is None:
+        cand_est, postings = _estimate_direct_candidates(
+            l_post, df_counts, max_df
+        )
+        prefix_filter = cand_est > max(
+            PREFIX_BLOWUP_FACTOR * postings, PREFIX_MIN_CANDIDATES
+        )
     if prefix_filter:
         # positions use the FULL df order (capped tokens keep their
         # prefix slots — dropping them before ranking would promote
@@ -131,7 +175,7 @@ def fuzzy_token_join(
     right_text: str,
     threshold: float = 0.6,
     max_df: int = 1000,
-    prefix_filter: bool = True,
+    prefix_filter: bool | None = False,
 ) -> DataFrame:
     """(left_id, right_id, jaccard) for every cross-table pair whose
     token-set Jaccard similarity >= ``threshold`` (rounded to 6,
@@ -144,29 +188,68 @@ def fuzzy_token_join(
     surface still score their true Jaccard). Set ``max_df`` above the
     right corpus's max token df for an exact join.
 
-    ``prefix_filter`` (default on) applies the ppjoin prefix cut —
-    identical output, materially fewer candidates; off exists for
-    tests and measurement.
+    ``prefix_filter``: False (default) runs the DIRECT plan —
+    intersections counted straight out of the postings join, one keyed
+    agg, no distinct, no array materialization; True forces the ppjoin
+    prefix cut (per-set df-ascending ranking, prefix-only candidate
+    join, exact-Jaccard array verification); None auto-chooses — one
+    vocab-sized aggregate computes the direct plan's exact candidate
+    count up front and the cut engages only past a genuine blowup
+    (PREFIX_BLOWUP_FACTOR / PREFIX_MIN_CANDIDATES). Output is
+    identical across modes when ``max_df`` is unbinding (with a
+    binding cap, direct scores a lower bound over uncapped shared
+    tokens while prefix-surviving pairs score true Jaccard).
+
+    Why direct is the default: the cut bounds the WORST case
+    (stopword-heavy corpora, low thresholds, uncapped vocabularies go
+    quadratic) but on high-true-pair-density corpora it removes few
+    candidates while paying two ranking shuffles plus per-candidate
+    array work — measured 3x slower than direct on the near-dup bench
+    corpus. Auto spends one extra vocabulary pass to detect the
+    quadratic regime; choose it when the corpus is unknown.
     """
     l_toks, l_post = _token_sets(left, left_id, left_text, "l")
     r_toks, r_post = _token_sets(right, right_id, right_text, "r")
-    cand = _candidate_pairs(l_post, r_post, threshold, max_df, prefix_filter)
-    scored = (
-        cand.join(l_toks, "l_id")
-        .join(r_toks, "r_id")
-        .withColumn(
-            "__common", F.size(F.array_intersect("l_toks", "r_toks"))
+    if prefix_filter is None:
+        df_counts = r_post.groupBy("token").agg(F.count("*").alias("__df"))
+        cand_est, postings = _estimate_direct_candidates(
+            l_post, df_counts, max_df
         )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("__common")
-                / (F.col("l_size") + F.col("r_size") - F.col("__common")),
-                6,
-            ),
+        prefix_filter = cand_est > max(
+            PREFIX_BLOWUP_FACTOR * postings, PREFIX_MIN_CANDIDATES
         )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    if prefix_filter:
+        cand = _candidate_pairs(l_post, r_post, threshold, max_df, True)
+        scored = (
+            cand.join(l_toks, "l_id")
+            .join(r_toks, "r_id")
+            .withColumn(
+                "__common", F.size(F.array_intersect("l_toks", "r_toks"))
+            )
+        )
+    else:
+        df_counts = r_post.groupBy("token").agg(F.count("*").alias("__df"))
+        r_indexed = r_post.join(
+            df_counts.filter(F.col("__df") <= max_df).select("token"),
+            "token",
+        )
+        scored = (
+            l_post.join(r_indexed, "token")
+            .groupBy("l_id", "r_id")
+            .agg(
+                F.count("*").alias("__common"),
+                F.first("l_size").alias("l_size"),
+                F.first("r_size").alias("r_size"),
+            )
+        )
+    scored = scored.withColumn(
+        "jaccard",
+        F.round(
+            F.col("__common")
+            / (F.col("l_size") + F.col("r_size") - F.col("__common")),
+            6,
+        ),
+    ).filter(F.col("jaccard") >= threshold)
     return scored.select(
         F.col("l_id").alias(left_id + "_l"),
         F.col("r_id").alias(right_id + "_r"),

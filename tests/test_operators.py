@@ -884,7 +884,7 @@ def test_fuzzy_token_join_exact_jaccard(spark):
     assert none.count() == 0
 
 
-def test_fuzzy_join_prefix_filter_exact_and_cuts_candidates(spark):
+def test_fuzzy_join_prefix_filter_exact_and_cuts_candidates(spark, monkeypatch):
     """The ppjoin prefix cut must be invisible in the OUTPUT (it is
     exact: any pair with Jaccard >= t shares a token inside both
     df-ordered prefixes) while materially shrinking the candidate set
@@ -926,6 +926,19 @@ def test_fuzzy_join_prefix_filter_exact_and_cuts_candidates(spark):
     # stopword postings generate ~30x31 candidates without the cut;
     # rare-first prefixes keep essentially only the true pairs
     assert n_pref <= n_full / 5, (n_pref, n_full)
+    # auto mode: this corpus is tiny, so the default thresholds keep
+    # the direct plan; with the blowup thresholds zeroed the same call
+    # takes the cut — both produce the forced modes' (identical) output
+    from news_lakehouse_spark.operators import fuzzyjoin as fj
+
+    n_auto = _candidate_pairs(l_post, r_post, 0.8, 10**6, None).count()
+    assert n_auto == n_full, (n_auto, n_full)
+    assert out(None) == with_pf
+    monkeypatch.setattr(fj, "PREFIX_BLOWUP_FACTOR", 0)
+    monkeypatch.setattr(fj, "PREFIX_MIN_CANDIDATES", 0)
+    n_auto = _candidate_pairs(l_post, r_post, 0.8, 10**6, None).count()
+    assert n_auto == n_pref, (n_auto, n_pref)
+    assert out(None) == with_pf
 
     # non-ASCII tokens: Spark tokenizer is \p{L}\p{N}, same as the
     # DuckDB oracle (advice r6) — accents must not split tokens
