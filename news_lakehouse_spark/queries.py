@@ -2484,6 +2484,82 @@ def t_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked FULL-OUTER interval join
+    (streaming/windows.py how='full_outer'): matched view→purchase
+    pairs PLUS watermark-proven funnel drops on BOTH sides — views
+    with no purchase within 4h (emitted once view_ts + 4h < watermark)
+    AND orphaned purchases with no preceding view (emitted once
+    purchase_ts < watermark, since any still-arriving view would have
+    ts ≥ watermark and could not precede it). The oracle replicates
+    both emission horizons exactly (per-side floor-to-ms max event
+    time, min across sides, minus the 10-minute delay)."""
+    import tempfile
+    import uuid
+
+    from news_lakehouse_spark.streaming.joins import run_interval_join_over_dir
+
+    name = f"stream_fjoin_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_fjoin_")
+    return run_interval_join_over_dir(
+        spark,
+        f"{sf_dir}/events.parquet",
+        ckpt,
+        query_name=name,
+        how="full_outer",
+    )
+
+
+_STREAM_FULL_JOIN_SQL = """
+WITH v AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+), wm AS (
+  SELECT (least((SELECT epoch_us(max(ts)) // 1000 FROM v),
+                (SELECT epoch_us(max(ts)) // 1000 FROM p))
+          - 600000) * 1000 AS wm_us
+)
+SELECT v.user_id,
+       v.event_id AS l_event_id,
+       v.ts AS l_ts,
+       p.event_id AS r_event_id,
+       p.ts AS r_ts
+FROM v JOIN p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 4 HOUR
+UNION ALL
+SELECT v.user_id,
+       v.event_id AS l_event_id,
+       v.ts AS l_ts,
+       CAST(NULL AS BIGINT) AS r_event_id,
+       CAST(NULL AS TIMESTAMP) AS r_ts
+FROM v, wm
+WHERE epoch_us(v.ts) + 14400000000 < wm.wm_us
+  AND NOT EXISTS (
+    SELECT 1 FROM p
+    WHERE p.user_id = v.user_id
+      AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR
+  )
+UNION ALL
+SELECT p.user_id,
+       CAST(NULL AS BIGINT) AS l_event_id,
+       CAST(NULL AS TIMESTAMP) AS l_ts,
+       p.event_id AS r_event_id,
+       p.ts AS r_ts
+FROM p, wm
+WHERE epoch_us(p.ts) < wm.wm_us
+  AND NOT EXISTS (
+    SELECT 1 FROM v
+    WHERE v.user_id = p.user_id
+      AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR
+  )
+"""
+
+
 _STREAM_LEFT_JOIN_SQL = """
 WITH v AS (
   SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
@@ -6698,6 +6774,7 @@ QUERIES: dict[str, QueryFn] = {
     # the line; tools/verify_oracle.py still covers the full registry.
     "t_stream_join": t_stream_join,
     "t_stream_left_join": t_stream_left_join,
+    "t_stream_full_join": t_stream_full_join,
     "t_stream_dedup": t_stream_dedup,
     "x_sim_pq_topk": x_sim_pq_topk,
     "x_pq_index_incremental": x_pq_index_incremental,
@@ -6953,6 +7030,7 @@ ORACLES: dict[str, str] = {
     "x_stream_stateful": _STREAM_STATEFUL_SQL,
     "t_stream_join": _STREAM_JOIN_SQL,
     "t_stream_left_join": _STREAM_LEFT_JOIN_SQL,
+    "t_stream_full_join": _STREAM_FULL_JOIN_SQL,
     "t_stream_dedup": _STREAM_DEDUP_SQL,
     "x_mor_delete": _MOR_DELETE_SQL,
     "x_bloom_point_lookup": _BLOOM_LOOKUP_SQL,

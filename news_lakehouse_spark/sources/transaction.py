@@ -2717,10 +2717,8 @@ class VersionedParquetTable:
                 cluster_by=cluster_by,
             )
         df = self.read(parent)
-        total = sum(
-            os.path.getsize(os.path.join(self.path, rel))
-            for rel in man["files"]
-        )
+        sizes = self._file_sizes(man["files"])
+        total = sum(sizes.values())
         n_files = max(1, math.ceil(total / target_file_bytes))
         if cluster_by:
             cols = [F.col(c) for c in cluster_by]
@@ -2733,9 +2731,7 @@ class VersionedParquetTable:
             frag_bytes: dict[str, int] = {}
             for rel in man["files"]:
                 frag = _file_partition_fragment(rel)
-                frag_bytes[frag] = frag_bytes.get(frag, 0) + os.path.getsize(
-                    os.path.join(self.path, rel)
-                )
+                frag_bytes[frag] = frag_bytes.get(frag, 0) + sizes[rel]
             frag_n = {
                 frag: max(1, math.ceil(b / target_file_bytes))
                 for frag, b in frag_bytes.items()
@@ -2816,12 +2812,11 @@ class VersionedParquetTable:
         df = self._apply_deletes(
             self._read_files(chosen, schema, self._sid_ctx(man)), man
         )
+        sizes = self._file_sizes(chosen)
         frag_bytes: dict[str, int] = {}
         for rel in chosen:
             frag = _file_partition_fragment(rel)
-            frag_bytes[frag] = frag_bytes.get(frag, 0) + os.path.getsize(
-                os.path.join(self.path, rel)
-            )
+            frag_bytes[frag] = frag_bytes.get(frag, 0) + sizes[rel]
         frag_n = {
             frag: max(1, math.ceil(b / target_file_bytes))
             for frag, b in frag_bytes.items()

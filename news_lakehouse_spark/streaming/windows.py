@@ -169,13 +169,17 @@ def stream_stream_interval_join(
     (left_ts + interval < watermark), so rows near the head of the
     stream stay pending until more data advances the watermark —
     inherent to the semantics, not a buffering artifact.
+    ``how='full_outer'`` also emits unmatched RIGHT rows (orphaned
+    purchases) once their horizon passes (right_ts < watermark: any
+    still-arriving left row would have left_ts ≥ watermark > right_ts
+    and could no longer satisfy left_ts ≤ right_ts).
 
     Columns are prefixed l_/r_ (except the join key) because both
     sides usually share names.
     """
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "full_outer"):
         raise ValueError(
-            f"how must be 'inner' or 'left_outer', got {how!r}"
+            f"how must be 'inner', 'left_outer' or 'full_outer', got {how!r}"
         )
     l = _ensure_event_time(left, left_ts).withWatermark(left_ts, watermark).select(
         F.col(key),
@@ -198,4 +202,8 @@ def stream_stream_interval_join(
         & (F.col(f"r_{right_ts}") >= F.col(f"l_{left_ts}"))
         & (F.col(f"r_{right_ts}") <= F.col(f"l_{left_ts}") + F.expr(f"INTERVAL {interval}"))
     )
-    return l.join(r, cond, how).drop("__rk")
+    out = l.join(r, cond, how)
+    if how == "full_outer":
+        # unmatched-right rows carry their key in __rk only
+        out = out.withColumn(key, F.coalesce(F.col(key), F.col("__rk")))
+    return out.drop("__rk")

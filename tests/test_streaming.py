@@ -663,3 +663,34 @@ def test_interval_left_join_emits_drops_and_bounds_state(spark, tmp_path):
     assert expect_nulls  # the construction really produced drops
     # inner mode on the same data must NOT emit nulls
     assert all(r[3] is not None for r in matched)
+
+    # FULL-OUTER adds the orphaned-right side: unmatched purchases
+    # emit once their own horizon passes (r_ts < watermark)
+    fj = stream_stream_interval_join(
+        stream().filter(F.col("event_type") == "view").drop("event_type"),
+        stream().filter(F.col("event_type") == "purchase").drop("event_type"),
+        key="user_id",
+        watermark="5 minutes",
+        interval="15 minutes",
+        how="full_outer",
+    )
+    qf = (
+        fj.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("fj_state_test")
+        .option("checkpointLocation", str(tmp_path / "fj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qf.awaitTermination()
+    fgot = {tuple(r) for r in spark.table("fj_state_test").collect()}
+    matched_purchase_ids = {m[3] for m in matched}
+    expect_rnulls = {
+        (p["user_id"], None, None, p["event_id"], p["ts"])
+        for p in purchases
+        if p["event_id"] not in matched_purchase_ids and p["ts"] < wm
+    }
+    assert {r for r in fgot if r[1] is None} == expect_rnulls
+    assert {r for r in fgot if r[1] is not None and r[3] is not None} == matched
+    assert {r for r in fgot if r[3] is None and r[1] is not None} == expect_nulls
+    assert expect_rnulls  # right drops really exist in the construction
