@@ -112,6 +112,7 @@ EXTENDED = [
     # round-7 additions (stream-stream left-outer interval join +
     # field-id schema evolution):
     "t_stream_left_join",
+    "t_stream_full_join",
     "x_schema_evolution",
 ]
 

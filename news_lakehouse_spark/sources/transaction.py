@@ -291,8 +291,13 @@ def _footer_raw_stats(abs_path: str, stat_cols: tuple) -> dict:
         for g in range(md.num_row_groups):
             rg = md.row_group(g)
             rows += rg.num_rows
-            st = rg.column(ci).statistics
-            if st is None or not st.has_min_max:
+            try:
+                st = rg.column(ci).statistics
+                has = st is not None and st.has_min_max
+            except Exception:  # pyarrow can't decode this type's stats
+                ok = False
+                continue
+            if not has:
                 ok = False
                 if st is not None and st.null_count is not None:
                     nulls += st.null_count
@@ -301,7 +306,7 @@ def _footer_raw_stats(abs_path: str, stat_cols: tuple) -> dict:
             try:
                 mn = st.min if mn is None else min(mn, st.min)
                 mx = st.max if mx is None else max(mx, st.max)
-            except TypeError:
+            except Exception:  # unorderable/undecodable bound
                 ok = False
         if ok and mn is not None:
             per_col[col] = (mn, mx, nulls, rows)
@@ -451,6 +456,22 @@ _WIDENINGS = {
     "integer": ("long",),
     "float": ("double",),
 }
+
+
+def _decimal_widening_ok(cur: str, tgt: str) -> bool:
+    """decimal(P,S) -> decimal(P',S) with P' > P — the remaining
+    Iceberg-safe promotion: same scale, more precision, every stored
+    value representable."""
+    import re
+
+    mc = re.fullmatch(r"decimal\((\d+),(\d+)\)", cur)
+    mt = re.fullmatch(r"decimal\((\d+),(\d+)\)", tgt)
+    return bool(
+        mc
+        and mt
+        and int(mt.group(1)) > int(mc.group(1))
+        and mt.group(2) == mc.group(2)
+    )
 
 
 def _field_fid(field_json: dict) -> int | None:
@@ -2143,11 +2164,13 @@ class VersionedParquetTable:
                         raise ValueError(
                             f"column {name!r} is already {tgt}"
                         )
-                    if tgt not in _WIDENINGS.get(cur_t, ()):
+                    if tgt not in _WIDENINGS.get(
+                        cur_t, ()
+                    ) and not _decimal_widening_ok(cur_t, tgt):
                         raise ValueError(
                             f"cannot widen {name!r} from {cur_t} to "
                             f"{tgt}; allowed: "
-                            f"{_WIDENINGS.get(cur_t, ()) or 'nothing'}"
+                            f"{_WIDENINGS.get(cur_t, ()) or 'decimal precision increase at equal scale'}"
                         )
                     f = {**f, "type": tgt}
                 fields.append(f)

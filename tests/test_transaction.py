@@ -1623,3 +1623,23 @@ def test_rollback_across_fid_upgrade_refused_but_within_ok(spark, table):
         for f in root["schema"]["fields"]
     ]
     assert len({fid for _n, fid in fids}) == len(fids)
+
+
+def test_widen_decimal_precision_same_scale_only(spark, table):
+    df = spark.createDataFrame(
+        [(1, "a", 10)], "k int, d string, v int"
+    ).withColumn("v", F.col("v").cast("decimal(10,2)"))
+    table.write(df)
+    table.widen_column("v", "decimal(20,2)")
+    assert dict(table.read().dtypes)["v"] == "decimal(20,2)"
+    assert {str(r["v"]) for r in table.read().collect()} == {"10.00"}
+    table.merge(
+        spark.createDataFrame([(2, "b", "123456789012345678.99")], "k int, d string, v string")
+        .withColumn("v", F.col("v").cast("decimal(20,2)")),
+        ["k"],
+    )
+    assert table.read().count() == 2
+    with pytest.raises(ValueError, match="cannot widen"):
+        table.widen_column("v", "decimal(20,4)")  # scale change refused
+    with pytest.raises(ValueError, match="cannot widen"):
+        table.widen_column("v", "decimal(10,2)")  # narrowing refused
