@@ -763,13 +763,19 @@ class VersionedParquetTable:
                 for s in frag.split("/")
                 if s
             )
-            rows.append((rel, shown, rec, sizes[rel]))
+            sid = (
+                (man.get("file_sids") or {}).get(rel, man.get("schema_id", 0))
+                if "schemas" in man
+                else 0
+            )
+            rows.append((rel, shown, rec, sizes[rel], sid))
         schema = StructType(
             [
                 StructField("path", StringType(), False),
                 StructField("partition", StringType(), False),
                 StructField("record_count", LongType(), True),
                 StructField("size_bytes", LongType(), False),
+                StructField("schema_id", LongType(), False),
             ]
         )
         files_df = self.spark.createDataFrame(rows, schema)

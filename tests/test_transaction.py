@@ -1643,3 +1643,57 @@ def test_widen_decimal_precision_same_scale_only(spark, table):
         table.widen_column("v", "decimal(20,4)")  # scale change refused
     with pytest.raises(ValueError, match="cannot widen"):
         table.widen_column("v", "decimal(10,2)")  # narrowing refused
+
+
+def test_evolve_merge_add_column_on_epoch_tracked_table(spark, table):
+    """merge(evolve_schema=True) on a table that already tracks schema
+    epochs: the added column mints a fresh field id and bumps the
+    epoch; files from all three epochs read together."""
+    table.merge(_df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"])
+    table.rename_column("v", "amount")  # upgrade to epoch tracking
+    table.merge(
+        spark.createDataFrame(
+            [Row(k=2, d="b", amount=99, note="hi"), Row(k=3, d="c", amount=30, note="yo")]
+        ),
+        ["k"],
+        evolve_schema=True,
+    )
+    got = {(r["k"], r["amount"], r["note"]) for r in table.read().collect()}
+    assert got == {(1, 10, None), (2, 99, "hi"), (3, 30, "yo")}
+    root = table._load_root(table.latest_version())
+    fids = [f["metadata"]["fid"] for f in root["schema"]["fields"]]
+    assert len(set(fids)) == len(fids)
+    assert root["schema_id"] == 2  # rename epoch + add-column epoch
+    # time travel below both epochs
+    assert _rows(table.read(version=1)) == {(1, "a", 10), (2, "b", 20)}
+
+
+def test_changes_across_drop_emit_endpoint_schema(spark, table):
+    table.merge(_df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"])
+    table.drop_column("v")
+    table.merge(spark.createDataFrame([Row(k=3, d="c")]), ["k"])
+    feed = table.changes(1)
+    assert set(feed.columns) == {"k", "d", "_change_type"}
+    ins = {
+        tuple(r)
+        for r in feed.filter("_change_type='insert'").drop("_change_type").collect()
+    }
+    assert ins == {(3, "c")}
+
+
+def test_inspect_files_reports_schema_epochs(spark, table):
+    # partitioned: the post-rename merge touches only d=b, so d=a
+    # files CARRY at epoch 0 while the rewrite lands at epoch 1
+    table.merge(
+        _df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"], partition_by=["d"]
+    )
+    assert {r.schema_id for r in table.inspect("files").collect()} == {0}
+    table.rename_column("v", "amount")
+    table.merge(spark.createDataFrame([Row(k=3, d="b", amount=30)]), ["k"])
+    by_part = {
+        r.partition.split("=")[1]: r.schema_id
+        for r in table.inspect("files").collect()
+    }
+    assert by_part["a"] == 0 and by_part["b"] == 1, by_part
+    table.compact()
+    assert {r.schema_id for r in table.inspect("files").collect()} == {1}
