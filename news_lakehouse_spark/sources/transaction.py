@@ -58,6 +58,17 @@ finds small-file buildup from the manifest alone and
 ``inspect("snapshots"|"files"|"partitions")`` exposes the metadata as
 DataFrames (the Iceberg metadata-table analog).
 
+Field-id schema evolution: ``rename_column`` / ``drop_column`` /
+``widen_column`` / ``add_column`` are metadata-only commits. Columns
+carry stable field ids in the manifest schema's field metadata, files
+pin to the schema EPOCH they were written under (``schemas`` +
+``file_sids`` manifest keys), and reads map physical columns to the
+current logical schema by id — one scan group per live epoch, so
+renames re-alias, widened types cast, dropped-then-re-added names
+never resurrect old bytes, and time travel / change feeds across an
+evolution stay correct. Tables that never evolve stay in the legacy
+name-mapped format with zero overhead.
+
 Scale notes (100 TB): manifests are driver-side JSON listing file paths
 — at 128 MB/file a 100 TB table is ~800k entries. Past
 ``shard_threshold`` files a partitioned manifest SHARDS per partition
