@@ -1697,3 +1697,56 @@ def test_inspect_files_reports_schema_epochs(spark, table):
     assert by_part["a"] == 0 and by_part["b"] == 1, by_part
     table.compact()
     assert {r.schema_id for r in table.inspect("files").collect()} == {1}
+
+
+def test_schema_evolution_on_sharded_manifests(spark, table):
+    """Epoch keys (schemas / file_sids / schema_id) live in the ROOT
+    manifest even when the file list shards per partition fragment:
+    rename + merge on a sharded table must keep fid-mapped reads,
+    partition-filtered reads, and the carried/rewritten epoch split."""
+    table.shard_threshold = 0
+    table.merge(
+        _df(spark, [(k * 10 + i, d, k) for k in range(1, 4) for i, d in enumerate(("a", "b"))]),
+        ["k"],
+        partition_by=["d"],
+    )
+    table.rename_column("v", "amount")
+    root = table._load_root(table.latest_version())
+    assert "shards" in root and "file_sids" in root and root["schema_id"] == 1
+    table.merge(spark.createDataFrame([Row(k=99, d="b", amount=7)]), ["k"])
+    got = table.read(partition_filter={"d": "b"})
+    assert "amount" in got.columns
+    assert (99, "b", 7) in _rows(got)
+    # d=a carried at epoch 0, d=b rewritten at epoch 1
+    sids = {
+        r.partition.split("=")[1]: r.schema_id
+        for r in table.inspect("files").collect()
+    }
+    assert sids == {"a": 0, "b": 1}, sids
+    assert _rows(table.read(version=1)) == {
+        (k * 10 + i, d, k) for k in range(1, 4) for i, d in enumerate(("a", "b"))
+    }
+
+
+def test_changes_snapshot_fallback_across_rename(spark, table):
+    """The snapshot-diff fallback (vacuumed chain + differing
+    tombstones) must fid-align the FROM snapshot to the endpoint
+    schema when a rename happened inside the span — name-based
+    alignment would null the renamed column and corrupt the feed."""
+    table.merge(
+        _df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"], partition_by=["d"]
+    )
+    table.delete_keys(spark.createDataFrame([Row(k=1)]))  # v2
+    table.rename_column("v", "amount")  # v3
+    table.merge(spark.createDataFrame([Row(k=3, d="b", amount=30)]), ["k"])  # v4
+    os.unlink(table._manifest_path(2))  # vacuumed middle with a delete
+    plan = table.changes_plan(1, 4)
+    assert plan["mode"] == "snapshot"
+    feed = table.changes(1, 4)
+    assert "amount" in feed.columns and "v" not in feed.columns
+    got = {
+        (r["_change_type"], r["k"], r["amount"]) for r in feed.collect()
+    }
+    # delete of k=1 must carry its VALUE (10) under the new name —
+    # a name-based alignment would emit (delete, 1, None)
+    assert got == {("delete", 1, 10), ("insert", 3, 30)}
