@@ -1750,3 +1750,25 @@ def test_changes_snapshot_fallback_across_rename(spark, table):
     # delete of k=1 must carry its VALUE (10) under the new name —
     # a name-based alignment would emit (delete, 1, None)
     assert got == {("delete", 1, 10), ("insert", 3, 30)}
+
+
+def test_evolve_merge_readd_of_dropped_name_does_not_resurrect(spark, table):
+    """Re-adding a dropped column via merge(evolve_schema=True) — not
+    just add_column — must also mint a fresh field id: rows living in
+    pre-drop files read NULL, never the dropped bytes."""
+    table.merge(_df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"])
+    table.drop_column("v")
+    table.merge(
+        spark.createDataFrame([Row(k=3, d="c", v=333)]),
+        ["k"],
+        evolve_schema=True,
+    )
+    got = {r["k"]: r["v"] for r in table.read().collect()}
+    # unpartitioned merge rewrote live rows under the new schema: the
+    # old v values are gone from them too (they were dropped), only
+    # the new source row carries the re-added column
+    assert got == {1: None, 2: None, 3: 333}
+    root = table._load_root(table.latest_version())
+    fids = {f["name"]: f["metadata"]["fid"] for f in root["schema"]["fields"]}
+    old = {f["name"]: f["metadata"]["fid"] for f in root["schemas"]["0"]["fields"]}
+    assert fids["v"] != old["v"]  # fresh id, not the dropped one
