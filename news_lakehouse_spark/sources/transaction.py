@@ -2028,7 +2028,24 @@ class VersionedParquetTable:
         no data file is read or written, so evolving a 100 TB table
         costs one manifest. Reference tables are fixed-schema
         (gcs_bronze_to_silver.py:73-158 DDL), but their Iceberg layer
-        allows all four operations; this is the parity surface."""
+        allows all four operations; this is the parity surface.
+
+        Optimistic concurrency, same as merge(): losing a version race
+        (a merge committing between our read and publish) re-derives
+        the evolution from the winner's manifest and retries — the
+        mutation is a pure schema function, so replaying it on the
+        newer snapshot is always the intended result."""
+        last_err: ConcurrentCommitError | None = None
+        for _attempt in range(5):
+            try:
+                return self._evolve_commit_once(mutate, operation, properties)
+            except ConcurrentCommitError as e:
+                last_err = e
+        raise last_err  # type: ignore[misc]
+
+    def _evolve_commit_once(
+        self, mutate, operation: str, properties: dict | None = None
+    ) -> int:
         parent = self.latest_version()
         if parent is None:
             raise FileNotFoundError(f"no committed version at {self.path}")

@@ -1772,3 +1772,29 @@ def test_evolve_merge_readd_of_dropped_name_does_not_resurrect(spark, table):
     fids = {f["name"]: f["metadata"]["fid"] for f in root["schema"]["fields"]}
     old = {f["name"]: f["metadata"]["fid"] for f in root["schemas"]["0"]["fields"]}
     assert fids["v"] != old["v"]  # fresh id, not the dropped one
+
+
+def test_evolution_retries_after_concurrent_commit(spark, table, monkeypatch):
+    """An evolution op losing the version race to a concurrent merge
+    must re-derive from the winner's manifest and retry, like merge()
+    does — the rename lands on top of the interloper's commit."""
+    table.merge(_df(spark, [(1, "a", 10)]), ["k"])
+    real_publish = VersionedParquetTable._publish
+    state = {"raced": False}
+
+    def racing_publish(self, manifest):
+        if not state["raced"] and manifest["operation"] == "rename-column":
+            state["raced"] = True
+            # interloper wins version 2 first
+            interloper = VersionedParquetTable(spark, self.path)
+            monkeypatch.setattr(VersionedParquetTable, "_publish", real_publish)
+            interloper.merge(_df(spark, [(2, "b", 20)]), ["k"])
+            monkeypatch.setattr(VersionedParquetTable, "_publish", racing_publish)
+        return real_publish(self, manifest)
+
+    monkeypatch.setattr(VersionedParquetTable, "_publish", racing_publish)
+    v = table.rename_column("v", "amount")
+    monkeypatch.setattr(VersionedParquetTable, "_publish", real_publish)
+    assert v == 3  # merge won 2, rename retried onto 3
+    assert _rows(table.read()) == {(1, "a", 10), (2, "b", 20)}
+    assert table.read().columns == ["k", "d", "amount"]
