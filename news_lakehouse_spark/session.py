@@ -53,6 +53,13 @@ def build_session(
         # reference's PERMISSIVE ingest expects, and use try_* forms
         # where we want the intent explicit anyway.
         .config("spark.sql.ansi.enabled", "false")
+        # Engine default, documented: the test corpus's events.ts is
+        # parquet TIMESTAMP(NANOS), which Spark has no native type for;
+        # every reader in this engine wants the raw-nanos reading (then
+        # truncates to micros — sources.readers.read_table). Setting it
+        # here (not ad hoc inside runners) keeps runners from mutating
+        # shared-session state (r7 verdict #4).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
@@ -61,3 +68,33 @@ def build_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def borrows_session_conf(**conf: str):
+    """Decorator for runners that need a session conf during a FULLY
+    DRAINED operation (Trigger.AvailableNow streams that terminate
+    inside the call): set the confs for the call, restore the caller's
+    values — explicitly-set ones come back, unset ones are unset again
+    — so nothing leaks into later queries on a shared session (r7
+    verdict #4). Only safe when the function's result does not lazily
+    depend on the conf (memory-sink tables are materialized; a lazy
+    parquet scan would NOT be)."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(spark, *args, **kwargs):
+            prior = {k: spark.conf.get(k, None) for k in conf}
+            for k, v in conf.items():
+                spark.conf.set(k, v)
+            try:
+                return fn(spark, *args, **kwargs)
+            finally:
+                for k, p in prior.items():
+                    if p is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, p)
+        return wrapper
+
+    return deco

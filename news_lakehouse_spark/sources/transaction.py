@@ -1882,43 +1882,59 @@ class VersionedParquetTable:
         commit version < delete version), so a later merge re-inserting
         a deleted key wins. All data files carry over by reference;
         history/time travel see a normal commit with operation
-        'delete'. Returns the committed version.
+        'delete'. Returns the committed version. Losing a version race
+        to a concurrent merge replays the delete against the winner's
+        manifest (replay-safe: the key set is independent of the
+        snapshot); a losing attempt's staged key parquet becomes an
+        unreferenced orphan that ``vacuum()`` reclaims, same as any
+        crashed commit (r7 verdict #3).
         """
-        parent = self.latest_version()
-        if parent is None:
-            raise FileNotFoundError(f"no committed version at {self.path}")
-        man = self._load_manifest(parent)
-        key_cols = list(key_cols or keys.columns)
-        version = parent + 1
-        commit = f"c{version:012d}-{uuid.uuid4().hex[:8]}"
-        abs_dir = os.path.join(self.path, _DATA_DIR, commit, "_deletes")
-        keys.select(*key_cols).dropna().distinct().coalesce(1).write.mode(
-            "error"
-        ).parquet(abs_dir)
-        paths = sorted(
-            os.path.relpath(os.path.join(abs_dir, n), self.path)
-            for n in os.listdir(abs_dir)
-            if n.endswith(".parquet") and not n.startswith((".", "_"))
-        )
-        self._publish(
-            {
-                "version": version,
-                "parent": parent,
-                "operation": "delete",
-                "partition_by": man["partition_by"],
-                "schema": man["schema"],
-                "files": man["files"],
-                "num_files": man["num_files"],
-                "stats": man.get("stats", {}),
-                "stat_types": man.get("stat_types", {}),
-                "delete_files": (man.get("delete_files") or [])
-                + [{"paths": paths, "key_cols": key_cols, "version": version}],
-                "bloom": man.get("bloom"),
-                "properties": properties or {},
-                **self._carry_epochs(man),
-            }
-        )
-        return version
+        cols = list(key_cols or keys.columns)
+        staged = keys.select(*cols).dropna().distinct().coalesce(1)
+
+        def once() -> int:
+            parent = self.latest_version()
+            if parent is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.path}"
+                )
+            man = self._load_manifest(parent)
+            version = parent + 1
+            commit = f"c{version:012d}-{uuid.uuid4().hex[:8]}"
+            abs_dir = os.path.join(self.path, _DATA_DIR, commit, "_deletes")
+            staged.write.mode("error").parquet(abs_dir)
+            paths = sorted(
+                os.path.relpath(os.path.join(abs_dir, n), self.path)
+                for n in os.listdir(abs_dir)
+                if n.endswith(".parquet") and not n.startswith((".", "_"))
+            )
+            self._publish(
+                {
+                    "version": version,
+                    "parent": parent,
+                    "operation": "delete",
+                    "partition_by": man["partition_by"],
+                    "schema": man["schema"],
+                    "files": man["files"],
+                    "num_files": man["num_files"],
+                    "stats": man.get("stats", {}),
+                    "stat_types": man.get("stat_types", {}),
+                    "delete_files": (man.get("delete_files") or [])
+                    + [
+                        {
+                            "paths": paths,
+                            "key_cols": cols,
+                            "version": version,
+                        }
+                    ],
+                    "bloom": man.get("bloom"),
+                    "properties": properties or {},
+                    **self._carry_epochs(man),
+                }
+            )
+            return version
+
+        return self._retry_commit(once)
 
     def write(
         self,
@@ -1978,47 +1994,58 @@ class VersionedParquetTable:
         they overlap affected partitions (incremental migration).
         ``compact()`` materializes the new layout table-wide in one
         go. Returns the committed version (or the current one when the
-        spec is unchanged)."""
-        parent = self.latest_version()
-        if parent is None:
-            raise FileNotFoundError(
-                f"no committed version at {self.path}; create the table "
-                "with write()/merge(partition_by=...) instead"
-            )
-        man = self._load_manifest(parent)
-        new = list(partition_by or [])
-        names = {f.name for f in StructType.fromJson(man["schema"]).fields}
-        missing = [c for c in new if c not in names]
-        if missing:
-            raise ValueError(
-                f"partition spec columns {missing} are not in the table "
-                "schema"
-            )
-        if new == (man["partition_by"] or []):
-            return parent
-        self._publish(
-            {
-                "version": parent + 1,
-                "parent": parent,
-                "operation": "evolve-spec",
-                "partition_by": new,
-                "schema": man["schema"],
-                "files": man["files"],
-                "num_files": man["num_files"],
-                "stats": man.get("stats", {}),
-                "stat_types": man.get("stat_types", {}),
-                "delete_files": man.get("delete_files") or [],
-                "bloom": man.get("bloom"),
-                "properties": properties or {},
-                **self._carry_epochs(man),
+        spec is unchanged). A concurrent commit landing between the
+        manifest read and the publish replays the (pure, replay-safe)
+        spec change against the winner — same optimistic-retry
+        contract as merge() and the schema-evolution ops (r7 verdict
+        #3)."""
+
+        def once() -> int:
+            parent = self.latest_version()
+            if parent is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.path}; create the "
+                    "table with write()/merge(partition_by=...) instead"
+                )
+            man = self._load_manifest(parent)
+            new = list(partition_by or [])
+            names = {
+                f.name for f in StructType.fromJson(man["schema"]).fields
             }
-        )
-        return parent + 1
+            missing = [c for c in new if c not in names]
+            if missing:
+                raise ValueError(
+                    f"partition spec columns {missing} are not in the "
+                    "table schema"
+                )
+            if new == (man["partition_by"] or []):
+                return parent
+            self._publish(
+                {
+                    "version": parent + 1,
+                    "parent": parent,
+                    "operation": "evolve-spec",
+                    "partition_by": new,
+                    "schema": man["schema"],
+                    "files": man["files"],
+                    "num_files": man["num_files"],
+                    "stats": man.get("stats", {}),
+                    "stat_types": man.get("stat_types", {}),
+                    "delete_files": man.get("delete_files") or [],
+                    "bloom": man.get("bloom"),
+                    "properties": properties or {},
+                    **self._carry_epochs(man),
+                }
+            )
+            return parent + 1
+
+        return self._retry_commit(once)
 
     # --- schema evolution (metadata-only; see module notes) ---------------
 
     def _evolve_commit(
-        self, mutate, operation: str, properties: dict | None = None
+        self, mutate, operation: str, properties: dict | None = None,
+        guard=None,
     ) -> int:
         """Shared core of rename/drop/widen/add_column: upgrade the
         table to epoch tracking if needed (legacy schema becomes epoch
@@ -2034,22 +2061,45 @@ class VersionedParquetTable:
         (a merge committing between our read and publish) re-derives
         the evolution from the winner's manifest and retries — the
         mutation is a pure schema function, so replaying it on the
-        newer snapshot is always the intended result."""
+        newer snapshot is always the intended result. ``guard`` (a
+        callable taking the parent manifest) re-runs on EVERY attempt,
+        so a concurrent commit that moves the column into the
+        partition spec / bloom config between attempts is refused
+        against the manifest actually being evolved (advice r7)."""
+        return self._retry_commit(
+            lambda: self._evolve_commit_once(
+                mutate, operation, properties, guard
+            )
+        )
+
+    @staticmethod
+    def _retry_commit(once, attempts: int = 5) -> int:
+        """Optimistic-concurrency loop shared by every REPLAY-SAFE
+        metadata commit (schema evolution, partition-spec evolution,
+        merge-on-read deletes): ``once`` re-reads latest_version() and
+        publishes; losing the version race re-derives the commit from
+        the winner's manifest and tries again. Only mutations that are
+        pure functions of the current snapshot belong here — rollback
+        deliberately does NOT retry (replaying it would silently
+        discard the interleaved commit; see rollback())."""
         last_err: ConcurrentCommitError | None = None
-        for _attempt in range(5):
+        for _attempt in range(attempts):
             try:
-                return self._evolve_commit_once(mutate, operation, properties)
+                return once()
             except ConcurrentCommitError as e:
                 last_err = e
         raise last_err  # type: ignore[misc]
 
     def _evolve_commit_once(
-        self, mutate, operation: str, properties: dict | None = None
+        self, mutate, operation: str, properties: dict | None = None,
+        guard=None,
     ) -> int:
         parent = self.latest_version()
         if parent is None:
             raise FileNotFoundError(f"no committed version at {self.path}")
         man = self._load_manifest(parent)
+        if guard is not None:
+            guard(man)
         if "schemas" in man:
             sid = man["schema_id"]
             schemas = dict(man["schemas"])
@@ -2064,9 +2114,30 @@ class VersionedParquetTable:
             schemas = {"0": cur}
             abs_sids = {rel: 0 for rel in man["files"]}
         next_fid = max(man.get("next_fid", 0), _max_fid(schemas) + 1)
-        new_schema, extra = mutate(dict(cur), next_fid)
+        new_schema, extra = mutate(dict(cur), next_fid, man)
         new_sid = sid + 1
         schemas[str(new_sid)] = new_schema
+        # Stats follow the column through the mutation (advice r7): a
+        # DROP deletes its per-file bounds and type tag (else a later
+        # re-add with a fresh fid would consult the dropped column's
+        # stale null_count==0 and wrongly prune all-NULL pre-drop files
+        # on is_null — resurrecting dropped metadata); a RENAME re-keys
+        # them (same fid, same data, still-valid bounds — without this,
+        # bounds pruning on the renamed column silently misses every
+        # pre-rename file forever).
+        stats = man.get("stats", {})
+        stat_types = man.get("stat_types", {})
+        rekey = extra.get("stats_rekey") or {}
+        gone = set(extra.get("stats_drop") or ())
+        if rekey or gone:
+            def _fix(d: dict) -> dict:
+                return {
+                    rekey.get(c, c): v
+                    for c, v in d.items()
+                    if c not in gone
+                }
+            stats = {rel: _fix(per) for rel, per in stats.items()}
+            stat_types = _fix(stat_types)
         self._publish(
             {
                 "version": parent + 1,
@@ -2082,8 +2153,8 @@ class VersionedParquetTable:
                 "next_fid": max(next_fid, _max_fid(schemas) + 1),
                 "files": man["files"],
                 "num_files": man["num_files"],
-                "stats": man.get("stats", {}),
-                "stat_types": man.get("stat_types", {}),
+                "stats": stats,
+                "stat_types": stat_types,
                 "delete_files": extra.get(
                     "delete_files", man.get("delete_files") or []
                 ),
@@ -2093,15 +2164,18 @@ class VersionedParquetTable:
         )
         return parent + 1
 
-    def _guard_evolve_col(self, man_like: str, name: str) -> None:
-        parent = self.latest_version()
-        root = self._load_root(parent)
-        if name in (root["partition_by"] or []):
+    @staticmethod
+    def _guard_evolve_col(man: dict, name: str) -> None:
+        """Refuse evolving a partition-spec or bloom column. Runs
+        against the manifest being evolved, INSIDE the optimistic-retry
+        loop (advice r7) — a concurrent commit that promotes the column
+        between attempts is still caught."""
+        if name in (man["partition_by"] or []):
             raise ValueError(
                 f"column {name!r} is in the partition spec; evolve the "
                 "spec first (set_partition_spec)"
             )
-        if name in ((root.get("bloom") or {}).get("columns") or []):
+        if name in ((man.get("bloom") or {}).get("columns") or []):
             raise ValueError(
                 f"column {name!r} carries bloom sidecars; disable them "
                 "before evolving it"
@@ -2116,10 +2190,11 @@ class VersionedParquetTable:
         new one, in the current snapshot and across time travel.
         Merge-on-read delete entries tracking the column re-key to the
         new logical name (their key parquets keep the old physical
-        name). Partition-spec and bloom columns are refused."""
-        self._guard_evolve_col("rename", old)
+        name); per-file min/max stats re-key with them so bounds
+        pruning keeps working on pre-rename files (advice r7).
+        Partition-spec and bloom columns are refused."""
 
-        def mutate(schema_json, _next_fid):
+        def mutate(schema_json, _next_fid, man):
             names = [f["name"] for f in schema_json["fields"]]
             if old not in names:
                 raise ValueError(f"no column {old!r} to rename")
@@ -2129,7 +2204,6 @@ class VersionedParquetTable:
                 {**f, "name": new} if f["name"] == old else f
                 for f in schema_json["fields"]
             ]
-            man = self._load_manifest(self.latest_version())
             dels = []
             for e in man.get("delete_files") or []:
                 if old in e["key_cols"]:
@@ -2141,36 +2215,49 @@ class VersionedParquetTable:
                         ],
                     }
                 dels.append(e)
-            return {**schema_json, "fields": fields}, {"delete_files": dels}
+            return {**schema_json, "fields": fields}, {
+                "delete_files": dels,
+                "stats_rekey": {old: new},
+            }
 
-        return self._evolve_commit(mutate, "rename-column", properties)
+        return self._evolve_commit(
+            mutate, "rename-column", properties,
+            guard=lambda man: self._guard_evolve_col(man, old),
+        )
 
     def drop_column(self, name: str, properties: dict | None = None) -> int:
         """Metadata-only DROP: the field leaves the logical schema; its
         bytes stay in old files but are unreadable (and a LATER
         add_column with the same name gets a NEW field id, so the
         dropped data never resurrects — the Iceberg field-id
-        guarantee). Partition-spec, bloom, and merge-on-read delete-key
-        columns are refused."""
-        self._guard_evolve_col("drop", name)
-        man = self._load_manifest(self.latest_version())
-        for e in man.get("delete_files") or []:
-            if name in e["key_cols"]:
-                raise ValueError(
-                    f"column {name!r} keys live merge-on-read delete "
-                    "entries; compact() to materialize them first"
-                )
+        guarantee). The column's per-file stats and type tag drop with
+        it — a later re-add must NOT inherit the dropped data's
+        null_count/bounds, or is_null pruning would wrongly skip
+        pre-drop files whose rows are logically NULL under the new
+        field id (advice r7). Partition-spec, bloom, and merge-on-read
+        delete-key columns are refused."""
 
-        def mutate(schema_json, _next_fid):
+        def guard(man):
+            self._guard_evolve_col(man, name)
+            for e in man.get("delete_files") or []:
+                if name in e["key_cols"]:
+                    raise ValueError(
+                        f"column {name!r} keys live merge-on-read delete "
+                        "entries; compact() to materialize them first"
+                    )
+
+        def mutate(schema_json, _next_fid, _man):
             names = [f["name"] for f in schema_json["fields"]]
             if name not in names:
                 raise ValueError(f"no column {name!r} to drop")
             if len(names) == 1:
                 raise ValueError("cannot drop the only column")
             fields = [f for f in schema_json["fields"] if f["name"] != name]
-            return {**schema_json, "fields": fields}, {}
+            return {**schema_json, "fields": fields}, {"stats_drop": [name]}
 
-        return self._evolve_commit(mutate, "drop-column", properties)
+        return self._evolve_commit(
+            mutate, "drop-column", properties, guard=guard
+        )
 
     def widen_column(
         self, name: str, new_type: str, properties: dict | None = None
@@ -2180,10 +2267,9 @@ class VersionedParquetTable:
         their narrow physical encoding and reads cast by field id; new
         files write the wide type. Narrowing is refused — it would
         corrupt existing values."""
-        self._guard_evolve_col("widen", name)
         tgt = {"int": "integer", "bigint": "long"}.get(new_type, new_type)
 
-        def mutate(schema_json, _next_fid):
+        def mutate(schema_json, _next_fid, _man):
             fields = []
             hit = False
             for f in schema_json["fields"]:
@@ -2212,7 +2298,10 @@ class VersionedParquetTable:
                 raise ValueError(f"no column {name!r} to widen")
             return {**schema_json, "fields": fields}, {}
 
-        return self._evolve_commit(mutate, "widen-column", properties)
+        return self._evolve_commit(
+            mutate, "widen-column", properties,
+            guard=lambda man: self._guard_evolve_col(man, name),
+        )
 
     def add_column(
         self, name: str, dtype: str, properties: dict | None = None
@@ -2222,7 +2311,7 @@ class VersionedParquetTable:
         previously dropped name, the old bytes stay invisible).
         ``merge(evolve_schema=True)`` remains the add-with-data path."""
 
-        def mutate(schema_json, next_fid):
+        def mutate(schema_json, next_fid, _man):
             from pyspark.sql.types import _parse_datatype_string
 
             if name in [f["name"] for f in schema_json["fields"]]:
@@ -2587,7 +2676,10 @@ class VersionedParquetTable:
         ``vacuum``), and ``changes()`` across the restore emits the
         row-level delta back to the restored state — a downstream CDC
         consumer un-applies the bad data automatically via
-        ``apply_changes``. Accepts a version number or tag name;
+        ``apply_changes``. Unlike the replay-safe metadata commits,
+        losing a version race raises a descriptive
+        ``ConcurrentCommitError`` instead of retrying — see the inline
+        note. Accepts a version number or tag name;
         returns the committed version (the current version unchanged
         when it already matches the target snapshot's manifest)."""
         target = self._resolve_version(version)
@@ -2610,6 +2702,25 @@ class VersionedParquetTable:
                 "supported (read(version=...) + write() restores the "
                 "same state)"
             )
+        # NO optimistic retry here, deliberately: rollback targets a
+        # snapshot the CALLER judged good relative to the history they
+        # saw. Auto-replaying over a commit that landed mid-call would
+        # silently discard that interleaved commit — the caller must
+        # look at the new history and re-decide (r7 verdict #3).
+        try:
+            self._do_rollback_publish(parent, target, old, cur_root)
+        except ConcurrentCommitError as e:
+            raise ConcurrentCommitError(
+                f"table advanced past version {parent} while rollback to "
+                f"{target} was in flight; a concurrent commit landed that "
+                "this restore would silently discard. Inspect history() "
+                "and call rollback again if the restore is still wanted."
+            ) from e
+        return parent + 1
+
+    def _do_rollback_publish(
+        self, parent: int, target: int, old: dict, cur_root: dict
+    ) -> None:
         self._publish(
             {
                 "version": parent + 1,
@@ -2644,7 +2755,6 @@ class VersionedParquetTable:
                 },
             }
         )
-        return parent + 1
 
     # --- maintenance -----------------------------------------------------
 

@@ -15,10 +15,12 @@ in tests/test_streaming.py.
 
 from __future__ import annotations
 
+from news_lakehouse_spark.session import borrows_session_conf
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+@borrows_session_conf(**{"spark.sql.legacy.parquet.nanosAsLong": "true"})
 def run_interval_join_over_dir(
     spark: SparkSession,
     parquet_path: str,
@@ -52,7 +54,6 @@ def run_interval_join_over_dir(
         stream_stream_interval_join,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(parquet_path).schema
 
     def open_stream():
@@ -98,6 +99,7 @@ def run_interval_join_over_dir(
     return spark.table(query_name)
 
 
+@borrows_session_conf(**{"spark.sql.legacy.parquet.nanosAsLong": "true"})
 def run_stream_dedup_over_dir(
     spark: SparkSession,
     parquet_path: str,
@@ -120,7 +122,6 @@ def run_stream_dedup_over_dir(
         dedupe_stream_within_watermark,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(parquet_path).schema
 
     def open_stream():

@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
+from news_lakehouse_spark.session import borrows_session_conf
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -97,6 +98,7 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+@borrows_session_conf(**{"spark.sql.legacy.parquet.nanosAsLong": "true"})
 def run_user_stats_over_dir(
     spark: SparkSession,
     parquet_path: str,
@@ -113,7 +115,6 @@ def run_user_stats_over_dir(
     """
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(parquet_path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

@@ -1,0 +1,262 @@
+"""Checkpointed streaming source over a versioned table (T4/S16).
+
+The Delta ``spark.readStream.table(...)`` analog for
+``sources.transaction.VersionedParquetTable``: subscribe to a table's
+commit history and receive each commit span's ROW-LEVEL delta exactly
+once through a foreachBatch-style handler, resuming from a persisted
+version cursor after a crash or restart.
+
+Reference parity: the reference's silver→gold hop re-reads silver
+tables in full every run (gcs_silver_to_gold.py:347-352 — daily
+``spark.table("silver.*")`` scans). At 100 TB that full re-read is the
+whole cost of the pipeline; this source replaces it with an O(churn)
+incremental feed — the downstream job processes only what the
+upstream's commits actually changed (r7 verdict #1).
+
+Exactly-once contract — the Structured Streaming offset-WAL design,
+re-expressed on the manifest layer:
+
+1. PLAN: before the handler runs, the feed writes an INTENT record
+   (batch id + exact version span) to the checkpoint with an atomic
+   rename. The span is thereby pinned: a crash mid-batch replays
+   EXACTLY this span under EXACTLY this batch id, never a widened one
+   that would make the sink's "seen this batch id" dedup skip rows
+   (the classic at-least-once hole when offsets are chosen after the
+   fact).
+2. PROCESS: the handler receives ``(delta_df, batch_id, (from_v,
+   to_v))``. ``delta_df`` is ``changes()`` output (row schema +
+   ``_change_type``), so cost scales with the span's churn, not the
+   table.
+3. COMMIT: only after the handler returns does the cursor advance
+   (atomic rename again). Crash between 2 and 3 → redelivery of the
+   identical batch; a sink that is idempotent per batch id (the
+   foreachBatch contract — ``feed_into_replica`` below records the
+   batch id in the replica's commit properties and skips replays)
+   yields exactly-once end-to-end effect.
+
+Retention interplay: the cursor references upstream versions, so the
+upstream's ``vacuum`` retention must cover the subscriber's maximum
+lag — the same contract ``sync_from`` documents for its cursor. A
+vacuumed-past cursor surfaces as ``changes()`` failing on a missing
+manifest; re-seed with a fresh checkpoint (full snapshot) then.
+
+Scale posture: everything here is metadata-sized driver work (two tiny
+JSON files per batch) around ``changes()``, whose plan reads only the
+span's churned files with compaction commits skipped — no full-table
+scan anywhere, no state in the Spark job itself.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, functions as F
+
+from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+_CURSOR = "cursor.json"
+_INTENT = "intent.json"
+
+
+def _atomic_write_json(path: str, payload: dict) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _read_json(path: str) -> dict | None:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+class TableChangeFeed:
+    """Incremental subscription to a ``VersionedParquetTable``.
+
+    ``initial='snapshot'`` (default) delivers the table's CURRENT
+    snapshot as an all-insert batch first — the Delta readStream
+    initial-snapshot behavior — then commit deltas. ``initial=<int>``
+    starts the cursor at that RETAINED version instead, delivering
+    only changes committed after it (``changes()`` spans are
+    (from, to], so the named version's own content is excluded — a
+    consumer that already holds it, e.g. seeded by time travel).
+    """
+
+    def __init__(
+        self,
+        table: VersionedParquetTable,
+        checkpoint_dir: str,
+        initial: str | int = "snapshot",
+    ):
+        self.table = table
+        self.checkpoint_dir = checkpoint_dir
+        self.initial = initial
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+    # --- checkpoint state -------------------------------------------------
+
+    def cursor(self) -> dict | None:
+        """Last COMMITTED position: {'version': v, 'batch_id': b}, or
+        None before the first delivered batch."""
+        return _read_json(os.path.join(self.checkpoint_dir, _CURSOR))
+
+    def _commit(self, version: int, batch_id: int) -> None:
+        _atomic_write_json(
+            os.path.join(self.checkpoint_dir, _CURSOR),
+            {"version": version, "batch_id": batch_id},
+        )
+
+    def _plan_intent(self, intent: dict) -> None:
+        _atomic_write_json(
+            os.path.join(self.checkpoint_dir, _INTENT), intent
+        )
+
+    def _pending_intent(self) -> dict | None:
+        """The planned-but-uncommitted batch, if any: an intent whose
+        batch id is ahead of the committed cursor (a stale intent from
+        a batch that DID commit is ignored)."""
+        intent = _read_json(os.path.join(self.checkpoint_dir, _INTENT))
+        if intent is None:
+            return None
+        cur = self.cursor()
+        if cur is not None and intent["batch_id"] <= cur["batch_id"]:
+            return None
+        return intent
+
+    # --- delivery ---------------------------------------------------------
+
+    def _batch_df(self, intent: dict) -> DataFrame:
+        if intent.get("mode") == "snapshot":
+            return self.table.read(version=intent["to"]).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        return self.table.changes(intent["from"], intent["to"])
+
+    def process_available(
+        self,
+        handler,
+        max_versions_per_batch: int | None = None,
+    ) -> list[dict]:
+        """Drain every committed-but-undelivered span through
+        ``handler(delta_df, batch_id, (from_v, to_v))`` —
+        Trigger.AvailableNow semantics: returns when the subscriber has
+        caught up to the versions that existed when each span was
+        planned. Returns the list of delivered intents (useful for
+        tests and metrics; empty when already caught up).
+
+        ``max_versions_per_batch`` bounds per-batch churn (one commit
+        per batch at 1) — the maxFilesPerTrigger analog.
+        """
+        delivered: list[dict] = []
+        replay = self._pending_intent()
+        if replay is not None:  # crashed mid-batch: redeliver verbatim
+            self._deliver(replay, handler)
+            delivered.append(replay)
+        latest = self.table.latest_version()
+        if latest is None:
+            return delivered
+        cur = self.cursor()
+        if cur is None:
+            if self.initial == "snapshot":
+                intent = {
+                    "batch_id": 0,
+                    "mode": "snapshot",
+                    "from": None,
+                    "to": latest,
+                }
+                self._plan_intent(intent)
+                self._deliver(intent, handler)
+                delivered.append(intent)
+                cur = self.cursor()
+            else:
+                start = int(self.initial)
+                self._commit(start, -1)
+                cur = self.cursor()
+            latest = self.table.latest_version()
+        while cur["version"] < latest:
+            to_v = (
+                latest
+                if max_versions_per_batch is None
+                else min(latest, cur["version"] + max_versions_per_batch)
+            )
+            intent = {
+                "batch_id": cur["batch_id"] + 1,
+                "from": cur["version"],
+                "to": to_v,
+            }
+            self._plan_intent(intent)
+            self._deliver(intent, handler)
+            delivered.append(intent)
+            cur = self.cursor()
+            latest = self.table.latest_version()
+        return delivered
+
+    def _deliver(self, intent: dict, handler) -> None:
+        handler(
+            self._batch_df(intent),
+            intent["batch_id"],
+            (intent["from"], intent["to"]),
+        )
+        self._commit(intent["to"], intent["batch_id"])
+
+
+def _last_feed_batch(replica: VersionedParquetTable) -> int | None:
+    """Newest recorded feed batch id in the replica's retained commit
+    properties — the sink-side dedup key for redelivered batches. Same
+    newest-first O(retained-versions) scan and retention contract as
+    sync_from's cursor."""
+    if not replica.exists():
+        return None
+    for v in reversed(replica.versions()):
+        b = (replica.snapshot_properties(v) or {}).get("feed_batch_id")
+        if b is not None:
+            return int(b)
+    return None
+
+
+def feed_into_replica(
+    source: VersionedParquetTable,
+    replica: VersionedParquetTable,
+    keys: list[str],
+    checkpoint_dir: str,
+    order_by=None,
+    max_versions_per_batch: int | None = None,
+) -> list[dict]:
+    """The silver→gold subscriber: drain ``source``'s change feed into
+    ``replica`` with exactly-once effect. The initial snapshot batch
+    full-writes the replica (copying the source's partition spec);
+    every later batch is an O(churn) ``apply_changes``. Each applying
+    commit records the feed batch id in its properties, so a
+    redelivered batch (crash between handler and cursor commit) is
+    detected and SKIPPED — idempotence by dedup, not just by replay-
+    safety. Returns the delivered intents."""
+    feed = TableChangeFeed(source, checkpoint_dir)
+
+    def handler(df: DataFrame, batch_id: int, span) -> None:
+        last = _last_feed_batch(replica)
+        if last is not None and last >= batch_id:
+            return  # already applied; crashed before cursor commit
+        props = {"feed_batch_id": batch_id, "feed_to_version": span[1]}
+        if span[0] is None:  # initial snapshot
+            root = source._load_root(span[1])
+            replica.write(
+                df.drop("_change_type"),
+                partition_by=root["partition_by"] or None,
+                operation="feed-snapshot",
+                properties=props,
+            )
+        else:
+            replica.apply_changes(
+                df, keys, order_by=order_by, properties=props
+            )
+
+    return feed.process_available(
+        handler, max_versions_per_batch=max_versions_per_batch
+    )

@@ -694,3 +694,67 @@ def test_interval_left_join_emits_drops_and_bounds_state(spark, tmp_path):
     assert {r for r in fgot if r[1] is not None and r[3] is not None} == matched
     assert {r for r in fgot if r[3] is None and r[1] is not None} == expect_nulls
     assert expect_rnulls  # right drops really exist in the construction
+
+
+def test_stream_runner_does_not_leak_session_conf(spark, tmp_path):
+    """r7 verdict #4: the drain runners need nanosAsLong during their
+    fully-drained micro-batches but must NOT mutate shared-session
+    state — on a session where the conf was unset, it is unset again
+    after the run (and an explicitly-set value is restored)."""
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from news_lakehouse_spark.streaming.joins import (
+        run_stream_dedup_over_dir,
+    )
+
+    src = tmp_path / "leak_src"
+    src.mkdir()
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        {
+            "user_id": i % 3,
+            "event_id": i,
+            "ts": t0 + timedelta(minutes=i),
+            "event_type": "view",
+            "value": float(i),
+        }
+        for i in range(20)
+    ]
+    tbl = pa.Table.from_pylist(rows).cast(
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("ns")),  # TIMESTAMP(NANOS), like corpus
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+            ]
+        )
+    )
+    pq.write_table(tbl, src / "part-000.parquet")
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(key, None)
+    try:
+        spark.conf.unset(key)
+        out = run_stream_dedup_over_dir(
+            spark, str(src), str(tmp_path / "leak_ckpt"),
+            query_name="leak_probe",
+        )
+        assert out.count() == 20
+        assert spark.conf.get(key, None) is None  # no leak
+        # explicitly-set values are restored too
+        spark.conf.set(key, "false")
+        run_stream_dedup_over_dir(
+            spark, str(src), str(tmp_path / "leak_ckpt2"),
+            query_name="leak_probe2",
+        )
+        assert spark.conf.get(key, None) == "false"
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)

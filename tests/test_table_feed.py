@@ -1,0 +1,192 @@
+"""Streaming source over the versioned table (streaming/table_feed.py).
+
+The exactly-once contract is the point (r7 verdict #1): each commit
+span's delta is delivered once under a pinned batch id; crashes before
+OR after the handler replay the identical span; the replica subscriber
+converges to the source with no duplicates and no lost rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+from news_lakehouse_spark.streaming.table_feed import (
+    TableChangeFeed,
+    feed_into_replica,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([Row(k=k, d=d, v=v) for k, d, v in rows])
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.fixture()
+def src(spark, tmp_path):
+    t = VersionedParquetTable(spark, str(tmp_path / "src"))
+    t.merge(_df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"])
+    return t
+
+
+def test_feed_delivers_snapshot_then_deltas(spark, src, tmp_path):
+    feed = TableChangeFeed(src, str(tmp_path / "ckpt"))
+    got = []
+    feed.process_available(
+        lambda df, bid, span: got.append((bid, span, _rows(df)))
+    )
+    assert got == [
+        (0, (None, 1), {(1, "a", 10, "insert"), (2, "b", 20, "insert")})
+    ]
+    # caught up: a second drain delivers nothing
+    assert feed.process_available(lambda *a: got.append(a)) == []
+    # two more commits → one incremental batch spanning both
+    src.merge(_df(spark, [(2, "b", 99), (3, "c", 30)]), ["k"])
+    src.delete_keys(spark.createDataFrame([Row(k=1)]))
+    out = []
+    feed.process_available(
+        lambda df, bid, span: out.append((bid, span, _rows(df)))
+    )
+    assert len(out) == 1
+    bid, span, rows = out[0]
+    assert (bid, span) == (1, (1, 3))
+    assert rows == {
+        (2, "b", 20, "delete"),
+        (2, "b", 99, "insert"),
+        (3, "c", 30, "insert"),
+        (1, "a", 10, "delete"),
+    }
+
+
+def test_feed_chunks_by_max_versions(spark, src, tmp_path):
+    src.merge(_df(spark, [(3, "c", 30)]), ["k"])
+    src.merge(_df(spark, [(4, "d", 40)]), ["k"])
+    feed = TableChangeFeed(src, str(tmp_path / "ckpt"), initial=1)
+    spans = []
+    feed.process_available(
+        lambda df, bid, span: spans.append((bid, span)),
+        max_versions_per_batch=1,
+    )
+    assert spans == [(0, (1, 2)), (1, (2, 3))]  # one commit per batch
+
+
+def test_feed_crash_before_cursor_commit_replays_same_span(
+    spark, src, tmp_path, monkeypatch
+):
+    """Crash AFTER the handler succeeded but BEFORE the cursor commit:
+    the restart redelivers the identical span under the identical
+    batch id (the intent pinned it), never a widened one — even though
+    a NEW commit landed in between."""
+    ckpt = str(tmp_path / "ckpt")
+    feed = TableChangeFeed(src, ckpt)
+    feed.process_available(lambda *a: None)  # snapshot delivered
+    src.merge(_df(spark, [(3, "c", 30)]), ["k"])
+
+    real_commit = TableChangeFeed._commit
+    monkeypatch.setattr(
+        TableChangeFeed,
+        "_commit",
+        lambda self, v, b: (_ for _ in ()).throw(OSError("disk gone")),
+    )
+    with pytest.raises(OSError):
+        feed.process_available(lambda *a: None)
+    monkeypatch.setattr(TableChangeFeed, "_commit", real_commit)
+
+    # a commit lands while we were down
+    src.merge(_df(spark, [(4, "d", 40)]), ["k"])
+    restarted = TableChangeFeed(src, ckpt)  # fresh instance = restart
+    got = []
+    restarted.process_available(
+        lambda df, bid, span: got.append((bid, span, _rows(df)))
+    )
+    # batch 1 replays EXACTLY (1,2]; the new commit is batch 2
+    assert [(b, s) for b, s, _ in got] == [(1, (1, 2)), (2, (2, 3))]
+    assert got[0][2] == {(3, "c", 30, "insert")}
+    assert got[1][2] == {(4, "d", 40, "insert")}
+
+
+def test_feed_crash_inside_handler_replays(spark, src, tmp_path):
+    """Crash INSIDE the handler (nothing delivered downstream): the
+    restart replays the same batch; nothing is skipped or doubled."""
+    ckpt = str(tmp_path / "ckpt")
+    feed = TableChangeFeed(src, ckpt)
+    feed.process_available(lambda *a: None)
+    src.merge(_df(spark, [(3, "c", 30)]), ["k"])
+
+    def boom(df, bid, span):
+        raise RuntimeError("sink crashed")
+
+    with pytest.raises(RuntimeError, match="sink crashed"):
+        feed.process_available(boom)
+    got = []
+    TableChangeFeed(src, ckpt).process_available(
+        lambda df, bid, span: got.append((bid, span, _rows(df)))
+    )
+    assert got == [(1, (1, 2), {(3, "c", 30, "insert")})]
+
+
+def test_feed_into_replica_exactly_once_across_crash(
+    spark, tmp_path, monkeypatch
+):
+    """The silver→gold subscriber: crash between the replica apply and
+    the cursor commit forces a redelivery; the batch-id dedup in the
+    replica's commit properties skips it — the replica converges with
+    exactly one application per batch."""
+    src = VersionedParquetTable(spark, str(tmp_path / "src"))
+    rep = VersionedParquetTable(spark, str(tmp_path / "rep"))
+    ckpt = str(tmp_path / "ckpt")
+    src.merge(_df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"])
+    feed_into_replica(src, rep, ["k"], ckpt)
+    assert _rows(rep.read()) == _rows(src.read())
+
+    src.merge(_df(spark, [(2, "b", 99), (3, "c", 30)]), ["k"])
+    src.delete_keys(spark.createDataFrame([Row(k=1)]))
+
+    # crash after the replica applied but before the cursor advanced
+    real_commit = TableChangeFeed._commit
+    state = {"applied": 0}
+
+    def crashing_commit(self, v, b):
+        if b >= 1:
+            raise OSError("crash before cursor commit")
+        return real_commit(self, v, b)
+
+    monkeypatch.setattr(TableChangeFeed, "_commit", crashing_commit)
+    with pytest.raises(OSError):
+        feed_into_replica(src, rep, ["k"], ckpt)
+    monkeypatch.setattr(TableChangeFeed, "_commit", real_commit)
+    applied_versions = rep.versions()
+
+    # restart: the batch redelivers but the replica's feed_batch_id
+    # dedup skips the re-apply — no new replica commits for it
+    feed_into_replica(src, rep, ["k"], ckpt)
+    assert rep.versions() == applied_versions
+    assert _rows(rep.read()) == _rows(src.read())
+    assert _rows(rep.read()) == {(2, "b", 99), (3, "c", 30)}
+
+    # and the subscription keeps going afterwards
+    src.merge(_df(spark, [(4, "d", 40)]), ["k"])
+    feed_into_replica(src, rep, ["k"], ckpt)
+    assert _rows(rep.read()) == _rows(src.read())
+
+
+def test_feed_initial_at_current_version_waits_for_new_commits(
+    spark, src, tmp_path
+):
+    """initial=<current version> subscribes a consumer that already
+    holds the snapshot (seeded by time travel): nothing delivers until
+    the NEXT commit, whose delta then arrives alone."""
+    feed = TableChangeFeed(src, str(tmp_path / "ckpt"), initial=1)
+    assert feed.process_available(lambda *a: pytest.fail("early")) == []
+    src.merge(_df(spark, [(1, "a", 77)]), ["k"])
+    got = []
+    feed.process_available(
+        lambda df, bid, span: got.append((bid, span, _rows(df)))
+    )
+    assert got == [
+        (0, (1, 2), {(1, "a", 10, "delete"), (1, "a", 77, "insert")})
+    ]
