@@ -2600,6 +2600,91 @@ WHERE epoch_us(v.ts) + 14400000000 < wm.wm_us
 """
 
 
+def t_stream_table_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the versioned table (streaming/
+    table_feed.py, r7 verdict #1): a replica subscribed to a source
+    table's change feed through a CHECKPOINTED cursor — the Delta
+    readStream-on-a-table analog that turns the reference's daily
+    full re-read of silver (gcs_silver_to_gold.py:347-352) into an
+    O(churn) incremental hop. src: v1 = orders %2 partitioned by
+    status → drain 1 delivers the snapshot batch; v2 = MERGE %6 with
+    doubled price, v3 = delete %10 keys → drain 2 (a FRESH feed
+    instance resuming from the persisted cursor — the restart path)
+    delivers one incremental batch. Replica is asserted row-identical
+    to the source in-plan; the aggregate below is over the replica."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from news_lakehouse_spark.sources.transaction import (
+        VersionedParquetTable,
+    )
+    from news_lakehouse_spark.streaming.table_feed import feed_into_replica
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"nlh_tfeed_{os.getpid()}_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = VersionedParquetTable(spark, os.path.join(base, "src"))
+    rep = VersionedParquetTable(spark, os.path.join(base, "rep"))
+    ckpt = os.path.join(base, "ckpt")
+    src.merge(
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        ["o_orderkey"],
+        partition_by=["o_orderstatus"],
+    )
+    d1 = feed_into_replica(src, rep, ["o_orderkey"], ckpt)
+    src.merge(
+        orders.filter(F.col("o_orderkey") % 6 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ),
+        ["o_orderkey"],
+    )
+    src.delete_keys(
+        orders.filter(F.col("o_orderkey") % 10 == 0).select("o_orderkey")
+    )
+    # fresh call = fresh TableChangeFeed = resume from the persisted
+    # cursor; the two commits arrive as ONE pinned incremental span
+    d2 = feed_into_replica(src, rep, ["o_orderkey"], ckpt)
+    assert [i["batch_id"] for i in d1] == [0]
+    assert [(i["batch_id"], i["from"], i["to"]) for i in d2] == [(1, 1, 3)]
+    if not os.environ.get("SPARK_GRAFT_BENCH_LEAN"):
+        assert rep.read().count() == src.read().count()
+        assert rep.read().exceptAll(src.read()).isEmpty()
+    rowhash = sha2_prefix_long(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey"),
+            F.round(F.col("o_totalprice") * 100).cast("long"),
+        ),
+        10,
+    )
+    return (
+        rep.read()
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"), F.sum(rowhash).alias("hash_sum"))
+    )
+
+
+_STREAM_TABLE_FEED_SQL = """
+WITH live AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS price
+  FROM orders
+  WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0
+)
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       CAST(SUM(CAST(concat('0x', substr(sha256(concat_ws('|',
+              o_orderkey, CAST(ROUND(price * 100) AS BIGINT))), 1, 10))
+            AS BIGINT)) AS BIGINT) AS hash_sum
+FROM live GROUP BY o_orderstatus
+"""
 
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6775,6 +6860,7 @@ QUERIES: dict[str, QueryFn] = {
     "t_stream_join": t_stream_join,
     "t_stream_left_join": t_stream_left_join,
     "t_stream_full_join": t_stream_full_join,
+    "t_stream_table_feed": t_stream_table_feed,
     "t_stream_dedup": t_stream_dedup,
     "x_sim_pq_topk": x_sim_pq_topk,
     "x_pq_index_incremental": x_pq_index_incremental,
@@ -7031,6 +7117,7 @@ ORACLES: dict[str, str] = {
     "t_stream_join": _STREAM_JOIN_SQL,
     "t_stream_left_join": _STREAM_LEFT_JOIN_SQL,
     "t_stream_full_join": _STREAM_FULL_JOIN_SQL,
+    "t_stream_table_feed": _STREAM_TABLE_FEED_SQL,
     "t_stream_dedup": _STREAM_DEDUP_SQL,
     "x_mor_delete": _MOR_DELETE_SQL,
     "x_bloom_point_lookup": _BLOOM_LOOKUP_SQL,
