@@ -489,6 +489,198 @@ def _field_fid(field_json: dict) -> int | None:
     return (field_json.get("metadata") or {}).get("fid")
 
 
+# --- nested types (r8): struct fields carry fids too, so rename/drop/
+# widen/add work on dotted paths ("top_comments.element.author" — the
+# reference's bronze schema is exactly ARRAY<STRUCT>,
+# spark_jobs/schema.py:15-22) with the same metadata-only cost and the
+# same no-resurrection guarantee. Array/map element types are
+# addressed with Iceberg's pseudo-segments 'element' / 'key' /
+# 'value'; a bare subfield name steps through an array-of-struct
+# implicitly (sugar for the common case).
+
+
+def _is_struct(t) -> bool:
+    return isinstance(t, dict) and t.get("type") == "struct"
+
+
+def _is_array(t) -> bool:
+    return isinstance(t, dict) and t.get("type") == "array"
+
+
+def _is_map(t) -> bool:
+    return isinstance(t, dict) and t.get("type") == "map"
+
+
+def _walk_assign_fids(t, alloc):
+    """Assign a fresh fid to every nested struct field missing one,
+    depth-first — the id authority for newly-added nested subtrees."""
+    if _is_struct(t):
+        fields = []
+        for f in t["fields"]:
+            meta = dict(f.get("metadata") or {})
+            if "fid" not in meta:
+                meta["fid"] = alloc()
+            fields.append(
+                {
+                    **f,
+                    "metadata": meta,
+                    "type": _walk_assign_fids(f["type"], alloc),
+                }
+            )
+        return {**t, "fields": fields}
+    if _is_array(t):
+        return {**t, "elementType": _walk_assign_fids(t["elementType"], alloc)}
+    if _is_map(t):
+        return {**t, "valueType": _walk_assign_fids(t["valueType"], alloc)}
+    return t
+
+
+def _graft_nested_fids(new_t, parent_t, alloc):
+    """Carry the parent epoch's nested fids into a freshly-derived type
+    JSON (a merge's DataFrame schema arrives fid-less): match struct
+    subfields BY NAME at each level — the same name-is-identity rule
+    the top level uses for data commits — and allocate fresh ids for
+    genuinely new subfields."""
+    if _is_struct(new_t) and _is_struct(parent_t):
+        p_by_name = {pf["name"]: pf for pf in parent_t["fields"]}
+        fields = []
+        for f in new_t["fields"]:
+            pf = p_by_name.get(f["name"])
+            if pf is None or _field_fid(pf) is None:
+                meta = {**(f.get("metadata") or {}), "fid": alloc()}
+                fields.append(
+                    {
+                        **f,
+                        "metadata": meta,
+                        "type": _walk_assign_fids(f["type"], alloc),
+                    }
+                )
+            else:
+                meta = {**(f.get("metadata") or {}), "fid": _field_fid(pf)}
+                fields.append(
+                    {
+                        **f,
+                        "metadata": meta,
+                        "type": _graft_nested_fids(
+                            f["type"], pf["type"], alloc
+                        ),
+                    }
+                )
+        return {**new_t, "fields": fields}
+    if _is_array(new_t) and _is_array(parent_t):
+        return {
+            **new_t,
+            "elementType": _graft_nested_fids(
+                new_t["elementType"], parent_t["elementType"], alloc
+            ),
+        }
+    if _is_map(new_t) and _is_map(parent_t):
+        return {
+            **new_t,
+            "valueType": _graft_nested_fids(
+                new_t["valueType"], parent_t["valueType"], alloc
+            ),
+        }
+    return new_t
+
+
+def _edit_type_path(t, segs: list[str], on_fields, on_type):
+    """Rewrite a type JSON (a schema JSON is a struct type JSON) along
+    dotted-path segments. ``on_fields(fields, leaf_name) -> fields``
+    fires when the path's last segment names a struct subfield;
+    ``on_type(type) -> type`` fires when it is a container
+    pseudo-segment ('element'/'key'/'value'). Raises ValueError on a
+    path that doesn't resolve."""
+    if _is_array(t):
+        if segs[0] == "element":
+            if len(segs) == 1:
+                return {**t, "elementType": on_type(t["elementType"])}
+            return {
+                **t,
+                "elementType": _edit_type_path(
+                    t["elementType"], segs[1:], on_fields, on_type
+                ),
+            }
+        # sugar: a subfield name steps through to the element struct
+        return {
+            **t,
+            "elementType": _edit_type_path(
+                t["elementType"], segs, on_fields, on_type
+            ),
+        }
+    if _is_map(t):
+        if segs[0] in ("key", "value"):
+            k = "keyType" if segs[0] == "key" else "valueType"
+            if len(segs) == 1:
+                return {**t, k: on_type(t[k])}
+            return {
+                **t,
+                k: _edit_type_path(t[k], segs[1:], on_fields, on_type),
+            }
+        return {
+            **t,
+            "valueType": _edit_type_path(
+                t["valueType"], segs, on_fields, on_type
+            ),
+        }
+    if _is_struct(t):
+        if len(segs) == 1:
+            return {**t, "fields": on_fields(t["fields"], segs[0])}
+        out, hit = [], False
+        for f in t["fields"]:
+            if f["name"] == segs[0]:
+                hit = True
+                out.append(
+                    {
+                        **f,
+                        "type": _edit_type_path(
+                            f["type"], segs[1:], on_fields, on_type
+                        ),
+                    }
+                )
+            else:
+                out.append(f)
+        if not hit:
+            raise ValueError(f"no field {segs[0]!r} on the path")
+        return {**t, "fields": out}
+    raise ValueError(
+        f"path segment {segs[0]!r} addresses into a primitive type"
+    )
+
+
+def _type_max_fid(t) -> int:
+    if _is_struct(t):
+        return max(
+            (
+                max(_field_fid(f) or 0, _type_max_fid(f["type"]))
+                for f in t["fields"]
+            ),
+            default=0,
+        )
+    if _is_array(t):
+        return _type_max_fid(t["elementType"])
+    if _is_map(t):
+        return _type_max_fid(t["valueType"])
+    return 0
+
+
+def _validated_widen_type(name: str, cur_t, tgt: str):
+    """The Iceberg-safe promotion check, shared by top-level and nested
+    widen (including array-element / map-value targets)."""
+    if not isinstance(cur_t, str):
+        raise ValueError(f"{name!r} is not a primitive type")
+    if tgt == cur_t:
+        raise ValueError(f"{name!r} is already {tgt}")
+    if tgt not in _WIDENINGS.get(cur_t, ()) and not _decimal_widening_ok(
+        cur_t, tgt
+    ):
+        raise ValueError(
+            f"cannot widen {name!r} from {cur_t} to {tgt}; allowed: "
+            f"{_WIDENINGS.get(cur_t, ()) or 'decimal precision increase at equal scale'}"
+        )
+    return tgt
+
+
 def _schema_signature(schema_json: dict) -> list[tuple]:
     """(name, type, fid) per field — epoch identity for a schema."""
     return [
@@ -498,12 +690,27 @@ def _schema_signature(schema_json: dict) -> list[tuple]:
 
 
 def _with_positional_fids(schema_json: dict) -> dict:
-    """Upgrade a legacy schema: field i gets fid i+1. Deterministic, so
-    a legacy snapshot's columns map into epoch 0 consistently. Legacy
+    """Upgrade a legacy schema: field i gets fid i+1 (unchanged from
+    the flat-table format, so previously-persisted epoch-0 schemas
+    stay identical), then NESTED struct fields get sequential ids
+    after the top-level block, depth-first — deterministic, so a
+    legacy snapshot's columns map into epoch 0 consistently. Legacy
     data files are all name-compatible with this epoch (pre-upgrade
     evolution was add-column only), so epoch 0 reads them by name."""
+    n = len(schema_json["fields"])
+    counter = {"next": n + 1}
+
+    def alloc() -> int:
+        v = counter["next"]
+        counter["next"] += 1
+        return v
+
     fields = [
-        {**f, "metadata": {**(f.get("metadata") or {}), "fid": i + 1}}
+        {
+            **f,
+            "metadata": {**(f.get("metadata") or {}), "fid": i + 1},
+            "type": _walk_assign_fids(f["type"], alloc),
+        }
         for i, f in enumerate(schema_json["fields"])
     ]
     return {**schema_json, "fields": fields}
@@ -512,12 +719,119 @@ def _with_positional_fids(schema_json: dict) -> dict:
 def _max_fid(schemas: dict[str, dict]) -> int:
     return max(
         (
-            _field_fid(f) or 0
+            max(_field_fid(f) or 0, _type_max_fid(f["type"]))
             for s in schemas.values()
             for f in s["fields"]
         ),
         default=0,
     )
+
+
+def _fid_map_expr(expr, src_t, tgt_t, tgt_dtype):
+    """Column expression projecting a physical value of type JSON
+    ``src_t`` to the logical type JSON ``tgt_t`` BY NESTED FIELD ID
+    (falling back to name at a level where either side lacks fids —
+    legacy epoch-0 nested types). This is what makes nested
+    rename/drop/widen/add metadata-only: the mapping happens in the
+    projection, never by rewriting data.
+
+    - identical subtrees (same names, types, AND fids) pass through
+      untouched — the common case costs nothing;
+    - structs rebuild field-by-field (missing fid → typed NULL, the
+      added-after-this-epoch case), with an explicit NULL guard so a
+      NULL struct stays NULL instead of becoming a struct of NULLs
+      (``F.struct`` would otherwise manufacture one);
+    - arrays map via ``F.transform`` (NULL array → NULL), maps via
+      ``transform_keys``/``transform_values``;
+    - primitives cast (the widen path). Explicit per-field mapping
+      also sidesteps Spark's position-based struct cast, which would
+      silently misalign a reordered or renamed struct.
+    """
+    if json.dumps(src_t, sort_keys=True) == json.dumps(tgt_t, sort_keys=True):
+        return expr
+    if _is_struct(src_t) and _is_struct(tgt_t):
+        by_fid = {
+            _field_fid(f): f
+            for f in src_t["fields"]
+            if _field_fid(f) is not None
+        }
+        by_name = {f["name"]: f for f in src_t["fields"]}
+        subs = []
+        for f_json, f_dt in zip(tgt_t["fields"], tgt_dtype.fields):
+            fid = _field_fid(f_json)
+            src_f = by_fid.get(fid) if fid is not None else None
+            if src_f is None and fid is None:
+                src_f = by_name.get(f_json["name"])
+            if src_f is None:
+                subs.append(
+                    F.lit(None).cast(f_dt.dataType).alias(f_json["name"])
+                )
+            else:
+                subs.append(
+                    _fid_map_expr(
+                        expr[src_f["name"]],
+                        src_f["type"],
+                        f_json["type"],
+                        f_dt.dataType,
+                    ).alias(f_json["name"])
+                )
+        return F.when(expr.isNull(), F.lit(None).cast(tgt_dtype)).otherwise(
+            F.struct(*subs)
+        )
+    if _is_array(src_t) and _is_array(tgt_t):
+        return F.transform(
+            expr,
+            lambda x: _fid_map_expr(
+                x,
+                src_t["elementType"],
+                tgt_t["elementType"],
+                tgt_dtype.elementType,
+            ),
+        )
+    if _is_map(src_t) and _is_map(tgt_t):
+        out = expr
+        if src_t["keyType"] != tgt_t["keyType"]:
+            out = F.transform_keys(
+                out, lambda k, v: k.cast(tgt_dtype.keyType)
+            )
+        if json.dumps(src_t["valueType"], sort_keys=True) != json.dumps(
+            tgt_t["valueType"], sort_keys=True
+        ):
+            out = F.transform_values(
+                out,
+                lambda k, v: _fid_map_expr(
+                    v,
+                    src_t["valueType"],
+                    tgt_t["valueType"],
+                    tgt_dtype.valueType,
+                ),
+            )
+        return out
+    return expr.cast(tgt_dtype)
+
+
+def _fid_select_exprs(
+    src_fields: list[dict], schema: StructType, target_json: dict
+) -> list:
+    """Top-level select list mapping a file epoch's physical fields to
+    the endpoint schema by field id — shared by snapshot reads
+    (``_read_files``) and the change feed's ``align``."""
+    by_fid = {
+        _field_fid(f): f for f in src_fields if _field_fid(f) is not None
+    }
+    sel = []
+    for tf, tj in zip(schema.fields, target_json["fields"]):
+        fid = _field_fid(tj)
+        src_f = by_fid.get(fid)
+        if src_f is None:
+            sel.append(F.lit(None).cast(tf.dataType).alias(tf.name))
+        else:
+            sel.append(
+                _fid_map_expr(
+                    F.col(src_f["name"]), src_f["type"], tj["type"], tf.dataType
+                ).alias(tf.name)
+            )
+    return sel
 
 
 class VersionedParquetTable:
@@ -1289,22 +1603,18 @@ class VersionedParquetTable:
                 frames.append(self.spark.read.schema(schema).parquet(*paths))
                 continue
             phys = StructType.fromJson(phys_json)
-            by_fid = {
-                _field_fid(f): f["name"]
-                for f in phys_json["fields"]
-                if _field_fid(f) is not None
-            }
             raw = self.spark.read.schema(phys).parquet(*paths)
-            sel = []
-            for tf, tj in zip(schema.fields, target_json["fields"]):
-                fid = _field_fid(tj)
-                if fid in by_fid:
-                    sel.append(
-                        F.col(by_fid[fid]).cast(tf.dataType).alias(tf.name)
+            # by-nested-field-id projection: renames re-alias, widened
+            # types cast, added fields (top-level OR inside a struct/
+            # array/map) null-fill, dropped+re-added names never read
+            # the dropped bytes — see _fid_map_expr
+            frames.append(
+                raw.select(
+                    *_fid_select_exprs(
+                        phys_json["fields"], schema, target_json
                     )
-                else:  # added after this epoch (or re-added post-drop)
-                    sel.append(F.lit(None).cast(tf.dataType).alias(tf.name))
-            frames.append(raw.select(*sel))
+                )
+            )
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
@@ -1475,22 +1785,8 @@ class VersionedParquetTable:
                         for f in ctx_b["schemas"]["0"]["fields"]
                         if f["name"] in df.columns
                     ]
-                src_by_fid = {
-                    _field_fid(f): f["name"]
-                    for f in src_fields
-                    if _field_fid(f) is not None
-                }
                 return df.select(
-                    *[
-                        (
-                            F.col(src_by_fid[_field_fid(fj)])
-                            .cast(f.dataType)
-                            .alias(f.name)
-                            if _field_fid(fj) in src_by_fid
-                            else F.lit(None).cast(f.dataType).alias(f.name)
-                        )
-                        for f, fj in zip(schema.fields, schema_json["fields"])
-                    ]
+                    *_fid_select_exprs(src_fields, schema, schema_json)
                 )
             for f in schema.fields:
                 if f.name not in df.columns:
@@ -1821,24 +2117,53 @@ class VersionedParquetTable:
         p_sid = p_root["schema_id"]
         schemas = dict(p_root["schemas"])
         p_by_name = {
-            f["name"]: _field_fid(f)
-            for f in schemas[str(p_sid)]["fields"]
+            f["name"]: f for f in schemas[str(p_sid)]["fields"]
         }
         # monotone across ROLLBACKS too: a restored manifest's schemas
         # table forgets post-target epochs, but their fids must never
         # be reissued (a changes() span crossing the rollback would
         # alias two different columns)
-        next_fid = max(p_root.get("next_fid", 0), _max_fid(schemas) + 1)
+        counter = {
+            "next": max(p_root.get("next_fid", 0), _max_fid(schemas) + 1)
+        }
+
+        def alloc() -> int:
+            v = counter["next"]
+            counter["next"] += 1
+            return v
+
         fields = []
         for f in schema_json["fields"]:
-            fid = p_by_name.get(f["name"])
-            if fid is None:
-                fid = next_fid
-                next_fid += 1
-            fields.append(
-                {**f, "metadata": {**(f.get("metadata") or {}), "fid": fid}}
-            )
+            pf = p_by_name.get(f["name"])
+            if pf is None:  # genuinely new column (merge evolve_schema)
+                fields.append(
+                    {
+                        **f,
+                        "metadata": {
+                            **(f.get("metadata") or {}),
+                            "fid": alloc(),
+                        },
+                        "type": _walk_assign_fids(f["type"], alloc),
+                    }
+                )
+            else:  # carried column: keep its fid AND its nested fids
+                # (the merge's DataFrame schema arrives fid-less; a
+                # fid-less nested epoch would break the by-id read
+                # mapping for every previously-evolved nested field)
+                fields.append(
+                    {
+                        **f,
+                        "metadata": {
+                            **(f.get("metadata") or {}),
+                            "fid": _field_fid(pf),
+                        },
+                        "type": _graft_nested_fids(
+                            f["type"], pf["type"], alloc
+                        ),
+                    }
+                )
         new_json = {**schema_json, "fields": fields}
+        next_fid = counter["next"]
         if _schema_signature(new_json) == _schema_signature(
             schemas[str(p_sid)]
         ):
@@ -2192,18 +2517,51 @@ class VersionedParquetTable:
         new logical name (their key parquets keep the old physical
         name); per-file min/max stats re-key with them so bounds
         pruning keeps working on pre-rename files (advice r7).
-        Partition-spec and bloom columns are refused."""
+        Partition-spec and bloom columns are refused.
 
-        def mutate(schema_json, _next_fid, man):
-            names = [f["name"] for f in schema_json["fields"]]
-            if old not in names:
-                raise ValueError(f"no column {old!r} to rename")
+        ``old`` may be a dotted path into a nested type
+        ("top_comments.element.author" — 'element'/'key'/'value'
+        address container innards; a bare subfield name steps through
+        an array-of-struct implicitly); ``new`` is the bare new leaf
+        name. The nested field keeps its fid the same way (r7 verdict
+        #2)."""
+        if "." in new:
+            raise ValueError(
+                f"new name {new!r} must be a bare field name, not a path"
+            )
+
+        def rename_leaf(fields: list[dict], leaf: str) -> list[dict]:
+            names = [f["name"] for f in fields]
+            if leaf not in names:
+                raise ValueError(f"no column {leaf!r} to rename")
             if new in names:
                 raise ValueError(f"column {new!r} already exists")
-            fields = [
-                {**f, "name": new} if f["name"] == old else f
-                for f in schema_json["fields"]
+            return [
+                {**f, "name": new} if f["name"] == leaf else f
+                for f in fields
             ]
+
+        def no_type(_t):
+            raise ValueError(
+                "rename addresses a named field, not a container "
+                "element/key/value"
+            )
+
+        if "." in old:
+            segs = old.split(".")
+
+            def mutate(schema_json, _next_fid, _man):
+                return _edit_type_path(
+                    schema_json, segs, rename_leaf, no_type
+                ), {}
+
+            return self._evolve_commit(
+                mutate, "rename-column", properties,
+                guard=lambda man: self._guard_evolve_col(man, segs[0]),
+            )
+
+        def mutate(schema_json, _next_fid, man):
+            fields = rename_leaf(schema_json["fields"], old)
             dels = []
             for e in man.get("delete_files") or []:
                 if old in e["key_cols"]:
@@ -2235,10 +2593,15 @@ class VersionedParquetTable:
         null_count/bounds, or is_null pruning would wrongly skip
         pre-drop files whose rows are logically NULL under the new
         field id (advice r7). Partition-spec, bloom, and merge-on-read
-        delete-key columns are refused."""
+        delete-key columns are refused.
+
+        ``name`` may be a dotted path; dropping a nested field leaves
+        its siblings' bytes untouched (metadata-only, same as the top
+        level) and a struct must keep at least one field."""
+        segs = name.split(".")
 
         def guard(man):
-            self._guard_evolve_col(man, name)
+            self._guard_evolve_col(man, segs[0])
             for e in man.get("delete_files") or []:
                 if name in e["key_cols"]:
                     raise ValueError(
@@ -2246,14 +2609,30 @@ class VersionedParquetTable:
                         "entries; compact() to materialize them first"
                     )
 
-        def mutate(schema_json, _next_fid, _man):
-            names = [f["name"] for f in schema_json["fields"]]
-            if name not in names:
-                raise ValueError(f"no column {name!r} to drop")
+        def drop_leaf(fields: list[dict], leaf: str) -> list[dict]:
+            names = [f["name"] for f in fields]
+            if leaf not in names:
+                raise ValueError(f"no column {leaf!r} to drop")
             if len(names) == 1:
-                raise ValueError("cannot drop the only column")
-            fields = [f for f in schema_json["fields"] if f["name"] != name]
-            return {**schema_json, "fields": fields}, {"stats_drop": [name]}
+                raise ValueError(
+                    "cannot drop the only column"
+                    if len(segs) == 1
+                    else "cannot drop a struct's only field; drop the "
+                    "struct column itself"
+                )
+            return [f for f in fields if f["name"] != leaf]
+
+        def no_type(_t):
+            raise ValueError(
+                "drop addresses a named field, not a container "
+                "element/key/value"
+            )
+
+        def mutate(schema_json, _next_fid, _man):
+            out = _edit_type_path(schema_json, segs, drop_leaf, no_type)
+            # nested fields never carry manifest stats (only top-level
+            # primitives do), so stats_drop matters for the flat case
+            return out, ({"stats_drop": [name]} if len(segs) == 1 else {})
 
         return self._evolve_commit(
             mutate, "drop-column", properties, guard=guard
@@ -2266,41 +2645,38 @@ class VersionedParquetTable:
         float→double — the Iceberg-safe promotions): old files keep
         their narrow physical encoding and reads cast by field id; new
         files write the wide type. Narrowing is refused — it would
-        corrupt existing values."""
+        corrupt existing values.
+
+        ``name`` may be a dotted path; ending on 'element' / 'key' /
+        'value' widens a container's primitive innards
+        (``widen_column("scores.element", "bigint")`` turns
+        array<int> into array<long> — old files' narrow arrays cast
+        element-wise in the read projection, r7 verdict #2)."""
         tgt = {"int": "integer", "bigint": "long"}.get(new_type, new_type)
+        segs = name.split(".")
+
+        def widen_leaf(fields: list[dict], leaf: str) -> list[dict]:
+            names = [f["name"] for f in fields]
+            if leaf not in names:
+                raise ValueError(f"no column {leaf!r} to widen")
+            return [
+                {**f, "type": _validated_widen_type(name, f["type"], tgt)}
+                if f["name"] == leaf
+                else f
+                for f in fields
+            ]
+
+        def widen_type(t):
+            return _validated_widen_type(name, t, tgt)
 
         def mutate(schema_json, _next_fid, _man):
-            fields = []
-            hit = False
-            for f in schema_json["fields"]:
-                if f["name"] == name:
-                    hit = True
-                    cur_t = f["type"]
-                    if not isinstance(cur_t, str):
-                        raise ValueError(
-                            f"column {name!r} is not a primitive type"
-                        )
-                    if tgt == cur_t:
-                        raise ValueError(
-                            f"column {name!r} is already {tgt}"
-                        )
-                    if tgt not in _WIDENINGS.get(
-                        cur_t, ()
-                    ) and not _decimal_widening_ok(cur_t, tgt):
-                        raise ValueError(
-                            f"cannot widen {name!r} from {cur_t} to "
-                            f"{tgt}; allowed: "
-                            f"{_WIDENINGS.get(cur_t, ()) or 'decimal precision increase at equal scale'}"
-                        )
-                    f = {**f, "type": tgt}
-                fields.append(f)
-            if not hit:
-                raise ValueError(f"no column {name!r} to widen")
-            return {**schema_json, "fields": fields}, {}
+            return _edit_type_path(
+                schema_json, segs, widen_leaf, widen_type
+            ), {}
 
         return self._evolve_commit(
             mutate, "widen-column", properties,
-            guard=lambda man: self._guard_evolve_col(man, name),
+            guard=lambda man: self._guard_evolve_col(man, segs[0]),
         )
 
     def add_column(
@@ -2309,23 +2685,46 @@ class VersionedParquetTable:
         """Metadata-only ADD: existing rows read NULL for the new
         column; the field gets a fresh id (so if it shadows a
         previously dropped name, the old bytes stay invisible).
-        ``merge(evolve_schema=True)`` remains the add-with-data path."""
+        ``merge(evolve_schema=True)`` remains the add-with-data path.
+
+        ``name`` may be a dotted path: ``add_column(
+        "top_comments.element.flag", "boolean")`` adds a field inside
+        every element struct — existing rows' elements read NULL for
+        it. A nested ``dtype`` (struct/array/map) gets fids assigned
+        throughout."""
+        segs = name.split(".")
 
         def mutate(schema_json, next_fid, _man):
             from pyspark.sql.types import _parse_datatype_string
 
-            if name in [f["name"] for f in schema_json["fields"]]:
-                raise ValueError(f"column {name!r} already exists")
+            counter = {"next": next_fid}
+
+            def alloc() -> int:
+                v = counter["next"]
+                counter["next"] += 1
+                return v
+
             t = _parse_datatype_string(dtype).jsonValue()
-            fields = schema_json["fields"] + [
-                {
-                    "name": name,
-                    "type": t,
-                    "nullable": True,
-                    "metadata": {"fid": next_fid},
-                }
-            ]
-            return {**schema_json, "fields": fields}, {}
+
+            def add_leaf(fields: list[dict], leaf: str) -> list[dict]:
+                if leaf in [f["name"] for f in fields]:
+                    raise ValueError(f"column {leaf!r} already exists")
+                return fields + [
+                    {
+                        "name": leaf,
+                        "type": _walk_assign_fids(t, alloc),
+                        "nullable": True,
+                        "metadata": {"fid": alloc()},
+                    }
+                ]
+
+            def no_type(_t):
+                raise ValueError(
+                    "add_column targets a struct; use widen_column for "
+                    "container element/key/value types"
+                )
+
+            return _edit_type_path(schema_json, segs, add_leaf, no_type), {}
 
         return self._evolve_commit(mutate, "add-column", properties)
 

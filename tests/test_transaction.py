@@ -1948,3 +1948,152 @@ def test_rollback_concurrent_commit_raises_descriptive(spark, table):
         table._publish = real_publish
     # the interleaved commit survives untouched
     assert _rows(table.read()) == {(1, "a", 10), (2, "b", 20), (9, "q", 90)}
+
+
+def _nested_df(spark, rows):
+    """rows: (k, author, score:int, junk, m) -> k, comments ARRAY<STRUCT>, m
+    — the reference's bronze top_comments shape (spark_jobs/schema.py:15-22)."""
+    vals = ", ".join(
+        f"({k}, '{a}', {s}, '{j}', {m})" for k, a, s, j, m in rows
+    )
+    return spark.sql(
+        "SELECT k, array(named_struct('author', a, 'score', CAST(s AS INT),"
+        " 'junk', j)) AS comments, m"
+        f" FROM VALUES {vals} AS v(k, a, s, j, m)"
+    )
+
+
+def test_nested_evolution_rename_widen_add_drop(spark, table):
+    """r7 verdict #2: rename/widen/add/drop on struct fields inside an
+    ARRAY<STRUCT> are metadata-only; old files map by nested field id
+    in the read projection."""
+    table.merge(_nested_df(spark, [(1, "u1", 1, "x", 10), (2, "u2", 2, "x", 20)]), ["k"])
+    files_before = set(table.files_for())
+    table.rename_column("comments.element.author", "user")
+    table.widen_column("comments.element.score", "bigint")
+    table.add_column("comments.element.flag", "boolean")
+    table.drop_column("comments.element.junk")
+    assert set(table.files_for()) == files_before  # metadata-only
+    got = {r["k"]: r["comments"][0].asDict() for r in table.read().collect()}
+    assert got == {
+        1: {"user": "u1", "score": 1, "flag": None},
+        2: {"user": "u2", "score": 2, "flag": None},
+    }
+    assert (
+        dict(table.read().dtypes)["comments"]
+        == "array<struct<user:string,score:bigint,flag:boolean>>"
+    )
+    # time travel across the evolution reads the ORIGINAL shape
+    v1 = {r["k"]: r["comments"][0].asDict() for r in table.read(version=1).collect()}
+    assert v1[1] == {"author": "u1", "score": 1, "junk": "x"}
+
+
+def test_nested_evolution_merge_after_keeps_fids(spark, table):
+    """A merge AFTER a nested evolution writes the new shape; both
+    epochs read consistently and the nested fids survive the data
+    commit (no spurious remap)."""
+    table.merge(_nested_df(spark, [(1, "u1", 1, "x", 10)]), ["k"])
+    table.rename_column("comments.element.author", "user")
+    table.widen_column("comments.element.score", "bigint")
+    new = spark.sql(
+        "SELECT 2 AS k, array(named_struct('user', 'w2',"
+        " 'score', CAST(200 AS BIGINT), 'junk', 'y')) AS comments, 99 AS m"
+    )
+    table.merge(new, ["k"])
+    got = {r["k"]: r["comments"][0].asDict() for r in table.read().collect()}
+    assert got == {
+        1: {"user": "u1", "score": 1, "junk": "x"},
+        2: {"user": "w2", "score": 200, "junk": "y"},
+    }
+    # the nested fids are still those of the original epoch
+    root = table._load_root(table.latest_version())
+    comments = next(
+        f for f in root["schema"]["fields"] if f["name"] == "comments"
+    )
+    elem0 = next(
+        f
+        for f in table._load_root(2)["schemas"]["0"]["fields"]
+        if f["name"] == "comments"
+    )
+    fid_of = lambda t, n: next(
+        (ff["metadata"]["fid"] for ff in t["elementType"]["fields"] if ff["name"] == n),
+        None,
+    )
+    assert fid_of(comments["type"], "user") == fid_of(elem0["type"], "author")
+
+
+def test_nested_drop_readd_does_not_resurrect(spark, table):
+    """The Iceberg field-id guarantee holds INSIDE structs: a re-added
+    nested name gets a fresh fid, so pre-drop element values never
+    come back."""
+    table.merge(_nested_df(spark, [(1, "secret", 1, "x", 10)]), ["k"])
+    table.drop_column("comments.element.author")
+    table.add_column("comments.element.author", "string")
+    vals = [r["comments"][0]["author"] for r in table.read().collect()]
+    assert vals == [None]
+    # but time travel to before the drop still shows it
+    assert (
+        table.read(version=1).collect()[0]["comments"][0]["author"]
+        == "secret"
+    )
+
+
+def test_nested_evolution_guards_and_errors(spark, table):
+    table.merge(_nested_df(spark, [(1, "u1", 1, "x", 10)]), ["k"])
+    with pytest.raises(ValueError, match="no field"):
+        table.rename_column("comments.element.nope.deeper", "y")
+    with pytest.raises(ValueError, match="no column"):
+        table.drop_column("comments.element.nope")
+    with pytest.raises(ValueError, match="bare field name"):
+        table.rename_column("comments.element.author", "a.b")
+    with pytest.raises(ValueError, match="cannot widen"):
+        table.widen_column("comments.element.author", "bigint")
+    with pytest.raises(ValueError, match="only field"):
+        t2 = VersionedParquetTable(spark, table.path + "_one")
+        t2.merge(
+            spark.sql(
+                "SELECT 1 AS k, named_struct('a', 'v') AS s"
+            ),
+            ["k"],
+        )
+        t2.drop_column("s.a")
+
+
+def test_array_element_widen_via_pseudo_segment(spark, table):
+    """widen_column('scores.element', 'bigint'): array<int> becomes
+    array<long>; old files' narrow arrays cast element-wise."""
+    df = spark.sql(
+        "SELECT k, array(CAST(k AS INT), CAST(k*2 AS INT)) AS scores"
+        " FROM VALUES (1), (2) AS v(k)"
+    )
+    table.merge(df, ["k"])
+    table.widen_column("scores.element", "bigint")
+    assert dict(table.read().dtypes)["scores"] == "array<bigint>"
+    big = spark.sql(
+        "SELECT 3 AS k, array(CAST(9999999999 AS BIGINT)) AS scores"
+    )
+    table.merge(big, ["k"])
+    got = {r["k"]: r["scores"] for r in table.read().collect()}
+    assert got == {1: [1, 2], 2: [2, 4], 3: [9999999999]}
+
+
+def test_changes_feed_across_nested_evolution(spark, table):
+    """changes() spanning a nested rename aligns both sides to the
+    endpoint schema by nested fid — the CDC consumer sees the renamed
+    shape for pre-rename rows."""
+    table.merge(_nested_df(spark, [(1, "u1", 1, "x", 10)]), ["k"])
+    table.rename_column("comments.element.author", "user")
+    table.merge(_nested_df(spark, [(2, "u2", 2, "y", 20)]).selectExpr(
+        "k",
+        "transform(comments, c -> named_struct('user', c.author,"
+        " 'score', c.score, 'junk', c.junk)) AS comments",
+        "m",
+    ), ["k"])
+    feed = table.changes(1)
+    rows = {
+        (r["k"], r["_change_type"]): r["comments"][0].asDict()
+        for r in feed.collect()
+    }
+    assert rows == {
+        (2, "insert"): {"user": "u2", "score": 2, "junk": "y"},
+    }
