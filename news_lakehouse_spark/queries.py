@@ -3158,6 +3158,103 @@ ORDER BY snap
 """
 
 
+def x_nested_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED-field schema evolution (r7 verdict #2): dotted-path
+    rename/widen/add inside an ARRAY<STRUCT> column — the reference's
+    own bronze shape (top_comments ARRAY<STRUCT>, spark_jobs/
+    schema.py:15-22) and the first evolution a real user of that data
+    model attempts. v1 commits orders %3 with an
+    ``info ARRAY<STRUCT<st, cents:int>>`` column; then THREE
+    metadata-only commits: rename info.element.st→status, widen
+    info.element.cents int→bigint, add info.element.flag boolean —
+    asserted in-plan to touch zero data files. A merge then rewrites
+    keys %9 under the NEW nested shape (cents tripled, flag=true), so
+    the final snapshot mixes nested epochs, mapped by NESTED field id
+    in the read projection (structs rebuild field-wise, arrays via
+    transform — transaction.py _fid_map_expr). The aggregate explodes
+    the array back to rows, so the oracle checks every nested value."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"nlh_nested_evo_{os.getpid()}_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = VersionedParquetTable(spark, base)
+    sub = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.array(
+            F.struct(
+                F.col("o_orderstatus").alias("st"),
+                F.round(F.col("o_totalprice") * 100)
+                .cast("int")
+                .alias("cents"),
+            )
+        ).alias("info"),
+    )
+    t.merge(sub, ["o_orderkey"])
+    files_v1 = set(t.files_for())
+    t.rename_column("info.element.st", "status")
+    t.widen_column("info.element.cents", "bigint")
+    t.add_column("info.element.flag", "boolean")
+    assert set(t.files_for()) == files_v1  # all three metadata-only
+    t.merge(
+        orders.filter(
+            (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 9 == 0)
+        ).select(
+            "o_orderkey",
+            F.array(
+                F.struct(
+                    F.col("o_orderstatus").alias("status"),
+                    (
+                        F.round(F.col("o_totalprice") * 100).cast("int")
+                        * F.lit(3)
+                    )
+                    .cast("bigint")
+                    .alias("cents"),
+                    F.lit(True).alias("flag"),
+                )
+            ).alias("info"),
+        ),
+        ["o_orderkey"],
+    )
+    e = t.read().select(
+        "o_orderkey", F.explode("info").alias("c")
+    )
+    return (
+        e.groupBy(F.col("c.status").alias("status"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("c.cents").alias("sum_cents"),
+            F.count(F.when(F.col("c.flag"), 1)).alias("flagged"),
+        )
+        .orderBy("status")
+    )
+
+
+_NESTED_EVOLUTION_SQL = """
+WITH live AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         CASE WHEN o_orderkey % 9 = 0
+              THEN CAST(CAST(ROUND(o_totalprice * 100) AS INTEGER)
+                        AS BIGINT) * 3
+              ELSE CAST(CAST(ROUND(o_totalprice * 100) AS INTEGER)
+                        AS BIGINT) END AS cents,
+         (o_orderkey % 9 = 0) AS flag
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT status, COUNT(*) AS cnt, SUM(cents) AS sum_cents,
+       COUNT(CASE WHEN flag THEN 1 END) AS flagged
+FROM live GROUP BY status ORDER BY status
+"""
+
+
 _PARTITION_EVOLUTION_SQL = """
 SELECT o_orderpriority,
        COUNT(*) AS cnt,
@@ -6872,6 +6969,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_rollback": x_rollback,
     "x_partition_evolution": x_partition_evolution,
     "x_schema_evolution": x_schema_evolution,
+    "x_nested_evolution": x_nested_evolution,
     "x_partial_compact": x_partial_compact,
     "x_table_metadata": x_table_metadata,
     "x_mor_delete": x_mor_delete,
@@ -7132,6 +7230,7 @@ ORACLES: dict[str, str] = {
     "x_partial_compact": _PARTIAL_COMPACT_SQL,
     "x_partition_evolution": _PARTITION_EVOLUTION_SQL,
     "x_schema_evolution": _SCHEMA_EVOLUTION_SQL,
+    "x_nested_evolution": _NESTED_EVOLUTION_SQL,
     "x_table_changes": _TABLE_CHANGES_SQL,
     "x_rollback": _ROLLBACK_SQL,
     "x_media_probe": _MEDIA_PROBE_SQL,
