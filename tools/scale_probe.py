@@ -315,6 +315,138 @@ def evolution_probe(spark, base: str) -> list[str]:
     return lines
 
 
+def prefix_probe(spark, _base: str) -> list[str]:
+    """ppjoin prefix cut in its BLOWUP regime (r7 verdict #5).
+
+    The bench corpus never triggers the auto-chooser (its true-pair
+    density means the cut removes little), so this probe builds the
+    corpus shape the cut EXISTS for: every doc carries 10 global
+    stopwords (df = N), 8 group tokens shared by its 5-doc near-dup
+    group (the true pairs) and 1 unique token. At threshold 0.8 the
+    prefix is the 4 RAREST tokens (unique + group — the stopwords rank
+    last in the df-ascending order and fall out of every prefix), so
+    prefix candidates are within-group only (~O(N)) while the direct
+    plan's candidates are stopword-driven (~10·N²). Both plans remain
+    EXACT — identical output, asserted below — the cut only changes
+    the candidate set.
+
+    Asserts in-plan: candidate count materially below direct (>100x
+    here), identical result multiset, and the auto-chooser selecting
+    the cut on the big fixture. Reported: exact candidate counts and
+    full-join wall time for both plans at N and 3N (direct's time
+    should grow ~quadratically = exp ~2 vs the probe's 3x factor;
+    prefix ~linearly)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from news_lakehouse_spark.operators.fuzzyjoin import (
+        PREFIX_BLOWUP_FACTOR,
+        PREFIX_MIN_CANDIDATES,
+        _candidate_pairs,
+        _estimate_direct_candidates,
+        _token_sets,
+        fuzzy_token_join,
+    )
+
+    stop = " ".join(f"stop{j}" for j in range(10))
+
+    def fixture(n: int):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.lit(stop),
+                # no underscores: the \p{L}\p{N} tokenizer splits on
+                # them, which would shatter the group tokens into
+                # high-df digit fragments
+                *[
+                    F.concat(
+                        F.lit("g"),
+                        (F.col("id") / 5).cast("long"),
+                        F.lit(f"x{j}"),
+                    )
+                    for j in range(8)
+                ],
+                F.concat(F.lit("u"), F.col("id")),
+            ).alias("text"),
+        )
+
+    n_small, factor = 2000, 3
+    rows = []
+    results = {}
+    for n in (n_small, n_small * factor):
+        docs = fixture(n).cache()
+        docs.count()
+        _, l_post = _token_sets(docs, "doc_id", "text", "l")
+        _, r_post = _token_sets(docs, "doc_id", "text", "r")
+        df_counts = r_post.groupBy("token").agg(F.count("*").alias("__df"))
+        cand_direct, postings = _estimate_direct_candidates(
+            l_post, df_counts, max_df=10**9
+        )
+        cand_prefix = _candidate_pairs(
+            l_post, r_post, 0.8, 10**9, prefix_filter=True
+        ).count()
+        timings = {}
+        out_counts = {}
+        for mode in (True, False):
+            t0 = _time.perf_counter()
+            out_counts[mode] = fuzzy_token_join(
+                docs, docs, "doc_id", "doc_id", "text", "text",
+                threshold=0.8, max_df=10**9, prefix_filter=mode,
+            ).count()
+            timings[mode] = _time.perf_counter() - t0
+        assert out_counts[True] == out_counts[False], (
+            "prefix cut changed the result"
+        )
+        assert cand_prefix * 100 < cand_direct, (
+            f"cut not material: {cand_prefix} vs {cand_direct}"
+        )
+        results[n] = (cand_direct, cand_prefix, timings)
+        rows.append(
+            f"| {n} docs self-join | {cand_direct} | {cand_prefix} "
+            f"| {timings[False]:.2f} | {timings[True]:.2f} "
+            f"| {out_counts[True]} |"
+        )
+        if n > n_small:  # auto-chooser must take the cut here
+            assert cand_direct > max(
+                PREFIX_BLOWUP_FACTOR * postings, PREFIX_MIN_CANDIDATES
+            ), "fixture no longer reaches the auto-trigger"
+        docs.unpersist()
+    cd_s, cp_s, t_s = results[n_small]
+    cd_b, cp_b, t_b = results[n_small * factor]
+    exp_cd = math.log(cd_b / cd_s) / math.log(factor)
+    exp_cp = math.log(cp_b / cp_s) / math.log(factor)
+    exp_t_direct = math.log(t_b[False] / t_s[False]) / math.log(factor)
+    exp_t_prefix = math.log(t_b[True] / t_s[True]) / math.log(factor)
+    return [
+        "",
+        "## ppjoin prefix-cut blowup probe (fuzzy join, r7 verdict #5)",
+        "",
+        "Stopword-heavy fixture (10 global stopwords per doc, 5-doc",
+        "near-dup groups, threshold 0.8) — the quadratic regime the",
+        "direct plan cannot bound. Both plans are exact (identical",
+        "output, asserted); candidates are the exact per-plan counts.",
+        f"Candidate exponents vs the {factor}x doc factor: direct",
+        f"{exp_cd:.2f} (quadratic — stopword-driven), prefix",
+        f"{exp_cp:.2f} (linear — the stopwords fall out of every",
+        f"prefix); candidate ratio at {n_small * factor} docs:",
+        f"{cd_b / max(cp_b, 1):.0f}x. Wall-time exponents "
+        f"direct {exp_t_direct:.2f} / prefix {exp_t_prefix:.2f}",
+        "(32-way parallelism + fixed overhead damp the small-N wall",
+        "clock below the candidate growth; the candidate counts are",
+        "the scale-truth — at 100 TB the direct plan's shuffle IS its",
+        "candidate count). The auto-chooser's exact candidate",
+        "estimate takes the cut on this corpus (asserted against its",
+        "thresholds).",
+        "",
+        "| fixture | direct cands | prefix cands | t_direct (s) "
+        "| t_prefix (s) | true pairs |",
+        "|---|---|---|---|---|---|",
+        *rows,
+    ]
+
+
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     only = set(sys.argv[2:])  # optional probe subset for iteration
@@ -391,6 +523,8 @@ def main() -> None:
         lines.extend(depth_probe(spark, base))
     if not only or "evolution" in only:
         lines.extend(evolution_probe(spark, base))
+    if not only or "prefix" in only:
+        lines.extend(prefix_probe(spark, base))
 
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"
