@@ -114,6 +114,10 @@ EXTENDED = [
     "t_stream_left_join",
     "t_stream_full_join",
     "x_schema_evolution",
+    # round-8 additions (table change-feed streaming source + nested
+    # schema evolution):
+    "t_stream_table_feed",
+    "x_nested_evolution",
 ]
 
 
@@ -207,6 +211,14 @@ def main() -> None:
         "extended_total_sec": round(sum(extended.values()), 3),
         "extended": extended,
         "host_canary_sec": canary_sec,
+        # operator-only spans for the multi-commit table-layer queries
+        # (min across this process's runs): their bench rows carry
+        # O(setup-commits) fixture noise; a regression in
+        # apply_changes/refresh/rollback/evolve/feed shows here even
+        # when the row total hides it (r7 verdict #6)
+        "operator_phases": __import__(
+            "news_lakehouse_spark.queries", fromlist=["PHASE_TIMINGS"]
+        ).PHASE_TIMINGS,
     }
     print(json.dumps(payload))
     # Also persist the FULL JSON in-repo: the driver records only the
