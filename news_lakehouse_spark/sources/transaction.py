@@ -584,6 +584,63 @@ def _graft_nested_fids(new_t, parent_t, alloc):
     return new_t
 
 
+def _needs_nested_fids(t) -> bool:
+    """True when any struct field nested INSIDE ``t`` lacks a fid —
+    the shape of epoch schemas persisted before nested-fid support."""
+    if _is_struct(t):
+        return any(
+            _field_fid(f) is None or _needs_nested_fids(f["type"])
+            for f in t["fields"]
+        )
+    if _is_array(t):
+        return _needs_nested_fids(t["elementType"])
+    if _is_map(t):
+        return _needs_nested_fids(t["valueType"])
+    return False
+
+
+def _amend_nested_fids(schemas: dict[str, dict], alloc) -> dict[str, dict]:
+    """Retrofit nested fids onto epoch schemas persisted BEFORE nested
+    evolution existed. Before this feature no operation could rename or
+    drop a nested field, so same-named nested fields across epochs are
+    the same field — epoch 0 gets fresh ids depth-first and every later
+    epoch grafts them by name from its amended predecessor (top-level
+    fields align by their existing top-level fid). Older manifests keep
+    their unamended schemas; their reads fall back to name matching at
+    fid-less nested levels, which is exactly the pre-amendment
+    semantics."""
+    out: dict[str, dict] = {}
+    prev: dict | None = None
+    for sid in sorted(schemas, key=int):
+        s = schemas[sid]
+        if prev is None:
+            fields = [
+                {**f, "type": _walk_assign_fids(f["type"], alloc)}
+                for f in s["fields"]
+            ]
+        else:
+            prev_by_fid = {_field_fid(f): f for f in prev["fields"]}
+            fields = []
+            for f in s["fields"]:
+                pf = prev_by_fid.get(_field_fid(f))
+                if pf is None:
+                    fields.append(
+                        {**f, "type": _walk_assign_fids(f["type"], alloc)}
+                    )
+                else:
+                    fields.append(
+                        {
+                            **f,
+                            "type": _graft_nested_fids(
+                                f["type"], pf["type"], alloc
+                            ),
+                        }
+                    )
+        out[sid] = {**s, "fields": fields}
+        prev = out[sid]
+    return out
+
+
 def _edit_type_path(t, segs: list[str], on_fields, on_type):
     """Rewrite a type JSON (a schema JSON is a struct type JSON) along
     dotted-path segments. ``on_fields(fields, leaf_name) -> fields``
@@ -760,8 +817,15 @@ def _fid_map_expr(expr, src_t, tgt_t, tgt_dtype):
         for f_json, f_dt in zip(tgt_t["fields"], tgt_dtype.fields):
             fid = _field_fid(f_json)
             src_f = by_fid.get(fid) if fid is not None else None
-            if src_f is None and fid is None:
-                src_f = by_name.get(f_json["name"])
+            if src_f is None:
+                nf = by_name.get(f_json["name"])
+                # name fallback ONLY against a fid-less source field:
+                # a level persisted before nested-fid support predates
+                # nested rames/drops, so its names are identity; a
+                # fid-carrying same-named field is a DIFFERENT column
+                # (drop + re-add) and must stay NULL
+                if nf is not None and (fid is None or _field_fid(nf) is None):
+                    src_f = nf
             if src_f is None:
                 subs.append(
                     F.lit(None).cast(f_dt.dataType).alias(f_json["name"])
@@ -1758,7 +1822,9 @@ class VersionedParquetTable:
             """Epoch context for files listed in ``root``: a legacy
             manifest inside an epoch-tracked span maps to epoch 0 (its
             files all predate the fid upgrade, whose epoch-0 schema
-            names them all)."""
+            names them all). Shared epoch ids prefer the ENDPOINT's
+            copy — it carries retrofitted nested fids
+            (_amend_nested_fids) a pre-nested-fid manifest lacks."""
             if ctx_b is None:
                 return None
             c = self._sid_ctx(root)
@@ -1768,7 +1834,13 @@ class VersionedParquetTable:
                     "schemas": ctx_b["schemas"],
                     "file_sids": {},
                 }
-            return c
+            return {
+                **c,
+                "schemas": {
+                    s: ctx_b["schemas"].get(s, sj)
+                    for s, sj in c["schemas"].items()
+                },
+            }
 
         def align(df: DataFrame, src_root: dict) -> DataFrame:
             """Project a frame in ``src_root``'s logical schema to the
@@ -1778,7 +1850,15 @@ class VersionedParquetTable:
             whole table is legacy."""
             if ctx_b is not None:
                 if "schemas" in src_root:
-                    src_fields = src_root["schema"]["fields"]
+                    # prefer the ENDPOINT's copy of the source epoch:
+                    # epochs are append-only and shared, and the
+                    # endpoint's copy carries retrofitted nested fids
+                    # (_amend_nested_fids) that a manifest persisted
+                    # before nested-fid support lacks
+                    sid = str(src_root["schema_id"])
+                    src_fields = ctx_b["schemas"].get(
+                        sid, src_root["schema"]
+                    )["fields"]
                 else:  # pre-upgrade snapshot: epoch 0 names its columns
                     src_fields = [
                         f
@@ -2439,6 +2519,26 @@ class VersionedParquetTable:
             schemas = {"0": cur}
             abs_sids = {rel: 0 for rel in man["files"]}
         next_fid = max(man.get("next_fid", 0), _max_fid(schemas) + 1)
+        # epochs persisted before nested-fid support carry no ids on
+        # nested struct fields — a nested mutation could not track its
+        # target across the epoch boundary (old files would read NULL
+        # for every renamed nested field). Retrofit ids once, for ALL
+        # stored epochs (same-named nested fields across epochs are
+        # the same field: nested rename/drop did not exist yet), and
+        # publish the amended dict with this commit.
+        if any(
+            _needs_nested_fids(s) for s in schemas.values()
+        ):
+            counter = {"next": next_fid}
+
+            def _alloc() -> int:
+                v = counter["next"]
+                counter["next"] += 1
+                return v
+
+            schemas = _amend_nested_fids(schemas, _alloc)
+            cur = schemas[str(sid)]
+            next_fid = counter["next"]
         new_schema, extra = mutate(dict(cur), next_fid, man)
         new_sid = sid + 1
         schemas[str(new_sid)] = new_schema

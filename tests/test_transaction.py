@@ -2097,3 +2097,118 @@ def test_changes_feed_across_nested_evolution(spark, table):
     assert rows == {
         (2, "insert"): {"user": "u2", "score": 2, "junk": "y"},
     }
+
+
+def test_map_value_struct_evolution(spark, table):
+    """The dotted-path machinery reaches MAP value structs too:
+    rename/add inside map<string, struct<...>>, mapped per-entry via
+    transform_values in the read projection."""
+    df = spark.sql(
+        "SELECT k, map('a', named_struct('score', CAST(k AS INT),"
+        " 'tag', 'x')) AS attrs FROM VALUES (1), (2) AS v(k)"
+    )
+    table.merge(df, ["k"])
+    table.rename_column("attrs.value.score", "points")
+    table.widen_column("attrs.value.points", "bigint")
+    table.add_column("attrs.value.extra", "string")
+    got = {
+        r["k"]: r["attrs"]["a"].asDict() for r in table.read().collect()
+    }
+    assert got == {
+        1: {"points": 1, "tag": "x", "extra": None},
+        2: {"points": 2, "tag": "x", "extra": None},
+    }
+    # new-shape merge joins the old files under one logical schema
+    table.merge(
+        spark.sql(
+            "SELECT 3 AS k, map('a', named_struct('points',"
+            " CAST(300 AS BIGINT), 'tag', 'y', 'extra', 'E')) AS attrs"
+        ),
+        ["k"],
+    )
+    got = {
+        r["k"]: r["attrs"]["a"].asDict() for r in table.read().collect()
+    }
+    assert got[3] == {"points": 300, "tag": "y", "extra": "E"}
+    assert got[1] == {"points": 1, "tag": "x", "extra": None}
+
+
+def test_nested_evolution_on_pre_nested_fid_epochs(spark, table):
+    """Forward compatibility with tables whose epoch tracking predates
+    nested-fid support: their persisted epoch schemas carry NO ids on
+    nested struct fields. The first nested mutation must retrofit ids
+    across ALL stored epochs (same-named nested fields are the same
+    field — nested rename/drop did not exist yet) so old files keep
+    reading correctly through the rename."""
+    import json as _json
+
+    table.merge(_nested_df(spark, [(1, "u1", 1, "x", 10)]), ["k"])
+    table.rename_column("m", "metric")  # top-level: upgrades to epochs
+    table.merge(_nested_df(spark, [(2, "u2", 2, "y", 20)]).withColumnRenamed("m", "metric"), ["k"])
+    # simulate the old on-disk format: strip nested fids everywhere
+    latest = table.latest_version()
+    man_path = table._manifest_path(latest)
+    with open(man_path) as f:
+        man = _json.load(f)
+
+    def strip(t):
+        if isinstance(t, dict) and t.get("type") == "struct":
+            return {
+                **t,
+                "fields": [
+                    {
+                        **fl,
+                        "metadata": {
+                            k: v
+                            for k, v in (fl.get("metadata") or {}).items()
+                            if k != "fid"
+                        },
+                        "type": strip(fl["type"]),
+                    }
+                    for fl in t["fields"]
+                ],
+            }
+        if isinstance(t, dict) and t.get("type") == "array":
+            return {**t, "elementType": strip(t["elementType"])}
+        if isinstance(t, dict) and t.get("type") == "map":
+            return {**t, "valueType": strip(t["valueType"])}
+        return t
+
+    for s in man["schemas"].values():
+        s["fields"] = [
+            {**fl, "type": strip(fl["type"])} for fl in s["fields"]
+        ]
+    man["schema"]["fields"] = [
+        {**fl, "type": strip(fl["type"])} for fl in man["schema"]["fields"]
+    ]
+    os.replace(man_path, man_path + ".bak")
+    with open(man_path, "w") as f:
+        _json.dump(man, f)
+
+    # reads on the stripped format fall back to name matching
+    assert {r["k"] for r in table.read().collect()} == {1, 2}
+    # the nested rename triggers the retrofit and keeps old data
+    table.rename_column("comments.element.author", "user")
+    got = {r["k"]: r["comments"][0].asDict() for r in table.read().collect()}
+    assert got == {
+        1: {"user": "u1", "score": 1, "junk": "x"},
+        2: {"user": "u2", "score": 2, "junk": "y"},
+    }
+    # change feed spanning the retrofit boundary aligns by the
+    # endpoint's amended epochs
+    feed = table.changes(1)
+    assert {
+        (r["k"], r["_change_type"], r["comments"][0]["user"])
+        for r in feed.collect()
+    } == {(2, "insert", "u2")}
+    # and a merge after the retrofit keeps everything consistent
+    table.merge(
+        spark.sql(
+            "SELECT 3 AS k, array(named_struct('user', 'w3', 'score',"
+            " CAST(3 AS INT), 'junk', 'z')) AS comments, 30 AS metric"
+        ),
+        ["k"],
+    )
+    assert {
+        (r["k"], r["comments"][0]["user"]) for r in table.read().collect()
+    } == {(1, "u1"), (2, "u2"), (3, "w3")}
