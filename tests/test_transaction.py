@@ -2212,3 +2212,23 @@ def test_nested_evolution_on_pre_nested_fid_epochs(spark, table):
     assert {
         (r["k"], r["comments"][0]["user"]) for r in table.read().collect()
     } == {(1, "u1"), (2, "u2"), (3, "w3")}
+
+
+def test_map_key_widen_via_pseudo_segment(spark, table):
+    """widen_column('m.key', 'bigint'): map<int,_> becomes
+    map<bigint,_>; old files' narrow keys cast via transform_keys."""
+    df = spark.sql(
+        "SELECT k, map(CAST(k AS INT), concat('v', k)) AS m"
+        " FROM VALUES (1), (2) AS v(k)"
+    )
+    table.merge(df, ["k"])
+    table.widen_column("m.key", "bigint")
+    assert dict(table.read().dtypes)["m"] == "map<bigint,string>"
+    table.merge(
+        spark.sql(
+            "SELECT 3 AS k, map(CAST(8589934592 AS BIGINT), 'big') AS m"
+        ),
+        ["k"],
+    )
+    got = {r["k"]: dict(r["m"]) for r in table.read().collect()}
+    assert got == {1: {1: "v1"}, 2: {2: "v2"}, 3: {8589934592: "big"}}

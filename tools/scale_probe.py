@@ -86,6 +86,9 @@ PROBES = {
     # commits + mixed-epoch read) and the prefix-filtered fuzzy join
     # re-probe rides the existing x_fuzzy_join row
     "x_schema_evolution": ("orders", 10),
+    # r8: nested-field evolution — same metadata-only mechanics, plus
+    # the fid-mapped array<struct> read projection over mixed epochs
+    "x_nested_evolution": ("orders", 10),
     # x_source_overlap is NOT probed: its oracle-pinned max_df=100 band
     # (exact at fixture df <= 25) excises the 20x-replicated shingles
     # entirely, so the probe would time an empty output. Its inverted-
