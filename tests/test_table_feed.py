@@ -190,3 +190,22 @@ def test_feed_initial_at_current_version_waits_for_new_commits(
     assert got == [
         (0, (1, 2), {(1, "a", 10, "delete"), (1, "a", 77, "insert")})
     ]
+
+
+def test_feed_span_across_compaction_delivers_only_churn(spark, src, tmp_path):
+    """A compact() landing between drains is content-preserving: the
+    feed's span across it must deliver only the real merges' churn —
+    never the compaction's full rewrite (changes_plan skips it)."""
+    feed = TableChangeFeed(src, str(tmp_path / "ckpt"))
+    feed.process_available(lambda *a: None)  # snapshot at v1
+    src.merge(_df(spark, [(3, "c", 30)]), ["k"])
+    src.compact()  # rewrites the whole table, changes nothing
+    src.merge(_df(spark, [(4, "d", 40)]), ["k"])
+    got = []
+    feed.process_available(
+        lambda df, bid, span: got.append((bid, span, _rows(df)))
+    )
+    assert len(got) == 1
+    bid, span, rows = got[0]
+    assert span == (1, 4)
+    assert rows == {(3, "c", 30, "insert"), (4, "d", 40, "insert")}
