@@ -252,3 +252,89 @@ def test_watermark_drops_late_rows_identically_to_batch_replay(
                 expected[k2] = expected.get(k2, 0) + 1
         maxes.append(max(ts for _, ts, _ in rows))
     assert got == expected
+
+
+# --- nested schema evolution: model-based property -----------------------
+#
+# A random subsequence of nested evolution ops (rename/widen/add/drop on
+# struct-in-array and plain-struct fields) applied to a versioned table
+# must leave read() equal to a plain-Python model of the same ops applied
+# to the original rows: renames carry values, widens keep them, adds read
+# NULL for pre-existing rows, drops disappear. Exercises the dotted-path
+# mutators and the by-nested-fid read projection as one system.
+
+_EVOLUTION_OPS = [
+    ("rename", "s.a", "a2"),
+    ("widen", "s.c", "bigint"),
+    ("add", "s.d", "string"),
+    ("drop", "s.b", None),
+    ("rename", "arr.element.x", "xx"),
+    ("add", "arr.element.z", "boolean"),
+    ("drop", "arr.element.y", None),
+]
+
+
+@given(st.sets(st.sampled_from(range(len(_EVOLUTION_OPS)))))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_nested_evolution_matches_model(spark, tmp_path_factory, picks):
+    from news_lakehouse_spark.sources.transaction import (
+        VersionedParquetTable,
+    )
+
+    ops = [_EVOLUTION_OPS[i] for i in sorted(picks)]
+    base = tmp_path_factory.mktemp("nested_prop")
+    t = VersionedParquetTable(spark, str(base / "t"))
+    df = spark.sql(
+        "SELECT k, named_struct('a', CAST(k AS INT), 'b', concat('b', k),"
+        " 'c', CAST(k*10 AS INT)) AS s,"
+        " array(named_struct('x', CAST(k AS INT), 'y', concat('y', k)))"
+        " AS arr FROM VALUES (1), (2), (3) AS v(k)"
+    )
+    t.merge(df, ["k"])
+
+    # python model of the same rows
+    model = {
+        k: {
+            "s": {"a": k, "b": f"b{k}", "c": k * 10},
+            "arr": [{"x": k, "y": f"y{k}"}],
+        }
+        for k in (1, 2, 3)
+    }
+
+    def model_apply(op, path, arg):
+        top, *rest = path.split(".")
+        for row in model.values():
+            targets = (
+                [row["s"]] if top == "s"
+                else row["arr"]  # rest[0] == 'element'
+            )
+            leaf = rest[-1]
+            for tgt in targets:
+                if op == "rename":
+                    tgt[arg] = tgt.pop(leaf)
+                elif op == "add":
+                    tgt[leaf] = None
+                elif op == "drop":
+                    tgt.pop(leaf)
+                # widen keeps values
+
+    for op, path, arg in ops:
+        if op == "rename":
+            t.rename_column(path, arg)
+        elif op == "widen":
+            t.widen_column(path, arg)
+        elif op == "add":
+            t.add_column(path, arg)
+        elif op == "drop":
+            t.drop_column(path, None)
+        model_apply(op, path, arg)
+
+    got = {
+        r["k"]: {
+            "s": r["s"].asDict(),
+            "arr": [e.asDict() for e in r["arr"]],
+        }
+        for r in t.read().collect()
+    }
+    assert got == model
