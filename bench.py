@@ -115,9 +115,10 @@ EXTENDED = [
     "t_stream_full_join",
     "x_schema_evolution",
     # round-8 additions (table change-feed streaming source + nested
-    # schema evolution):
+    # schema evolution + Z-order clustered compaction):
     "t_stream_table_feed",
     "x_nested_evolution",
+    "x_zorder_pruned_read",
 ]
 
 

@@ -3723,6 +3723,88 @@ GROUP BY o_orderstatus
 """
 
 
+def x_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered compaction → MULTI-dimension file pruning
+    (operators/layout.morton_key + VersionedParquetTable.compact(
+    cluster_by=...) + files_for bounds pruning). The reference
+    clusters its serving table on (TopicKey, AuthorKey)
+    (gold_to_bigquery.py:118-142 BigQuery CLUSTER BY); Z-order is the
+    lakehouse-native generalization: interleave (o_custkey, day) bits
+    into one Morton key, range-cluster the compaction rewrite on it,
+    and every file becomes a rectangle in (custkey, date) space — so
+    the manifest's per-file min/max bounds prune a 2-D box predicate
+    on BOTH dimensions, which no single-column sort can do. Asserted
+    in-plan: the box predicate reads strictly fewer files than the
+    snapshot holds. At 100 TB the pruned fraction IS the scan cost."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from news_lakehouse_spark.operators.layout import morton_key
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"nlh_zorder_{os.getpid()}_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = VersionedParquetTable(spark, base)
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+    t.write(
+        orders.withColumn(
+            "zkey", morton_key([F.col("o_custkey"), day], bits=16)
+        )
+    )
+    # right-size the clustered rewrite to ~16 files at any SF
+    man = t._load_manifest(t.latest_version())
+    total = sum(t._file_sizes(man["files"]).values())
+    t.compact(target_file_bytes=max(total // 16, 1), cluster_by=["zkey"])
+    import datetime as _dt
+
+    pred = [
+        ("o_custkey", "between", (1, 1000)),
+        (
+            "o_orderdate",
+            "between",
+            (_dt.datetime(1997, 1, 1), _dt.datetime(1997, 12, 31)),
+        ),
+    ]
+    n_all, n_box = len(t.files_for()), len(t.files_for(predicate=pred))
+    # the 2-D box must prune on the combination of BOTH dimensions
+    assert n_box < n_all, (n_box, n_all)
+    return (
+        t.read(predicate=pred)
+        .filter(
+            F.col("o_custkey").between(1, 1000)
+            & F.col("o_orderdate").between("1997-01-01", "1997-12-31")
+        )
+        .groupBy(
+            F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias(
+                "month"
+            )
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("month")
+    )
+
+
+_ZORDER_PRUNE_SQL = """
+SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+       COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+WHERE o_custkey BETWEEN 1 AND 1000
+  AND o_orderdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY month ORDER BY month
+"""
+
+
 def x_changes_across_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change feed SPANNING a compaction commit
     (sources/transaction.py changes() + compact()): compaction rewrites
@@ -7054,6 +7136,7 @@ QUERIES: dict[str, QueryFn] = {
 
     # --- below the driver window: latest green r4/r5 ---
     "x_stats_pruned_read": x_stats_pruned_read,
+    "x_zorder_pruned_read": x_zorder_pruned_read,
     "x_changes_across_compact": x_changes_across_compact,
     "a4_rollup": a4_rollup,
     "a5_cube": a5_cube,
@@ -7296,5 +7379,6 @@ ORACLES: dict[str, str] = {
     "x_dedup_minhash_incremental": _minhash_incremental_sql(),
     "x_reservoir_sample": _RESERVOIR_SQL,
     "x_stats_pruned_read": _STATS_PRUNE_SQL,
+    "x_zorder_pruned_read": _ZORDER_PRUNE_SQL,
     "x_changes_across_compact": _CHANGES_COMPACT_SQL,
 }
