@@ -2232,3 +2232,42 @@ def test_map_key_widen_via_pseudo_segment(spark, table):
     )
     got = {r["k"]: dict(r["m"]) for r in table.read().collect()}
     assert got == {1: {1: "v1"}, 2: {2: "v2"}, 3: {8589934592: "big"}}
+
+
+def test_zorder_clustered_compact_prunes_2d_box(spark, table):
+    """compact(cluster_by=[morton key]) must make a 2-D box predicate
+    prune files on BOTH dimensions — strictly better than the
+    unclustered layout of the same data (the single-column sort can
+    only localize its leading dimension)."""
+    from news_lakehouse_spark.operators.layout import morton_key
+
+    df = spark.range(4096).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 64).cast("long").alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    table.merge(
+        df.withColumn(
+            "zkey", morton_key([F.col("x"), F.col("y")], bits=6)
+        ).repartition(16),
+        ["k"],
+    )
+    pred = [("x", "between", (0, 15)), ("y", "between", (0, 15))]
+    n_files_before = len(table.files_for())
+    n_box_before = len(table.files_for(predicate=pred))
+    man = table._load_manifest(table.latest_version())
+    total = sum(table._file_sizes(man["files"]).values())
+    table.compact(
+        target_file_bytes=max(total // 16, 1), cluster_by=["zkey"]
+    )
+    n_files_after = len(table.files_for())
+    n_box_after = len(table.files_for(predicate=pred))
+    # the random layout cannot prune (every file spans both ranges);
+    # the z-ordered layout confines the box to a file subset
+    assert n_box_before == n_files_before
+    assert n_box_after < n_files_after, (n_box_after, n_files_after)
+    # and the rows are intact
+    got = table.read(predicate=pred).filter(
+        F.col("x").between(0, 15) & F.col("y").between(0, 15)
+    )
+    assert got.count() == 256
