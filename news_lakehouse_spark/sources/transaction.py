@@ -641,6 +641,31 @@ def _amend_nested_fids(schemas: dict[str, dict], alloc) -> dict[str, dict]:
     return out
 
 
+def _type_at_path(t, segs: list[str]):
+    """Read-only twin of ``_edit_type_path``: the type JSON at a dotted
+    path, or None when the path doesn't resolve. Used for idempotence
+    preconditions (a redelivered CDC batch replays its schema
+    mirroring; already-applied ops must skip, not raise)."""
+    if not segs:
+        return t
+    if _is_array(t):
+        if segs[0] == "element":
+            return _type_at_path(t["elementType"], segs[1:])
+        return _type_at_path(t["elementType"], segs)
+    if _is_map(t):
+        if segs[0] == "key":
+            return _type_at_path(t["keyType"], segs[1:])
+        if segs[0] == "value":
+            return _type_at_path(t["valueType"], segs[1:])
+        return _type_at_path(t["valueType"], segs)
+    if _is_struct(t):
+        for f in t["fields"]:
+            if f["name"] == segs[0]:
+                return _type_at_path(f["type"], segs[1:])
+        return None
+    return None
+
+
 def _edit_type_path(t, segs: list[str], on_fields, on_type):
     """Rewrite a type JSON (a schema JSON is a struct type JSON) along
     dotted-path segments. ``on_fields(fields, leaf_name) -> fields``
@@ -3019,6 +3044,220 @@ class VersionedParquetTable:
                 last_err = e  # loser of the race: re-derive from winner
         raise last_err  # type: ignore[misc]
 
+    def mirror_evolution_from(
+        self,
+        source: "VersionedParquetTable",
+        from_version: int,
+        to_version: int | None = None,
+    ) -> list[tuple]:
+        """Replay the SOURCE's schema evolution between two of its
+        versions onto THIS table — the piece that keeps a CDC replica
+        (``sync_from``, ``streaming.table_feed.feed_into_replica``)
+        alive across a source-side rename/widen/add/drop: the change
+        feed arrives in the source's ENDPOINT schema, so a replica
+        still carrying the old column names cannot apply it (Delta's
+        readStream simply breaks on renames without a schema-tracking
+        restart; here the evolution is derivable and metadata-only on
+        both sides).
+
+        The diff is BY FIELD ID across the source's epoch schemas
+        (top-level and nested): same fid + new name → rename (applied
+        shallow-first so ancestor renames fix up descendant paths);
+        same fid + widened primitive (incl. array element / map
+        key/value innards) → widen; new fid → add (subtree adds
+        collapse into their root); gone fid → drop (subsumed drops
+        skipped). Legacy spans (no epoch tracking on either end — so
+        no rename can have happened) fall back to a by-name diff.
+        Ops apply to the replica by the source's OLD names, which are
+        the replica's current names provided the replica mirrored the
+        source up to ``from_version`` — the invariant every sync/feed
+        consumer maintains. Every op checks its precondition against
+        the replica's CURRENT schema first, so replaying the span
+        (a redelivered exactly-once batch) is a no-op. Returns the ops
+        applied (for logging / tests); no data is read or written on
+        either table."""
+        from_v = source._resolve_version(from_version)
+        to_v = source._resolve_version(to_version)
+        to_v = source.latest_version() if to_v is None else to_v
+        root_a = source._load_root(from_v)
+        root_b = source._load_root(to_v)
+        ops: list[tuple] = []
+
+        def my_type_at(path: str):
+            v = self.latest_version()
+            if v is None:
+                return None
+            return _type_at_path(
+                self._load_root(v)["schema"], path.split(".")
+            )
+
+        def ddl(t) -> str:
+            return (
+                StructType.fromJson(
+                    {
+                        "type": "struct",
+                        "fields": [
+                            {
+                                "name": "x",
+                                "type": t,
+                                "nullable": True,
+                                "metadata": {},
+                            }
+                        ],
+                    }
+                )
+                .fields[0]
+                .dataType.simpleString()
+            )
+
+        schema_a = root_a["schema"]
+        if "schemas" in root_b and "schemas" not in root_a:
+            # span crosses the epoch upgrade: the legacy from-version's
+            # fields ARE epoch 0's (the upgrade is name-compatible by
+            # construction), so borrow epoch 0's fids for the diff —
+            # without this a rename in the span would degrade to
+            # drop+add and NULL the replica's old rows
+            names_a = {f["name"] for f in schema_a["fields"]}
+            schema_a = {
+                "fields": [
+                    f
+                    for f in root_b["schemas"]["0"]["fields"]
+                    if f["name"] in names_a
+                ]
+            }
+        if "schemas" not in root_b:
+            # legacy span: add-column evolution only; names are identity
+            names_a = {
+                f["name"]: f["type"] for f in root_a["schema"]["fields"]
+            }
+            names_b = {
+                f["name"]: f["type"] for f in root_b["schema"]["fields"]
+            }
+            for n, t in names_b.items():
+                if n not in names_a:
+                    if my_type_at(n) is None:
+                        ops.append(("add", n, ddl(t)))
+                        self.add_column(n, ddl(t))
+                elif t != names_a[n] and isinstance(t, str):
+                    if my_type_at(n) != t:
+                        ops.append(("widen", n, t))
+                        self.widen_column(n, t)
+            for n in names_a:
+                if n not in names_b and my_type_at(n) is not None:
+                    ops.append(("drop", n))
+                    self.drop_column(n)
+            return ops
+
+        def fid_paths(schema_json) -> dict[int, tuple[str, object]]:
+            out: dict[int, tuple[str, object]] = {}
+
+            def walk_fields(fields, prefix):
+                for f in fields:
+                    fid = _field_fid(f)
+                    path = prefix + f["name"]
+                    if fid is not None:
+                        out[fid] = (path, f["type"])
+                    walk_type(f["type"], path)
+
+            def walk_type(t, path):
+                if _is_struct(t):
+                    walk_fields(t["fields"], path + ".")
+                elif _is_array(t):
+                    walk_type(t["elementType"], path + ".element")
+                elif _is_map(t):
+                    walk_type(t["valueType"], path + ".value")
+
+            walk_fields(schema_json["fields"], "")
+            return out
+
+        a = fid_paths(schema_a)
+        b = fid_paths(root_b["schema"])
+        common = sorted(
+            (fid for fid in a if fid in b),
+            key=lambda fid: b[fid][0].count("."),
+        )
+        # renames shallow-first: ancestors fix up before descendants,
+        # so each op's path = B ancestors (already renamed on the
+        # replica) + the A-side leaf being renamed
+        for fid in common:
+            pa, pb = a[fid][0], b[fid][0]
+            leaf_a, leaf_b = pa.rsplit(".", 1)[-1], pb.rsplit(".", 1)[-1]
+            if leaf_a != leaf_b:
+                parent_b = pb.rsplit(".", 1)[0] if "." in pb else ""
+                path = f"{parent_b}.{leaf_a}" if parent_b else leaf_a
+                if my_type_at(path) is None and my_type_at(pb) is not None:
+                    continue  # already renamed (replayed span)
+                ops.append(("rename", path, leaf_b))
+                self.rename_column(path, leaf_b)
+        for fid in common:
+            ta, tb = a[fid][1], b[fid][1]
+            if ta == tb:
+                continue
+
+            def widen_inner(path, x, y):
+                if isinstance(x, str) and isinstance(y, str):
+                    if x != y and my_type_at(path) != y:
+                        ops.append(("widen", path, y))
+                        self.widen_column(path, y)
+                elif _is_array(x) and _is_array(y):
+                    widen_inner(
+                        path + ".element", x["elementType"], y["elementType"]
+                    )
+                elif _is_map(x) and _is_map(y):
+                    widen_inner(path + ".key", x["keyType"], y["keyType"])
+                    widen_inner(
+                        path + ".value", x["valueType"], y["valueType"]
+                    )
+                # struct-vs-struct: nested fields carry their own fids
+
+            widen_inner(b[fid][0], ta, tb)
+        added = sorted(
+            (fid for fid in b if fid not in a),
+            key=lambda fid: b[fid][0].count("."),
+        )
+        done_prefixes: list[str] = []
+        for fid in added:
+            path = b[fid][0]
+            if any(path.startswith(p + ".") for p in done_prefixes):
+                continue  # subsumed by an added ancestor subtree
+            if my_type_at(path) is not None:
+                done_prefixes.append(path)
+                continue  # already added (replayed span)
+            ops.append(("add", path, ddl(b[fid][1])))
+            self.add_column(path, ddl(b[fid][1]))
+            done_prefixes.append(path)
+        dropped = sorted(
+            (fid for fid in a if fid not in b),
+            key=lambda fid: a[fid][0].count("."),
+        )
+        done_prefixes = []
+        for fid in dropped:
+            pa = a[fid][0]
+            if any(pa.startswith(p + ".") for p in done_prefixes):
+                continue  # subsumed by a dropped ancestor
+            # ancestors survive (they're common fids) and already carry
+            # their B names on the replica; the dropped leaf keeps its
+            # A name
+            parts = pa.split(".")
+            mapped = []
+            for i in range(len(parts) - 1):
+                anc_a = ".".join(parts[: i + 1])
+                anc_fid = next(
+                    (f for f, (p, _) in a.items() if p == anc_a), None
+                )
+                if anc_fid is not None and anc_fid in b:
+                    mapped.append(b[anc_fid][0].rsplit(".", 1)[-1])
+                else:
+                    mapped.append(parts[i])
+            path = ".".join(mapped + [parts[-1]])
+            if my_type_at(path) is None:
+                done_prefixes.append(pa)
+                continue  # already dropped (replayed span)
+            ops.append(("drop", path))
+            self.drop_column(path)
+            done_prefixes.append(pa)
+        return ops
+
     def apply_changes(
         self,
         feed: DataFrame,
@@ -3132,6 +3371,31 @@ class VersionedParquetTable:
         cursor = int(cursor)
         if cursor >= upstream:
             return self.latest_version()
+        # the span may cross source-side schema evolution: replay the
+        # same metadata-only ops here first (idempotent) and fix up
+        # renamed key columns, or the endpoint-schema feed can't
+        # apply. The rename map diffs the SOURCE's endpoints by field
+        # id — independent of which mirror ops actually applied (a
+        # crash-retry's mirror is a no-op but keys still need mapping).
+        self.mirror_evolution_from(source, cursor, upstream)
+        ra = source._load_root(cursor)
+        rb = source._load_root(upstream)
+        if "schemas" in rb:
+            if "schemas" in ra:
+                fields_a = ra["schema"]["fields"]
+            else:  # span crosses the upgrade: epoch 0 names = legacy
+                names_a = {f["name"] for f in ra["schema"]["fields"]}
+                fields_a = [
+                    f
+                    for f in rb["schemas"]["0"]["fields"]
+                    if f["name"] in names_a
+                ]
+            fa = {_field_fid(f): f["name"] for f in fields_a}
+            fb = {_field_fid(f): f["name"] for f in rb["schema"]["fields"]}
+            renames = {
+                fa[i]: fb[i] for i in fa if i in fb and fa[i] != fb[i]
+            }
+            keys = [renames.get(k, k) for k in keys]
         feed = source.changes(cursor, upstream)
         if feed.isEmpty():  # churn cancelled out: advance cursor only
             man = self._load_manifest(self.latest_version())

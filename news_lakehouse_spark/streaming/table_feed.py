@@ -207,6 +207,34 @@ class TableChangeFeed:
         self._commit(intent["to"], intent["batch_id"])
 
 
+def _span_renames(
+    source: VersionedParquetTable, from_v: int, to_v: int
+) -> dict[str, str]:
+    """Top-level old→new column names across a source version span,
+    diffed by field id — the key-column fix-up for subscriptions
+    crossing a rename. Independent of what mirroring actually applied
+    (a replayed span's mirror is a no-op but the keys still need
+    mapping)."""
+    from news_lakehouse_spark.sources.transaction import _field_fid
+
+    ra = source._load_root(source._resolve_version(from_v))
+    rb = source._load_root(source._resolve_version(to_v))
+    if "schemas" not in rb:
+        return {}
+    if "schemas" in ra:
+        fields_a = ra["schema"]["fields"]
+    else:  # span crosses the epoch upgrade: epoch 0 names = legacy
+        names_a = {f["name"] for f in ra["schema"]["fields"]}
+        fields_a = [
+            f for f in rb["schemas"]["0"]["fields"] if f["name"] in names_a
+        ]
+    fa = {_field_fid(f): f["name"] for f in fields_a}
+    fb = {_field_fid(f): f["name"] for f in rb["schema"]["fields"]}
+    return {
+        fa[i]: fb[i] for i in fa if i in fb and fa[i] != fb[i]
+    }
+
+
 def _last_feed_batch(replica: VersionedParquetTable) -> int | None:
     """Newest recorded feed batch id in the replica's retained commit
     properties — the sink-side dedup key for redelivered batches. Same
@@ -236,7 +264,12 @@ def feed_into_replica(
     commit records the feed batch id in its properties, so a
     redelivered batch (crash between handler and cursor commit) is
     detected and SKIPPED — idempotence by dedup, not just by replay-
-    safety. Returns the delivered intents."""
+    safety. A span crossing source-side SCHEMA EVOLUTION first replays
+    the same (metadata-only, idempotent) evolution on the replica —
+    ``mirror_evolution_from`` — so the feed's endpoint-schema rows
+    apply cleanly and renamed key columns keep working (``keys`` may
+    name them by either the old or the new name). Returns the
+    delivered intents."""
     feed = TableChangeFeed(source, checkpoint_dir)
 
     def handler(df: DataFrame, batch_id: int, span) -> None:
@@ -253,8 +286,11 @@ def feed_into_replica(
                 properties=props,
             )
         else:
+            replica.mirror_evolution_from(source, span[0], span[1])
+            renames = _span_renames(source, span[0], span[1])
+            batch_keys = [renames.get(k, k) for k in keys]
             replica.apply_changes(
-                df, keys, order_by=order_by, properties=props
+                df, batch_keys, order_by=order_by, properties=props
             )
 
     return feed.process_available(

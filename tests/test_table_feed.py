@@ -209,3 +209,55 @@ def test_feed_span_across_compaction_delivers_only_churn(spark, src, tmp_path):
     bid, span, rows = got[0]
     assert span == (1, 4)
     assert rows == {(3, "c", 30, "insert"), (4, "d", 40, "insert")}
+
+
+def test_feed_survives_source_schema_evolution(spark, tmp_path):
+    """A span crossing source-side rename/widen/add/drop mirrors the
+    same metadata-only evolution onto the replica before applying the
+    endpoint-schema feed — including a renamed KEY column (Delta's
+    readStream simply breaks here)."""
+    src = VersionedParquetTable(spark, str(tmp_path / "src"))
+    rep = VersionedParquetTable(spark, str(tmp_path / "rep"))
+    ckpt = str(tmp_path / "ckpt")
+    src.merge(_df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"])
+    feed_into_replica(src, rep, ["k"], ckpt)
+
+    src.rename_column("v", "amount")
+    src.rename_column("k", "key")  # the KEY column itself
+    src.add_column("flag", "boolean")
+    src.drop_column("d")
+    src.merge(
+        spark.createDataFrame([Row(key=3, amount=30, flag=True)]),
+        ["key"],
+    )
+    feed_into_replica(src, rep, ["k"], ckpt)  # caller's stale key name
+    assert rep.read().columns == src.read().columns
+    assert _rows(rep.read()) == _rows(src.read())
+    assert _rows(rep.read()) == {
+        (1, 10, None),
+        (2, 20, None),
+        (3, 30, True),
+    }
+    # and the subscription keeps going under the new names
+    src.merge(
+        spark.createDataFrame([Row(key=4, amount=40, flag=False)]),
+        ["key"],
+    )
+    feed_into_replica(src, rep, ["key"], ckpt)
+    assert _rows(rep.read()) == _rows(src.read())
+
+
+def test_sync_from_survives_source_rename(spark, tmp_path):
+    """sync_from's cursor span crossing a source rename mirrors the
+    evolution and keeps syncing — O(churn), no full re-copy."""
+    src = VersionedParquetTable(spark, str(tmp_path / "src"))
+    rep = VersionedParquetTable(spark, str(tmp_path / "rep"))
+    src.merge(_df(spark, [(1, "a", 10)]), ["k"])
+    rep.sync_from(src, ["k"])
+    src.rename_column("v", "amount")
+    src.merge(
+        spark.createDataFrame([Row(k=2, d="b", amount=20)]), ["k"]
+    )
+    rep.sync_from(src, ["k"])
+    assert rep.read().columns == src.read().columns
+    assert _rows(rep.read()) == {(1, "a", 10), (2, "b", 20)}
