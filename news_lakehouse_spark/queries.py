@@ -3762,7 +3762,10 @@ def x_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # right-size the clustered rewrite to ~16 files at any SF
     man = t._load_manifest(t.latest_version())
     total = sum(t._file_sizes(man["files"]).values())
-    t.compact(target_file_bytes=max(total // 16, 1), cluster_by=["zkey"])
+    with _op_phase("x_zorder_pruned_read", "clustered_compact"):
+        t.compact(
+            target_file_bytes=max(total // 16, 1), cluster_by=["zkey"]
+        )
     import datetime as _dt
 
     pred = [
