@@ -89,6 +89,9 @@ PROBES = {
     # r8: nested-field evolution — same metadata-only mechanics, plus
     # the fid-mapped array<struct> read projection over mixed epochs
     "x_nested_evolution": ("orders", 10),
+    # r8: z-order clustered compact + 2-D bounds pruning (in-plan
+    # fewer-files assert must hold at 10x too)
+    "x_zorder_pruned_read": ("orders", 10),
     # x_source_overlap is NOT probed: its oracle-pinned max_df=100 band
     # (exact at fixture df <= 25) excises the 20x-replicated shingles
     # entirely, so the probe would time an empty output. Its inverted-
