@@ -261,3 +261,22 @@ def test_sync_from_survives_source_rename(spark, tmp_path):
     rep.sync_from(src, ["k"])
     assert rep.read().columns == src.read().columns
     assert _rows(rep.read()) == {(1, "a", 10), (2, "b", 20)}
+
+
+def test_feed_cursor_vacuumed_past_fails_loud(spark, src, tmp_path):
+    """Retention contract (docs/table_layer.md): a subscriber whose
+    cursor was vacuumed past fails LOUDLY on the next drain (missing
+    manifest), never silently skips data — re-seed with a fresh
+    checkpoint then."""
+    feed = TableChangeFeed(src, str(tmp_path / "ckpt"))
+    feed.process_available(lambda *a: None)  # cursor at v1
+    for i in range(4):
+        src.merge(_df(spark, [(10 + i, "x", i)]), ["k"])
+    src.vacuum(keep_last=2, grace_seconds=0)  # v1 manifest gone
+    with pytest.raises(FileNotFoundError):
+        feed.process_available(lambda *a: None)
+    # re-seed: fresh checkpoint full-snapshots and resumes
+    fresh = TableChangeFeed(src, str(tmp_path / "ckpt2"))
+    got = []
+    fresh.process_available(lambda df, bid, span: got.append(_rows(df)))
+    assert len(got) == 1 and len(got[0]) == 6  # 2 original + 4 merged
