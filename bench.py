@@ -119,6 +119,7 @@ EXTENDED = [
     "t_stream_table_feed",
     "x_nested_evolution",
     "x_zorder_pruned_read",
+    "t_feed_schema_drift",
 ]
 
 

@@ -2708,6 +2708,94 @@ FROM live GROUP BY o_orderstatus
 """
 
 
+def t_feed_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subscription surviving SOURCE-side schema evolution
+    (transaction.py mirror_evolution_from + streaming/table_feed.py):
+    between two drains the source RENAMES o_totalprice→price, ADDS a
+    flag column, and merges new-shape rows — the replica must mirror
+    the (metadata-only, idempotent) evolution before applying the
+    endpoint-schema feed, the failure mode where Delta's readStream
+    simply breaks. src: v1 = orders %4 → snapshot drain; v2 rename +
+    v3 add + v4 merge %8 with doubled price and flag=true → one
+    incremental drain across all three. Replica asserted row-identical
+    to the source in-plan; the aggregate is over the REPLICA under the
+    NEW names."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from news_lakehouse_spark.sources.transaction import (
+        VersionedParquetTable,
+    )
+    from news_lakehouse_spark.streaming.table_feed import feed_into_replica
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"nlh_feeddrift_{os.getpid()}_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = VersionedParquetTable(spark, os.path.join(base, "src"))
+    rep = VersionedParquetTable(spark, os.path.join(base, "rep"))
+    ckpt = os.path.join(base, "ckpt")
+    src.merge(orders.filter(F.col("o_orderkey") % 4 == 0), ["o_orderkey"])
+    feed_into_replica(src, rep, ["o_orderkey"], ckpt)
+    src.rename_column("o_totalprice", "price")
+    src.add_column("flag", "boolean")
+    src.merge(
+        orders.filter(F.col("o_orderkey") % 8 == 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") * 2).alias("price"),
+            F.lit(True).alias("flag"),
+        ),
+        ["o_orderkey"],
+    )
+    with _op_phase("t_feed_schema_drift", "drift_drain"):
+        feed_into_replica(src, rep, ["o_orderkey"], ckpt)
+    if not os.environ.get("SPARK_GRAFT_BENCH_LEAN"):
+        assert rep.read().columns == src.read().columns
+        assert rep.read().count() == src.read().count()
+        assert rep.read().exceptAll(src.read()).isEmpty()
+    rowhash = sha2_prefix_long(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey"),
+            F.round(F.col("price") * 100).cast("long"),
+        ),
+        10,
+    )
+    return (
+        rep.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(rowhash).alias("hash_sum"),
+            F.count(F.when(F.col("flag"), 1)).alias("flagged"),
+        )
+    )
+
+
+_FEED_SCHEMA_DRIFT_SQL = """
+WITH live AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS price,
+         (o_orderkey % 8 = 0) AS flag
+  FROM orders WHERE o_orderkey % 4 = 0
+)
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       CAST(SUM(CAST(concat('0x', substr(sha256(concat_ws('|',
+              o_orderkey, CAST(ROUND(price * 100) AS BIGINT))), 1, 10))
+            AS BIGINT)) AS BIGINT) AS hash_sum,
+       COUNT(CASE WHEN flag THEN 1 END) AS flagged
+FROM live GROUP BY o_orderstatus
+"""
+
+
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → two joins → agg → top-10.
 
@@ -7069,6 +7157,7 @@ QUERIES: dict[str, QueryFn] = {
     "t_stream_left_join": t_stream_left_join,
     "t_stream_full_join": t_stream_full_join,
     "t_stream_table_feed": t_stream_table_feed,
+    "t_feed_schema_drift": t_feed_schema_drift,
     "t_stream_dedup": t_stream_dedup,
     "x_sim_pq_topk": x_sim_pq_topk,
     "x_pq_index_incremental": x_pq_index_incremental,
@@ -7328,6 +7417,7 @@ ORACLES: dict[str, str] = {
     "t_stream_left_join": _STREAM_LEFT_JOIN_SQL,
     "t_stream_full_join": _STREAM_FULL_JOIN_SQL,
     "t_stream_table_feed": _STREAM_TABLE_FEED_SQL,
+    "t_feed_schema_drift": _FEED_SCHEMA_DRIFT_SQL,
     "t_stream_dedup": _STREAM_DEDUP_SQL,
     "x_mor_delete": _MOR_DELETE_SQL,
     "x_bloom_point_lookup": _BLOOM_LOOKUP_SQL,
