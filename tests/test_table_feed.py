@@ -280,3 +280,37 @@ def test_feed_cursor_vacuumed_past_fails_loud(spark, src, tmp_path):
     got = []
     fresh.process_available(lambda df, bid, span: got.append(_rows(df)))
     assert len(got) == 1 and len(got[0]) == 6  # 2 original + 4 merged
+
+
+def test_feed_mirrors_widen_and_nested_evolution(spark, tmp_path):
+    """Mirroring covers type widening (incl. through later batches)
+    and NESTED struct evolution: a source widening a column and
+    renaming a field inside an array<struct> mid-subscription keeps
+    the replica applying cleanly."""
+    src = VersionedParquetTable(spark, str(tmp_path / "src"))
+    rep = VersionedParquetTable(spark, str(tmp_path / "rep"))
+    ckpt = str(tmp_path / "ckpt")
+    src.merge(
+        spark.sql(
+            "SELECT k, CAST(k*10 AS INT) AS v,"
+            " array(named_struct('author', concat('u', k))) AS c"
+            " FROM VALUES (1), (2) AS t(k)"
+        ),
+        ["k"],
+    )
+    feed_into_replica(src, rep, ["k"], ckpt)
+    src.widen_column("v", "bigint")
+    src.rename_column("c.element.author", "user")
+    src.merge(
+        spark.sql(
+            "SELECT 3 AS k, CAST(8589934592 AS BIGINT) AS v,"
+            " array(named_struct('user', 'u3')) AS c"
+        ),
+        ["k"],
+    )
+    feed_into_replica(src, rep, ["k"], ckpt)
+    assert dict(rep.read().dtypes) == dict(src.read().dtypes)
+    got = {
+        r["k"]: (r["v"], r["c"][0]["user"]) for r in rep.read().collect()
+    }
+    assert got == {1: (10, "u1"), 2: (20, "u2"), 3: (8589934592, "u3")}
