@@ -3073,9 +3073,13 @@ class VersionedParquetTable:
         source up to ``from_version`` — the invariant every sync/feed
         consumer maintains. Every op checks its precondition against
         the replica's CURRENT schema first, so replaying the span
-        (a redelivered exactly-once batch) is a no-op. Returns the ops
-        applied (for logging / tests); no data is read or written on
-        either table."""
+        (a redelivered exactly-once batch) is a no-op. Partition-spec
+        evolution is deliberately NOT mirrored: physical layout is a
+        per-table choice (a replica may cluster differently than its
+        source, same as Delta replicas ignoring upstream OPTIMIZE) and
+        correctness never depends on it. Returns the ops applied (for
+        logging / tests); no data is read or written on either
+        table."""
         from_v = source._resolve_version(from_version)
         to_v = source._resolve_version(to_version)
         to_v = source.latest_version() if to_v is None else to_v
