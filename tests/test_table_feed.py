@@ -314,3 +314,28 @@ def test_feed_mirrors_widen_and_nested_evolution(spark, tmp_path):
         r["k"]: (r["v"], r["c"][0]["user"]) for r in rep.read().collect()
     }
     assert got == {1: (10, "u1"), 2: (20, "u2"), 3: (8589934592, "u3")}
+
+
+def test_feed_crash_during_snapshot_batch_replays_snapshot(
+    spark, src, tmp_path
+):
+    """Crash while the INITIAL snapshot batch is in flight: the intent
+    pinned (None, v] under batch 0, so the restart replays the
+    snapshot exactly once — even when new commits landed meanwhile
+    (they arrive as batch 1, not folded into the snapshot)."""
+    ckpt = str(tmp_path / "ckpt")
+    feed = TableChangeFeed(src, ckpt)
+
+    def boom(df, bid, span):
+        raise RuntimeError("sink crashed mid-snapshot")
+
+    with pytest.raises(RuntimeError):
+        feed.process_available(boom)
+    src.merge(_df(spark, [(3, "c", 30)]), ["k"])  # lands while down
+    got = []
+    TableChangeFeed(src, ckpt).process_available(
+        lambda df, bid, span: got.append((bid, span, _rows(df)))
+    )
+    assert [(b, s) for b, s, _ in got] == [(0, (None, 1)), (1, (1, 2))]
+    assert got[0][2] == {(1, "a", 10, "insert"), (2, "b", 20, "insert")}
+    assert got[1][2] == {(3, "c", 30, "insert")}
