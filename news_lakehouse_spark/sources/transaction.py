@@ -771,6 +771,80 @@ def _schema_signature(schema_json: dict) -> list[tuple]:
     ]
 
 
+def _strip_nested_fids(t):
+    """Type JSON with nested-field ``fid`` metadata removed — the parts
+    ``_amend_nested_fids`` adds and nothing else touches."""
+    if _is_struct(t):
+        return {
+            **t,
+            "fields": [
+                {
+                    **f,
+                    "metadata": {
+                        k: v
+                        for k, v in (f.get("metadata") or {}).items()
+                        if k != "fid"
+                    },
+                    "type": _strip_nested_fids(f["type"]),
+                }
+                for f in t["fields"]
+            ],
+        }
+    if _is_array(t):
+        return {**t, "elementType": _strip_nested_fids(t["elementType"])}
+    if _is_map(t):
+        return {
+            **t,
+            "keyType": _strip_nested_fids(t["keyType"]),
+            "valueType": _strip_nested_fids(t["valueType"]),
+        }
+    return t
+
+
+def _same_epoch(a_json: dict, b_json: dict) -> bool:
+    """True when two copies of an epoch schema denote the SAME epoch:
+    identical up to the nested-fid retrofit (``_amend_nested_fids``
+    only ADDS nested fids). Distinguishes a retrofitted copy (safe to
+    substitute for the original) from a REUSED schema id — possible on
+    tables that rolled back before epoch ids became globally unique:
+    the restored manifest forgot post-target epochs and the next
+    evolution re-issued the same ordinal for a different schema
+    (advice r8). Substituting across that reuse would read old files
+    under wrong physical column names."""
+
+    def key(s: dict) -> list[tuple]:
+        return [
+            (
+                f["name"],
+                _field_fid(f),
+                json.dumps(_strip_nested_fids(f["type"]), sort_keys=True),
+            )
+            for f in s["fields"]
+        ]
+
+    return key(a_json) == key(b_json)
+
+
+def _prefer_endpoint_schemas(
+    own_schemas: dict[str, dict], endpoint_schemas: dict[str, dict]
+) -> dict[str, dict]:
+    """A manifest's epoch table with the ENDPOINT's copy substituted
+    per epoch — but only when both copies denote the same epoch
+    (``_same_epoch``): the endpoint's copy carries retrofitted nested
+    fids an older manifest lacks, which is the whole point of the
+    substitution; a post-rollback sid reuse keeps the manifest's own
+    (correct) copy instead."""
+    return {
+        s: (
+            endpoint_schemas[s]
+            if s in endpoint_schemas
+            and _same_epoch(endpoint_schemas[s], sj)
+            else sj
+        )
+        for s, sj in own_schemas.items()
+    }
+
+
 def _with_positional_fids(schema_json: dict) -> dict:
     """Upgrade a legacy schema: field i gets fid i+1 (unchanged from
     the flat-table format, so previously-persisted epoch-0 schemas
@@ -1849,7 +1923,12 @@ class VersionedParquetTable:
             files all predate the fid upgrade, whose epoch-0 schema
             names them all). Shared epoch ids prefer the ENDPOINT's
             copy — it carries retrofitted nested fids
-            (_amend_nested_fids) a pre-nested-fid manifest lacks."""
+            (_amend_nested_fids) a pre-nested-fid manifest lacks — but
+            ONLY when both copies denote the same epoch: a table that
+            rolled back before epoch ids became globally unique may
+            have re-issued an id for a different schema (advice r8),
+            and substituting across that reuse would read the old
+            files under the wrong physical column names."""
             if ctx_b is None:
                 return None
             c = self._sid_ctx(root)
@@ -1861,10 +1940,9 @@ class VersionedParquetTable:
                 }
             return {
                 **c,
-                "schemas": {
-                    s: ctx_b["schemas"].get(s, sj)
-                    for s, sj in c["schemas"].items()
-                },
+                "schemas": _prefer_endpoint_schemas(
+                    c["schemas"], ctx_b["schemas"]
+                ),
             }
 
         def align(df: DataFrame, src_root: dict) -> DataFrame:
@@ -1875,14 +1953,19 @@ class VersionedParquetTable:
             whole table is legacy."""
             if ctx_b is not None:
                 if "schemas" in src_root:
-                    # prefer the ENDPOINT's copy of the source epoch:
-                    # epochs are append-only and shared, and the
-                    # endpoint's copy carries retrofitted nested fids
-                    # (_amend_nested_fids) that a manifest persisted
-                    # before nested-fid support lacks
+                    # prefer the ENDPOINT's copy of the source epoch
+                    # (it carries retrofitted nested fids a manifest
+                    # persisted before nested-fid support lacks) —
+                    # unless the id was reused after a rollback for a
+                    # DIFFERENT schema (advice r8): then the source
+                    # manifest's own copy is the correct one
                     sid = str(src_root["schema_id"])
-                    src_fields = ctx_b["schemas"].get(
-                        sid, src_root["schema"]
+                    own = src_root["schema"]
+                    b_copy = ctx_b["schemas"].get(sid)
+                    src_fields = (
+                        b_copy
+                        if b_copy is not None and _same_epoch(b_copy, own)
+                        else own
                     )["fields"]
                 else:  # pre-upgrade snapshot: epoch 0 names its columns
                     src_fields = [
@@ -2275,7 +2358,12 @@ class VersionedParquetTable:
             sid = p_sid
             new_json = schemas[str(p_sid)]
         else:
-            sid = p_sid + 1
+            # globally unique across ALL known epochs, not parent+1:
+            # a rollback carries forward post-target epochs precisely
+            # so their ids are never re-issued for a different schema
+            # (advice r8 — a changes() span crossing the rollback
+            # would otherwise read old files under wrong names)
+            sid = max(int(k) for k in schemas) + 1
             schemas[str(sid)] = new_json
         p_fs = p_root.get("file_sids") or {}
         prefix = f"{_DATA_DIR}/c{version:012d}-"
@@ -2565,7 +2653,9 @@ class VersionedParquetTable:
             cur = schemas[str(sid)]
             next_fid = counter["next"]
         new_schema, extra = mutate(dict(cur), next_fid, man)
-        new_sid = sid + 1
+        # globally unique epoch id (see _epoch_state): never re-issue
+        # an id a rollback's restored manifest still references
+        new_sid = max(int(k) for k in schemas) + 1
         schemas[str(new_sid)] = new_schema
         # Stats follow the column through the mutation (advice r7): a
         # DROP deletes its per-file bounds and type tag (else a later
@@ -3504,9 +3594,13 @@ class VersionedParquetTable:
                 "properties": {"rollback_of": target},
                 **{
                     **self._carry_epochs(old),
-                    # fids stay monotone across the restore (see
-                    # _epoch_state): forgotten post-target epochs must
-                    # never get their ids reissued
+                    # fids AND epoch ids stay monotone across the
+                    # restore: post-target epochs are carried forward
+                    # (the restored state's schemas win on a conflict,
+                    # possible only on tables that reused ids before
+                    # ids became globally unique), so neither a fid
+                    # nor a schema id is ever re-issued for different
+                    # content (advice r8)
                     **(
                         {
                             "next_fid": max(
@@ -3514,7 +3608,13 @@ class VersionedParquetTable:
                                 self._carry_epochs(cur_root).get(
                                     "next_fid", 0
                                 ),
-                            )
+                            ),
+                            "schemas": {
+                                **self._carry_epochs(cur_root).get(
+                                    "schemas", {}
+                                ),
+                                **self._carry_epochs(old)["schemas"],
+                            },
                         }
                         if "schemas" in old
                         else {}

@@ -2271,3 +2271,80 @@ def test_zorder_clustered_compact_prunes_2d_box(spark, table):
         F.col("x").between(0, 15) & F.col("y").between(0, 15)
     )
     assert got.count() == 256
+
+
+def test_same_epoch_distinguishes_retrofit_from_sid_reuse():
+    """advice r8 (high): the endpoint-copy substitution in changes()
+    must accept a nested-fid retrofit (_amend_nested_fids adds fids
+    and nothing else) but reject a REUSED schema id whose content is
+    a different schema."""
+    from news_lakehouse_spark.sources.transaction import (
+        _prefer_endpoint_schemas,
+        _same_epoch,
+    )
+
+    def schema(nested_fid=None, name="a", fid=1):
+        md = {} if nested_fid is None else {"fid": nested_fid}
+        return {
+            "fields": [
+                {
+                    "name": name,
+                    "type": {
+                        "type": "array",
+                        "elementType": {
+                            "type": "struct",
+                            "fields": [
+                                {
+                                    "name": "s",
+                                    "type": "string",
+                                    "nullable": True,
+                                    "metadata": md,
+                                }
+                            ],
+                        },
+                        "containsNull": True,
+                    },
+                    "nullable": True,
+                    "metadata": {"fid": fid},
+                }
+            ]
+        }
+
+    plain, retro = schema(), schema(nested_fid=7)
+    renamed = schema(nested_fid=7, name="b")
+    refid = schema(nested_fid=7, fid=9)
+    assert _same_epoch(plain, retro)
+    assert not _same_epoch(plain, renamed)
+    assert not _same_epoch(plain, refid)
+    assert _prefer_endpoint_schemas({"1": plain}, {"1": retro})["1"] is retro
+    assert _prefer_endpoint_schemas({"1": plain}, {"1": renamed})["1"] is plain
+
+
+def test_changes_span_crossing_rollback_and_later_evolution(spark, table):
+    """advice r8 (high): rollback used to FORGET post-target epochs, so
+    the next evolution re-issued the same schema id for a different
+    schema, and a changes() span crossing the rollback then read
+    pre-rollback files under wrong physical column names (silent
+    NULLs). Epoch ids are now globally unique: the rollback manifest
+    carries post-target epochs forward and evolution allocates past
+    every known id."""
+    table.merge(_df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"])  # v1
+    table.rename_column("v", "y")                                  # v2 (epoch 1)
+    table.merge(spark.createDataFrame([Row(k=3, d="c", y=30)]), ["k"])  # v3
+    table.rename_column("y", "z")                                  # v4 (epoch 2)
+    table.merge(spark.createDataFrame([Row(k=4, d="d", z=40)]), ["k"])  # v5
+    table.rollback(3)                                              # v6
+    root6 = table._load_root(6)
+    assert "2" in root6["schemas"]  # post-target epoch carried forward
+    table.rename_column("y", "w")                                  # v7
+    assert table._load_root(7)["schema_id"] == 3  # never reuses id 2
+    table.merge(spark.createDataFrame([Row(k=5, d="e", w=50)]), ["k"])  # v8
+    # span crossing the rollback: v5's epoch-2 file shows up ONLY on
+    # the removed side (the rollback dropped it) — it must be read
+    # under its real physical name (z) and fid-map to the endpoint
+    # name (w), not null-fill
+    ch = {
+        (r["_change_type"], r["k"], r["w"])
+        for r in table.changes(5, 8).collect()
+    }
+    assert ch == {("delete", 4, 40), ("insert", 5, 50)}
