@@ -3284,6 +3284,7 @@ def x_nested_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform — transaction.py _fid_map_expr). The aggregate explodes
     the array back to rows, so the oracle checks every nested value."""
     import hashlib
+    import json
     import shutil
     import tempfile
 
@@ -3338,6 +3339,49 @@ def x_nested_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t.read().select(
         "o_orderkey", F.explode("info").alias("c")
     )
+    if not os.environ.get("SPARK_GRAFT_BENCH_LEAN"):
+        # r8 driver red was hash-mismatch with rows/schema green and
+        # could not be reproduced locally; the ONLY data shape that
+        # produces exactly that is a stale pre-merge row surviving for
+        # a %9 key (or the same key double-counted). Adjudicate it
+        # in-query: a violation raises (self-explaining driver `err`)
+        # instead of surfacing as an anonymous hash mismatch, and the
+        # tiny per-run summary lands at a stable /tmp path so even a
+        # transient driver-run divergence leaves evidence (r8 verdict
+        # #1). One extra metadata-sized aggregation at sf0.01; skipped
+        # under bench timing.
+        bad = (
+            e.filter(F.col("o_orderkey") % 9 == 0)
+            .groupBy("o_orderkey")
+            .agg(
+                F.count("*").alias("copies"),
+                F.count(F.when(F.col("c.flag"), 1)).alias("flagged"),
+            )
+            .filter((F.col("copies") != 1) | (F.col("flagged") != 1))
+            .limit(5)
+            .collect()
+        )
+        diag = {
+            "pid": os.getpid(),
+            "sf_dir": sf_dir,
+            "table": base,
+            "stale_or_dup_pct9_keys": [r.asDict() for r in bad],
+            "versions": t.versions(),
+        }
+        try:
+            with open(
+                os.path.join(
+                    tempfile.gettempdir(), "nlh_nested_evo_diag.json"
+                ),
+                "w",
+            ) as fh:
+                json.dump(diag, fh, default=str)
+        except OSError:
+            pass
+        assert not bad, (
+            "x_nested_evolution: %9 keys with stale/duplicated rows "
+            f"after the post-evolution merge: {bad}"
+        )
     return (
         e.groupBy(F.col("c.status").alias("status"))
         .agg(
