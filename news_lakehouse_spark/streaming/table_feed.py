@@ -38,7 +38,15 @@ Retention interplay: the cursor references upstream versions, so the
 upstream's ``vacuum`` retention must cover the subscriber's maximum
 lag — the same contract ``sync_from`` documents for its cursor. A
 vacuumed-past cursor surfaces as ``changes()`` failing on a missing
-manifest; re-seed with a fresh checkpoint (full snapshot) then.
+manifest; re-seed with a fresh checkpoint (full snapshot) then. Batch
+ids restart at 0 on a re-seed, so the sink-side dedup key is
+(feed_id, batch_id): every checkpoint instance mints a uuid at
+creation and ordinals are compared within it only (advice r8).
+
+Delivery modes: ``process_available`` is Trigger.AvailableNow (drain
+to the versions that existed at entry, pinned once, then return);
+``run_continuous`` is the processingTime-trigger analog (poll with
+idle backoff, deliver forever).
 
 Scale posture: everything here is metadata-sized driver work (two tiny
 JSON files per batch) around ``changes()``, whose plan reads only the
@@ -58,6 +66,7 @@ from news_lakehouse_spark.sources.transaction import VersionedParquetTable
 
 _CURSOR = "cursor.json"
 _INTENT = "intent.json"
+_FEED_ID = "feed_id.json"
 
 
 def _atomic_write_json(path: str, payload: dict) -> None:
@@ -102,6 +111,22 @@ class TableChangeFeed:
 
     # --- checkpoint state -------------------------------------------------
 
+    def feed_id(self) -> str:
+        """Stable uuid minted when this CHECKPOINT was created (advice
+        r8): sink-side batch-id dedup must be scoped to a checkpoint
+        instance, because the documented recovery from a vacuumed-past
+        cursor is a re-seed with a FRESH checkpoint — which restarts
+        batch ids at 0. A bare-ordinal compare would then skip the
+        re-seed snapshot and every batch up to the replica's old max
+        id, leaving the replica permanently stale. (feed_id, batch_id)
+        makes each checkpoint's ordinals their own dedup space."""
+        path = os.path.join(self.checkpoint_dir, _FEED_ID)
+        rec = _read_json(path)
+        if rec is None:
+            rec = {"feed_id": uuid.uuid4().hex}
+            _atomic_write_json(path, rec)
+        return rec["feed_id"]
+
     def cursor(self) -> dict | None:
         """Last COMMITTED position: {'version': v, 'batch_id': b}, or
         None before the first delivered batch."""
@@ -139,20 +164,71 @@ class TableChangeFeed:
             )
         return self.table.changes(intent["from"], intent["to"])
 
+    def _span_end(
+        self,
+        cur_v: int,
+        latest: int,
+        max_versions: int | None,
+        max_bytes: int | None,
+    ) -> int:
+        """Last version of the next batch's span. ``max_versions`` is
+        the maxFilesPerTrigger-style count bound; ``max_bytes`` bounds
+        the span's CHURN BYTES (manifest file sizes of per-commit added
+        files, compaction commits excluded — they contribute nothing to
+        the feed), which is the bound that actually matters when commit
+        sizes vary 1000× (r8 verdict #6). A single over-sized commit is
+        still delivered alone — commits are the atomicity unit — while
+        consecutive tiny commits coalesce up to the budget."""
+        to_v = (
+            latest
+            if max_versions is None
+            else min(latest, cur_v + max_versions)
+        )
+        if max_bytes is None or to_v <= cur_v:
+            return to_v
+        try:
+            t = self.table
+            prev = set(t._manifest_files_stats(t._load_root(cur_v))[0])
+            end, total = cur_v, 0
+            for v in range(cur_v + 1, to_v + 1):
+                root = t._load_root(v)
+                files = set(t._manifest_files_stats(root)[0])
+                if root["operation"] != "compact":
+                    added = sorted(files - prev)
+                    sz = (
+                        sum(t._file_sizes(added).values()) if added else 0
+                    )
+                    if end > cur_v and total + sz > max_bytes:
+                        break
+                    total += sz
+                end = v
+                prev = files
+            return max(end, cur_v + 1)
+        except FileNotFoundError:
+            # an intermediate manifest was vacuumed: byte-sizing the
+            # walk is impossible; fall back to the count bound
+            return to_v
+
     def process_available(
         self,
         handler,
         max_versions_per_batch: int | None = None,
+        max_bytes_per_batch: int | None = None,
     ) -> list[dict]:
         """Drain every committed-but-undelivered span through
         ``handler(delta_df, batch_id, (from_v, to_v))`` —
-        Trigger.AvailableNow semantics: returns when the subscriber has
-        caught up to the versions that existed when each span was
-        planned. Returns the list of delivered intents (useful for
-        tests and metrics; empty when already caught up).
+        Trigger.AvailableNow semantics: ``latest_version()`` is pinned
+        ONCE at entry, so the call terminates at the versions that
+        existed when draining began even while a concurrent writer
+        keeps committing (advice r8 — re-reading latest per batch kept
+        the drain from ever returning under continuous commits; the
+        continuous mode is ``run_continuous``). Returns the list of
+        delivered intents (empty when already caught up).
 
-        ``max_versions_per_batch`` bounds per-batch churn (one commit
-        per batch at 1) — the maxFilesPerTrigger analog.
+        ``max_versions_per_batch`` bounds per-batch churn by commit
+        count (one commit per batch at 1) — the maxFilesPerTrigger
+        analog; ``max_bytes_per_batch`` bounds it by churn bytes (see
+        ``_span_end``).
         """
         delivered: list[dict] = []
         replay = self._pending_intent()
@@ -179,12 +255,12 @@ class TableChangeFeed:
                 start = int(self.initial)
                 self._commit(start, -1)
                 cur = self.cursor()
-            latest = self.table.latest_version()
         while cur["version"] < latest:
-            to_v = (
-                latest
-                if max_versions_per_batch is None
-                else min(latest, cur["version"] + max_versions_per_batch)
+            to_v = self._span_end(
+                cur["version"],
+                latest,
+                max_versions_per_batch,
+                max_bytes_per_batch,
             )
             intent = {
                 "batch_id": cur["batch_id"] + 1,
@@ -195,8 +271,54 @@ class TableChangeFeed:
             self._deliver(intent, handler)
             delivered.append(intent)
             cur = self.cursor()
-            latest = self.table.latest_version()
         return delivered
+
+    def run_continuous(
+        self,
+        handler,
+        poll_interval: float = 1.0,
+        *,
+        max_versions_per_batch: int | None = None,
+        max_bytes_per_batch: int | None = None,
+        should_stop=None,
+        idle_stop_after: int | None = None,
+        max_backoff: float | None = None,
+    ) -> list[dict]:
+        """Continuous (processingTime-trigger style) subscription loop
+        (r8 verdict #6): drain with ``process_available``, sleep
+        ``poll_interval`` when idle with exponential backoff (capped at
+        ``max_backoff``, default 8× the interval), repeat. A drain that
+        delivered something re-polls immediately — a hot upstream is
+        followed at full speed; an idle one costs a couple of manifest
+        ``os.stat`` calls per poll. Stops when ``should_stop()`` returns
+        true (checked between drains) or after ``idle_stop_after``
+        consecutive empty drains; otherwise runs forever. All work is
+        metadata-sized driver polling around the O(churn) feed — no
+        Spark job runs while idle."""
+        import time as _t
+
+        delivered: list[dict] = []
+        idle = 0
+        backoff = poll_interval
+        cap = max_backoff if max_backoff is not None else poll_interval * 8
+        while True:
+            if should_stop is not None and should_stop():
+                return delivered
+            got = self.process_available(
+                handler,
+                max_versions_per_batch=max_versions_per_batch,
+                max_bytes_per_batch=max_bytes_per_batch,
+            )
+            delivered.extend(got)
+            if got:
+                idle = 0
+                backoff = poll_interval
+                continue  # caught up? re-check immediately
+            idle += 1
+            if idle_stop_after is not None and idle >= idle_stop_after:
+                return delivered
+            _t.sleep(backoff)
+            backoff = min(backoff * 2, cap)
 
     def _deliver(self, intent: dict, handler) -> None:
         handler(
@@ -235,17 +357,31 @@ def _span_renames(
     }
 
 
-def _last_feed_batch(replica: VersionedParquetTable) -> int | None:
+def _last_feed_batch(
+    replica: VersionedParquetTable, feed_id: str | None = None
+) -> int | None:
     """Newest recorded feed batch id in the replica's retained commit
     properties — the sink-side dedup key for redelivered batches. Same
     newest-first O(retained-versions) scan and retention contract as
-    sync_from's cursor."""
+    sync_from's cursor. With ``feed_id``, only batches recorded by THAT
+    checkpoint instance count (advice r8): a re-seeded feed (fresh
+    checkpoint after a vacuumed-past cursor) restarts batch ids at 0,
+    and its snapshot must not be skipped because an OLD feed once
+    recorded a higher ordinal. Records written before feed-id scoping
+    existed carry no id and match any feed — a pre-upgrade replica
+    keeps deduping its in-flight feed; re-seeding such a replica means
+    starting it fresh (documented limitation)."""
     if not replica.exists():
         return None
     for v in reversed(replica.versions()):
-        b = (replica.snapshot_properties(v) or {}).get("feed_batch_id")
-        if b is not None:
-            return int(b)
+        props = replica.snapshot_properties(v) or {}
+        b = props.get("feed_batch_id")
+        if b is None:
+            continue
+        rec_fid = props.get("feed_id")
+        if feed_id is not None and rec_fid is not None and rec_fid != feed_id:
+            continue  # another checkpoint instance's ordinal space
+        return int(b)
     return None
 
 
@@ -256,27 +392,43 @@ def feed_into_replica(
     checkpoint_dir: str,
     order_by=None,
     max_versions_per_batch: int | None = None,
+    max_bytes_per_batch: int | None = None,
+    continuous: bool = False,
+    poll_interval: float = 0.2,
+    should_stop=None,
+    idle_stop_after: int | None = None,
 ) -> list[dict]:
     """The silver→gold subscriber: drain ``source``'s change feed into
     ``replica`` with exactly-once effect. The initial snapshot batch
     full-writes the replica (copying the source's partition spec);
     every later batch is an O(churn) ``apply_changes``. Each applying
-    commit records the feed batch id in its properties, so a
+    commit records (feed_id, batch_id) in its properties, so a
     redelivered batch (crash between handler and cursor commit) is
     detected and SKIPPED — idempotence by dedup, not just by replay-
-    safety. A span crossing source-side SCHEMA EVOLUTION first replays
+    safety — while a RE-SEEDED feed (fresh checkpoint, fresh feed_id,
+    batch ids restarting at 0) is applied, not mistaken for a replay
+    (advice r8). The newest applied id is resolved from the replica
+    ONCE per call and tracked in memory thereafter (r8 verdict #7 — a
+    long drain no longer pays O(batches × retained-versions) driver
+    scans). A span crossing source-side SCHEMA EVOLUTION first replays
     the same (metadata-only, idempotent) evolution on the replica —
     ``mirror_evolution_from`` — so the feed's endpoint-schema rows
     apply cleanly and renamed key columns keep working (``keys`` may
-    name them by either the old or the new name). Returns the
-    delivered intents."""
+    name them by either the old or the new name). With ``continuous``
+    the drain loops (``run_continuous``) until ``should_stop`` /
+    ``idle_stop_after``. Returns the delivered intents."""
     feed = TableChangeFeed(source, checkpoint_dir)
+    fid = feed.feed_id()
+    state = {"last": _last_feed_batch(replica, fid)}
 
     def handler(df: DataFrame, batch_id: int, span) -> None:
-        last = _last_feed_batch(replica)
-        if last is not None and last >= batch_id:
+        if state["last"] is not None and state["last"] >= batch_id:
             return  # already applied; crashed before cursor commit
-        props = {"feed_batch_id": batch_id, "feed_to_version": span[1]}
+        props = {
+            "feed_batch_id": batch_id,
+            "feed_id": fid,
+            "feed_to_version": span[1],
+        }
         if span[0] is None:  # initial snapshot
             root = source._load_root(span[1])
             replica.write(
@@ -292,7 +444,19 @@ def feed_into_replica(
             replica.apply_changes(
                 df, batch_keys, order_by=order_by, properties=props
             )
+        state["last"] = batch_id
 
+    if continuous:
+        return feed.run_continuous(
+            handler,
+            poll_interval,
+            max_versions_per_batch=max_versions_per_batch,
+            max_bytes_per_batch=max_bytes_per_batch,
+            should_stop=should_stop,
+            idle_stop_after=idle_stop_after,
+        )
     return feed.process_available(
-        handler, max_versions_per_batch=max_versions_per_batch
+        handler,
+        max_versions_per_batch=max_versions_per_batch,
+        max_bytes_per_batch=max_bytes_per_batch,
     )

@@ -339,3 +339,155 @@ def test_feed_crash_during_snapshot_batch_replays_snapshot(
     assert [(b, s) for b, s, _ in got] == [(0, (None, 1)), (1, (1, 2))]
     assert got[0][2] == {(1, "a", 10, "insert"), (2, "b", 20, "insert")}
     assert got[1][2] == {(3, "c", 30, "insert")}
+
+
+def test_process_available_pins_latest_at_entry(spark, src, tmp_path):
+    """advice r8 (low): Trigger.AvailableNow must terminate at the
+    versions that existed when draining began — a handler (or any
+    concurrent writer) committing to the source mid-drain must not
+    keep the drain alive forever."""
+    feed = TableChangeFeed(src, str(tmp_path / "ckpt"), initial=1)
+    src.merge(_df(spark, [(3, "c", 30)]), ["k"])  # v2
+    src.merge(_df(spark, [(4, "d", 40)]), ["k"])  # v3
+    n = [0]
+
+    def handler(df, bid, span):
+        n[0] += 1
+        src.merge(_df(spark, [(100 + n[0], "z", 1)]), ["k"])
+
+    got = feed.process_available(handler, max_versions_per_batch=1)
+    assert [i["to"] for i in got] == [2, 3]  # pinned; new commits wait
+
+
+def test_feed_reseed_fresh_checkpoint_not_mistaken_for_replay(
+    spark, tmp_path
+):
+    """advice r8 (medium): sink dedup is scoped by (feed_id, batch_id).
+    A re-seeded feed (fresh checkpoint, batch ids restarting at 0)
+    must APPLY its snapshot and later batches even though the replica
+    once recorded higher ordinals under the old checkpoint's feed."""
+    src = VersionedParquetTable(spark, str(tmp_path / "src"))
+    rep = VersionedParquetTable(spark, str(tmp_path / "rep"))
+    src.merge(_df(spark, [(1, "a", 10)]), ["k"])
+    feed_into_replica(src, rep, ["k"], str(tmp_path / "ck1"))
+    src.merge(_df(spark, [(2, "b", 20)]), ["k"])
+    src.merge(_df(spark, [(3, "c", 30)]), ["k"])
+    feed_into_replica(
+        src, rep, ["k"], str(tmp_path / "ck1"), max_versions_per_batch=1
+    )  # replica's newest recorded ordinal is now batch 2
+    # upstream vacuums past the cursor → documented recovery: re-seed
+    # with a FRESH checkpoint; ids restart at 0
+    src.merge(_df(spark, [(4, "d", 40)]), ["k"])
+    feed_into_replica(src, rep, ["k"], str(tmp_path / "ck2"))
+    assert _rows(rep.read()) == _rows(src.read())  # snapshot applied
+    src.merge(_df(spark, [(5, "e", 50)]), ["k"])
+    feed_into_replica(src, rep, ["k"], str(tmp_path / "ck2"))
+    assert _rows(rep.read()) == _rows(src.read())  # deltas keep flowing
+
+
+def test_last_feed_batch_resolved_once_per_drain(
+    spark, tmp_path, monkeypatch
+):
+    """r8 verdict #7: the replica-properties scan runs ONCE per
+    feed_into_replica call, not once per batch — a long drain must not
+    pay O(batches × retained-versions) driver reads."""
+    import news_lakehouse_spark.streaming.table_feed as tf
+
+    src = VersionedParquetTable(spark, str(tmp_path / "src"))
+    rep = VersionedParquetTable(spark, str(tmp_path / "rep"))
+    src.merge(_df(spark, [(1, "a", 10)]), ["k"])
+    tf.feed_into_replica(src, rep, ["k"], str(tmp_path / "ck"))  # snapshot
+    for k in (2, 3, 4):
+        src.merge(_df(spark, [(k, "x", k * 10)]), ["k"])
+    calls = [0]
+    real = tf._last_feed_batch
+
+    def counted(replica, feed_id=None):
+        calls[0] += 1
+        return real(replica, feed_id)
+
+    monkeypatch.setattr(tf, "_last_feed_batch", counted)
+    got = tf.feed_into_replica(
+        src, rep, ["k"], str(tmp_path / "ck"), max_versions_per_batch=1
+    )
+    assert len(got) == 3  # three single-commit batches
+    assert calls[0] == 1
+    assert _rows(rep.read()) == _rows(src.read())
+
+
+def test_feed_bytes_bound_isolates_big_commit_and_coalesces_tiny(
+    spark, tmp_path
+):
+    """r8 verdict #6: max_bytes_per_batch bounds a batch by CHURN
+    BYTES — a single over-budget commit is delivered alone (commits
+    are the atomicity unit) while consecutive tiny commits coalesce
+    up to the budget. Partitioned source so each commit's churn is
+    its own partition's files."""
+    import hashlib as _hl
+
+    def pdf(rows):
+        return spark.createDataFrame(
+            [Row(k=k, d=d, p=p) for k, d, p in rows]
+        )
+
+    src = VersionedParquetTable(spark, str(tmp_path / "psrc"))
+    src.merge(pdf([(1, "seed", "x")]), ["k"], partition_by=["d"])  # v1
+    big = pdf(
+        [
+            (1000 + i, "big", _hl.sha256(str(i).encode()).hexdigest() * 8)
+            for i in range(5000)
+        ]
+    )
+    src.merge(big, ["k"])  # v2: one big commit
+    for k in (3, 4, 5, 6):
+        src.merge(pdf([(k, f"t{k}", "y")]), ["k"])  # v3..v6 tiny
+
+    def added_bytes(v):
+        prev = set(src._manifest_files_stats(src._load_root(v - 1))[0])
+        cur = set(src._manifest_files_stats(src._load_root(v))[0])
+        return sum(src._file_sizes(sorted(cur - prev)).values())
+
+    tiny_total = sum(added_bytes(v) for v in (3, 4, 5, 6))
+    assert added_bytes(2) > tiny_total  # fixture sanity
+    feed = TableChangeFeed(src, str(tmp_path / "ckpt"), initial=1)
+    spans = []
+    feed.process_available(
+        lambda df, bid, span: spans.append(span),
+        max_bytes_per_batch=tiny_total,
+    )
+    assert spans == [(1, 2), (2, 6)]
+
+
+def test_run_continuous_converges_with_concurrent_writer(
+    spark, tmp_path
+):
+    """r8 verdict #6: the processingTime-style runner follows a source
+    under live concurrent commits to convergence, exactly once."""
+    import threading
+
+    src = VersionedParquetTable(spark, str(tmp_path / "src"))
+    rep = VersionedParquetTable(spark, str(tmp_path / "rep"))
+    src.merge(_df(spark, [(0, "seed", 0)]), ["k"])
+
+    def writer():
+        for k in range(1, 6):
+            src.merge(_df(spark, [(k, "w", k * 10)]), ["k"])
+
+    th = threading.Thread(target=writer)
+    th.start()
+    got = feed_into_replica(
+        src,
+        rep,
+        ["k"],
+        str(tmp_path / "ck"),
+        continuous=True,
+        poll_interval=0.05,
+        idle_stop_after=20,
+    )
+    th.join()
+    # one final catch-up drain in case the runner went idle before the
+    # writer's last commit landed
+    got += feed_into_replica(src, rep, ["k"], str(tmp_path / "ck"))
+    assert _rows(rep.read()) == _rows(src.read())
+    bids = [i["batch_id"] for i in got]
+    assert bids == sorted(set(bids))  # no duplicate deliveries
