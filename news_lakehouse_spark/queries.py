@@ -3561,10 +3561,14 @@ def x_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         10,
     )
-    return (
-        t.changes(1, 2)
-        .groupBy("_change_type")
-        .agg(F.count("*").alias("cnt"), F.sum(rowhash).alias("hash_sum"))
+    # operator-only span (r8 verdict #3): isolates the DRIVER-side
+    # changes() plan construction (the commit-chain walk + epoch
+    # grouping the r8 rewrite added) from the two-merge setup; the
+    # scan itself is evaluated by the caller's collect as usual
+    with _op_phase("x_table_changes", "changes_plan_build"):
+        ch = t.changes(1, 2)
+    return ch.groupBy("_change_type").agg(
+        F.count("*").alias("cnt"), F.sum(rowhash).alias("hash_sum")
     )
 
 

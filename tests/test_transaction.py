@@ -2348,3 +2348,117 @@ def test_changes_span_crossing_rollback_and_later_evolution(spark, table):
         for r in table.changes(5, 8).collect()
     }
     assert ch == {("delete", 4, 40), ("insert", 5, 50)}
+
+
+def test_mirror_chained_renames_apply_in_topo_order(spark, tmp_path):
+    """advice r8 (medium): fid1 x→y where fid2 was y→z in the same
+    span — the mirror must rename y away before x takes it (depth
+    ordering alone raised 'column already exists')."""
+    src = VersionedParquetTable(spark, str(tmp_path / "src"))
+    rep = VersionedParquetTable(spark, str(tmp_path / "rep"))
+    df = spark.createDataFrame([Row(k=1, x=10, y=20)])
+    src.write(df)
+    rep.write(df)
+    src.rename_column("y", "z")
+    src.rename_column("x", "y")
+    rep.mirror_evolution_from(src, 1)
+    assert rep.read().columns == src.read().columns == ["k", "y", "z"]
+    assert _rows(rep.read()) == _rows(src.read()) == {(1, 10, 20)}
+
+
+def test_mirror_swap_breaks_cycle_and_replay_is_noop(spark, tmp_path):
+    """advice r8 (medium): an x↔y swap within one span is a pure
+    rename cycle — the mirror hops through a temp name. And a
+    REPLAYED swap span (redelivered exactly-once batch) must be a
+    no-op, which name-based preconditions cannot decide (the replica
+    looks exactly like the pre-swap state): the (mirror_span,
+    mirror_seq) commit properties adjudicate it."""
+    src = VersionedParquetTable(spark, str(tmp_path / "src"))
+    rep = VersionedParquetTable(spark, str(tmp_path / "rep"))
+    df = spark.createDataFrame([Row(k=1, x=10, y=20)])
+    src.write(df)
+    rep.write(df)
+    src.rename_column("x", "t0")
+    src.rename_column("y", "x")
+    src.rename_column("t0", "y")  # net: x↔y swapped
+    ops = rep.mirror_evolution_from(src, 1)
+    assert len(ops) == 3  # temp hop + two renames
+    assert rep.read().columns == src.read().columns == ["k", "y", "x"]
+    assert _rows(rep.read()) == _rows(src.read())
+    # replayed span: resumes past its own committed ops, changes nothing
+    assert rep.mirror_evolution_from(src, 1) == []
+    assert rep.read().columns == ["k", "y", "x"]
+    assert _rows(rep.read()) == _rows(src.read())
+
+
+def test_mirror_drop_frees_name_for_rename_and_add(spark, tmp_path):
+    """advice r8 (medium): a span that drops y and renames x→y (or
+    re-adds y with a new fid) must vacate the name first."""
+    src = VersionedParquetTable(spark, str(tmp_path / "src"))
+    rep = VersionedParquetTable(spark, str(tmp_path / "rep"))
+    df = spark.createDataFrame([Row(k=1, x=10, y=20)])
+    src.write(df)
+    rep.write(df)
+    src.drop_column("y")
+    src.rename_column("x", "y")
+    ops = rep.mirror_evolution_from(src, 1)
+    assert [o[0] for o in ops] == ["drop", "rename"]
+    assert rep.read().columns == ["k", "y"]
+    assert _rows(rep.read()) == {(1, 10)}
+    # and a drop + same-name re-add: drop precedes add
+    src2 = VersionedParquetTable(spark, str(tmp_path / "src2"))
+    rep2 = VersionedParquetTable(spark, str(tmp_path / "rep2"))
+    src2.write(df)
+    rep2.write(df)
+    src2.drop_column("y")
+    src2.add_column("y", "string")
+    ops2 = rep2.mirror_evolution_from(src2, 1)
+    assert [o[0] for o in ops2] == ["drop", "add"]
+    assert dict(rep2.read().dtypes)["y"] == "string"
+    assert _rows(rep2.read()) == {(1, 10, None)}
+
+
+def test_mirror_nested_chained_renames(spark, tmp_path):
+    """Chained renames INSIDE a struct follow the same topo order."""
+    src = VersionedParquetTable(spark, str(tmp_path / "src"))
+    rep = VersionedParquetTable(spark, str(tmp_path / "rep"))
+    df = spark.createDataFrame([Row(k=1, s=Row(a=1, b=2))])
+    src.write(df)
+    rep.write(df)
+    src.rename_column("s.b", "c")
+    src.rename_column("s.a", "b")
+    rep.mirror_evolution_from(src, 1)
+    assert rep.read().schema["s"].dataType.fieldNames() == ["b", "c"]
+    assert _rows(rep.read().select("k", "s.b", "s.c")) == {(1, 1, 2)}
+
+
+def test_edit_beneath_map_key_refused_terminal_widen_ok():
+    """advice r8 (low): fids aren't tracked inside map KEY types, so a
+    structural edit beneath 'key' can't map by id on old files —
+    refused loudly; widening the key primitive itself still works."""
+    from news_lakehouse_spark.sources.transaction import _edit_type_path
+
+    m = {
+        "type": "map",
+        "keyType": {
+            "type": "struct",
+            "fields": [
+                {"name": "a", "type": "int", "nullable": True,
+                 "metadata": {}}
+            ],
+        },
+        "valueType": "int",
+        "valueContainsNull": True,
+    }
+    with pytest.raises(ValueError, match="map KEY"):
+        _edit_type_path(
+            m, ["key", "a"], lambda fs, leaf: fs, lambda t: t
+        )
+    m2 = {
+        "type": "map",
+        "keyType": "int",
+        "valueType": "int",
+        "valueContainsNull": True,
+    }
+    out = _edit_type_path(m2, ["key"], None, lambda t: "bigint")
+    assert out["keyType"] == "bigint"
