@@ -45,6 +45,78 @@ def morton_key(cols: list[Column | str], bits: int = 16) -> Column:
     return z
 
 
+def column_bounds(
+    df: DataFrame, cols: list[Column | str]
+) -> list[tuple[int, int]]:
+    """(min, max) per dimension as driver-side scalars — ONE
+    column-pruned aggregate scan (or free from a versioned table's
+    manifest stats, which carry the same per-column bounds). Input to
+    ``scaled_morton_key``. All-null / empty dimensions come back as
+    (0, 0)."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    aggs = []
+    for i, c in enumerate(cs):
+        aggs += [
+            F.min(c.cast("long")).alias(f"mn{i}"),
+            F.max(c.cast("long")).alias(f"mx{i}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    return [
+        (
+            int(row[2 * i]) if row[2 * i] is not None else 0,
+            int(row[2 * i + 1]) if row[2 * i + 1] is not None else 0,
+        )
+        for i in range(len(cs))
+    ]
+
+
+def scaled_morton_key(
+    cols: list[Column | str],
+    bounds: list[tuple[int, int]],
+    bits: int | None = None,
+) -> Column:
+    """Morton key with each dimension SCALED into its bit budget first
+    (r8 verdict #2): ``morton_key`` masks raw values to the low `bits`
+    bits, so on a dimension whose real range exceeds 2^bits (a 150k+
+    custkey at sf1, any real 100 TB key space) each file holds every
+    2^bits-REPLICA of its masked range — its real-value bounds go
+    domain-wide, so any range predicate wider than 2^bits (or
+    straddling a multiple of it) prunes NOTHING, and file locality in
+    real key space is destroyed (narrow congruence-aligned boxes still
+    prune, which is why the loss is silent at small SF). Here each
+    value is min-max bucketed into [0, 2^bits): bucket = (v - min) //
+    width with width = ceil(range / 2^bits), clamped — monotone per
+    dimension, so per-file min/max bounds on the RAW columns prune
+    EVERY box width. ``bits`` defaults to the full budget,
+    63 // n_cols.
+
+    Scale notes: bounds are two scalars per dimension (one tiny agg or
+    manifest stats — ``column_bounds``); the key itself stays pure
+    whole-stage-codegen bit arithmetic. Out-of-bounds values (rows
+    appended AFTER the bounds were sampled) clamp into the edge bucket
+    — clustering quality degrades gracefully, correctness never
+    depends on it."""
+    n = len(cols)
+    if n == 0:
+        raise ValueError("scaled_morton_key needs at least one column")
+    if len(bounds) != n:
+        raise ValueError("one (min, max) bound per column required")
+    if bits is None:
+        bits = 63 // n
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    scaled = []
+    for c, (mn, mx) in zip(cs, bounds):
+        rng = int(mx) - int(mn) + 1
+        width = max((rng + (1 << bits) - 1) >> bits, 1)
+        s = F.floor((c.cast("long") - F.lit(int(mn))) / F.lit(width)).cast(
+            "long"
+        )
+        scaled.append(
+            F.least(F.greatest(s, F.lit(0)), F.lit((1 << bits) - 1))
+        )
+    return morton_key(scaled, bits)
+
+
 def zorder_repartition(
     df: DataFrame,
     cols: list[Column | str],

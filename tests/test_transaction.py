@@ -2462,3 +2462,61 @@ def test_edit_beneath_map_key_refused_terminal_widen_ok():
     }
     out = _edit_type_path(m2, ["key"], None, lambda t: "bigint")
     assert out["keyType"] == "bigint"
+
+
+def test_scaled_zorder_prunes_past_16bit_cardinality(spark, tmp_path):
+    """r8 verdict #2: raw morton_key(bits=N) clusters by each value's
+    low N bits only, so on a dimension whose domain exceeds 2^N (sf1+
+    custkey, any real 100 TB key space) every file's REAL-value bounds
+    span all the 2^N-replicas it contains — any range predicate wider
+    than 2^N (or straddling a multiple of it) prunes NOTHING, and file
+    locality in real key space is gone. scaled_morton_key min-max-
+    buckets each dimension into the bit budget first, so pruning holds
+    for every box width. Demonstrated with bits=8 on a 2^18 domain
+    (the sf1-custkey shape) and a wide-but-selective box."""
+    from news_lakehouse_spark.operators.layout import (
+        column_bounds,
+        morton_key,
+        scaled_morton_key,
+    )
+
+    n, dom, bits = 60_000, 1 << 18, 8
+    base = (
+        spark.range(n)
+        .select(
+            (F.col("id") * 37 % dom).alias("x"),
+            # independent of x (a correlated dim would let bounds
+            # prune by accident and mask the comparison)
+            (F.abs(F.xxhash64(F.col("id"))) % dom).alias("y"),
+        )
+    )
+    # wide box: selective (1/16 of the area) but wider than 2^bits in
+    # each dimension, so low-bit congruence classes cannot express it
+    hi = dom // 4 - 1
+    pred = [("x", "between", (0, hi)), ("y", "between", (0, hi))]
+
+    def build(name, key_col):
+        t = VersionedParquetTable(spark, str(tmp_path / name))
+        t.write(base.withColumn("zkey", key_col))
+        man = t._load_manifest(t.latest_version())
+        total = sum(t._file_sizes(man["files"]).values())
+        t.compact(target_file_bytes=max(total // 16, 1), cluster_by=["zkey"])
+        return t, len(t.files_for()), len(t.files_for(predicate=pred))
+
+    bounds = column_bounds(base, ["x", "y"])
+    _t1, n_all, n_box = build(
+        "scaled", scaled_morton_key(["x", "y"], bounds, bits=bits)
+    )
+    assert n_box < n_all, (n_box, n_all)  # pruning holds past 2^bits
+    # and the box is genuinely selective, not one-file-less
+    assert n_box <= n_all // 2, (n_box, n_all)
+    # raw masking: the wide box wraps in masked space → zero pruning
+    _t2, r_all, r_box = build("raw", morton_key(["x", "y"], bits=bits))
+    assert r_box == r_all, (r_box, r_all)
+    # correctness is identical either way (residual filter)
+    got = _t1.read(predicate=pred).filter(
+        F.col("x").between(0, hi) & F.col("y").between(0, hi)
+    )
+    assert got.count() == base.filter(
+        F.col("x").between(0, hi) & F.col("y").between(0, hi)
+    ).count()
