@@ -120,6 +120,10 @@ EXTENDED = [
     "x_nested_evolution",
     "x_zorder_pruned_read",
     "t_feed_schema_drift",
+    # round-9 additions (continuous byte-bounded feed + changes()
+    # across rollback-then-evolution):
+    "t_feed_continuous",
+    "x_rollback_evolution",
 ]
 
 

@@ -2796,6 +2796,194 @@ FROM live GROUP BY o_orderstatus
 """
 
 
+def t_feed_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous (processingTime-style) table-feed subscription with
+    a CHURN-BYTES batch bound (streaming/table_feed.py run_continuous
+    + max_bytes_per_batch — r9, closing r8 verdict #6): the reference's
+    silver→gold hop is a daily full re-read (gcs_silver_to_gold.py:
+    347-352); this is the near-real-time subscriber it lacks. After
+    the snapshot drain, two more source commits land; the continuous
+    runner must deliver them as SEPARATE byte-bounded batches
+    (max_bytes_per_batch=1 makes every commit over-budget, so commits
+    — the atomicity unit — ship alone; asserted in-plan) and converge
+    the replica exactly-once. The aggregate is over the REPLICA."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from news_lakehouse_spark.sources.transaction import (
+        VersionedParquetTable,
+    )
+    from news_lakehouse_spark.streaming.table_feed import feed_into_replica
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"nlh_feedcont_{os.getpid()}_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = VersionedParquetTable(spark, os.path.join(base, "src"))
+    rep = VersionedParquetTable(spark, os.path.join(base, "rep"))
+    ckpt = os.path.join(base, "ckpt")
+    src.merge(orders.filter(F.col("o_orderkey") % 4 == 0), ["o_orderkey"])
+    feed_into_replica(src, rep, ["o_orderkey"], ckpt)  # snapshot batch
+    src.merge(
+        orders.filter(F.col("o_orderkey") % 8 == 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        ),
+        ["o_orderkey"],
+    )
+    src.merge(
+        orders.filter(F.col("o_orderkey") % 20 == 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") * 3).alias("o_totalprice"),
+        ),
+        ["o_orderkey"],
+    )
+    with _op_phase("t_feed_continuous", "continuous_drain"):
+        got = feed_into_replica(
+            src,
+            rep,
+            ["o_orderkey"],
+            ckpt,
+            continuous=True,
+            poll_interval=0.05,
+            idle_stop_after=2,
+            max_bytes_per_batch=1,
+        )
+    if not os.environ.get("SPARK_GRAFT_BENCH_LEAN"):
+        # byte bound: each commit over-budget → one commit per batch
+        assert [(i["from"], i["to"]) for i in got] == [(1, 2), (2, 3)], got
+        assert rep.read().exceptAll(src.read()).isEmpty()
+    rowhash = sha2_prefix_long(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey"),
+            F.round(F.col("o_totalprice") * 100).cast("long"),
+        ),
+        10,
+    )
+    return (
+        rep.read()
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"), F.sum(rowhash).alias("hash_sum"))
+    )
+
+
+_FEED_CONTINUOUS_SQL = """
+WITH live AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice * 3
+              WHEN o_orderkey % 8 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 4 = 0
+)
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       CAST(SUM(CAST(concat('0x', substr(sha256(concat_ws('|',
+              o_orderkey, CAST(ROUND(price * 100) AS BIGINT))), 1, 10))
+            AS BIGINT)) AS BIGINT) AS hash_sum
+FROM live GROUP BY o_orderstatus
+"""
+
+
+def x_rollback_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """changes() span crossing a ROLLBACK plus a post-restore schema
+    evolution (r9, closing advice r8 high): a rollback used to forget
+    post-target schema epochs, the next rename re-issued the same
+    epoch id for a DIFFERENT schema, and a changes() span crossing the
+    restore then read pre-rollback files under the wrong physical
+    column names — silent NULLs in the feed. Epoch ids are now
+    globally unique (transaction.py rollback carries post-target
+    epochs; _evolve_commit_once/_epoch_state allocate past every known
+    id) and the endpoint-copy substitution verifies same-epoch
+    identity. v1 = %3 keys (val = exact cents); v2 rename val→y;
+    v3 = %5 merge (2×); v4 rename y→z; v5 = %7 merge (3×);
+    v6 = rollback(3); v7 rename y→w; v8 = %11 merge (5×).
+    changes(5, 8) is the per-key state5→state8 delta — every value
+    non-null (asserted in-plan: NULLs are exactly the bug's
+    signature), summed exactly as bigint cents."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from news_lakehouse_spark.sources.transaction import (
+        VersionedParquetTable,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"nlh_rbevo_{os.getpid()}_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = VersionedParquetTable(spark, base)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def keys(*mods):
+        cond = F.lit(True)
+        for m in mods:
+            cond = cond & (F.col("o_orderkey") % m == 0)
+        return orders.filter(cond)
+
+    t.merge(
+        keys(3).select("o_orderkey", cents.alias("val")), ["o_orderkey"]
+    )  # v1
+    with _op_phase("x_rollback_evolution", "evolve_rollback_commits"):
+        t.rename_column("val", "y")  # v2
+        t.merge(
+            keys(3, 5).select("o_orderkey", (cents * 2).alias("y")),
+            ["o_orderkey"],
+        )  # v3
+        t.rename_column("y", "z")  # v4
+        t.merge(
+            keys(3, 7).select("o_orderkey", (cents * 3).alias("z")),
+            ["o_orderkey"],
+        )  # v5
+        t.rollback(3)  # v6: forgets nothing — epoch z is carried
+        t.rename_column("y", "w")  # v7: must NOT reuse epoch z's id
+        t.merge(
+            keys(3, 11).select("o_orderkey", (cents * 5).alias("w")),
+            ["o_orderkey"],
+        )  # v8
+    ch = t.changes(5, 8)
+    if not os.environ.get("SPARK_GRAFT_BENCH_LEAN"):
+        # the sid-reuse bug reads v5's epoch-z files under the wrong
+        # physical name → NULL w on the delete side; adjudicate in-plan
+        assert ch.filter(F.col("w").isNull()).isEmpty()
+    return ch.groupBy("_change_type").agg(
+        F.count("*").alias("cnt"), F.sum("w").alias("val_sum")
+    )
+
+
+_ROLLBACK_EVOLUTION_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 3 = 0
+), st AS (
+  SELECT k, cents,
+         cents * (CASE WHEN k % 7 = 0 THEN 3
+                       WHEN k % 5 = 0 THEN 2 ELSE 1 END) AS s5,
+         cents * (CASE WHEN k % 11 = 0 THEN 5
+                       WHEN k % 5 = 0 THEN 2 ELSE 1 END) AS s8
+  FROM base
+), delta AS (
+  SELECT 'delete' AS _change_type, s5 AS w FROM st WHERE s5 <> s8
+  UNION ALL
+  SELECT 'insert' AS _change_type, s8 AS w FROM st WHERE s5 <> s8
+)
+SELECT _change_type, COUNT(*) AS cnt, SUM(w) AS val_sum
+FROM delta GROUP BY _change_type
+"""
+
+
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → two joins → agg → top-10.
 
@@ -7216,6 +7404,8 @@ QUERIES: dict[str, QueryFn] = {
     "t_stream_full_join": t_stream_full_join,
     "t_stream_table_feed": t_stream_table_feed,
     "t_feed_schema_drift": t_feed_schema_drift,
+    "t_feed_continuous": t_feed_continuous,
+    "x_rollback_evolution": x_rollback_evolution,
     "t_stream_dedup": t_stream_dedup,
     "x_sim_pq_topk": x_sim_pq_topk,
     "x_pq_index_incremental": x_pq_index_incremental,
@@ -7476,6 +7666,8 @@ ORACLES: dict[str, str] = {
     "t_stream_full_join": _STREAM_FULL_JOIN_SQL,
     "t_stream_table_feed": _STREAM_TABLE_FEED_SQL,
     "t_feed_schema_drift": _FEED_SCHEMA_DRIFT_SQL,
+    "t_feed_continuous": _FEED_CONTINUOUS_SQL,
+    "x_rollback_evolution": _ROLLBACK_EVOLUTION_SQL,
     "t_stream_dedup": _STREAM_DEDUP_SQL,
     "x_mor_delete": _MOR_DELETE_SQL,
     "x_bloom_point_lookup": _BLOOM_LOOKUP_SQL,
