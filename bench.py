@@ -175,26 +175,63 @@ def main() -> None:
             )
         return out
 
-    # Host-speed canary: a fixed, code-independent, plan-invariant CPU
-    # job (hash-reduce over a generated range — no IO, no repo code).
-    # Round-over-round bench ratios divide out by this to separate
-    # host drift from real plan regressions: r5's flagged
+    # Host-speed canaries: fixed, code-independent, plan-invariant
+    # jobs. Round-over-round bench ratios divide out by these to
+    # separate host drift from real plan regressions: r5's flagged
     # sampling/sketch "regressions" were uniform across untouched
     # queries AND rounds-old plans, which only a canary can prove.
-    def canary() -> float:
+    # r8's flagged x_table_changes "1.45x" was the opposite failure:
+    # a pure-CPU canary cannot see page-cache/filesystem/GC drift,
+    # and the r9 ABAB bisect (tools/bisect_r7_vs_head.json) showed the
+    # r7 CODE reproducing the "regressed" time on the drifted host.
+    # Hence THREE components, one per cost class the suite contains:
+    # cpu (codegen-bound), scan_shuffle (parquet IO + exchange), and
+    # driver_meta (many tiny driver-side file commits, the
+    # changes()/manifest-walk shape).
+    def canary() -> dict[str, float]:
+        import tempfile
+
         from pyspark.sql import functions as F
 
-        best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
+        def best_of(fn) -> float:
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
+            return round(best, 3)
+
+        def cpu() -> None:
             spark.range(50_000_000, numPartitions=32).select(
                 F.xxhash64("id").alias("h")
             ).agg(F.sum("h")).collect()
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 3)
 
-    canary_sec = canary()
-    print(f"# host canary: {canary_sec:.3f}s", file=sys.stderr)
+        def scan_shuffle() -> None:
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
+                "l_suppkey"
+            ).agg(F.sum("l_quantity").alias("q")).agg(F.sum("q")).collect()
+
+        def driver_meta() -> None:
+            with tempfile.TemporaryDirectory() as d:
+                blob = json.dumps({"files": list(range(200))})
+                for i in range(300):
+                    with open(os.path.join(d, f"m{i:05d}.json"), "w") as fh:
+                        fh.write(blob)
+                total = 0
+                for name in sorted(os.listdir(d)):
+                    with open(os.path.join(d, name)) as fh:
+                        total += len(json.load(fh)["files"])
+                assert total == 300 * 200
+
+        return {
+            "cpu": best_of(cpu),
+            "scan_shuffle": best_of(scan_shuffle),
+            "driver_meta": best_of(driver_meta),
+        }
+
+    canaries = canary()
+    canary_sec = canaries["cpu"]
+    print(f"# host canary: {canaries}", file=sys.stderr)
 
     timings = time_queries(HEADLINE)
     total = round(sum(timings.values()), 3)
@@ -217,6 +254,10 @@ def main() -> None:
         "extended_total_sec": round(sum(extended.values()), 3),
         "extended": extended,
         "host_canary_sec": canary_sec,
+        # cpu = the historical host_canary_sec series; scan_shuffle /
+        # driver_meta model the IO- and metadata-bound query classes
+        # the cpu canary proved blind to (r9 bisect, PLANS.md)
+        "host_canaries": canaries,
         # operator-only spans for the multi-commit table-layer queries
         # (min across this process's runs): their bench rows carry
         # O(setup-commits) fixture noise; a regression in
