@@ -3168,6 +3168,7 @@ class VersionedParquetTable:
         source: "VersionedParquetTable",
         from_version: int,
         to_version: int | None = None,
+        include_partition_spec: bool = False,
     ) -> list[tuple]:
         """Replay the SOURCE's schema evolution between two of its
         versions onto THIS table — the piece that keeps a CDC replica
@@ -3199,12 +3200,16 @@ class VersionedParquetTable:
         properties and a replayed span resumes past its own committed
         ops; name-based preconditions additionally no-op replays from
         pre-seq-tracking checkpoints. Partition-spec
-        evolution is deliberately NOT mirrored: physical layout is a
+        evolution is NOT mirrored by default: physical layout is a
         per-table choice (a replica may cluster differently than its
         source, same as Delta replicas ignoring upstream OPTIMIZE) and
-        correctness never depends on it. Returns the ops applied (for
-        logging / tests); no data is read or written on either
-        table."""
+        correctness never depends on it. A replica operator that DOES
+        want the source's clustering intent opts in with
+        ``include_partition_spec=True``, which additionally clones the
+        source's spec at ``to_version`` (``mirror_partition_spec_from``
+        — after the schema ops, so the spec's endpoint column names
+        resolve). Returns the schema ops applied (for logging /
+        tests); no data is read or written on either table."""
         from_v = source._resolve_version(from_version)
         to_v = source._resolve_version(to_version)
         to_v = source.latest_version() if to_v is None else to_v
@@ -3316,7 +3321,41 @@ class VersionedParquetTable:
                     continue  # already dropped (replayed span)
                 self.drop_column(path, properties=props)
             ops.append(op)
+        if include_partition_spec:
+            self.mirror_partition_spec_from(source, to_v)
         return ops
+
+    def mirror_partition_spec_from(
+        self,
+        source: "VersionedParquetTable",
+        at_version: int | None = None,
+        properties: dict | None = None,
+    ) -> int | None:
+        """Opt-in clone of the SOURCE's partition spec at
+        ``at_version`` (default: its latest) onto THIS table — the
+        companion to ``mirror_evolution_from`` for replica operators
+        that want the source's clustering intent too (e.g. a failover
+        replica that must prune identically, Iceberg's REPLACE
+        PARTITION FIELD replayed downstream). Metadata-only on both
+        sides and naturally idempotent: ``set_partition_spec`` returns
+        the current version unchanged when the spec already matches,
+        so replaying a span re-applies nothing. The spec's column
+        names are the source's names AT ``at_version``; mirror the
+        schema evolution for the span first (the default
+        ``include_partition_spec=True`` path does), or a spec naming a
+        column this table doesn't carry fails ``set_partition_spec``'s
+        schema guard — the correct loud outcome for a diverged
+        replica. Existing replica files keep their old-spec layout
+        (incremental migration, same contract as any spec evolution).
+        Returns the replica version holding the spec, or None when the
+        replica has no committed version yet (nothing to evolve; the
+        snapshot write that creates it copies the spec itself)."""
+        v = source._resolve_version(at_version)
+        v = source.latest_version() if v is None else v
+        if self.latest_version() is None:
+            return None
+        spec = source._load_manifest(v).get("partition_by") or []
+        return self.set_partition_spec(spec or None, properties=properties)
 
     def _last_mirror_seq(self, span_key: str) -> int:
         """Newest mirror_seq THIS table committed for the given source

@@ -397,6 +397,7 @@ def feed_into_replica(
     poll_interval: float = 0.2,
     should_stop=None,
     idle_stop_after: int | None = None,
+    mirror_partition_spec: bool = False,
 ) -> list[dict]:
     """The silver→gold subscriber: drain ``source``'s change feed into
     ``replica`` with exactly-once effect. The initial snapshot batch
@@ -414,7 +415,12 @@ def feed_into_replica(
     the same (metadata-only, idempotent) evolution on the replica —
     ``mirror_evolution_from`` — so the feed's endpoint-schema rows
     apply cleanly and renamed key columns keep working (``keys`` may
-    name them by either the old or the new name). With ``continuous``
+    name them by either the old or the new name). With
+    ``mirror_partition_spec`` the replica additionally clones the
+    source's partition spec at each span's endpoint
+    (``mirror_partition_spec_from`` — opt-in because layout is a
+    per-table choice; a spec change in a churn-free span lands with
+    the next delivered batch). With ``continuous``
     the drain loops (``run_continuous``) until ``should_stop`` /
     ``idle_stop_after``. Returns the delivered intents."""
     feed = TableChangeFeed(source, checkpoint_dir)
@@ -438,7 +444,12 @@ def feed_into_replica(
                 properties=props,
             )
         else:
-            replica.mirror_evolution_from(source, span[0], span[1])
+            replica.mirror_evolution_from(
+                source,
+                span[0],
+                span[1],
+                include_partition_spec=mirror_partition_spec,
+            )
             renames = _span_renames(source, span[0], span[1])
             batch_keys = [renames.get(k, k) for k in keys]
             replica.apply_changes(

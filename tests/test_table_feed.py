@@ -491,3 +491,26 @@ def test_run_continuous_converges_with_concurrent_writer(
     assert _rows(rep.read()) == _rows(src.read())
     bids = [i["batch_id"] for i in got]
     assert bids == sorted(set(bids))  # no duplicate deliveries
+
+
+def test_feed_mirrors_partition_spec_opt_in(spark, tmp_path):
+    """mirror_partition_spec=True clones source spec evolution onto
+    the replica at each span endpoint; the default leaves the
+    replica's layout alone (a per-table choice)."""
+    src = VersionedParquetTable(spark, str(tmp_path / "src"))
+    rep = VersionedParquetTable(spark, str(tmp_path / "rep"))
+    ckpt = str(tmp_path / "ckpt")
+    src.merge(_df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"])
+    feed_into_replica(src, rep, ["k"], ckpt)  # snapshot copies spec ([])
+
+    src.set_partition_spec(["d"])
+    src.merge(_df(spark, [(3, "c", 30)]), ["k"])
+    feed_into_replica(src, rep, ["k"], ckpt)  # default: layout untouched
+    assert rep._load_manifest(rep.latest_version())["partition_by"] == []
+
+    src.merge(_df(spark, [(4, "d", 40)]), ["k"])
+    feed_into_replica(src, rep, ["k"], ckpt, mirror_partition_spec=True)
+    assert (
+        rep._load_manifest(rep.latest_version())["partition_by"] == ["d"]
+    )
+    assert _rows(rep.read()) == _rows(src.read())
