@@ -124,6 +124,9 @@ EXTENDED = [
     # across rollback-then-evolution):
     "t_feed_continuous",
     "x_rollback_evolution",
+    # round-9 additions (fast append + versioned_table as a native
+    # PySpark DataSource under Structured Streaming's lifecycle):
+    "t_datasource_stream",
 ]
 
 

@@ -2984,6 +2984,119 @@ FROM delta GROUP BY _change_type
 """
 
 
+def t_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned table as a FIRST-CLASS Structured Streaming
+    source (sources/datasource.py, Python Data Source API): offsets
+    live in Spark's own checkpoint log — the Delta
+    `readStream.format("delta")` analog, vs. the library-level cursor
+    of streaming/table_feed.py. The reference's streaming direction is
+    bucket→table (gcs_bronze_to_silver.py:50,160-233); this is
+    table→stream, what its gold subscribers would use.
+
+    Script: v1 = fast-append of orders %3=0 → drain 1 delivers the
+    snapshot; v2 = append %3=1 → drain 2 (checkpoint RESUME, a fresh
+    query on the same offset log) tails exactly the new files; v3 =
+    a MERGE rewriting %15=0 rows — a change commit an append stream
+    must not misrepresent — then v4 = append %3=2 at tripled price:
+    drain 3 runs with skipChangeCommits=true (Delta's option),
+    skips v3's rewrite entirely and delivers only v4's files. The
+    parquet sink is therefore %3∈{0,1} at original prices + %3=2
+    tripled, each row EXACTLY once across 3 restarts — which the
+    oracle recomputes in SQL. (The loud failure WITHOUT the skip
+    option is pinned in tests/test_datasource.py.)"""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from news_lakehouse_spark.sources.datasource import (
+        register_versioned_table_source,
+    )
+    from news_lakehouse_spark.sources.transaction import (
+        VersionedParquetTable,
+    )
+
+    register_versioned_table_source(spark)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"nlh_dss_{os.getpid()}_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = VersionedParquetTable(spark, os.path.join(base, "src"))
+    ckpt = os.path.join(base, "ckpt")
+    sink = os.path.join(base, "sink")
+
+    def drain(skip: bool = False) -> None:
+        r = spark.readStream.format("versioned_table").option(
+            "path", src.path
+        )
+        if skip:
+            r = r.option("skipChangeCommits", "true")
+        q = (
+            r.load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    src.append(orders.filter(F.col("o_orderkey") % 3 == 0))
+    with _op_phase("t_datasource_stream", "stream_drains"):
+        drain()  # snapshot
+        src.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+        drain()  # tail: resume from Spark's offset log
+        src.merge(  # rewrite -> change commit, skipped below
+            orders.filter(F.col("o_orderkey") % 15 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 2
+            ),
+            ["o_orderkey"],
+        )
+        src.append(
+            orders.filter(F.col("o_orderkey") % 3 == 2).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 3
+            )
+        )
+        drain(skip=True)  # skips v3's rewrite, tails v4's append
+    got = spark.read.parquet(sink)
+    if not os.environ.get("SPARK_GRAFT_BENCH_LEAN"):
+        # exactly-once across the 4 restarts: one sink row per order
+        assert got.count() == orders.count(), (
+            got.count(), orders.count(),
+        )
+    rowhash = sha2_prefix_long(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey"),
+            F.round(F.col("o_totalprice") * 100).cast("long"),
+        ),
+        10,
+    )
+    return got.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"), F.sum(rowhash).alias("hash_sum")
+    )
+
+
+_DATASOURCE_STREAM_SQL = """
+WITH sunk AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 3
+  FROM orders WHERE o_orderkey % 3 = 2
+)
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       CAST(SUM(CAST(concat('0x', substr(sha256(concat_ws('|',
+              o_orderkey, CAST(ROUND(price * 100) AS BIGINT))), 1, 10))
+            AS BIGINT)) AS BIGINT) AS hash_sum
+FROM sunk GROUP BY o_orderstatus
+"""
+
+
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → two joins → agg → top-10.
 
@@ -7406,6 +7519,7 @@ QUERIES: dict[str, QueryFn] = {
     "t_feed_schema_drift": t_feed_schema_drift,
     "t_feed_continuous": t_feed_continuous,
     "x_rollback_evolution": x_rollback_evolution,
+    "t_datasource_stream": t_datasource_stream,
     "t_stream_dedup": t_stream_dedup,
     "x_sim_pq_topk": x_sim_pq_topk,
     "x_pq_index_incremental": x_pq_index_incremental,
@@ -7668,6 +7782,7 @@ ORACLES: dict[str, str] = {
     "t_feed_schema_drift": _FEED_SCHEMA_DRIFT_SQL,
     "t_feed_continuous": _FEED_CONTINUOUS_SQL,
     "x_rollback_evolution": _ROLLBACK_EVOLUTION_SQL,
+    "t_datasource_stream": _DATASOURCE_STREAM_SQL,
     "t_stream_dedup": _STREAM_DEDUP_SQL,
     "x_mor_delete": _MOR_DELETE_SQL,
     "x_bloom_point_lookup": _BLOOM_LOOKUP_SQL,

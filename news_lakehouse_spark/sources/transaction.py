@@ -2522,6 +2522,72 @@ class VersionedParquetTable:
             bloom_cfg=bloom_cfg, properties=properties,
         )
 
+    def append(self, df: DataFrame, properties: dict | None = None) -> int:
+        """FAST APPEND (Iceberg AppendFiles / Delta blind INSERT): write
+        ``df``'s rows as NEW data files and commit parent files + new
+        files. No existing file is read, no key is compared — the
+        commit costs O(new data) + one manifest at ANY table size,
+        which is the only ingest shape that survives a 100 TB table
+        under a high-frequency writer (a merge must at least key-probe
+        the affected partitions; reference parity: the bronze hop is
+        append-shaped, gcs_bronze_to_silver.py:160-233, it never
+        updates). Appends are also the commits the
+        ``versioned_table`` streaming source (sources/datasource.py)
+        tails: a merge that rewrites files is a change commit, an
+        append streams as-is.
+
+        The input must carry exactly the table's current columns
+        (missing/extra raise — append never evolves schema; evolve
+        first, then append); values cast to the table's types. Lays
+        out under the committed partition spec. Conflict-free by
+        construction, so losing a version race retries with a fresh
+        write of only the new files (same optimistic loop as merge).
+        Creates the table when it doesn't exist yet."""
+        if self.latest_version() is None:
+            return self.write(df, operation="append", properties=properties)
+        last_err: Exception | None = None
+        for _attempt in range(3):
+            parent = self.latest_version()
+            man = self._load_manifest(parent)
+            tgt = StructType.fromJson(man["schema"])
+            want = [f.name for f in tgt.fields]
+            missing = [c for c in want if c not in df.columns]
+            extra = [c for c in df.columns if c not in want]
+            if missing or extra:
+                raise ValueError(
+                    f"append input schema mismatch: missing {missing}, "
+                    f"unexpected {extra}; append never evolves schema — "
+                    "use rename/add_column/merge(evolve_schema=True) "
+                    "first"
+                )
+            aligned = df.select(
+                *[F.col(f.name).cast(f.dataType) for f in tgt.fields]
+            )
+            spec = man["partition_by"] or None
+            new_files = self._write_commit(aligned, parent + 1, spec)
+            files = sorted(man["files"] + new_files)
+            b = man.get("bloom")
+            try:
+                return self._commit(
+                    aligned, files, parent, spec, "append",
+                    prior_stats=man.get("stats"),
+                    # new files postdate every retained delete entry
+                    # (same commit-version fencing as merge's carry)
+                    delete_files=man.get("delete_files"),
+                    bloom_cfg=(
+                        {"columns": b["columns"], "bits": b["bits"],
+                         "k": b["k"]}
+                        if b
+                        else None
+                    ),
+                    bloom_new_files=new_files,
+                    bloom_carried=(b or {}).get("sidecars"),
+                    properties=properties,
+                )
+            except ConcurrentCommitError as e:
+                last_err = e  # loser re-derives from the winner
+        raise last_err  # type: ignore[misc]
+
     def set_partition_spec(
         self,
         partition_by: list[str] | None,

@@ -1,0 +1,162 @@
+"""`versioned_table` PySpark DataSource: the transaction layer under
+Structured Streaming's OWN lifecycle (offsets in Spark's checkpoint
+log, availableNow triggers) plus the batch/time-travel flavor.
+
+The reference streams with `spark.readStream` over cloud JSON into an
+Iceberg table (gcs_bronze_to_silver.py:50,160-233); Delta/Iceberg also
+expose the table itself as a streaming source — sources/datasource.py
+is that parity surface, and these tests pin the Delta-readStream
+semantics: snapshot-then-tail, append commits stream, change commits
+fail loudly unless skipChangeCommits, checkpoint resume is
+exactly-once.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from news_lakehouse_spark.sources.datasource import (
+    register_versioned_table_source,
+)
+from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = VersionedParquetTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [Row(k=1, d="a", v=10), Row(k=2, d="b", v=20)]
+        )
+    )
+    register_versioned_table_source(spark)
+    return t
+
+
+def _drain(spark, t, ckpt, out, skip=False):
+    r = spark.readStream.format("versioned_table").option("path", t.path)
+    if skip:
+        r = r.option("skipChangeCommits", "true")
+    q = (
+        r.load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_snapshot_then_appends_exactly_once(spark, table, tmp_path):
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    table.append(spark.createDataFrame([Row(k=3, d="c", v=30)]))
+    _drain(spark, table, ckpt, out)
+    got = spark.read.parquet(out)
+    assert _rows(got) == {(1, "a", 10), (2, "b", 20), (3, "c", 30)}
+
+    # tail: only the new append arrives on the checkpoint resume
+    table.append(spark.createDataFrame([Row(k=4, d="d", v=40)]))
+    _drain(spark, table, ckpt, out)
+    assert _rows(spark.read.parquet(out)) == {
+        (1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40),
+    }
+    # no new commits -> a further drain delivers nothing (exactly-once:
+    # row multiset unchanged, not just the set)
+    _drain(spark, table, ckpt, out)
+    assert spark.read.parquet(out).count() == 4
+
+
+def test_stream_change_commit_fails_unless_skipped(spark, table, tmp_path):
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    _drain(spark, table, ckpt, out)
+    table.merge(spark.createDataFrame([Row(k=1, d="a", v=99)]), ["k"])
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        _drain(spark, table, ckpt, out)
+    # Delta-parity option: the rewrite is skipped, the stream lives on
+    _drain(spark, table, ckpt, out, skip=True)
+    table.append(spark.createDataFrame([Row(k=5, d="e", v=50)]))
+    _drain(spark, table, ckpt, out, skip=True)
+    assert _rows(spark.read.parquet(out)) == {
+        (1, "a", 10), (2, "b", 20), (5, "e", 50),
+    }
+
+
+def test_stream_projects_old_epoch_files_by_fid(spark, tmp_path):
+    """A fresh stream started after a rename+widen+add: snapshot files
+    written under the OLD epoch project to the pinned (endpoint)
+    schema by field id — renamed values land in the renamed column,
+    added columns null-fill, widened ints cast (pyarrow-side)."""
+    table = VersionedParquetTable(spark, str(tmp_path / "t"))
+    table.append(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k long, d string, v int"
+        )
+    )
+    register_versioned_table_source(spark)
+    table.rename_column("v", "amount")
+    table.widen_column("amount", "long")
+    table.add_column("flag", "boolean")
+    table.append(
+        spark.createDataFrame([Row(k=3, d="c", amount=30, flag=True)])
+    )
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    _drain(spark, table, ckpt, out)
+    got = spark.read.parquet(out)
+    assert got.columns == ["k", "d", "amount", "flag"]
+    assert dict(got.dtypes)["amount"] == "bigint"
+    assert _rows(got) == {
+        (1, "a", 10, None), (2, "b", 20, None), (3, "c", 30, True),
+    }
+
+
+def test_starting_version_tails_only(spark, table, tmp_path):
+    v = table.latest_version()
+    table.append(spark.createDataFrame([Row(k=3, d="c", v=30)]))
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    r = (
+        spark.readStream.format("versioned_table")
+        .option("path", table.path)
+        .option("startingVersion", str(v))
+        .load()
+    )
+    q = (
+        r.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _rows(spark.read.parquet(out)) == {(3, "c", 30)}
+
+
+def test_batch_read_and_time_travel(spark, table):
+    table.append(spark.createDataFrame([Row(k=3, d="c", v=30)]))
+    cur = spark.read.format("versioned_table").option(
+        "path", table.path
+    ).load()
+    assert _rows(cur) == _rows(table.read())
+    old = (
+        spark.read.format("versioned_table")
+        .option("path", table.path)
+        .option("version", "1")
+        .load()
+    )
+    assert _rows(old) == {(1, "a", 10), (2, "b", 20)}
+
+
+def test_batch_read_refuses_mor_deletes(spark, table):
+    from pyspark.sql import Row as _R
+    table.delete_keys(spark.createDataFrame([_R(k=1)]))
+    with pytest.raises(Exception, match="delete sidecars"):
+        spark.read.format("versioned_table").option(
+            "path", table.path
+        ).load().collect()

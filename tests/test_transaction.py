@@ -2569,3 +2569,50 @@ def test_mirror_partition_spec_after_rename(spark, tmp_path):
     src.set_partition_spec(None)
     rep.mirror_partition_spec_from(src)
     assert rep._load_manifest(rep.latest_version())["partition_by"] == []
+
+
+def test_append_is_fast_and_carries_files(spark, table):
+    """append() = Iceberg AppendFiles: parent files carry BY REFERENCE
+    (no rewrite — old file paths survive verbatim in the new manifest)
+    and only the new files are written."""
+    table.merge(_df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"])
+    man1 = table._load_manifest(1)
+    v2 = table.append(_df(spark, [(3, "c", 30)]))
+    assert v2 == 2
+    man2 = table._load_manifest(2)
+    assert set(man1["files"]) < set(man2["files"])  # strict superset
+    assert table.history()[-1]["operation"] == "append"
+    assert _rows(table.read()) == {(1, "a", 10), (2, "b", 20), (3, "c", 30)}
+    # carried files keep their stats by reference
+    for rel in man1["files"]:
+        assert man2["stats"].get(rel) == man1["stats"].get(rel)
+    # and the change feed sees a pure insert span
+    ch = {(r["_change_type"], r["k"]) for r in table.changes(1, 2).collect()}
+    assert ch == {("insert", 3)}
+
+
+def test_append_rejects_schema_drift(spark, table):
+    table.merge(_df(spark, [(1, "a", 10)]), ["k"])
+    with pytest.raises(ValueError, match="missing.*unexpected"):
+        table.append(
+            spark.createDataFrame([Row(k=2, d="b", other=5)])
+        )
+
+
+def test_append_partitioned_lays_out_under_committed_spec(spark, table):
+    table.merge(_df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"],
+                partition_by=["d"])
+    table.append(_df(spark, [(3, "b", 30), (4, "c", 40)]))
+    man = table._load_manifest(table.latest_version())
+    frags = {f.split("/")[-2] for f in man["files"] if "__p_" in f}
+    assert {"__p_d=a", "__p_d=b", "__p_d=c"} <= frags
+    # partition-pruned read still exact
+    assert _rows(table.read(partition_filter={"d": "b"})) == {
+        (2, "b", 20), (3, "b", 30),
+    }
+
+
+def test_append_creates_table(spark, table):
+    v = table.append(_df(spark, [(1, "a", 10)]))
+    assert v == 1
+    assert _rows(table.read()) == {(1, "a", 10)}
