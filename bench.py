@@ -127,6 +127,9 @@ EXTENDED = [
     # round-9 additions (fast append + versioned_table as a native
     # PySpark DataSource under Structured Streaming's lifecycle):
     "t_datasource_stream",
+    # round-9 additions (large-star/small-star connected components —
+    # diameter-independent dedup clustering):
+    "x_cc_large_star",
 ]
 
 

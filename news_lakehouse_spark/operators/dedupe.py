@@ -638,25 +638,43 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 50,
+    method: str = "propagate",
 ) -> DataFrame:
     """(id, component) — component = min id reachable in the pair graph.
 
-    Min-label propagation: each round, every node takes the minimum of
-    its own label and its neighbors' labels, until a fixpoint. Rounds
-    are O(graph diameter); near-dup graphs are unions of small cliques
-    (diameter 1-2), so convergence is 2-3 rounds in practice — the
-    regime where plain propagation beats the fancier alternatives. For
-    long-chain graphs swap in alternating large-star/small-star
-    (Kiveris et al., SoCC'14), which squares path lengths per round;
-    the (id, label) frame shape and the caller contract are unchanged.
-    Each iteration is one join + one groupBy on the label frame (never
-    an all-pairs expansion), with localCheckpoint truncating the
-    iterative lineage; the convergence check is a limit(1) probe.
+    Two interchangeable plans (same output frame, same caller
+    contract):
+
+    ``method="propagate"`` (default) — min-label propagation: each
+    round, every node takes the minimum of its own label and its
+    neighbors' labels, until a fixpoint. Rounds are O(graph diameter);
+    near-dup graphs are unions of small cliques (diameter 1-2), so
+    convergence is 2-3 rounds in practice — the regime where plain
+    propagation beats the fancier alternatives. Each iteration is one
+    join + one groupBy on the label frame (never an all-pairs
+    expansion), with localCheckpoint truncating the iterative lineage;
+    the convergence check is a limit(1) probe.
+
+    ``method="star"`` — alternating large-star/small-star (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    each round REWIRES the edge set itself — large-star points every
+    larger neighbor of each node at that node's minimum neighbor,
+    small-star does the same for the smaller neighbors — so path
+    lengths contract superlinearly and the edge count never grows
+    beyond the bidirected input. O(log^2 n) rounds on ANY graph shape,
+    independent of diameter: the 100 TB path for chain-shaped
+    duplicate graphs (substring overlaps, transitive fuzzy matches)
+    where propagation would need diameter rounds. Per round: two
+    groupBy-min + two joins on the (shrinking) edge frame.
 
     Used by dedup_survivors to collapse near-dup PAIRS (minhash/
     simhash/embedding) into one surviving document per duplicate
     cluster.
     """
+    if method == "star":
+        return _connected_components_star(pairs, id_a, id_b, max_iters)
+    if method != "propagate":
+        raise ValueError(f"unknown method {method!r}: propagate | star")
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
@@ -698,10 +716,99 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} "
             "iterations (graph diameter exceeds the round budget); "
-            "raise max_iters or switch to large-star/small-star"
+            'raise max_iters or switch to method="star" '
+            "(large-star/small-star, O(log^2 n) rounds)"
         )
     edges.unpersist()
     return labels.select(F.col("id"), F.col("lbl").alias("component"))
+
+
+def _connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Alternating large-star/small-star (Kiveris et al., SoCC'14).
+
+    Edge-rewiring formulation — the edge SET is the state, not a label
+    frame. With m = min(N(v) ∪ {v}) per node v:
+
+    - large-star: emit (u, m) for every neighbor u > v
+    - small-star: emit (u, m) for every u ∈ {neighbors < v} ∪ {v}, u ≠ m
+
+    Both operators preserve connectivity (lemmas 1-2 of the paper) and
+    never emit more edges than the bidirected input; alternating them
+    converges to per-component stars centered on the component minimum
+    in O(log^2 n) rounds. Convergence = the (count, xxhash64-sum)
+    fingerprint of the edge set is stable across a full round — two
+    tiny aggregate actions per round; localCheckpoint truncates the
+    iterative lineage exactly as the propagation plan does.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _bidir(e: DataFrame) -> DataFrame:
+        return e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # center v = a, neighbor u = b; m = min over N(v) ∪ {v}
+        n = _bidir(e)
+        mins = n.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+        return (
+            n.filter(F.col("b") > F.col("a"))
+            .join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        n = _bidir(e).filter(F.col("b") < F.col("a"))
+        mins = n.groupBy("a").agg(F.min("b").alias("m"))
+        rewired = (
+            n.join(mins, "a")
+            .select(F.col("b").alias("u"), "m")
+            .filter(F.col("u") != F.col("m"))
+            .select(F.col("u").alias("a"), F.col("m").alias("b"))
+        )
+        centers = mins.select("a", F.col("m").alias("b"))
+        return rewired.unionByName(centers).distinct()
+
+    def _fingerprint(e: DataFrame) -> tuple:
+        # bit_xor: order-insensitive and overflow-free (ANSI-safe where
+        # a sum of hashes is not); sound on a DISTINCT edge set
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    fp = _fingerprint(edges)
+    for _ in range(max_iters):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_fp = _fingerprint(edges)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    else:
+        raise RuntimeError(
+            f"connected_components(method='star') did not converge in "
+            f"{max_iters} rounds — not expected for any graph below "
+            f"~2^{max_iters // 2} nodes; raise max_iters"
+        )
+    # converged: edges are (member, component-min) stars
+    return (
+        edges.select(F.col("a").alias("id"), F.col("b").alias("component"))
+        .unionByName(
+            edges.select(F.col("b").alias("id"), F.col("b").alias("component"))
+        )
+        .distinct()
+    )
 
 
 def dedup_survivors(

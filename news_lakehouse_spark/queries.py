@@ -1612,6 +1612,61 @@ SELECT id, min(r) AS component FROM reach GROUP BY id
 """
 
 
+def x_cc_large_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components on a CHAIN-shaped graph via alternating
+    large-star/small-star (Kiveris et al., SoCC'14) — the O(log^2 n)-
+    round plan whose round count is independent of graph diameter.
+
+    The pair graph links consecutive doc_ids within each source, so
+    each source is one path of length ~n_docs/n_sources: ~250 hops at
+    sf0.1 — past the default 50-round budget of min-label propagation,
+    and the shape (substring overlaps, transitive fuzzy matches) where
+    the star plan is the only one that survives 100 TB. max_iters=16
+    pins the superlinear contraction: 2^16 nodes of headroom.
+    Returns one row per component (size + max member) so the compare
+    stays O(#sources) while every membership still feeds the hash.
+    """
+    from news_lakehouse_spark.operators.dedupe import connected_components
+
+    d = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        d.select("source", "doc_id")
+        .withColumn("nxt", F.lead("doc_id").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("doc_id").alias("id_a"), F.col("nxt").alias("id_b"))
+    )
+    comp = connected_components(pairs, method="star", max_iters=16)
+    return (
+        comp.groupBy(F.col("component").cast("long").alias("component"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.max("id").cast("long").alias("max_id"),
+        )
+        .orderBy("component")
+    )
+
+
+_CC_STAR_SQL = """
+WITH RECURSIVE nxt AS (
+  SELECT doc_id AS a,
+         lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS b
+  FROM documents
+), e AS (SELECT a, b FROM nxt WHERE b IS NOT NULL),
+edges AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+reach AS (
+  SELECT a AS id, b AS r FROM edges
+  UNION SELECT a, a FROM edges
+  UNION
+  SELECT e2.a, reach.r FROM edges e2 JOIN reach ON reach.id = e2.b
+), comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(max(id) AS BIGINT) AS max_id
+FROM comp GROUP BY component ORDER BY component
+"""
+
+
 def x_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for query vectors (vec_id < 5)."""
     emb = read_table(spark, sf_dir, "embeddings")
@@ -7607,6 +7662,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_chunk_documents": x_chunk_documents,
     "x_decontaminate": x_decontaminate,
     "x_dedup_clusters": x_dedup_clusters,
+    "x_cc_large_star": x_cc_large_star,
     "x_dedup_minhash_lsh": x_dedup_minhash_lsh,
     "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
     "x_dedup_simhash": x_dedup_simhash,
@@ -7736,6 +7792,7 @@ ORACLES: dict[str, str] = {
     "x_dedup_simhash": _simhash_oracle(60),
     "x_dedup_simhash_pairs": _simhash_pairs_oracle(60, 3),
     "x_dedup_clusters": _CLUSTERS_SQL,
+    "x_cc_large_star": _CC_STAR_SQL,
     "x_bm25_search": _bm25_oracle(_BM25_TERMS),
     "x_tfidf_topterms": _TFIDF_SQL,
     "x_train_test_split": _SPLIT_SQL,

@@ -1020,3 +1020,52 @@ def test_kmv_merge_equals_sketch_of_union(spark):
         .first()["kmv"]
     )
     assert merged == whole  # lossless merge: sketch(parts) == sketch(union)
+
+
+def test_connected_components_star_matches_propagate(spark):
+    from news_lakehouse_spark.operators.dedupe import connected_components
+
+    # chain {0..12}, clique {20,21,22}, pair {30,31}, plus a bridge
+    # edge merging the chain into the clique via 12-20
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)]
+        + [(20, 21), (21, 22), (20, 22), (30, 31), (12, 20)],
+        ["id_a", "id_b"],
+    )
+    prop = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, method="propagate").collect()
+    }
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, method="star").collect()
+    }
+    assert star == prop
+    assert star[22] == 0 and star[31] == 30
+
+
+def test_connected_components_star_contracts_long_chain_fast(spark):
+    import pytest
+
+    from news_lakehouse_spark.operators.dedupe import connected_components
+
+    # a 64-node path: propagation needs ~diameter rounds (>> 8), the
+    # star plan squares path lengths — 8 rounds is ample
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=8, method="propagate")
+    comp = connected_components(pairs, max_iters=8, method="star").collect()
+    assert {r["component"] for r in comp} == {0}
+    assert len(comp) == 65
+
+
+def test_connected_components_rejects_unknown_method(spark):
+    import pytest
+
+    from news_lakehouse_spark.operators.dedupe import connected_components
+
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    with pytest.raises(ValueError, match="propagate | star"):
+        connected_components(pairs, method="bogus")
