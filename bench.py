@@ -130,6 +130,9 @@ EXTENDED = [
     # round-9 additions (large-star/small-star connected components —
     # diameter-independent dedup clustering):
     "x_cc_large_star",
+    # round-9 additions (fastText-style hashed-linear classifier
+    # inference — broadcast model, zero-shuffle codegen scoring):
+    "x_quality_classifier",
 ]
 
 

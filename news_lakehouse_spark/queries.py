@@ -1667,6 +1667,66 @@ FROM comp GROUP BY component ORDER BY component
 """
 
 
+def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-linear quality-classifier INFERENCE over
+    the corpus (operators/classify.hashed_linear_score): unigram+bigram
+    hashing-trick buckets, broadcast literal weight vector, one
+    transform+aggregate HOF chain per row — whole-stage codegen, zero
+    shuffle, zero Python. The model here is the deterministic
+    pseudo-weight vector (512 buckets) so the DuckDB oracle recomputes
+    the identical forward pass from the shared sha2 hash line.
+    """
+    from news_lakehouse_spark.operators.classify import (
+        hashed_linear_score,
+        pseudo_weights,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    scored = hashed_linear_score(
+        d, "text", pseudo_weights(512), salt="qc", n_features_col="n_features"
+    )
+    return scored.select(
+        "doc_id",
+        "n_features",
+        F.round("score", 6).alias("score"),
+        (F.col("score") >= 0.5).alias("keep"),
+    ).orderBy("doc_id")
+
+
+_QC_HASH = "CAST(concat('0x', substr(sha256({src}), 1, 15)) AS BIGINT)"
+_QUALITY_CLS_SQL = f"""
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(string_split({_NT.format(c='text')}, ' '),
+                     t -> t <> '') AS t
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+    list_concat(
+      list_transform(t, x ->
+        {_QC_HASH.format(src="'qc1' || chr(31) || x")} % 512),
+      CASE WHEN len(t) >= 2 THEN
+        [{_QC_HASH.format(src="'qc2' || chr(31) || t[i] || ' ' || t[i+1]")} % 512
+         for i in generate_series(1, len(t) - 1)]
+      ELSE [] END
+    ) AS f
+  FROM ws
+), scored AS (
+  SELECT doc_id, CAST(len(f) AS INT) AS n_features,
+    CASE WHEN len(f) > 0 THEN
+      0.0 + list_reduce(list_transform(f, b ->
+        {_QC_HASH.format(src="'qcw' || chr(31) || CAST(b AS VARCHAR)")}
+          / 1152921504606846976.0 - 0.5), (a, x) -> a + x) / len(f)
+    ELSE 0.0 END AS z
+  FROM feats
+)
+SELECT doc_id, n_features,
+       round(1.0 / (1.0 + exp(-z)), 6) AS score,
+       (1.0 / (1.0 + exp(-z))) >= 0.5 AS keep
+FROM scored ORDER BY doc_id
+"""
+
+
 def x_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for query vectors (vec_id < 5)."""
     emb = read_table(spark, sf_dir, "embeddings")
@@ -7663,6 +7723,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_decontaminate": x_decontaminate,
     "x_dedup_clusters": x_dedup_clusters,
     "x_cc_large_star": x_cc_large_star,
+    "x_quality_classifier": x_quality_classifier,
     "x_dedup_minhash_lsh": x_dedup_minhash_lsh,
     "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
     "x_dedup_simhash": x_dedup_simhash,
@@ -7793,6 +7854,7 @@ ORACLES: dict[str, str] = {
     "x_dedup_simhash_pairs": _simhash_pairs_oracle(60, 3),
     "x_dedup_clusters": _CLUSTERS_SQL,
     "x_cc_large_star": _CC_STAR_SQL,
+    "x_quality_classifier": _QUALITY_CLS_SQL,
     "x_bm25_search": _bm25_oracle(_BM25_TERMS),
     "x_tfidf_topterms": _TFIDF_SQL,
     "x_train_test_split": _SPLIT_SQL,

@@ -1506,3 +1506,70 @@ def test_pq_index_ingest_requires_own_table(spark, tmp_path):
             m=2,
             nbits=2,
         )
+
+
+def test_hashed_linear_score_matches_python_forward_pass(spark):
+    import hashlib
+    import math
+
+    from news_lakehouse_spark.operators.classify import (
+        hashed_linear_score,
+        pseudo_weights,
+    )
+
+    w = pseudo_weights(64)
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, "Gamma, GAMMA!")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in hashed_linear_score(
+            df, "text", w, bias=0.25, salt="t", n_features_col="nf"
+        ).collect()
+    }
+
+    def bucket(salted: str) -> int:
+        return int(hashlib.sha256(salted.encode()).hexdigest()[:15], 16) % 64
+
+    # doc 1: unigrams alpha, beta + bigram "alpha beta"
+    feats = [
+        bucket("t1\x1falpha"),
+        bucket("t1\x1fbeta"),
+        bucket("t2\x1falpha beta"),
+    ]
+    z = 0.25 + sum(w[b] for b in feats) / 3
+    assert out[1]["nf"] == 3
+    assert abs(out[1]["score"] - 1 / (1 + math.exp(-z))) < 1e-12
+    # doc 2: no features -> sigmoid(bias)
+    assert out[2]["nf"] == 0
+    assert abs(out[2]["score"] - 1 / (1 + math.exp(-0.25))) < 1e-12
+    # doc 3: normalization lowercases + strips punctuation -> gamma x2
+    g = bucket("t1\x1fgamma")
+    z3 = 0.25 + (w[g] + w[g] + w[bucket("t2\x1fgamma gamma")]) / 3
+    assert abs(out[3]["score"] - 1 / (1 + math.exp(-z3))) < 1e-12
+
+
+def test_hashed_ngram_buckets_orders_and_validation(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from news_lakehouse_spark.operators.classify import (
+        hashed_linear_score,
+        hashed_ngram_buckets,
+    )
+
+    df = spark.createDataFrame([("one two three four",)], ["text"])
+    n1 = df.select(
+        F.size(hashed_ngram_buckets("text", 32, ngram_max=1)).alias("n")
+    ).first()["n"]
+    n2 = df.select(
+        F.size(hashed_ngram_buckets("text", 32, ngram_max=2)).alias("n")
+    ).first()["n"]
+    assert (n1, n2) == (4, 7)  # 4 unigrams, +3 bigrams
+    with pytest.raises(ValueError, match="ngram_max"):
+        df.select(hashed_ngram_buckets("text", 32, ngram_max=3))
+    with pytest.raises(ValueError, match="n_buckets"):
+        df.select(hashed_ngram_buckets("text", 0))
+    with pytest.raises(ValueError, match="weights"):
+        hashed_linear_score(df, "text", [])
