@@ -133,6 +133,9 @@ EXTENDED = [
     # round-9 additions (fastText-style hashed-linear classifier
     # inference — broadcast model, zero-shuffle codegen scoring):
     "x_quality_classifier",
+    # round-9 additions (metadata-only aggregates — Iceberg
+    # metadata-only scan: count/min/max from manifests, zero data IO):
+    "x_metadata_agg",
 ]
 
 

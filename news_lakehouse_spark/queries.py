@@ -3528,6 +3528,107 @@ def x_table_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregates (sources/transaction.py
+    metadata_aggregate — Iceberg's metadata-only scan): count(*),
+    non-null counts, and min/max answered ENTIRELY from manifest stats
+    collected at commit time; no data file is opened. At 100 TB the
+    dashboard count(*) costs milliseconds of driver metadata instead
+    of a cluster scan. The table commits in two steps (the second
+    carries the first's files by reference, so carried-stat reuse is
+    on the path); a partition-filtered aggregate prunes to partition
+    'O' files from their path fragments alone. The oracle recomputes
+    every number from the raw rows; in-query asserts pin the
+    guarantees SQL can't see (bounds flagged exact, refusal contract
+    covered in tests/test_transaction.py).
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    orders = read_table(spark, sf_dir, "orders")
+    src = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderdate",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_n"),
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"nlh_meta_agg_{os.getpid()}_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = VersionedParquetTable(spark, base)
+    t.merge(
+        src.filter(F.col("o_orderkey") % 3 != 0),
+        ["o_orderkey"],
+        partition_by=["o_orderstatus"],
+    )
+    t.merge(src.filter(F.col("o_orderkey") % 3 == 0), ["o_orderkey"])
+
+    with _op_phase("x_metadata_agg", "metadata_aggregate"):
+        full = t.metadata_aggregate(["o_orderkey", "price_n", "o_orderdate"])
+        part = t.metadata_aggregate(
+            ["o_orderkey"], partition_filter={"o_orderstatus": "O"}
+        )
+    key = full["columns"]["o_orderkey"]
+    assert key["exact_bounds"], "bigint bounds must be exact"
+    assert full["columns"]["o_orderdate"]["exact_bounds"], (
+        "timestamp bounds must be exact"
+    )
+    row = (
+        full["count_rows"],
+        full["columns"]["price_n"]["count"],
+        key["min"],
+        key["max"],
+        full["columns"]["o_orderdate"]["min"],
+        full["columns"]["o_orderdate"]["max"],
+        part["count_rows"],
+        part["columns"]["o_orderkey"]["min"],
+    )
+    return spark.createDataFrame(
+        [row],
+        "count_rows long, n_price long, min_key long, max_key long, "
+        "min_date string, max_date string, part_count long, "
+        "part_min_key long",
+    ).select(
+        "count_rows",
+        "n_price",
+        "min_key",
+        "max_key",
+        F.col("min_date").cast("timestamp").alias("min_date"),
+        F.col("max_date").cast("timestamp").alias("max_date"),
+        "part_count",
+        "part_min_key",
+    )
+
+
+_METADATA_AGG_SQL = """
+WITH src AS (
+  SELECT o_orderkey, o_orderstatus, o_orderdate,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE o_totalprice END AS price_n
+  FROM orders
+)
+SELECT CAST(count(*) AS BIGINT) AS count_rows,
+       CAST(count(price_n) AS BIGINT) AS n_price,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key,
+       min(o_orderdate) AS min_date,
+       max(o_orderdate) AS max_date,
+       (SELECT CAST(count(*) AS BIGINT) FROM src
+         WHERE o_orderstatus = 'O') AS part_count,
+       (SELECT CAST(min(o_orderkey) AS BIGINT) FROM src
+         WHERE o_orderstatus = 'O') AS part_min_key
+FROM src
+"""
+
+
 def x_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-spec evolution (sources/transaction.py
     set_partition_spec — Iceberg's ALTER TABLE ... REPLACE PARTITION
@@ -7724,6 +7825,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_dedup_clusters": x_dedup_clusters,
     "x_cc_large_star": x_cc_large_star,
     "x_quality_classifier": x_quality_classifier,
+    "x_metadata_agg": x_metadata_agg,
     "x_dedup_minhash_lsh": x_dedup_minhash_lsh,
     "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
     "x_dedup_simhash": x_dedup_simhash,
@@ -7855,6 +7957,7 @@ ORACLES: dict[str, str] = {
     "x_dedup_clusters": _CLUSTERS_SQL,
     "x_cc_large_star": _CC_STAR_SQL,
     "x_quality_classifier": _QUALITY_CLS_SQL,
+    "x_metadata_agg": _METADATA_AGG_SQL,
     "x_bm25_search": _bm25_oracle(_BM25_TERMS),
     "x_tfidf_topterms": _TFIDF_SQL,
     "x_train_test_split": _SPLIT_SQL,

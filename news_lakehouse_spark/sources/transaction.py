@@ -1304,6 +1304,149 @@ class VersionedParquetTable:
             F.sum("size_bytes").alias("size_bytes"),
         )
 
+    def metadata_aggregate(
+        self,
+        cols: list[str] | tuple = (),
+        version: int | None = None,
+        partition_filter: dict | None = None,
+    ) -> dict:
+        """EXACT count/min/max answered from manifests alone — zero
+        data files scanned (Iceberg's metadata-only scan; Spark's
+        ``spark.sql.optimizer.metadataOnly`` for partition values is
+        the narrow cousin). At 100 TB this is the difference between a
+        dashboard's ``count(*)`` finishing in milliseconds and a
+        cluster-wide scan.
+
+        Returns ``{"count_rows": N, "columns": {col: {"count": N,
+        "min": v, "max": v, "exact_bounds": bool}}}``. ``count`` is the
+        non-null count; ``min``/``max`` come back in the manifest's
+        JSON-native domain (dates/timestamps as their ISO/sort-key
+        strings). ``exact_bounds`` is False where the stored bound is
+        deliberately widened (floats: one ulp outward; long strings:
+        truncated) — those bounds still BRACKET the true extrema.
+
+        Correctness guards — this method REFUSES rather than
+        approximates:
+
+        - live merge-on-read delete entries at the version raise
+          (manifest row counts overcount until ``compact()``
+          materializes the tombstones);
+        - a ``partition_filter`` raises unless EVERY surviving file
+          physically carries all filter columns in its path (under
+          partition-spec evolution older files may not — ``read()``
+          compensates with a row filter, a metadata count cannot);
+        - a requested column missing usable stats in ANY live file
+          raises (cannot distinguish dropped stats from data);
+        - files missing row counts fall back to one FOOTER read each
+          (metadata-sized, never the data pages).
+        """
+        version = self._resolve_version(version)
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        root = self._load_root(v)
+        if root.get("delete_files"):
+            raise ValueError(
+                "metadata_aggregate: version has live merge-on-read "
+                "delete entries — manifest row counts would overcount; "
+                "compact() first or aggregate via read()"
+            )
+        want = (
+            _partition_want(self.spark, partition_filter)
+            if partition_filter
+            else None
+        )
+        files_list, stats = self._manifest_files_stats(root, want)
+        if want is not None:
+            kept = []
+            for rel in files_list:
+                frag = _file_partition_fragment(rel)
+                segs = set(frag.split("/"))
+                verdict = []
+                for prefix, accept in want:
+                    seg = next(
+                        (s for s in segs if s.startswith(prefix)), None
+                    )
+                    if seg is None:
+                        raise ValueError(
+                            "metadata_aggregate: file "
+                            f"{rel!r} does not carry partition column "
+                            f"{prefix[len('__p_'):-1]!r} in its path "
+                            "(older partition spec?) — the filter cannot "
+                            "be answered exactly from metadata; compact() "
+                            "to rewrite under the current spec or "
+                            "aggregate via read()"
+                        )
+                    verdict.append(seg in accept)
+                if all(verdict):
+                    kept.append(rel)
+            files_list = kept
+
+        #  tag -> are stored bounds exact for this type?
+        def _exact_tag(tag: str) -> bool:
+            return tag in (
+                "tinyint", "smallint", "int", "bigint", "boolean", "date"
+            ) or tag.startswith("timestamp")
+
+        tag_by_col = dict(root.get("stat_types") or {})
+        count_rows = 0
+        need_rows: list[str] = []
+        per_file_rows: dict[str, int] = {}
+        for rel in files_list:
+            per_col = stats.get(rel) or {}
+            rows = next(
+                (b[3] for b in per_col.values() if b[3] is not None), None
+            )
+            if rows is None:
+                need_rows.append(rel)
+            else:
+                per_file_rows[rel] = rows
+        if need_rows:  # footer num_rows: metadata pages only
+            import pyarrow.parquet as pq
+
+            for rel in need_rows:
+                per_file_rows[rel] = pq.ParquetFile(
+                    os.path.join(self.path, rel)
+                ).metadata.num_rows
+        count_rows = sum(per_file_rows.values())
+
+        out_cols: dict[str, dict] = {}
+        for col in cols:
+            tag = tag_by_col.get(col)
+            lo = hi = None
+            nn = 0
+            # int/date/timestamp/bool: stored bounds are the values.
+            # string: exact unless any stored bound hit the truncation
+            # limit. float/double/decimal: always widened one ulp.
+            exact = tag is not None and (_exact_tag(tag) or tag == "string")
+            for rel in files_list:
+                ent = (stats.get(rel) or {}).get(col)
+                if ent is None:
+                    raise ValueError(
+                        f"metadata_aggregate: file {rel!r} has no usable "
+                        f"stats for column {col!r} — cannot answer "
+                        "exactly from metadata (re-commit/compact() to "
+                        "collect stats, or aggregate via read())"
+                    )
+                mn, mx, nulls, rows = ent
+                nn += (rows or 0) - (nulls or 0)
+                if mn is not None:
+                    lo = mn if lo is None else min(lo, mn)
+                if mx is not None:
+                    hi = mx if hi is None else max(hi, mx)
+                if tag == "string" and mn is not None:
+                    # a <64-char stored bound was never truncated
+                    exact = exact and len(str(mn)) < _STATS_MAX_STR and len(
+                        str(mx)
+                    ) < _STATS_MAX_STR
+            out_cols[col] = {
+                "count": nn,
+                "min": lo,
+                "max": hi,
+                "exact_bounds": bool(exact) if tag is not None else False,
+            }
+        return {"count_rows": count_rows, "columns": out_cols}
+
     def snapshot_properties(self, version: int | None = None) -> dict:
         """User-supplied commit metadata (the Iceberg snapshot-summary
         analog): the ``properties`` dict passed to ``write``/``merge``,

@@ -2616,3 +2616,74 @@ def test_append_creates_table(spark, table):
     v = table.append(_df(spark, [(1, "a", 10)]))
     assert v == 1
     assert _rows(table.read()) == {(1, "a", 10)}
+
+
+def test_metadata_aggregate_exact_counts_and_bounds(spark, table):
+    table.merge(
+        _df(spark, [(1, "a", 10), (2, "b", 20), (3, "a", 30)]),
+        ["k"],
+        partition_by=["d"],
+    )
+    # second commit carries partition a's file by reference
+    table.merge(_df(spark, [(4, "b", 40)]), ["k"])
+    agg = table.metadata_aggregate(["k", "v", "d"])
+    assert agg["count_rows"] == 4
+    assert agg["columns"]["k"] == {
+        "count": 4, "min": 1, "max": 4, "exact_bounds": True
+    }
+    assert agg["columns"]["v"]["min"] == 10
+    assert agg["columns"]["v"]["max"] == 40
+    # short strings: never truncated -> exact
+    assert agg["columns"]["d"] == {
+        "count": 4, "min": "a", "max": "b", "exact_bounds": True
+    }
+    # partition filter answered from metadata (partition b: keys 2, 4)
+    sub = table.metadata_aggregate(["k"], partition_filter={"d": "b"})
+    assert sub["count_rows"] == 2
+    assert sub["columns"]["k"]["min"] == 2
+    assert sub["columns"]["k"]["max"] == 4
+    # time travel
+    v1 = table.metadata_aggregate(["k"], version=1)
+    assert v1["count_rows"] == 3 and v1["columns"]["k"]["max"] == 3
+
+
+def test_metadata_aggregate_nulls_and_float_inexact(spark, table):
+    df = spark.createDataFrame(
+        [Row(k=1, d="a", x=1.5), Row(k=2, d="a", x=None), Row(k=3, d="b", x=7.25)]
+    )
+    table.merge(df, ["k"])
+    agg = table.metadata_aggregate(["x"])
+    assert agg["count_rows"] == 3
+    col = agg["columns"]["x"]
+    assert col["count"] == 2  # non-null
+    # float bounds are one-ulp widened: bracket, flagged inexact
+    assert col["min"] <= 1.5 <= 7.25 <= col["max"]
+    assert col["exact_bounds"] is False
+
+
+def test_metadata_aggregate_refuses_mor_and_evolved_partitions(spark, table):
+    table.merge(
+        _df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"], partition_by=["d"]
+    )
+    table.delete_keys(spark.createDataFrame([Row(k=1)]), ["k"])
+    with pytest.raises(ValueError, match="merge-on-read"):
+        table.metadata_aggregate()
+    # compact materializes tombstones -> metadata counts exact again
+    table.compact()
+    assert table.metadata_aggregate()["count_rows"] == 1
+    # a filter column never in any file's path cannot be answered
+    with pytest.raises(ValueError, match="does not carry partition column"):
+        table.metadata_aggregate(partition_filter={"v": 10})
+
+
+def test_metadata_aggregate_refuses_statless_column(spark, table):
+    import pyspark.sql.functions as SF
+
+    table.merge(
+        _df(spark, [(1, "a", 10)]).withColumn(
+            "arr", SF.array(SF.lit(1))
+        ),
+        ["k"],
+    )
+    with pytest.raises(ValueError, match="no usable stats"):
+        table.metadata_aggregate(["arr"])
