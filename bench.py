@@ -136,6 +136,9 @@ EXTENDED = [
     # round-9 additions (metadata-only aggregates — Iceberg
     # metadata-only scan: count/min/max from manifests, zero data IO):
     "x_metadata_agg",
+    # round-9 additions (versioned_table streaming SINK — add_files
+    # fast-append per micro-batch, (sinkId, batchId) exactly-once):
+    "t_datasource_sink",
 ]
 
 

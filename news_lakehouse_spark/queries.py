@@ -1636,7 +1636,7 @@ def x_cc_large_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nxt").isNotNull())
         .select(F.col("doc_id").alias("id_a"), F.col("nxt").alias("id_b"))
     )
-    comp = connected_components(pairs, method="star", max_iters=16)
+    comp = connected_components(pairs, method="star", max_iters=24)
     return (
         comp.groupBy(F.col("component").cast("long").alias("component"))
         .agg(
@@ -3197,6 +3197,113 @@ def t_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DATASOURCE_STREAM_SQL = """
+WITH sunk AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 3
+  FROM orders WHERE o_orderkey % 3 = 2
+)
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       CAST(SUM(CAST(concat('0x', substr(sha256(concat_ws('|',
+              o_orderkey, CAST(ROUND(price * 100) AS BIGINT))), 1, 10))
+            AS BIGINT)) AS BIGINT) AS hash_sum
+FROM sunk GROUP BY o_orderstatus
+"""
+
+
+def t_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned table as a Structured Streaming SINK
+    (sources/datasource.py VersionedTableStreamWriter — the Delta
+    `writeStream.format("delta")` analog): executors stage each
+    micro-batch's partitions as bare parquet, the driver registers
+    them with ONE atomic fast-append commit (`add_files`, the Iceberg
+    add_files analog), and exactly-once across restarts comes from
+    (sinkId, batchId) recorded in the commit's properties — a
+    replayed batch is detected and discarded (the Delta-sink
+    txn-version idempotence contract; crash replay pinned in
+    tests/test_datasource.py).
+
+    Script: the table seeds with orders %3=0; drain 1 streams %3=1
+    from a file source into the sink; more source files land (%3=2 at
+    tripled price) and drain 2 RESUMES from the same checkpoint,
+    appending only the new batch; drain 3 re-runs with nothing new —
+    the table version must not move. The oracle recomputes the final
+    table; the exactly-once count asserts in-query.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from news_lakehouse_spark.sources.datasource import (
+        register_versioned_table_source,
+    )
+    from news_lakehouse_spark.sources.transaction import (
+        VersionedParquetTable,
+    )
+
+    register_versioned_table_source(spark)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"nlh_dsk_{os.getpid()}_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    tgt = VersionedParquetTable(spark, os.path.join(base, "tgt"))
+    srcdir = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    tgt.append(orders.filter(F.col("o_orderkey") % 3 == 0))
+
+    def drain() -> None:
+        q = (
+            spark.readStream.schema(
+                "o_orderkey long, o_orderstatus string, o_totalprice double"
+            )
+            .parquet(srcdir)
+            .writeStream.format("versioned_table")
+            .option("path", tgt.path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    orders.filter(F.col("o_orderkey") % 3 == 1).write.mode(
+        "append"
+    ).parquet(srcdir)
+    with _op_phase("t_datasource_sink", "sink_drains"):
+        drain()
+        orders.filter(F.col("o_orderkey") % 3 == 2).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 3
+        ).write.mode("append").parquet(srcdir)
+        drain()  # checkpoint resume: only the new files append
+        v_settled = tgt.latest_version()
+        drain()  # nothing new: the table version must not move
+    assert tgt.latest_version() == v_settled, "idle drain committed"
+    props = tgt.snapshot_properties(v_settled)
+    assert props.get("vt_sink_id") == "default", props
+    got = tgt.read()
+    if not os.environ.get("SPARK_GRAFT_BENCH_LEAN"):
+        assert got.count() == orders.count(), (
+            got.count(), orders.count(),
+        )
+    rowhash = sha2_prefix_long(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey"),
+            F.round(F.col("o_totalprice") * 100).cast("long"),
+        ),
+        10,
+    )
+    return got.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"), F.sum(rowhash).alias("hash_sum")
+    )
+
+
+_DATASOURCE_SINK_SQL = """
 WITH sunk AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice AS price
   FROM orders WHERE o_orderkey % 3 IN (0, 1)
@@ -7826,6 +7933,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_cc_large_star": x_cc_large_star,
     "x_quality_classifier": x_quality_classifier,
     "x_metadata_agg": x_metadata_agg,
+    "t_datasource_sink": t_datasource_sink,
     "x_dedup_minhash_lsh": x_dedup_minhash_lsh,
     "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
     "x_dedup_simhash": x_dedup_simhash,
@@ -7958,6 +8066,7 @@ ORACLES: dict[str, str] = {
     "x_cc_large_star": _CC_STAR_SQL,
     "x_quality_classifier": _QUALITY_CLS_SQL,
     "x_metadata_agg": _METADATA_AGG_SQL,
+    "t_datasource_sink": _DATASOURCE_SINK_SQL,
     "x_bm25_search": _bm25_oracle(_BM25_TERMS),
     "x_tfidf_topterms": _TFIDF_SQL,
     "x_train_test_split": _SPLIT_SQL,

@@ -54,6 +54,27 @@ Executor-side reads are pyarrow parquet -> Arrow RecordBatches
 1000-executor cluster fans the snapshot out file-parallel. Offsets
 replay deterministically from the immutable manifests; a vacuumed
 file fails the replay loudly (same contract as the feed cursor).
+
+WRITE direction (the Delta `writeStream.format("delta")` analog):
+
+    df.writeStream.format("versioned_table").option("path", p)
+      .option("checkpointLocation", ck).start()      # streaming sink
+    df.write.format("versioned_table").option("path", p)
+      .mode("append").save()                          # batch append
+
+Executors stage each task's Arrow batches as ONE bare parquet file
+under ``data/_staging`` (same filesystem — the commit renames, never
+copies); the driver registers all staged files atomically via
+``VersionedParquetTable.add_files`` (the Iceberg add_files analog) as
+a fast-append commit. The streaming sink is EXACTLY-ONCE across
+restarts: each commit records ``(sinkId, batchId)`` in its properties
+and a crash-replayed batch id is discarded instead of re-appended
+(Delta's txn-version idempotence). Targets must exist and be
+unpartitioned (external files carry no partition fragment — use
+``append()``/foreachBatch for partitioned layouts); schema must match
+the table exactly (the sink never evolves schema). Orphaned staging
+files from crashed tasks are unreferenced data ``vacuum`` reclaims
+after its grace window.
 """
 
 from __future__ import annotations
@@ -64,14 +85,18 @@ from dataclasses import dataclass, field
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
 from .transaction import (
     VersionedParquetTable,
+    _DATA_DIR,
     _WIDENINGS,
     _decimal_widening_ok,
     _field_fid,
@@ -336,6 +361,184 @@ class VersionedTableStreamReader(DataSourceStreamReader, _ArrowFileReader):
         pass  # progress lives in Spark's own offset log
 
 
+@dataclass
+class _StagedFiles(WriterCommitMessage):
+    """Absolute staged-file paths one writer task produced."""
+
+    paths: list = field(default_factory=list)
+
+
+def _norm_type(simple: str) -> str:
+    # tz-ness of a timestamp is an encoding detail the explicit-schema
+    # read absorbs; everything else must match exactly
+    return "timestamp" if simple.startswith("timestamp") else simple
+
+
+def _validate_sink_schema(path: str, schema_json: str) -> None:
+    """Driver-side, at writer creation: the target table must exist,
+    be unpartitioned (external files carry no partition fragment), and
+    the incoming data schema must match the table's current columns by
+    name and type — a clean error at stream start instead of a failed
+    first commit."""
+    t = _meta(path)
+    v = t.latest_version()
+    if v is None:
+        raise ValueError(
+            "versioned_table sink: table does not exist at "
+            f"{path!r} — create it with write()/merge() first (the "
+            "initial commit fixes the schema appends are checked "
+            "against)"
+        )
+    root = t._load_root(v)
+    if root.get("partition_by"):
+        raise ValueError(
+            "versioned_table sink: table is partitioned by "
+            f"{root['partition_by']}; the file-registering sink "
+            "cannot lay out partition fragments — ingest via "
+            "append()/foreachBatch"
+        )
+    want = [
+        (f.name, _norm_type(f.dataType.simpleString()))
+        for f in StructType.fromJson(root["schema"]).fields
+    ]
+    got = [
+        (f.name, _norm_type(f.dataType.simpleString()))
+        for f in StructType.fromJson(json.loads(schema_json)).fields
+    ]
+    if got != want:
+        raise ValueError(
+            f"versioned_table sink: incoming schema {got} does not "
+            f"match the table's current schema {want}; select/cast to "
+            "the table's columns first (the sink never evolves schema)"
+        )
+
+
+class _ArrowStagingWriter:
+    """Executor-side half of both writers: stream this task's Arrow
+    batches into ONE staged parquet file under ``data/_staging``
+    (same filesystem as the table, so the driver-side commit RENAMES
+    files into the commit dir — no copy). A task that receives no rows
+    stages nothing. Crash-orphaned staging files sit unreferenced
+    under ``data/`` and are reclaimed by ``vacuum`` after its grace
+    window — the same contract as a crashed commit's data dir."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        writer = None
+        abs_p = None
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            if writer is None:
+                staging = os.path.join(self.path, _DATA_DIR, "_staging")
+                os.makedirs(staging, exist_ok=True)
+                abs_p = os.path.join(
+                    staging, f"part-{uuid.uuid4().hex}.parquet"
+                )
+                writer = pq.ParquetWriter(abs_p, batch.schema)
+            writer.write_batch(batch)
+        if writer is None:
+            return _StagedFiles([])
+        writer.close()
+        return _StagedFiles([abs_p])
+
+    @staticmethod
+    def _staged(messages) -> list[str]:
+        return [p for m in messages or [] if m is not None for p in m.paths]
+
+    @staticmethod
+    def _discard(messages) -> None:
+        for p in _ArrowStagingWriter._staged(messages):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+
+
+class VersionedTableBatchWriter(_ArrowStagingWriter, DataSourceArrowWriter):
+    """`df.write.format("versioned_table").mode("append")`: stage per
+    task, register all staged files as ONE atomic fast-append commit
+    (``add_files``). Any task failure → ``abort`` unlinks the stage."""
+
+    def __init__(self, schema_json: str, options: dict, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "versioned_table sink is append-only; truncate-and-"
+                "replace via VersionedParquetTable.write()"
+            )
+        _ArrowStagingWriter.__init__(self, options["path"])
+        _validate_sink_schema(self.path, schema_json)
+
+    def commit(self, messages) -> None:
+        files = self._staged(messages)
+        if files:
+            _meta(self.path).add_files(files)
+
+    def abort(self, messages) -> None:
+        self._discard(messages)
+
+
+class VersionedTableStreamWriter(
+    _ArrowStagingWriter, DataSourceStreamArrowWriter
+):
+    """`df.writeStream.format("versioned_table")`: each micro-batch
+    commits as one fast append, EXACTLY-ONCE across restarts — the
+    commit records ``(sinkId, batchId)`` in the version's properties
+    and a replayed batch id (Structured Streaming re-runs the last
+    batch after a crash) is detected and discarded instead of
+    re-appended (the Delta-sink txn-version idempotence contract).
+    ``sinkId`` (option, default "default") scopes the dedup so two
+    independent queries can feed one table."""
+
+    def __init__(self, schema_json: str, options: dict, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "versioned_table stream sink supports append output "
+                "mode only"
+            )
+        _ArrowStagingWriter.__init__(self, options["path"])
+        self.sink_id = options.get("sinkid", "default")
+        _validate_sink_schema(self.path, schema_json)
+        self._applied: int | None = None  # newest batch id, lazy-read
+
+    def _last_applied(self, t: VersionedParquetTable) -> int | None:
+        if self._applied is None:
+            # one newest-first properties scan per writer lifetime
+            # (fresh instance after a restart), then tracked in memory
+            for v in reversed(t.versions()):
+                props = t._load_root(v).get("properties") or {}
+                if props.get("vt_sink_id") == self.sink_id:
+                    self._applied = int(props["vt_sink_batch"])
+                    break
+        return self._applied
+
+    def commit(self, messages, batchId: int) -> None:
+        files = self._staged(messages)
+        t = _meta(self.path)
+        last = self._last_applied(t)
+        if last is not None and batchId <= last:
+            self._discard(messages)  # crash-replayed batch: already in
+            return
+        if files:
+            t.add_files(
+                files,
+                properties={
+                    "vt_sink_id": self.sink_id,
+                    "vt_sink_batch": str(batchId),
+                },
+            )
+        self._applied = batchId
+
+    def abort(self, messages, batchId: int) -> None:
+        self._discard(messages)
+
+
 class VersionedTableDataSource(DataSource):
     """See module docstring. Usage:
     `spark.dataSource.register(VersionedTableDataSource)` (or
@@ -368,6 +571,16 @@ class VersionedTableDataSource(DataSource):
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return VersionedTableStreamReader(
             json.dumps(schema.jsonValue()), dict(self.options)
+        )
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return VersionedTableBatchWriter(
+            json.dumps(schema.jsonValue()), dict(self.options), overwrite
+        )
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return VersionedTableStreamWriter(
+            json.dumps(schema.jsonValue()), dict(self.options), overwrite
         )
 
 

@@ -1184,7 +1184,7 @@ class VersionedParquetTable:
         ~800k-file scale serial driver I/O here would dominate the
         maintenance planner."""
         root_path = self.path
-        if len(rels) >= _DIST_STATS_THRESHOLD:
+        if self.spark is not None and len(rels) >= _DIST_STATS_THRESHOLD:
             return dict(
                 self.spark.sparkContext.parallelize(
                     rels, max(1, min(len(rels) // 8, 256))
@@ -1422,6 +1422,8 @@ class VersionedParquetTable:
             for rel in files_list:
                 ent = (stats.get(rel) or {}).get(col)
                 if ent is None:
+                    if per_file_rows.get(rel) == 0:
+                        continue  # empty file: zero rows, no bounds
                     raise ValueError(
                         f"metadata_aggregate: file {rel!r} has no usable "
                         f"stats for column {col!r} — cannot answer "
@@ -1603,7 +1605,9 @@ class VersionedParquetTable:
         fresh = [rel for rel in files if rel not in prior]
         stat_cols = tuple(stat_types)
         raw: dict[str, dict] = {}
-        if len(fresh) >= _DIST_STATS_THRESHOLD:
+        # session-less handles (DataSource driver workers via
+        # add_files) always stat serially — footers are metadata-sized
+        if self.spark is not None and len(fresh) >= _DIST_STATS_THRESHOLD:
             root = self.path
             raw = dict(
                 self.spark.sparkContext.parallelize(
@@ -2729,6 +2733,133 @@ class VersionedParquetTable:
                 )
             except ConcurrentCommitError as e:
                 last_err = e  # loser re-derives from the winner
+        raise last_err  # type: ignore[misc]
+
+    def add_files(
+        self, paths: list[str], properties: dict | None = None
+    ) -> int:
+        """Register EXTERNALLY WRITTEN parquet files as a fast-append
+        commit (Iceberg's ``add_files`` / Spark's
+        ``ALTER TABLE ... ADD FILES`` analog): the files move (rename,
+        no copy) into the new commit's data directory and the commit
+        carries parent files by reference — O(new files) at any table
+        size. This is the primitive the ``versioned_table`` streaming
+        SINK builds on (sources/datasource.py): executors write their
+        micro-batch partitions as bare parquet, the driver-side commit
+        registers them atomically.
+
+        Works WITHOUT a SparkSession (driver-side DataSource workers
+        have none): stats come from footers serially, schema checks
+        from footers. Guards:
+
+        - the table must exist (appends never create) and be
+          UNPARTITIONED (external files carry no partition fragment;
+          lay out partitioned data via ``append()``);
+        - each file's footer schema must match the table's current
+          columns by name AND Spark type (timestamp tz-ness ignored —
+          the explicit-schema read handles either encoding);
+        - a bloom-configured table needs a session (sidecar build is a
+          Spark job) — raises when ``self.spark is None``.
+
+        Loses a version race by RENAMING the staged commit dir to the
+        next attempt (files never copy twice); a crash before publish
+        leaves an orphan dir that ``vacuum`` reclaims after its grace
+        window.
+        """
+        import uuid
+
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        if not paths:
+            raise ValueError("add_files: no files given")
+        if self.latest_version() is None:
+            raise FileNotFoundError(
+                "add_files: table does not exist yet — create it with "
+                "write()/merge() first (an initial commit fixes the "
+                "schema external files are checked against)"
+            )
+
+        def _norm(t: str) -> str:
+            return "timestamp" if t.startswith("timestamp") else t
+
+        file_schemas = {
+            p: from_arrow_schema(pq.read_schema(p)) for p in paths
+        }
+        cur_dir: str | None = None
+        last_err: Exception | None = None
+        for _attempt in range(3):
+            parent = self.latest_version()
+            man = self._load_manifest(parent)
+            if man["partition_by"]:
+                raise ValueError(
+                    "add_files: table is partitioned by "
+                    f"{man['partition_by']} — external files carry no "
+                    "partition fragment; append() lays out partitioned "
+                    "data"
+                )
+            tgt = StructType.fromJson(man["schema"])
+            want = [(f.name, _norm(f.dataType.simpleString())) for f in tgt.fields]
+            for p, fs in file_schemas.items():
+                got = [
+                    (f.name, _norm(f.dataType.simpleString()))
+                    for f in fs.fields
+                ]
+                if got != want:
+                    raise ValueError(
+                        f"add_files: {p!r} schema {got} does not match "
+                        f"the table's current schema {want}; cast/"
+                        "reorder columns before writing the file"
+                    )
+            b = man.get("bloom")
+            if b and self.spark is None:
+                raise ValueError(
+                    "add_files: table has a bloom sidecar config; "
+                    "building sidecars is a Spark job — use a "
+                    "session-bound VersionedParquetTable handle"
+                )
+            version = parent + 1
+            ddir_rel = os.path.join(
+                _DATA_DIR, f"c{version:012d}-{uuid.uuid4().hex[:8]}"
+            )
+            ddir = os.path.join(self.path, ddir_rel)
+            if cur_dir is None:
+                os.makedirs(ddir, exist_ok=True)
+                for p in paths:
+                    os.replace(
+                        p, os.path.join(ddir, os.path.basename(p))
+                    )
+            else:  # lost a race: re-home the staged dir, files intact
+                os.replace(cur_dir, ddir)
+            cur_dir = ddir
+            rels = sorted(
+                os.path.join(ddir_rel, os.path.basename(p)) for p in paths
+            )
+
+            class _SchemaShim:  # _commit touches only .schema
+                schema = tgt
+
+            try:
+                return self._commit(
+                    _SchemaShim(),
+                    sorted(man["files"] + rels),
+                    parent,
+                    None,
+                    "append",
+                    prior_stats=man.get("stats"),
+                    delete_files=man.get("delete_files"),
+                    bloom_cfg=(
+                        {"columns": b["columns"], "bits": b["bits"],
+                         "k": b["k"]}
+                        if b
+                        else None
+                    ),
+                    bloom_new_files=rels,
+                    bloom_carried=(b or {}).get("sidecars"),
+                    properties=properties,
+                )
+            except ConcurrentCommitError as e:
+                last_err = e
         raise last_err  # type: ignore[misc]
 
     def set_partition_spec(

@@ -160,3 +160,161 @@ def test_batch_read_refuses_mor_deletes(spark, table):
         spark.read.format("versioned_table").option(
             "path", table.path
         ).load().collect()
+
+
+def test_add_files_registers_external_parquet(spark, table):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ext = os.path.join(table.path, "ext1.parquet")
+    pq.write_table(
+        pa.table({"k": [7], "d": ["z"], "v": [70]}).cast(
+            pa.schema(
+                [("k", pa.int64()), ("d", pa.string()), ("v", pa.int64())]
+            )
+        ),
+        ext,
+    )
+    v = table.add_files([ext])
+    assert v == 2
+    assert not os.path.exists(ext)  # moved, not copied
+    assert (7, "z", 70) in _rows(table.read())
+    assert table.history()[-1]["operation"] == "append"
+    # commit stats were collected for the registered file
+    assert table.metadata_aggregate(["k"])["columns"]["k"]["max"] == 7
+    # schema mismatch refuses
+    bad = os.path.join(table.path, "bad.parquet")
+    pq.write_table(pa.table({"k": [1]}), bad)
+    with pytest.raises(ValueError, match="does not match"):
+        table.add_files([bad])
+
+
+def test_batch_write_format_appends(spark, table):
+    (
+        spark.createDataFrame([Row(k=9, d="y", v=90)])
+        .write.format("versioned_table")
+        .option("path", table.path)
+        .mode("append")
+        .save()
+    )
+    assert (9, "y", 90) in _rows(table.read())
+    assert table.latest_version() == 2
+    with pytest.raises(Exception, match="append-only"):
+        (
+            spark.createDataFrame([Row(k=9, d="y", v=90)])
+            .write.format("versioned_table")
+            .option("path", table.path)
+            .mode("overwrite")
+            .save()
+        )
+
+
+def test_stream_sink_appends_exactly_once(spark, table, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame([Row(k=5, d="e", v=50)]).write.parquet(src)
+
+    def run():
+        q = (
+            spark.readStream.schema("k long, d string, v long")
+            .parquet(src)
+            .writeStream.format("versioned_table")
+            .option("path", table.path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert (5, "e", 50) in _rows(table.read())
+    v_after = table.latest_version()
+    props = table.snapshot_properties(v_after)
+    assert props["vt_sink_id"] == "default"
+    assert props["vt_sink_batch"] == "0"
+    # re-running the drained stream must not duplicate anything
+    run()
+    assert table.latest_version() == v_after
+    assert [r for r in table.read().collect() if r["k"] == 5] != []
+    assert table.read().count() == 3
+
+
+def test_stream_sink_replayed_batch_discards(spark, table, tmp_path):
+    """A crash AFTER the table commit but BEFORE Spark records the
+    batch in its offset log replays the same batchId; the sink must
+    recognize it and drop the staged files instead of re-appending."""
+    import glob
+
+    from news_lakehouse_spark.sources.datasource import (
+        VersionedTableStreamWriter,
+        _StagedFiles,
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import json as _json
+
+    schema_json = _json.dumps(
+        spark.createDataFrame([Row(k=1, d="a", v=1)]).schema.jsonValue()
+    )
+    w = VersionedTableStreamWriter(
+        schema_json, {"path": table.path}, overwrite=False
+    )
+    staging = os.path.join(table.path, "data", "_staging")
+    os.makedirs(staging, exist_ok=True)
+
+    def stage(k):
+        p = os.path.join(staging, f"part-test-{k}.parquet")
+        pq.write_table(
+            pa.table(
+                {"k": pa.array([k], pa.int64()),
+                 "d": pa.array(["s"]),
+                 "v": pa.array([k * 10], pa.int64())}
+            ),
+            p,
+        )
+        return p
+
+    w.commit([_StagedFiles([stage(100)])], batchId=0)
+    assert (100, "s", 1000) in _rows(table.read())
+    v = table.latest_version()
+    # replay of batch 0 (fresh writer instance = post-crash state)
+    w2 = VersionedTableStreamWriter(
+        schema_json, {"path": table.path}, overwrite=False
+    )
+    replay = stage(100)
+    w2.commit([_StagedFiles([replay])], batchId=0)
+    assert table.latest_version() == v  # no new commit
+    assert not os.path.exists(replay)  # staged file discarded
+    assert table.read().count() == 3
+    # next batch applies normally
+    w2.commit([_StagedFiles([stage(101)])], batchId=1)
+    assert (101, "s", 1010) in _rows(table.read())
+    assert not glob.glob(os.path.join(staging, "*.parquet"))
+
+
+def test_stream_sink_refuses_partitioned_and_schema_drift(spark, tmp_path):
+    t = VersionedParquetTable(spark, str(tmp_path / "pt"))
+    t.merge(
+        spark.createDataFrame([Row(k=1, d="a", v=10)]),
+        ["k"],
+        partition_by=["d"],
+    )
+    register_versioned_table_source(spark)
+    with pytest.raises(Exception, match="partitioned"):
+        (
+            spark.createDataFrame([Row(k=2, d="b", v=20)])
+            .write.format("versioned_table")
+            .option("path", t.path)
+            .mode("append")
+            .save()
+        )
+    t2 = VersionedParquetTable(spark, str(tmp_path / "ut"))
+    t2.append(spark.createDataFrame([Row(k=1, d="a", v=10)]))
+    with pytest.raises(Exception, match="does not match"):
+        (
+            spark.createDataFrame([Row(k=2, other=1)])
+            .write.format("versioned_table")
+            .option("path", t2.path)
+            .mode("append")
+            .save()
+        )

@@ -92,6 +92,13 @@ PROBES = {
     # r8: z-order clustered compact + 2-D bounds pruning (in-plan
     # fewer-files assert must hold at 10x too)
     "x_zorder_pruned_read": ("orders", 10),
+    # r9: large-star/small-star CC (chains grow 20x longer -> round
+    # count must grow ~log, not linearly), hashed-linear classifier
+    # (pure scan, exp ~1.0), metadata-only aggregates (commit cost
+    # scales with data; the aggregate itself is metadata-sized)
+    "x_cc_large_star": ("documents", 20),
+    "x_quality_classifier": ("documents", 20),
+    "x_metadata_agg": ("orders", 10),
     # x_source_overlap is NOT probed: its oracle-pinned max_df=100 band
     # (exact at fixture df <= 25) excises the 20x-replicated shingles
     # entirely, so the probe would time an empty output. Its inverted-
