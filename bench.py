@@ -139,6 +139,9 @@ EXTENDED = [
     # round-9 additions (versioned_table streaming SINK — add_files
     # fast-append per micro-batch, (sinkId, batchId) exactly-once):
     "t_datasource_sink",
+    # round-9 additions (zero-copy hardlink clone — Delta SHALLOW
+    # CLONE analog with vacuum-safe isolation):
+    "x_table_clone",
 ]
 
 

@@ -3736,6 +3736,108 @@ FROM src
 """
 
 
+def x_table_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy table clone (sources/transaction.py clone — the Delta
+    SHALLOW CLONE analog via hardlinks, so source and clone stay fully
+    independent: either side may rewrite, compact, or VACUUM without
+    corrupting the other, the documented Delta-clone footgun). The
+    script clones a 2-commit orders table, diverges BOTH sides (source
+    doubles %10=0 prices; clone triples %10=5), then compacts AND
+    zero-grace-vacuums the source — and returns per-side aggregates
+    the oracle recomputes from raw rows: identical pre-divergence
+    data, each side seeing only its own edit. In-query asserts pin the
+    zero-copy mechanics SQL can't see (shared inode, nlink >= 2, clone
+    provenance properties).
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"nlh_clone_{os.getpid()}_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    t = VersionedParquetTable(spark, os.path.join(base, "src"))
+    t.merge(orders.filter(F.col("o_orderkey") % 2 == 0), ["o_orderkey"])
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+
+    with _op_phase("x_table_clone", "clone_commit"):
+        c = t.clone(os.path.join(base, "clone"))
+    # zero-copy: first shared file is one inode, two directory entries
+    rel = c._load_manifest(1)["files"][0]
+    st_s = os.stat(os.path.join(t.path, rel))
+    st_c = os.stat(os.path.join(c.path, rel))
+    assert (st_s.st_ino, st_s.st_dev) == (st_c.st_ino, st_c.st_dev)
+    assert st_s.st_nlink >= 2
+    assert c.snapshot_properties(1)["clone_source_version"] == "2"
+
+    # diverge both sides, then destructively maintain the SOURCE
+    t.merge(
+        orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ),
+        ["o_orderkey"],
+    )
+    c.merge(
+        orders.filter(F.col("o_orderkey") % 10 == 5).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 3
+        ),
+        ["o_orderkey"],
+    )
+    t.compact()
+    t.vacuum(keep_last=1, grace_seconds=0)
+
+    rowhash = sha2_prefix_long(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey"),
+            F.round(F.col("o_totalprice") * 100).cast("long"),
+        ),
+        10,
+    )
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy(
+            F.lit(name).alias("side"), "o_orderstatus"
+        ).agg(F.count("*").alias("cnt"), F.sum(rowhash).alias("hash_sum"))
+
+    return side(t.read(), "source").unionByName(
+        side(c.read(), "clone")
+    ).orderBy("side", "o_orderstatus")
+
+
+_TABLE_CLONE_SQL = """
+WITH src AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS price
+  FROM orders
+), cln AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice * 3
+              ELSE o_totalprice END AS price
+  FROM orders
+), both_sides AS (
+  SELECT 'source' AS side, o_orderkey, o_orderstatus, price FROM src
+  UNION ALL
+  SELECT 'clone', o_orderkey, o_orderstatus, price FROM cln
+)
+SELECT side, o_orderstatus, COUNT(*) AS cnt,
+       CAST(SUM(CAST(concat('0x', substr(sha256(concat_ws('|',
+              o_orderkey, CAST(ROUND(price * 100) AS BIGINT))), 1, 10))
+            AS BIGINT)) AS BIGINT) AS hash_sum
+FROM both_sides GROUP BY side, o_orderstatus
+ORDER BY side, o_orderstatus
+"""
+
+
 def x_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-spec evolution (sources/transaction.py
     set_partition_spec — Iceberg's ALTER TABLE ... REPLACE PARTITION
@@ -7934,6 +8036,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_quality_classifier": x_quality_classifier,
     "x_metadata_agg": x_metadata_agg,
     "t_datasource_sink": t_datasource_sink,
+    "x_table_clone": x_table_clone,
     "x_dedup_minhash_lsh": x_dedup_minhash_lsh,
     "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
     "x_dedup_simhash": x_dedup_simhash,
@@ -8067,6 +8170,7 @@ ORACLES: dict[str, str] = {
     "x_quality_classifier": _QUALITY_CLS_SQL,
     "x_metadata_agg": _METADATA_AGG_SQL,
     "t_datasource_sink": _DATASOURCE_SINK_SQL,
+    "x_table_clone": _TABLE_CLONE_SQL,
     "x_bm25_search": _bm25_oracle(_BM25_TERMS),
     "x_tfidf_topterms": _TFIDF_SQL,
     "x_train_test_split": _SPLIT_SQL,

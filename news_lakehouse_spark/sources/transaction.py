@@ -2735,6 +2735,91 @@ class VersionedParquetTable:
                 last_err = e  # loser re-derives from the winner
         raise last_err  # type: ignore[misc]
 
+    def clone(
+        self,
+        dest_path: str,
+        version: int | None = None,
+        properties: dict | None = None,
+    ) -> "VersionedParquetTable":
+        """ZERO-COPY table clone (the Delta ``SHALLOW CLONE`` analog
+        with STRONGER isolation): every live data file, merge-on-read
+        tombstone parquet, and bloom sidecar of ``version`` HARDLINKS
+        into the clone (same bytes on disk, no copy), and the clone
+        publishes them as its own version 1 — history, tags, and
+        future commits fully independent. At 100 TB a dev/test fork of
+        the production table costs O(files) metadata, not a data pass.
+
+        Why hardlinks beat Delta's path-sharing shallow clone: Delta's
+        clone references the SOURCE's files, so vacuuming the source
+        corrupts the clone (a documented Delta footgun). A hardlink
+        has its own directory entry — either side may vacuum, compact,
+        or delete freely; the filesystem reclaims bytes only when the
+        last reference drops. Cross-device links fall back to a real
+        copy per file (still correct, no longer zero-copy); on object
+        stores swap the link for a server-side copy.
+
+        The clone preserves relative file paths, so the commit-version
+        fencing inside MOR delete entries (rows deleted only in files
+        whose path predates the tombstone) carries over unchanged, and
+        schema-epoch state (``schemas``/``file_sids``/``next_fid``)
+        moves wholesale — old-epoch files project identically in the
+        clone. ``properties`` land on the clone's v1 alongside
+        ``clone_source``/``clone_source_version`` provenance keys.
+        """
+        import shutil
+
+        v = self._resolve_version(version)
+        v = self.latest_version() if v is None else v
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        dest = VersionedParquetTable(self.spark, dest_path)
+        if dest.latest_version() is not None:
+            raise ValueError(
+                f"clone: destination {dest_path!r} already has commits"
+            )
+        man = self._load_manifest(v)
+
+        def _link(rel: str, dst_root: str) -> None:
+            src = os.path.join(self.path, rel)
+            dst = os.path.join(dst_root, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:  # cross-device / FS without hardlinks
+                shutil.copy2(src, dst)
+
+        for rel in man["files"]:
+            _link(rel, dest.path)
+        for e in man.get("delete_files") or []:
+            for rel in e["paths"]:
+                _link(rel, dest.path)
+        bloom = man.get("bloom")
+        if bloom:
+            dst_mdir = dest._manifest_dir()
+            os.makedirs(dst_mdir, exist_ok=True)
+            for name in bloom.get("sidecars") or []:
+                src = os.path.join(self._manifest_dir(), name)
+                dst = os.path.join(dst_mdir, name)
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+        manifest = dict(man)
+        manifest.update(
+            {
+                "version": 1,
+                "parent": None,
+                "operation": "clone",
+                "properties": {
+                    **(properties or {}),
+                    "clone_source": self.path,
+                    "clone_source_version": str(v),
+                },
+            }
+        )
+        dest._publish(manifest)
+        return dest
+
     def add_files(
         self, paths: list[str], properties: dict | None = None
     ) -> int:

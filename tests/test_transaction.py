@@ -2687,3 +2687,68 @@ def test_metadata_aggregate_refuses_statless_column(spark, table):
     )
     with pytest.raises(ValueError, match="no usable stats"):
         table.metadata_aggregate(["arr"])
+
+
+def test_clone_zero_copy_and_fully_independent(spark, table, tmp_path):
+    table.merge(
+        _df(spark, [(1, "a", 10), (2, "b", 20), (3, "a", 30)]),
+        ["k"],
+        partition_by=["d"],
+    )
+    table.merge(_df(spark, [(4, "b", 40)]), ["k"])
+    clone = table.clone(str(tmp_path / "clone"), properties={"who": "dev"})
+    assert _rows(clone.read()) == _rows(table.read())
+    assert clone.latest_version() == 1 and len(clone.versions()) == 1
+    props = clone.snapshot_properties(1)
+    assert props["who"] == "dev"
+    assert props["clone_source_version"] == "2"
+    assert clone.history()[0]["operation"] == "clone"
+    # zero-copy: the shared file is ONE inode with two links
+    rel = clone._load_manifest(1)["files"][0]
+    src_st = os.stat(os.path.join(table.path, rel))
+    dst_st = os.stat(os.path.join(clone.path, rel))
+    assert (src_st.st_ino, src_st.st_dev) == (dst_st.st_ino, dst_st.st_dev)
+    assert src_st.st_nlink >= 2
+    # divergence: each side commits independently
+    clone.merge(_df(spark, [(5, "c", 50)]), ["k"])
+    table.merge(_df(spark, [(6, "c", 60)]), ["k"])
+    assert (5, "c", 50) in _rows(clone.read())
+    assert (5, "c", 50) not in _rows(table.read())
+    assert (6, "c", 60) not in _rows(clone.read())
+    # the Delta footgun: vacuum + destructive rewrite on the SOURCE
+    # must not break the clone (hardlinks, not path references)
+    table.merge(_df(spark, [(1, "a", 99)]), ["k"])  # rewrites partition a
+    table.compact()
+    table.vacuum(keep_last=1, grace_seconds=0)
+    assert (1, "a", 10) in _rows(clone.read())  # pre-clone value intact
+    # and vacuuming the clone leaves the source intact
+    clone.compact()
+    clone.vacuum(keep_last=1, grace_seconds=0)
+    assert (1, "a", 99) in _rows(table.read())
+    # stats carried: metadata aggregates work on the clone
+    assert clone.metadata_aggregate(["k"])["columns"]["k"]["max"] == 5
+
+
+def test_clone_carries_mor_tombstones_and_refuses_nonempty(spark, table, tmp_path):
+    table.merge(_df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"])
+    table.delete_keys(spark.createDataFrame([Row(k=1)]), ["k"])
+    clone = table.clone(str(tmp_path / "c2"))
+    # the tombstone applies in the clone (same path-version fencing)
+    assert _rows(clone.read()) == {(2, "b", 20)}
+    with pytest.raises(ValueError, match="already has commits"):
+        table.clone(str(tmp_path / "c2"))
+
+
+def test_clone_preserves_schema_epochs(spark, table, tmp_path):
+    table.merge(_df(spark, [(1, "a", 10)]), ["k"])
+    table.rename_column("v", "val")
+    table.merge(
+        spark.createDataFrame([Row(k=2, d="b", val=20)]), ["k"]
+    )
+    clone = table.clone(str(tmp_path / "c3"))
+    # the old-epoch file (written under 'v') projects as 'val'
+    assert _rows(clone.read()) == {(1, "a", 10), (2, "b", 20)}
+    assert "val" in clone.read().columns
+    # the clone can evolve onward without fid collisions
+    clone.rename_column("val", "value")
+    assert _rows(clone.read()) == {(1, "a", 10), (2, "b", 20)}
