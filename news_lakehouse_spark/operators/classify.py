@@ -51,6 +51,7 @@ def hashed_ngram_buckets(
     n_buckets: int,
     salt: str = "qc",
     ngram_max: int = 2,
+    hash: str = "xxhash64",
 ) -> Column:
     """``array<bigint>`` of hashed ngram feature buckets for one row.
 
@@ -58,16 +59,32 @@ def hashed_ngram_buckets(
     ``normalized_text`` tokens; each n-gram order gets its own salt so
     a unigram and a bigram never share a bucket stream. Pure per-row
     codegen — no explode, no shuffle.
+
+    ``hash`` picks the bucket function: ``"xxhash64"`` (default) is
+    the production path — a few ns per feature in codegen, the right
+    cost for ~1k features/document at 100 TB; ``"sha2"`` routes
+    through the engine's portable sha2 line (~50x slower) for
+    cross-engine-reproducible bucketing (oracles, audits, replaying
+    a model's features outside Spark).
     """
     if ngram_max not in (1, 2):
         raise ValueError(f"ngram_max must be 1 or 2, got {ngram_max}")
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if hash not in ("xxhash64", "sha2"):
+        raise ValueError(f"hash must be xxhash64 or sha2, got {hash!r}")
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.filter(F.split(normalized_text(c), " "), lambda t: t != F.lit(""))
 
-    def bucket(src: Column) -> Column:
-        return sha2_prefix_long(src, 15) % F.lit(n_buckets)
+    if hash == "xxhash64":
+
+        def bucket(src: Column) -> Column:
+            return F.pmod(F.xxhash64(src), F.lit(n_buckets))
+
+    else:
+
+        def bucket(src: Column) -> Column:
+            return sha2_prefix_long(src, 15) % F.lit(n_buckets)
 
     uni = F.transform(
         toks, lambda t: bucket(F.concat_ws(_SEP, F.lit(salt + "1"), t))
@@ -99,6 +116,7 @@ def hashed_linear_score(
     bias: float = 0.0,
     salt: str = "qc",
     ngram_max: int = 2,
+    hash: str = "xxhash64",
     score_col: str = "score",
     n_features_col: str | None = None,
 ) -> DataFrame:
@@ -108,11 +126,12 @@ def hashed_linear_score(
     and the vector is inlined into the plan as a literal array (the
     fastText mean-of-feature-embeddings forward pass, with 1-d
     embeddings = a linear model). Rows with no features score
-    ``sigmoid(bias)``.
+    ``sigmoid(bias)``. A model is bound to its ``hash`` choice — score
+    with the same function the model was trained/derived under.
     """
     if not weights:
         raise ValueError("weights must be a non-empty list (the model)")
-    feats = hashed_ngram_buckets(text_col, len(weights), salt, ngram_max)
+    feats = hashed_ngram_buckets(text_col, len(weights), salt, ngram_max, hash)
     warr = F.array(*[F.lit(float(w)) for w in weights])
     n = F.size(feats)
     total = F.aggregate(

@@ -1525,7 +1525,8 @@ def test_hashed_linear_score_matches_python_forward_pass(spark):
     out = {
         r["doc_id"]: r
         for r in hashed_linear_score(
-            df, "text", w, bias=0.25, salt="t", n_features_col="nf"
+            df, "text", w, bias=0.25, salt="t", hash="sha2",
+            n_features_col="nf"
         ).collect()
     }
 
@@ -1573,3 +1574,15 @@ def test_hashed_ngram_buckets_orders_and_validation(spark):
         df.select(hashed_ngram_buckets("text", 0))
     with pytest.raises(ValueError, match="weights"):
         hashed_linear_score(df, "text", [])
+    with pytest.raises(ValueError, match="hash"):
+        df.select(hashed_ngram_buckets("text", 32, hash="md5"))
+    # the xxhash64 production path: same feature count and determinism,
+    # different bucket stream than sha2
+    fast = df.select(
+        hashed_ngram_buckets("text", 32, hash="xxhash64").alias("b")
+    ).first()["b"]
+    assert len(fast) == 7
+    assert fast == df.select(
+        hashed_ngram_buckets("text", 32).alias("b")
+    ).first()["b"]  # default IS xxhash64
+    assert all(0 <= b < 32 for b in fast)
