@@ -17,6 +17,7 @@ import os
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from news_lakehouse_spark.sources.datasource import (
     register_versioned_table_source,
@@ -318,3 +319,82 @@ def test_stream_sink_refuses_partitioned_and_schema_drift(spark, tmp_path):
             .mode("append")
             .save()
         )
+
+
+def test_table_to_table_streaming_pipeline(spark, table, tmp_path):
+    """The full lifecycle composition: readStream versioned_table ->
+    transform -> writeStream versioned_table, checkpoint-resumed. The
+    reference's bronze->silver hop expressed entirely inside
+    Structured Streaming against the table layer on both ends."""
+    tgt = VersionedParquetTable(spark, str(tmp_path / "tgt"))
+    tgt.append(
+        spark.createDataFrame([], "k bigint, d string, v bigint")
+    )
+    ckpt = str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", table.path)
+            .load()
+            .withColumn("v", (2 * F.col("v")).cast("long"))
+            .writeStream.format("versioned_table")
+            .option("path", tgt.path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()  # snapshot batch: k=1,2 doubled
+    assert _rows(tgt.read()) == {(1, "a", 20), (2, "b", 40)}
+    table.append(spark.createDataFrame([Row(k=3, d="c", v=30)]))
+    drain()  # resumed tail: only the new append flows
+    assert _rows(tgt.read()) == {(1, "a", 20), (2, "b", 40), (3, "c", 60)}
+    drain()  # idle: no new target version
+    v = tgt.latest_version()
+    drain()
+    assert tgt.latest_version() == v
+
+
+def test_stream_sink_fails_loud_on_mid_stream_evolution(spark, table, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame([Row(k=10, d="x", v=100)]).write.parquet(src)
+
+    def drain():
+        q = (
+            spark.readStream.schema("k long, d string, v long")
+            .parquet(src)
+            .writeStream.format("versioned_table")
+            .option("path", table.path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert (10, "x", 100) in _rows(table.read())
+    # the table evolves underneath the stream: the next batch's files
+    # no longer match -> the sink refuses instead of misregistering
+    table.rename_column("v", "val")
+    spark.createDataFrame([Row(k=11, d="y", v=110)]).write.mode(
+        "append"
+    ).parquet(src)
+    with pytest.raises(Exception, match="does not match"):
+        drain()
+
+
+def test_vacuum_reclaims_orphaned_staging(spark, table):
+    import time
+
+    staging = os.path.join(table.path, "data", "_staging")
+    os.makedirs(staging, exist_ok=True)
+    orphan = os.path.join(staging, "part-crashed.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    table.vacuum(keep_last=1, grace_seconds=3600)
+    assert not os.path.exists(orphan)
