@@ -1691,12 +1691,14 @@ def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the default production path — ~50x cheaper, same plan shape)
         n_features_col="n_features",
     )
+    # no orderBy: the driver compare is order-insensitive and the
+    # operator's plan is one shuffle-free scan — keep it that way
     return scored.select(
         "doc_id",
         "n_features",
         F.round("score", 6).alias("score"),
         (F.col("score") >= 0.5).alias("keep"),
-    ).orderBy("doc_id")
+    )
 
 
 _QC_HASH = "CAST(concat('0x', substr(sha256({src}), 1, 15)) AS BIGINT)"
@@ -1729,7 +1731,7 @@ WITH ws AS (
 SELECT doc_id, n_features,
        round(1.0 / (1.0 + exp(-z)), 6) AS score,
        (1.0 / (1.0 + exp(-z))) >= 0.5 AS keep
-FROM scored ORDER BY doc_id
+FROM scored
 """
 
 
