@@ -1688,7 +1688,7 @@ def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         pseudo_weights(512),
         salt="qc",
         hash="sha2",  # the oracle-portable bucket line (xxhash64 is
-        # the default production path — ~50x cheaper, same plan shape)
+        # the default production path — ~2x cheaper, same plan shape)
         n_features_col="n_features",
     )
     # no orderBy: the driver compare is order-insensitive and the
