@@ -2805,6 +2805,12 @@ class VersionedParquetTable:
                 except OSError:
                     shutil.copy2(src, dst)
         manifest = dict(man)
+        # _load_manifest materializes a sharded root's files/stats but
+        # keeps the "shards" key; published as-is it would point the
+        # clone's readers at shard files that only exist in the SOURCE
+        # manifest dir. Drop it — _publish reshards for the clone's
+        # own threshold if the file list warrants it.
+        manifest.pop("shards", None)
         manifest.update(
             {
                 "version": 1,
@@ -2858,6 +2864,13 @@ class VersionedParquetTable:
 
         if not paths:
             raise ValueError("add_files: no files given")
+        names = [os.path.basename(p) for p in paths]
+        if len(set(names)) != len(names):
+            raise ValueError(
+                "add_files: duplicate file basenames — files land in "
+                "ONE commit directory, a repeated name would silently "
+                "overwrite; rename before registering"
+            )
         if self.latest_version() is None:
             raise FileNotFoundError(
                 "add_files: table does not exist yet — create it with "

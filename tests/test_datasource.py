@@ -398,3 +398,21 @@ def test_vacuum_reclaims_orphaned_staging(spark, table):
     os.utime(orphan, (old, old))
     table.vacuum(keep_last=1, grace_seconds=3600)
     assert not os.path.exists(orphan)
+
+
+def test_add_files_rejects_duplicate_basenames(spark, table, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    a = str(tmp_path / "a"); b = str(tmp_path / "b")
+    os.makedirs(a); os.makedirs(b)
+    for d in (a, b):
+        pq.write_table(
+            pa.table({"k": pa.array([1], pa.int64()),
+                      "d": pa.array(["x"]),
+                      "v": pa.array([1], pa.int64())}),
+            os.path.join(d, "part.parquet"),
+        )
+    with pytest.raises(ValueError, match="duplicate file basenames"):
+        table.add_files([os.path.join(a, "part.parquet"),
+                         os.path.join(b, "part.parquet")])

@@ -2752,3 +2752,24 @@ def test_clone_preserves_schema_epochs(spark, table, tmp_path):
     # the clone can evolve onward without fid collisions
     clone.rename_column("val", "value")
     assert _rows(clone.read()) == {(1, "a", 10), (2, "b", 20)}
+
+
+def test_clone_of_sharded_manifest_reads_and_reshards(spark, table, tmp_path):
+    table.shard_threshold = 2  # force per-partition manifest shards
+    table.merge(
+        _df(spark, [(i, f"p{i % 4}", i * 10) for i in range(8)]),
+        ["k"],
+        partition_by=["d"],
+    )
+    assert "shards" in table._load_root(1)
+    clone = table.clone(str(tmp_path / "cs"))
+    # the clone must not reference the SOURCE's shard files
+    croot = clone._load_root(1)
+    assert _rows(clone.read()) == _rows(table.read())
+    if "shards" in croot:  # resharded under the clone's own dir
+        for s in croot["shards"]:
+            assert os.path.exists(
+                os.path.join(clone._manifest_dir(), s["path"])
+            )
+    # partition-filtered read works off the clone's own metadata
+    assert len(clone.read(partition_filter={"d": "p1"}).collect()) == 2
