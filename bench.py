@@ -142,6 +142,11 @@ EXTENDED = [
     # round-9 additions (zero-copy hardlink clone — Delta SHALLOW
     # CLONE analog with vacuum-safe isolation):
     "x_table_clone",
+    # round-9 additions (graph analytics: integer-exact PageRank,
+    # degree-oriented triangle counting; distributed BPE training):
+    "x_pagerank",
+    "x_triangle_count",
+    "x_bpe_train",
 ]
 
 

@@ -1,0 +1,160 @@
+"""Distributed byte-pair-encoding (BPE) merge training.
+
+A training-data platform needs a tokenizer-vocabulary trainer that
+runs over the corpus it curates.  The reference engine stops at
+whitespace token counts (spark_jobs utils; see
+``functions.text.word_count``); this module adds the next step: learn
+the top-N BPE merge rules from the corpus itself, the same algorithm
+(Sennrich et al. 2016) behind GPT/Llama-style tokenizers, expressed
+as iterated DataFrame aggregations.
+
+Algorithm, per merge round:
+
+1. **Pair count** — explode each text into its adjacent symbol pairs
+   (``substring(t, i, 2)`` for i in 1..len-1; every symbol is ONE
+   character because merged pairs are re-written as single
+   private-use-area codepoints) and ``groupBy(pair).count()``.  This
+   is one scan + one partial-aggregated shuffle; the exploded rows
+   never leave the JVM.
+2. **Select** — the most frequent pair, ties broken by pair
+   codepoint order (deterministic across engines and partitionings).
+   One ``LIMIT 1`` collect — metadata-sized.
+3. **Apply** — rewrite the corpus with ``replace(t, left||right,
+   marker_k)``.  SQL ``replace`` is left-to-right non-overlapping,
+   which is exactly greedy BPE pair application ("aaa" merges once).
+
+Counts are sliding-window (overlapping) pair counts, as in the
+canonical ``get_stats``; selection frequency is therefore an upper
+bound on the number of rewrites, again matching the reference
+algorithm.
+
+Scale: each round is one shuffle over distinct-pair cardinality
+(bounded by |alphabet+merges|^2, tiny) with map-side combine; corpus
+rewrites chain as narrow transformations and are checkpointed every
+``checkpoint_every`` rounds so the plan never grows unbounded.  On a
+real 100 TB corpus you train on a sample — pass ``sample_fraction``.
+
+The private-use markers (U+E000..) must be absent from the corpus;
+the trainer checks once up front and raises otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["train_bpe_merges", "apply_bpe"]
+
+_PUA_START = 0xE000
+
+
+def _adjacent_pairs(work: DataFrame) -> DataFrame:
+    """(pair, freq) sliding-window counts of adjacent symbol pairs."""
+    return (
+        work.filter(F.length("t") >= 2)
+        .select(
+            F.explode(F.expr("sequence(1, length(t) - 1)")).alias("i"), "t"
+        )
+        .select(F.expr("substring(t, i, 2)").alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def train_bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int,
+    *,
+    min_freq: int = 2,
+    marker_start: int = _PUA_START,
+    checkpoint_every: int = 4,
+    sample_fraction: float | None = None,
+) -> list[dict]:
+    """Learn ``num_merges`` BPE merge rules from a text column.
+
+    Returns a list of dicts, one per learned merge in order:
+    ``{"rank": int, "left": str, "right": str, "token": str,
+    "freq": int, "marker": str}`` where ``left``/``right`` are the
+    merged symbols (single chars, possibly earlier markers),
+    ``token`` is the fully-expanded surface string the merge
+    produces, and ``freq`` the sliding-window pair count that won the
+    round.  Stops early when no pair reaches ``min_freq``.
+    """
+    work = df.select(F.col(text_col).alias("t")).filter(F.col("t").isNotNull())
+    if sample_fraction is not None:
+        work = work.sample(fraction=sample_fraction, seed=7)
+
+    lo, hi = chr(marker_start), chr(marker_start + max(num_merges, 1) - 1)
+    collision = (
+        work.filter(F.col("t").rlike(f"[{lo}-{hi}]")).limit(1).count()
+    )
+    if collision:
+        raise ValueError(
+            f"corpus already contains marker codepoints "
+            f"U+{marker_start:04X}..U+{marker_start + num_merges - 1:04X}; "
+            f"pass a different marker_start"
+        )
+
+    expand: dict[str, str] = {}
+    merges: list[dict] = []
+    for k in range(num_merges):
+        top = (
+            _adjacent_pairs(work)
+            .orderBy(F.desc("freq"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["freq"] < min_freq:
+            break
+        pair, freq = top[0]["pair"], int(top[0]["freq"])
+        left, right = pair[0], pair[1]
+        marker = chr(marker_start + k)
+        token = expand.get(left, left) + expand.get(right, right)
+        expand[marker] = token
+        merges.append(
+            {
+                "rank": k + 1,
+                "left": left,
+                "right": right,
+                "token": token,
+                "freq": freq,
+                "marker": marker,
+            }
+        )
+        work = work.withColumn("t", F.replace("t", F.lit(pair), F.lit(marker)))
+        if (k + 1) % checkpoint_every == 0:
+            work = work.localCheckpoint(eager=True)
+    return merges
+
+
+def apply_bpe(
+    df: DataFrame,
+    text_col: str,
+    merges: list[dict],
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize ``text_col`` with learned merges.
+
+    Adds ``out_col``: an ``array<string>`` of surface tokens — the
+    text after greedy left-to-right application of every merge in
+    rank order, split at symbol boundaries with markers expanded back
+    to their surface strings.  Pure column expressions (chained
+    ``replace`` + ``split`` + ``transform`` over a literal map), so
+    the hot path stays in whole-stage codegen.
+    """
+    col = F.col(text_col)
+    for m in merges:
+        col = F.replace(col, F.lit(m["left"] + m["right"]), F.lit(m["marker"]))
+    if merges:
+        kv: list = []
+        for m in merges:
+            kv.extend([F.lit(m["marker"]), F.lit(m["token"])])
+        mapping = F.create_map(*kv)
+        toks = F.transform(
+            F.split(col, ""),
+            lambda c: F.coalesce(mapping[c], c),
+        )
+    else:
+        toks = F.split(col, "")
+    return df.withColumn(out_col, F.filter(toks, lambda c: c != F.lit("")))

@@ -1,0 +1,216 @@
+"""Distributed graph analytics: PageRank and triangle counting.
+
+The reference engine has no graph operators (its graph-shaped need —
+collapsing near-duplicate clusters — is served by
+``operators.dedupe.connected_components``).  These extend the
+LLM-data-pipeline surface with the two other graph primitives a
+training-data platform needs:
+
+* **PageRank** — authority ranking over a link/interaction graph
+  (crawl prioritization, document-authority weights for sampling).
+* **Triangle counting** — per-node clustering density (community
+  detection features, spam/bot-net signals on interaction graphs).
+
+Scale design
+------------
+``pagerank`` runs one shuffle per iteration (a src-keyed join plus a
+dst-keyed aggregation) over an edge table that is scanned from the
+same persisted, src-partitioned copy every round; the rank state is
+node-sized, not edge-sized.  All arithmetic is **integer**: ranks are
+carried in ``units`` of mass per node (default 1e12) and every step
+is BIGINT add/multiply/floor-divide.  Integer sums are associative,
+so the result is bit-identical regardless of partition count, AQE
+re-planning, or aggregation order — a reproducibility property float
+PageRank cannot offer on a cluster, and what lets a DuckDB oracle
+hash-match the output exactly.  Precision: ranks are exact to 1 unit
+= ``1/units`` of one node's initial mass per iteration step.
+
+``triangle_stats`` uses the degree-orientation plan (Cohen, "Graph
+Twiddling in a MapReduce World", CiSE 2009; Suri & Vassilvitskii,
+WWW'11): orient every undirected edge from its lower-(degree, id)
+endpoint to the higher one, build wedges only out of each node's
+ORIENTED neighbors, and close them with an edge join.  Orientation
+bounds the effective out-degree by O(sqrt(m)), so the wedge join
+stays near-linear even when raw degrees are skewed (a celebrity node
+of degree 1e6 contributes no wedges as a center unless its oriented
+out-degree is high, which orientation prevents).  No driver-side
+loops or collects — three shuffles total, all on key columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank", "triangle_stats"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 10,
+    damping_pct: int = 85,
+    units: int = 10**12,
+) -> DataFrame:
+    """Integer-exact PageRank over a directed edge list.
+
+    Returns ``(node BIGINT, rank_units BIGINT)`` — one row per node
+    that appears as a source or destination.  ``rank_units`` is the
+    node's PageRank mass in integer units; divide by ``units`` for
+    the conventional [0, n] scale (sum over nodes ≈ n, minus floor
+    losses of < 1 unit per node per step).
+
+    The recurrence per iteration, all in BIGINT arithmetic::
+
+        contrib(e)  = rank(e.src) DIV out_degree(e.src)
+        dangling    = sum(rank over nodes with no out-edges) DIV n
+        rank'(v)    = ((100-d) * units) DIV 100
+                      + (d * (sum contrib into v + dangling)) DIV 100
+
+    Dangling mass is redistributed uniformly, as in the classic
+    formulation.  ``units`` must satisfy
+    ``n_nodes * units * 100 < 2**63`` (checked) — for a 1e9-node
+    graph pick ``units=10**7``, still 1e-7 relative precision.
+
+    Parity note: no reference counterpart (reference has no graph
+    ops); semantics follow Page et al. 1999 with integer mass.
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    )
+
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(out_deg.withColumnRenamed("src", "node"), "node", "left")
+        # persist: reused every iteration as the rank-state frame
+        .persist()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_units"))
+    if n_nodes * units >= (2**63 - 1) // 100:
+        raise ValueError(
+            f"n_nodes*units*100 would overflow BIGINT; lower units "
+            f"(n_nodes={n_nodes}, units={units})"
+        )
+    # src-partitioned once so every iteration's contribution join
+    # reuses the same layout instead of re-shuffling the edge table
+    e = e.repartition("src").persist()
+    # checked once: a dangling-free graph (every node has out-edges)
+    # skips the per-iteration redistribution scan entirely
+    has_dangling = nodes.filter(F.col("out_deg").isNull()).limit(1).count() > 0
+
+    base = ((100 - damping_pct) * units) // 100
+    ranks = nodes.select(
+        "node", "out_deg", F.lit(units).cast("long").alias("rank_units")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(iterations):
+        # dangling mass: one metadata-sized scalar per iteration
+        dang_row = (
+            ranks.filter(F.col("out_deg").isNull())
+            .agg(F.sum("rank_units"))
+            .collect()[0][0]
+            if has_dangling
+            else 0
+        )
+        dang_each = (dang_row or 0) // n_nodes
+        in_sums = (
+            e.join(ranks, e.src == ranks.node)
+            .select("dst", F.expr("rank_units DIV out_deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(in_sums, nodes.node == in_sums.dst, "left")
+            .select(
+                "node",
+                "out_deg",
+                # all-BIGINT: + * DIV only, so sums stay associative
+                F.expr(
+                    f"{base}L + ({damping_pct}L * (coalesce(in_sum, 0L)"
+                    f" + {dang_each}L)) DIV 100"
+                ).alias("rank_units"),
+            )
+            # truncate lineage: each round's plan starts from
+            # materialized state, not the whole iteration chain
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank_units")
+
+
+def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Per-node triangle counts over an undirected edge list.
+
+    Input rows are undirected edges in either orientation (duplicates
+    and self-loops tolerated — canonicalized away).  Returns one row
+    per node: ``(node BIGINT, degree BIGINT, wedges BIGINT,
+    triangles BIGINT)`` where ``wedges = degree*(degree-1)/2`` is the
+    node's potential closed-pair count (the local-clustering
+    denominator) and ``triangles`` the number of triangles through
+    the node.  ``sum(triangles) = 3 * total_triangles``.
+
+    Plan: canonicalize → degree → orient each edge by
+    (degree, node) → wedge self-join on the oriented source → close
+    with an edge join → explode each triangle's three corners and
+    count.  The (degree, node) total order counts each triangle
+    exactly once and bounds the wedge fan-out by O(sqrt(m)).
+    """
+    lo, hi = F.least(F.col(a), F.col(b)), F.greatest(F.col(a), F.col(b))
+    und = (
+        edges.select(lo.cast("long").alias("lo"), hi.cast("long").alias("hi"))
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .union(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    # orient: (u -> v) iff (deg_u, u) < (deg_v, v); carry v's order key
+    # so the wedge join can order its two endpoints without re-joining
+    dl = deg.select(F.col("node").alias("lo"), F.col("degree").alias("dlo"))
+    dh = deg.select(F.col("node").alias("hi"), F.col("degree").alias("dhi"))
+    keyed = und.join(dl, "lo").join(dh, "hi")
+    lo_first = (F.col("dlo") < F.col("dhi")) | (
+        (F.col("dlo") == F.col("dhi")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = keyed.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+        F.when(lo_first, F.struct("dhi", "hi")).otherwise(
+            F.struct(F.col("dlo").alias("dhi"), F.col("lo").alias("hi"))
+        ).alias("vkey"),
+    ).persist()
+
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(o2, F.col("o1.u") == F.col("o2.u")).filter(
+        F.col("o1.vkey") < F.col("o2.vkey")
+    ).select(
+        F.col("o1.u").alias("w0"),
+        F.col("o1.v").alias("w1"),
+        F.col("o2.v").alias("w2"),
+    )
+    closer = oriented.select(F.col("u").alias("w1"), F.col("v").alias("w2"))
+    tris = wedges.join(closer, ["w1", "w2"])
+
+    per_node = (
+        tris.select(F.explode(F.array("w0", "w1", "w2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        (F.col("degree") * (F.col("degree") - 1) / 2).cast("long").alias("wedges"),
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+    )

@@ -7929,30 +7929,231 @@ SELECT doc_id, source, n_chars FROM r WHERE rn <= 10
 """
 
 
+def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (operators/graph.pagerank) over the
+    supplier<->customer interaction graph: nodes are suppliers
+    (2k+1) / customers (2k), one edge each way per distinct
+    supplier-customer lineitem relationship, 5 damped iterations.
+    All mass arithmetic is BIGINT (units of 1e-12 node-mass), so the
+    ranking is bit-identical across partition counts and engines —
+    the property that lets DuckDB hash-match an iterative algorithm.
+    The bidirectional build means no dangling nodes, so the oracle
+    unrolls the exact recurrence without the redistribution term
+    (the operator still implements it; pytest covers dangling).
+    """
+    from news_lakehouse_spark.operators.graph import pagerank
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("s").alias("src"), F.col("c").alias("dst")
+    ).union(pairs.select(F.col("c"), F.col("s")))
+    with _op_phase("x_pagerank", "pagerank"):
+        ranks = pagerank(edges, iterations=5)
+    return ranks.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("rank_units").cast("long").alias("rank_units"),
+    ).orderBy(F.desc("rank_units"), "node")
+
+
+def _pagerank_oracle(iterations: int = 5, units: int = 10**12) -> str:
+    base = (15 * units) // 100
+    sql = f"""
+WITH le AS (
+  SELECT DISTINCT l.l_suppkey * 2 + 1 AS s, o.o_custkey * 2 AS c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), edges AS (
+  SELECT s AS src, c AS dst FROM le UNION ALL SELECT c, s FROM le
+), deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST({units} AS BIGINT) AS r FROM deg),
+"""
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        sql += f"""s{i} AS (
+  SELECT e.dst AS node, SUM(r.r // d.d) AS m
+  FROM edges e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+), r{i} AS (SELECT node, CAST({base} + (85 * m) // 100 AS BIGINT) AS r FROM s{i}),
+"""
+        prev = f"r{i}"
+    sql = sql.rstrip().rstrip(",")
+    sql += f"""
+SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_units
+FROM {prev} ORDER BY rank_units DESC, node
+"""
+    return sql
+
+
+_PAGERANK_SQL = _pagerank_oracle()
+
+
+def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.triangle_stats) on
+    the high-volume co-purchase graph: parts are linked when ordered
+    together with l_quantity >= 40.  Degree-oriented wedge join
+    (O(sqrt(m)) fan-out bound), each triangle counted once; output is
+    every node on a triangle with its degree, wedge denominator, and
+    local clustering coefficient.
+    """
+    from news_lakehouse_spark.operators.graph import triangle_stats
+
+    li = read_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_quantity") >= 40).select("l_orderkey", "l_partkey")
+    x, y = q.alias("x"), q.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+    with _op_phase("x_triangle_count", "triangle_stats"):
+        stats = triangle_stats(pairs)
+    return (
+        stats.filter(F.col("triangles") > 0)
+        .select(
+            F.col("node").cast("long").alias("node"),
+            "degree",
+            "wedges",
+            "triangles",
+            F.round(F.col("triangles") / F.col("wedges"), 6).alias("local_cc"),
+        )
+        .orderBy(F.desc("triangles"), "node")
+    )
+
+
+_TRIANGLE_SQL = """
+WITH q AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40
+), p AS (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM q a JOIN q b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), d AS (
+  SELECT n AS node, count(*) AS degree
+  FROM (SELECT lo AS n FROM p UNION ALL SELECT hi FROM p) GROUP BY 1
+), t AS (
+  SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+  FROM p e1
+  JOIN p e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+  JOIN p e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+), pn AS (
+  SELECT n AS node, count(*) AS triangles
+  FROM (SELECT x AS n FROM t UNION ALL SELECT y FROM t
+        UNION ALL SELECT z FROM t) GROUP BY 1
+)
+SELECT CAST(d.node AS BIGINT) AS node,
+       CAST(degree AS BIGINT) AS degree,
+       CAST(degree * (degree - 1) // 2 AS BIGINT) AS wedges,
+       CAST(triangles AS BIGINT) AS triangles,
+       round(triangles / (degree * (degree - 1) / 2.0), 6) AS local_cc
+FROM d JOIN pn ON pn.node = d.node
+ORDER BY triangles DESC, node
+"""
+
+
+def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training (operators/bpe.train_bpe_merges) over the
+    document corpus: 4 merge rounds of sliding-window pair counting +
+    greedy left-to-right rewrite with private-use markers.  The
+    oracle unrolls the identical 4 rounds in SQL (replace() is
+    greedy-LTR in both engines; tie-break = freq DESC, pair codepoint
+    ASC).  min_freq never binds at this corpus size (winning pair
+    frequencies are in the thousands), so early-stop can't desync
+    the unrolled oracle.
+    """
+    from news_lakehouse_spark.operators.bpe import train_bpe_merges
+
+    d = read_table(spark, sf_dir, "documents").select("text")
+    with _op_phase("x_bpe_train", "train_bpe_merges"):
+        merges = train_bpe_merges(d, "text", 4, min_freq=2)
+    return spark.createDataFrame(
+        [(m["rank"], m["token"], m["freq"]) for m in merges],
+        "merge_rank int, token string, freq bigint",
+    ).orderBy("merge_rank")
+
+
+def _bpe_oracle(num_merges: int = 4, marker_start: int = 0xE000) -> str:
+    sql = """
+WITH c0 AS (SELECT text AS t FROM documents WHERE text IS NOT NULL),
+"""
+    for i in range(1, num_merges + 1):
+        mk = marker_start + i - 1
+        sql += f"""p{i} AS (
+  SELECT substr(t, u.i, 2) AS pair, count(*) AS freq
+  FROM c{i - 1}, unnest(generate_series(1, length(t) - 1)) AS u(i)
+  WHERE length(t) >= 2
+  GROUP BY 1
+), m{i} AS (SELECT pair, freq FROM p{i} ORDER BY freq DESC, pair LIMIT 1),
+c{i} AS (
+  SELECT replace(t, (SELECT pair FROM m{i}), chr({mk})) AS t FROM c{i - 1}
+),
+"""
+    # expand each winning pair back to its surface token: markers are
+    # distinct chars and earlier tokens are marker-free, so replacing
+    # every earlier marker with its (inline, fully-expanded) token is
+    # exactly the trainer's recursive expansion
+    sql = sql.rstrip().rstrip(",") + "\n"
+    toks: dict[int, str] = {}
+    for i in range(1, num_merges + 1):
+        expr = f"m{i}.pair"
+        for j in range(1, i):
+            expr = f"replace({expr}, chr({marker_start + j - 1}), {toks[j]})"
+        toks[i] = expr
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, CAST({toks[i]} AS VARCHAR) AS token,"
+        f" CAST(m{i}.freq AS BIGINT) AS freq FROM "
+        + ", ".join(f"m{j}" for j in range(1, i + 1))
+        for i in range(1, num_merges + 1)
+    )
+    sql += unions + "\nORDER BY merge_rank\n"
+    return sql
+
+
+_BPE_SQL = _bpe_oracle()
+
+
 # --- registry -------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
 
     # Driver-verification window (first 50 entries; the driver
-    # oracle-checks registry[:50] each round). Rotation policy, enforced
-    # by tests/test_queries_smoke.py::test_driver_window_covers_unverified:
-    # any registered query with no driver CORRECTNESS row in any
-    # CORRECTNESS_r0*.json MUST sit inside the first 50 positions.
-    # Round-6 window: ALL 16 queries with no driver CORRECTNESS row
-    # yet (the round-6 builds: stream join/dedup, PQ ANN pair + index,
-    # resample, fuzzy join, grouped trend, KMV overlap, and the table-
-    # layer additions) occupy positions 0-15, then rotation slots for
-    # the oldest-green queries (freshness: VERDICT r5 ask #7) and the
-    # r6-touched modules. Queries driver-verified in r5 rotate below
-    # the line; tools/verify_oracle.py still covers the full registry.
-    "t_stream_join": t_stream_join,
-    "t_stream_left_join": t_stream_left_join,
-    "t_stream_full_join": t_stream_full_join,
-    "t_stream_table_feed": t_stream_table_feed,
-    "t_feed_schema_drift": t_feed_schema_drift,
+    # oracle-checks registry[:50] each round). Rotation policy,
+    # enforced by tests/test_queries_smoke.py: any query with no
+    # driver CORRECTNESS row ever MUST sit inside the first 50.
+    # Round-9 window: the 11 never-driver-checked queries (3 new
+    # round-9 builds: pagerank / triangle counting / BPE training,
+    # plus the 8 registered late in r8/r9 sessions), then the 8
+    # r5-stale queries the r8 verdict pinned for this round
+    # (ask #5), then stalest-first (r6 greens). Queries verified in
+    # r7/r8 rotate below the line; tools/verify_oracle.py still
+    # covers the full registry.
+    "x_pagerank": x_pagerank,
+    "x_triangle_count": x_triangle_count,
+    "x_bpe_train": x_bpe_train,
     "t_feed_continuous": t_feed_continuous,
     "x_rollback_evolution": x_rollback_evolution,
     "t_datasource_stream": t_datasource_stream,
+    "x_cc_large_star": x_cc_large_star,
+    "x_quality_classifier": x_quality_classifier,
+    "x_metadata_agg": x_metadata_agg,
+    "t_datasource_sink": t_datasource_sink,
+    "x_table_clone": x_table_clone,
+    "x_mixture_sample": x_mixture_sample,
+    "x_dsir_weights": x_dsir_weights,
+    "x_reservoir_sample": x_reservoir_sample,
+    "x_embed_quantize": x_embed_quantize,
+    "x_hll_rollup": x_hll_rollup,
+    "x_cms_heavy_hitters": x_cms_heavy_hitters,
+    "x_key_skew": x_key_skew,
+    "x_group_zscore": x_group_zscore,
+    "t_stream_join": t_stream_join,
     "t_stream_dedup": t_stream_dedup,
     "x_sim_pq_topk": x_sim_pq_topk,
     "x_pq_index_incremental": x_pq_index_incremental,
@@ -7963,8 +8164,6 @@ QUERIES: dict[str, QueryFn] = {
     "x_kmv_rollup": x_kmv_rollup,
     "x_rollback": x_rollback,
     "x_partition_evolution": x_partition_evolution,
-    "x_schema_evolution": x_schema_evolution,
-    "x_nested_evolution": x_nested_evolution,
     "x_partial_compact": x_partial_compact,
     "x_table_metadata": x_table_metadata,
     "x_mor_delete": x_mor_delete,
@@ -7985,6 +8184,8 @@ QUERIES: dict[str, QueryFn] = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q8_market_share": q8_market_share,
     "q12_priority_lateness": q12_priority_lateness,
+
+    # --- below the driver window: latest green r6/r7/r8 ---
     "q14_promo_revenue": q14_promo_revenue,
     "q19_discounted_revenue": q19_discounted_revenue,
     "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
@@ -8004,6 +8205,9 @@ QUERIES: dict[str, QueryFn] = {
     "x_corpus_filter": x_corpus_filter,
     "w3_rolling_time_window": w3_rolling_time_window,
     "x_retention_cohorts": x_retention_cohorts,
+    "t_stream_left_join": t_stream_left_join,
+    "t_stream_full_join": t_stream_full_join,
+    "x_schema_evolution": x_schema_evolution,
     "x_ts_pattern_search": x_ts_pattern_search,
     "x_time_travel": x_time_travel,
     "x_table_changes": x_table_changes,
@@ -8020,64 +8224,6 @@ QUERIES: dict[str, QueryFn] = {
     "x_source_overlap": x_source_overlap,
     "x_char_entropy": x_char_entropy,
     "x_corpus_pipeline": x_corpus_pipeline,
-
-    # --- below the driver window: latest green r4/r5 ---
-    "x_stats_pruned_read": x_stats_pruned_read,
-    "x_zorder_pruned_read": x_zorder_pruned_read,
-    "x_changes_across_compact": x_changes_across_compact,
-    "a4_rollup": a4_rollup,
-    "a5_cube": a5_cube,
-    "a6_pivot": a6_pivot,
-    "j7_semi_anti": j7_semi_anti,
-    "t_session_window": t_session_window,
-    "t_windowed_agg": t_windowed_agg,
-    "u2_intersect_except": u2_intersect_except,
-    "x_approx_distinct": x_approx_distinct,
-    "x_approx_percentile": x_approx_percentile,
-    "x_asof_join": x_asof_join,
-    "x_bm25_search": x_bm25_search,
-    "x_char_lm_score": x_char_lm_score,
-    "x_chunk_documents": x_chunk_documents,
-    "x_decontaminate": x_decontaminate,
-    "x_dedup_clusters": x_dedup_clusters,
-    "x_cc_large_star": x_cc_large_star,
-    "x_quality_classifier": x_quality_classifier,
-    "x_metadata_agg": x_metadata_agg,
-    "t_datasource_sink": t_datasource_sink,
-    "x_table_clone": x_table_clone,
-    "x_dedup_minhash_lsh": x_dedup_minhash_lsh,
-    "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
-    "x_dedup_simhash": x_dedup_simhash,
-    "x_dedup_simhash_pairs": x_dedup_simhash_pairs,
-    "x_embed_centroid": x_embed_centroid,
-    "x_expectations": x_expectations,
-    "x_funnel": x_funnel,
-    "x_lang_id": x_lang_id,
-    "x_pack_sequences": x_pack_sequences,
-    "x_quantile_bucket": x_quantile_bucket,
-    "x_scd2_dimension": x_scd2_dimension,
-    "x_sessionize": x_sessionize,
-    "x_sim_lsh_topk": x_sim_lsh_topk,
-    "x_sim_topk_bruteforce": x_sim_topk_bruteforce,
-    "x_stratified_sample": x_stratified_sample,
-    "x_tfidf_topterms": x_tfidf_topterms,
-    "x_train_test_split": x_train_test_split,
-    "x_semdedup": x_semdedup,
-    "x_dedup_incremental": x_dedup_incremental,
-    "x_dedup_minhash_incremental": x_dedup_minhash_incremental,
-    "x_dedup_quality_survivor": x_dedup_quality_survivor,
-    "x_substring_duplication": x_substring_duplication,
-    "x_substring_removal": x_substring_removal,
-    "x_knn_classify": x_knn_classify,
-    "x_temperature_mixture": x_temperature_mixture,
-    "x_mixture_sample": x_mixture_sample,
-    "x_dsir_weights": x_dsir_weights,
-    "x_reservoir_sample": x_reservoir_sample,
-    "x_embed_quantize": x_embed_quantize,
-    "x_hll_rollup": x_hll_rollup,
-    "x_cms_heavy_hitters": x_cms_heavy_hitters,
-    "x_key_skew": x_key_skew,
-    "x_group_zscore": x_group_zscore,
     "x_boilerplate_removal": x_boilerplate_removal,
     "x_source_corpus_stats": x_source_corpus_stats,
     "x_zorder_key": x_zorder_key,
@@ -8109,13 +8255,63 @@ QUERIES: dict[str, QueryFn] = {
     "x_salted_agg": x_salted_agg,
     "x_salted_join": x_salted_join,
     "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
+    "t_stream_table_feed": t_stream_table_feed,
+    "t_feed_schema_drift": t_feed_schema_drift,
+    "x_nested_evolution": x_nested_evolution,
+    "x_stats_pruned_read": x_stats_pruned_read,
+    "x_zorder_pruned_read": x_zorder_pruned_read,
+    "x_changes_across_compact": x_changes_across_compact,
+    "a4_rollup": a4_rollup,
+    "a5_cube": a5_cube,
+    "a6_pivot": a6_pivot,
+    "j7_semi_anti": j7_semi_anti,
+    "t_session_window": t_session_window,
+    "t_windowed_agg": t_windowed_agg,
+    "u2_intersect_except": u2_intersect_except,
+    "x_approx_distinct": x_approx_distinct,
+    "x_approx_percentile": x_approx_percentile,
+    "x_asof_join": x_asof_join,
+    "x_bm25_search": x_bm25_search,
+    "x_char_lm_score": x_char_lm_score,
+    "x_chunk_documents": x_chunk_documents,
+    "x_decontaminate": x_decontaminate,
+    "x_dedup_clusters": x_dedup_clusters,
+    "x_dedup_minhash_lsh": x_dedup_minhash_lsh,
+    "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
+    "x_dedup_simhash": x_dedup_simhash,
+    "x_dedup_simhash_pairs": x_dedup_simhash_pairs,
+    "x_embed_centroid": x_embed_centroid,
+    "x_expectations": x_expectations,
+    "x_funnel": x_funnel,
+    "x_lang_id": x_lang_id,
+    "x_pack_sequences": x_pack_sequences,
+    "x_quantile_bucket": x_quantile_bucket,
+    "x_scd2_dimension": x_scd2_dimension,
+    "x_sessionize": x_sessionize,
+    "x_sim_lsh_topk": x_sim_lsh_topk,
+    "x_sim_topk_bruteforce": x_sim_topk_bruteforce,
+    "x_stratified_sample": x_stratified_sample,
+    "x_tfidf_topterms": x_tfidf_topterms,
+    "x_train_test_split": x_train_test_split,
+    "x_semdedup": x_semdedup,
+    "x_dedup_incremental": x_dedup_incremental,
+    "x_dedup_minhash_incremental": x_dedup_minhash_incremental,
+    "x_dedup_quality_survivor": x_dedup_quality_survivor,
+    "x_substring_duplication": x_substring_duplication,
+    "x_substring_removal": x_substring_removal,
+    "x_knn_classify": x_knn_classify,
+    "x_temperature_mixture": x_temperature_mixture,
     "x_sim_ivf_topk": x_sim_ivf_topk,
     "x_stream_stateful": x_stream_stateful,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
 }
 
+
 ORACLES: dict[str, str] = {
+    "x_pagerank": _PAGERANK_SQL,
+    "x_triangle_count": _TRIANGLE_SQL,
+    "x_bpe_train": _BPE_SQL,
     "q2_min_cost_supplier": _Q2_SQL,
     "q9_product_type_profit": _Q9_SQL,
     "q11_important_parts": _Q11_SQL,

@@ -1,0 +1,127 @@
+from __future__ import annotations
+
+import pytest
+
+from news_lakehouse_spark.operators.bpe import apply_bpe, train_bpe_merges
+from news_lakehouse_spark.operators.graph import pagerank, triangle_stats
+
+
+def _pagerank_reference(edges, iterations, damping_pct=85, units=10**12):
+    """Pure-Python twin of the integer recurrence."""
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    out_deg: dict = {}
+    for u, _ in edges:
+        out_deg[u] = out_deg.get(u, 0) + 1
+    rank = {v: units for v in nodes}
+    base = ((100 - damping_pct) * units) // 100
+    for _ in range(iterations):
+        dang = sum(rank[v] for v in nodes if v not in out_deg) // n
+        in_sum = {v: 0 for v in nodes}
+        for u, v in edges:
+            in_sum[v] += rank[u] // out_deg[u]
+        rank = {
+            v: base + (damping_pct * (in_sum[v] + dang)) // 100 for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_matches_reference_recurrence(spark):
+    # 4-node graph with a cycle, a sink (dangling), and a hub
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4), (2, 4), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank_units"]
+        for r in pagerank(df, iterations=7).collect()
+    }
+    assert got == _pagerank_reference(edges, 7)
+    # the sink has max in-mass
+    assert max(got, key=got.get) == 4
+
+
+def test_pagerank_mass_conserved_up_to_floor_loss(spark):
+    edges = [(i, (i * 3 + 1) % 11) for i in range(11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    iters, units = 5, 10**12
+    total = sum(r["rank_units"] for r in pagerank(df, iterations=iters).collect())
+    n = 11
+    # each node loses < 1 unit to each DIV per step; 3 DIVs per step
+    assert n * units >= total > n * units - 3 * n * iters - n
+    # deterministic across reruns and partitionings
+    again = sum(
+        r["rank_units"]
+        for r in pagerank(df.repartition(7), iterations=iters).collect()
+    )
+    assert again == total
+
+
+def test_pagerank_overflow_guard(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="overflow"):
+        pagerank(df, units=2**62)
+
+
+def test_triangle_stats_counts_known_graph(spark):
+    # K4 on {1,2,3,4} (4 triangles, 3 through each node) plus a
+    # pendant 5 and a duplicate/reversed/self-loop noise edge set
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (5, 4), (2, 1), (3, 3),
+    ]
+    df = spark.createDataFrame(edges, "a long, b long")
+    rows = {r["node"]: r for r in triangle_stats(df).collect()}
+    assert {n: r["triangles"] for n, r in rows.items()} == {
+        1: 3, 2: 3, 3: 3, 4: 3, 5: 0,
+    }
+    assert rows[4]["degree"] == 4 and rows[4]["wedges"] == 6
+    assert rows[5]["degree"] == 1 and rows[5]["wedges"] == 0
+    assert sum(r["triangles"] for r in rows.values()) == 3 * 4
+
+
+def test_triangle_stats_no_triangles_on_bipartite(spark):
+    edges = [(i, 100 + (i % 3)) for i in range(9)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    assert all(
+        r["triangles"] == 0 for r in triangle_stats(df).collect()
+    )
+
+
+def test_bpe_learns_expected_merges(spark):
+    # "ababab x2, abc" => top pair 'ab' (freq 7), then marker+... chain
+    docs = [("ababab",), ("ababab",), ("abc",)]
+    df = spark.createDataFrame(docs, "text string")
+    merges = train_bpe_merges(df, "text", 3, min_freq=2)
+    assert merges[0]["left"] == "a" and merges[0]["right"] == "b"
+    assert merges[0]["token"] == "ab" and merges[0]["freq"] == 7
+    # after rewrite: "MMM" x2, "Mc" -> top pair (M,M) freq 4 (sliding)
+    assert merges[1]["token"] == "abab" and merges[1]["freq"] == 4
+    # expansion chains through earlier markers
+    assert all(m["token"].count("a") == m["token"].count("b") for m in merges)
+
+
+def test_bpe_greedy_nonoverlapping_application(spark):
+    # 'aaa' contains 2 sliding pairs but merges once (greedy LTR)
+    df = spark.createDataFrame([("aaaa",), ("aaa",)], "text string")
+    merges = train_bpe_merges(df, "text", 1, min_freq=2)
+    assert merges[0]["freq"] == 5  # sliding count: 3 + 2
+    out = apply_bpe(df, "text", merges).collect()
+    toks = {r["text"]: r["bpe_tokens"] for r in out}
+    assert toks["aaaa"] == ["aa", "aa"]
+    assert toks["aaa"] == ["aa", "a"]
+
+
+def test_bpe_stops_below_min_freq_and_rejects_marker_collision(spark):
+    df = spark.createDataFrame([("xy",)], "text string")
+    assert train_bpe_merges(df, "text", 5, min_freq=2) == []
+    bad = spark.createDataFrame([("a" + chr(0xE000),)], "text string")
+    with pytest.raises(ValueError, match="marker"):
+        train_bpe_merges(bad, "text", 2)
+
+
+def test_apply_bpe_roundtrip_preserves_text(spark):
+    docs = [("the cat sat on the mat",), ("the thematic theme",)]
+    df = spark.createDataFrame(docs, "text string")
+    merges = train_bpe_merges(df, "text", 4, min_freq=2)
+    assert len(merges) >= 2
+    for r in apply_bpe(df, "text", merges).collect():
+        assert "".join(r["bpe_tokens"]) == r["text"]

@@ -106,6 +106,13 @@ PROBES = {
     # (exact at fixture df <= 25) excises the 20x-replicated shingles
     # entirely, so the probe would time an empty output. Its inverted-
     # index plan is the same one x_dedup_minhash_lsh probes.
+    # r9 graph + tokenizer family: PageRank cost = iterations x one
+    # edge-shuffle (edges grow ~10x with lineitem); triangle wedge
+    # join is bounded by degree orientation; BPE rounds scan the
+    # corpus (20x chars -> ~linear per round, same #rounds)
+    "x_pagerank": ("lineitem", 10),
+    "x_triangle_count": ("lineitem", 10),
+    "x_bpe_train": ("documents", 20),
 }
 
 
