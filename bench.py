@@ -147,6 +147,7 @@ EXTENDED = [
     "x_pagerank",
     "x_triangle_count",
     "x_bpe_train",
+    "x_bfs_distance",
 ]
 
 

@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_stats"]
+__all__ = ["bfs_distances", "pagerank", "triangle_stats"]
 
 
 def pagerank(
@@ -214,3 +214,58 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         (F.col("degree") * (F.col("degree") - 1) / 2).cast("long").alias("wedges"),
         F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_hops: int,
+    seed_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS: hop distance from any seed, capped at
+    ``max_hops``.  The link-distance primitive of a crawl/curation
+    pipeline (depth from seed domains, contamination blast radius).
+
+    Returns ``(node BIGINT, dist INT)`` for every node reachable
+    within ``max_hops`` hops of a seed (seeds themselves at 0; a node
+    reached by several paths gets the minimum hop count, and a seed
+    is always 0 regardless of in-edges).
+
+    Frontier-based: each round expands ONLY the nodes discovered in
+    the previous round (one src-keyed join), removes already-visited
+    nodes with an anti-join against the state, and stops early when
+    the frontier empties.  Both state and frontier are node-sized;
+    the edge table is the only big operand and is joined once per
+    round on its partitioning key — the textbook Pregel BFS shape.
+    Lineage is truncated per round so plans stay flat at high hop
+    counts.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).repartition("src").persist()
+    state = (
+        seeds.select(F.col(seed_col).cast("long").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("int").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = state
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(state.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).cast("int").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        state = state.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return state

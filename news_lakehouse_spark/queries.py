@@ -8119,6 +8119,62 @@ c{i} AS (
 _BPE_SQL = _bpe_oracle()
 
 
+def x_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance (operators/graph.bfs_distances)
+    over the supplier<->customer graph, seeded at nation-0 suppliers,
+    capped at 3 hops — the crawl-depth / contamination-blast-radius
+    primitive.  Frontier-based (each round expands only newly
+    discovered nodes; one src-keyed join + anti-join per hop), exact
+    integers end to end; the oracle is a deduplicating recursive CTE
+    bounded by the same hop cap.
+    """
+    from news_lakehouse_spark.operators.graph import bfs_distances
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("s").alias("src"), F.col("c").alias("dst")
+    ).union(pairs.select(F.col("c"), F.col("s")))
+    seeds = (
+        read_table(spark, sf_dir, "supplier")
+        # every-25th supplier: >=1 seed at every fixture scale
+        .filter(F.col("s_suppkey") % 25 == 1)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    )
+    with _op_phase("x_bfs_distance", "bfs"):
+        dist = bfs_distances(edges, seeds, max_hops=3)
+    return dist.select(
+        F.col("node").cast("long").alias("node"), "dist"
+    ).orderBy("dist", "node")
+
+
+_BFS_SQL = """
+WITH RECURSIVE le AS (
+  SELECT DISTINCT l.l_suppkey * 2 + 1 AS s, o.o_custkey * 2 AS c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), edges AS (
+  SELECT s AS src, c AS dst FROM le UNION ALL SELECT c, s FROM le
+), seeds AS (
+  SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_suppkey % 25 = 1
+), walk AS (
+  SELECT node, 0 AS d FROM seeds
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.d < 3
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(d) AS INT) AS dist
+FROM walk GROUP BY node ORDER BY dist, node
+"""
+
+
 # --- registry -------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
@@ -8127,9 +8183,10 @@ QUERIES: dict[str, QueryFn] = {
     # oracle-checks registry[:50] each round). Rotation policy,
     # enforced by tests/test_queries_smoke.py: any query with no
     # driver CORRECTNESS row ever MUST sit inside the first 50.
-    # Round-9 window: the 11 never-driver-checked queries (3 new
-    # round-9 builds: pagerank / triangle counting / BPE training,
-    # plus the 8 registered late in r8/r9 sessions), then the 8
+    # Round-9 window: the 12 never-driver-checked queries (4 new
+    # round-9 builds: pagerank / triangle counting / BPE training /
+    # BFS distance, plus the 8 registered late in r8/r9 sessions),
+    # then the 8
     # r5-stale queries the r8 verdict pinned for this round
     # (ask #5), then stalest-first (r6 greens). Queries verified in
     # r7/r8 rotate below the line; tools/verify_oracle.py still
@@ -8137,6 +8194,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_pagerank": x_pagerank,
     "x_triangle_count": x_triangle_count,
     "x_bpe_train": x_bpe_train,
+    "x_bfs_distance": x_bfs_distance,
     "t_feed_continuous": t_feed_continuous,
     "x_rollback_evolution": x_rollback_evolution,
     "t_datasource_stream": t_datasource_stream,
@@ -8153,6 +8211,10 @@ QUERIES: dict[str, QueryFn] = {
     "x_cms_heavy_hitters": x_cms_heavy_hitters,
     "x_key_skew": x_key_skew,
     "x_group_zscore": x_group_zscore,
+    # pinned in-window (r8 verdict #1): its r8 driver row was the
+    # round's one red (hash, unreproduced locally); the component
+    # stays weak until a green CORRECTNESS_r9 row lands
+    "x_nested_evolution": x_nested_evolution,
     "t_stream_join": t_stream_join,
     "t_stream_dedup": t_stream_dedup,
     "x_sim_pq_topk": x_sim_pq_topk,
@@ -8182,10 +8244,9 @@ QUERIES: dict[str, QueryFn] = {
     "x_event_transitions": x_event_transitions,
     "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
+    # --- below the driver window: latest green r6/r7/r8 ---
     "q8_market_share": q8_market_share,
     "q12_priority_lateness": q12_priority_lateness,
-
-    # --- below the driver window: latest green r6/r7/r8 ---
     "q14_promo_revenue": q14_promo_revenue,
     "q19_discounted_revenue": q19_discounted_revenue,
     "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
@@ -8257,7 +8318,6 @@ QUERIES: dict[str, QueryFn] = {
     "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
     "t_stream_table_feed": t_stream_table_feed,
     "t_feed_schema_drift": t_feed_schema_drift,
-    "x_nested_evolution": x_nested_evolution,
     "x_stats_pruned_read": x_stats_pruned_read,
     "x_zorder_pruned_read": x_zorder_pruned_read,
     "x_changes_across_compact": x_changes_across_compact,
@@ -8312,6 +8372,7 @@ ORACLES: dict[str, str] = {
     "x_pagerank": _PAGERANK_SQL,
     "x_triangle_count": _TRIANGLE_SQL,
     "x_bpe_train": _BPE_SQL,
+    "x_bfs_distance": _BFS_SQL,
     "q2_min_cost_supplier": _Q2_SQL,
     "q9_product_type_profit": _Q9_SQL,
     "q11_important_parts": _Q11_SQL,

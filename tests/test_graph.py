@@ -125,3 +125,21 @@ def test_apply_bpe_roundtrip_preserves_text(spark):
     assert len(merges) >= 2
     for r in apply_bpe(df, "text", merges).collect():
         assert "".join(r["bpe_tokens"]) == r["text"]
+
+
+def test_bfs_distances_min_hop_and_early_stop(spark):
+    from news_lakehouse_spark.operators.graph import bfs_distances
+
+    # 1 -> 2 -> 3 -> 4, plus a shortcut 1 -> 3 and an unreachable 9
+    edges = [(1, 2), (2, 3), (3, 4), (1, 3), (9, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"] for r in bfs_distances(e, seeds, max_hops=10).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2}
+    # hop cap binds
+    capped = {r["node"]: r["dist"] for r in bfs_distances(e, seeds, max_hops=1).collect()}
+    assert capped == {1: 0, 2: 1, 3: 1}
+    # a seed stays 0 even with in-edges; multi-seed takes min
+    seeds2 = spark.createDataFrame([(1,), (4,)], "node long")
+    multi = {r["node"]: r["dist"] for r in bfs_distances(e, seeds2, max_hops=10).collect()}
+    assert multi[4] == 0 and multi[1] == 0

@@ -113,6 +113,7 @@ PROBES = {
     "x_pagerank": ("lineitem", 10),
     "x_triangle_count": ("lineitem", 10),
     "x_bpe_train": ("documents", 20),
+    "x_bfs_distance": ("lineitem", 10),
 }
 
 
