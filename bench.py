@@ -147,6 +147,7 @@ EXTENDED = [
     "x_pagerank",
     "x_triangle_count",
     "x_bpe_train",
+    "x_bpe_tokenize",
     "x_bfs_distance",
 ]
 

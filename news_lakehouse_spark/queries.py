@@ -8119,6 +8119,80 @@ c{i} AS (
 _BPE_SQL = _bpe_oracle()
 
 
+def x_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application + corpus token accounting: learn 4 BPE
+    merges (operators/bpe.train_bpe_merges), rewrite the corpus with
+    them, and report per-source doc/char/token totals and
+    tokens-per-char — the cost accounting an LLM pipeline runs before
+    packing.  After the greedy rewrite every symbol is ONE character
+    (learned tokens are single PUA markers), so the token count is
+    just ``length(rewritten)`` — the whole application path stays in
+    codegen'd string expressions.  The oracle re-derives the same 4
+    merges and applies the same replace chain.
+    """
+    from news_lakehouse_spark.operators.bpe import train_bpe_merges
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("source", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    with _op_phase("x_bpe_tokenize", "train_bpe_merges"):
+        merges = train_bpe_merges(d, "text", 4, min_freq=2)
+    col = F.col("text")
+    for m in merges:
+        col = F.replace(col, F.lit(m["left"] + m["right"]), F.lit(m["marker"]))
+    per_doc = d.select(
+        "source",
+        F.length("text").alias("nc"),
+        F.length(col).alias("nt"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nc").cast("long").alias("n_chars"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.round(F.sum("nt") / F.sum("nc"), 6).alias("tokens_per_char"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_tokenize_oracle(num_merges: int = 4, marker_start: int = 0xE000) -> str:
+    sql = """
+WITH c0 AS (
+  SELECT source, text AS t, length(text) AS nc
+  FROM documents WHERE text IS NOT NULL
+),
+"""
+    for i in range(1, num_merges + 1):
+        mk = marker_start + i - 1
+        sql += f"""p{i} AS (
+  SELECT substr(t, u.i, 2) AS pair, count(*) AS freq
+  FROM c{i - 1}, unnest(generate_series(1, length(t) - 1)) AS u(i)
+  WHERE length(t) >= 2
+  GROUP BY 1
+), m{i} AS (SELECT pair FROM p{i} ORDER BY freq DESC, pair LIMIT 1),
+c{i} AS (
+  SELECT source, replace(t, (SELECT pair FROM m{i}), chr({mk})) AS t, nc
+  FROM c{i - 1}
+),
+"""
+    sql = sql.rstrip().rstrip(",") + f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nc) AS BIGINT) AS n_chars,
+       CAST(sum(length(t)) AS BIGINT) AS n_tokens,
+       round(sum(length(t)) / CAST(sum(nc) AS DOUBLE), 6) AS tokens_per_char
+FROM c{num_merges} GROUP BY source ORDER BY source
+"""
+    return sql
+
+
+_BPE_TOKENIZE_SQL = _bpe_tokenize_oracle()
+
+
 def x_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop distance (operators/graph.bfs_distances)
     over the supplier<->customer graph, seeded at nation-0 suppliers,
@@ -8183,10 +8257,10 @@ QUERIES: dict[str, QueryFn] = {
     # oracle-checks registry[:50] each round). Rotation policy,
     # enforced by tests/test_queries_smoke.py: any query with no
     # driver CORRECTNESS row ever MUST sit inside the first 50.
-    # Round-9 window: the 12 never-driver-checked queries (4 new
+    # Round-9 window: the 13 never-driver-checked queries (5 new
     # round-9 builds: pagerank / triangle counting / BPE training /
-    # BFS distance, plus the 8 registered late in r8/r9 sessions),
-    # then the 8
+    # BPE tokenize accounting / BFS distance, plus the 8 registered
+    # late in r8/r9 sessions), then the 8
     # r5-stale queries the r8 verdict pinned for this round
     # (ask #5), then stalest-first (r6 greens). Queries verified in
     # r7/r8 rotate below the line; tools/verify_oracle.py still
@@ -8194,6 +8268,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_pagerank": x_pagerank,
     "x_triangle_count": x_triangle_count,
     "x_bpe_train": x_bpe_train,
+    "x_bpe_tokenize": x_bpe_tokenize,
     "x_bfs_distance": x_bfs_distance,
     "t_feed_continuous": t_feed_continuous,
     "x_rollback_evolution": x_rollback_evolution,
@@ -8243,8 +8318,8 @@ QUERIES: dict[str, QueryFn] = {
     "x_vocab_coverage": x_vocab_coverage,
     "x_event_transitions": x_event_transitions,
     "q4_order_priority": q4_order_priority,
-    "q6_forecast_revenue": q6_forecast_revenue,
     # --- below the driver window: latest green r6/r7/r8 ---
+    "q6_forecast_revenue": q6_forecast_revenue,
     "q8_market_share": q8_market_share,
     "q12_priority_lateness": q12_priority_lateness,
     "q14_promo_revenue": q14_promo_revenue,
@@ -8372,6 +8447,7 @@ ORACLES: dict[str, str] = {
     "x_pagerank": _PAGERANK_SQL,
     "x_triangle_count": _TRIANGLE_SQL,
     "x_bpe_train": _BPE_SQL,
+    "x_bpe_tokenize": _BPE_TOKENIZE_SQL,
     "x_bfs_distance": _BFS_SQL,
     "q2_min_cost_supplier": _Q2_SQL,
     "q9_product_type_profit": _Q9_SQL,
