@@ -48,6 +48,19 @@ __all__ = ["train_bpe_merges", "apply_bpe"]
 _PUA_START = 0xE000
 
 
+def _reject_markers(
+    df: DataFrame, col: str, num_merges: int, marker_start: int
+) -> None:
+    """One scan: raise if any row contains a marker codepoint."""
+    lo, hi = chr(marker_start), chr(marker_start + max(num_merges, 1) - 1)
+    if df.filter(F.col(col).rlike(f"[{lo}-{hi}]")).limit(1).count():
+        raise ValueError(
+            f"corpus already contains marker codepoints "
+            f"U+{marker_start:04X}..U+{marker_start + num_merges - 1:04X}; "
+            f"pass a different marker_start"
+        )
+
+
 def _adjacent_pairs(work: DataFrame) -> DataFrame:
     """(pair, freq) sliding-window counts of adjacent symbol pairs."""
     return (
@@ -82,19 +95,11 @@ def train_bpe_merges(
     round.  Stops early when no pair reaches ``min_freq``.
     """
     work = df.select(F.col(text_col).alias("t")).filter(F.col("t").isNotNull())
+    # guard the FULL corpus, not the sample: an unsampled row holding
+    # a marker char would still corrupt apply_bpe downstream
+    _reject_markers(work, "t", num_merges, marker_start)
     if sample_fraction is not None:
         work = work.sample(fraction=sample_fraction, seed=7)
-
-    lo, hi = chr(marker_start), chr(marker_start + max(num_merges, 1) - 1)
-    collision = (
-        work.filter(F.col("t").rlike(f"[{lo}-{hi}]")).limit(1).count()
-    )
-    if collision:
-        raise ValueError(
-            f"corpus already contains marker codepoints "
-            f"U+{marker_start:04X}..U+{marker_start + num_merges - 1:04X}; "
-            f"pass a different marker_start"
-        )
 
     expand: dict[str, str] = {}
     merges: list[dict] = []
@@ -133,6 +138,8 @@ def apply_bpe(
     text_col: str,
     merges: list[dict],
     out_col: str = "bpe_tokens",
+    *,
+    validate: bool = True,
 ) -> DataFrame:
     """Tokenize ``text_col`` with learned merges.
 
@@ -142,7 +149,22 @@ def apply_bpe(
     to their surface strings.  Pure column expressions (chained
     ``replace`` + ``split`` + ``transform`` over a literal map), so
     the hot path stays in whole-stage codegen.
+
+    ``validate`` (default on) spends one scan rejecting target rows
+    that already contain the merges' marker codepoints — applying
+    merges trained on corpus A to a corpus B that happens to hold a
+    PUA char would otherwise silently expand it to a learned token.
+    Pass ``validate=False`` to skip the scan when the target is known
+    marker-free (e.g. the training corpus itself).
     """
+    if merges and validate:
+        markers = sorted(ord(m["marker"]) for m in merges)
+        _reject_markers(
+            df.filter(F.col(text_col).isNotNull()),
+            text_col,
+            markers[-1] - markers[0] + 1,
+            markers[0],
+        )
     col = F.col(text_col)
     for m in merges:
         col = F.replace(col, F.lit(m["left"] + m["right"]), F.lit(m["marker"]))

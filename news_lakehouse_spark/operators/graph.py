@@ -143,6 +143,10 @@ def pagerank(
             # materialized state, not the whole iteration chain
             .localCheckpoint(eager=True)
         )
+    # the returned frame is checkpointed — the cached inputs are dead
+    # weight once the loop ends
+    nodes.unpersist()
+    e.unpersist()
     return ranks.select("node", "rank_units")
 
 
@@ -208,12 +212,17 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("triangles"))
     )
-    return deg.join(per_node, "node", "left").select(
+    out = deg.join(per_node, "node", "left").select(
         "node",
         "degree",
         (F.col("degree") * (F.col("degree") - 1) / 2).cast("long").alias("wedges"),
         F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
-    )
+    # node-sized: materialize so the multi-referenced cached inputs
+    # can be released before the caller consumes the result
+    ).localCheckpoint(eager=True)
+    und.unpersist()
+    oriented.unpersist()
+    return out
 
 
 def bfs_distances(
@@ -254,18 +263,22 @@ def bfs_distances(
         .select("node", F.lit(0).cast("int").alias("dist"))
         .localCheckpoint(eager=True)
     )
-    frontier = state
+    # visited = lazy union of per-hop checkpointed frontiers: each
+    # node is materialized exactly once (O(V) total, not O(V*hops))
+    # and the union's lineage stays flat because every leg is flat
+    frontier, visited = state, state
     for hop in range(1, max_hops + 1):
         nxt = (
             e.join(frontier, e.src == frontier.node)
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(state.select("node"), "node", "left_anti")
+            .join(visited.select("node"), "node", "left_anti")
             .select("node", F.lit(hop).cast("int").alias("dist"))
             .localCheckpoint(eager=True)
         )
         if nxt.limit(1).count() == 0:
             break
-        state = state.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt)
         frontier = nxt
-    return state
+    e.unpersist()
+    return visited

@@ -7929,6 +7929,35 @@ SELECT doc_id, source, n_chars FROM r WHERE rn <= 10
 """
 
 
+# Shared graph build for x_pagerank / x_bfs_distance: suppliers
+# (2k+1) and customers (2k), one edge EACH WAY per distinct
+# supplier-customer lineitem relationship. The Spark helper and the
+# SQL fragment below must stay equivalent — both queries' oracles
+# embed the fragment.
+def _supplier_customer_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        F.col("s").alias("src"), F.col("c").alias("dst")
+    ).union(pairs.select(F.col("c"), F.col("s")))
+
+
+_SUPP_CUST_EDGES_CTE = """le AS (
+  SELECT DISTINCT l.l_suppkey * 2 + 1 AS s, o.o_custkey * 2 AS c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), edges AS (
+  SELECT s AS src, c AS dst FROM le UNION ALL SELECT c, s FROM le
+)"""
+
+
 def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (operators/graph.pagerank) over the
     supplier<->customer interaction graph: nodes are suppliers
@@ -7943,19 +7972,7 @@ def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from news_lakehouse_spark.operators.graph import pagerank
 
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-            (F.col("o_custkey") * 2).alias("c"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(
-        F.col("s").alias("src"), F.col("c").alias("dst")
-    ).union(pairs.select(F.col("c"), F.col("s")))
+    edges = _supplier_customer_edges(spark, sf_dir)
     with _op_phase("x_pagerank", "pagerank"):
         ranks = pagerank(edges, iterations=5)
     return ranks.select(
@@ -7967,12 +7984,7 @@ def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pagerank_oracle(iterations: int = 5, units: int = 10**12) -> str:
     base = (15 * units) // 100
     sql = f"""
-WITH le AS (
-  SELECT DISTINCT l.l_suppkey * 2 + 1 AS s, o.o_custkey * 2 AS c
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-), edges AS (
-  SELECT s AS src, c AS dst FROM le UNION ALL SELECT c, s FROM le
-), deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+WITH {_SUPP_CUST_EDGES_CTE}, deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
 r0 AS (SELECT src AS node, CAST({units} AS BIGINT) AS r FROM deg),
 """
     prev = "r0"
@@ -8204,19 +8216,7 @@ def x_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from news_lakehouse_spark.operators.graph import bfs_distances
 
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-            (F.col("o_custkey") * 2).alias("c"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(
-        F.col("s").alias("src"), F.col("c").alias("dst")
-    ).union(pairs.select(F.col("c"), F.col("s")))
+    edges = _supplier_customer_edges(spark, sf_dir)
     seeds = (
         read_table(spark, sf_dir, "supplier")
         # every-25th supplier: >=1 seed at every fixture scale
@@ -8230,13 +8230,8 @@ def x_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dist", "node")
 
 
-_BFS_SQL = """
-WITH RECURSIVE le AS (
-  SELECT DISTINCT l.l_suppkey * 2 + 1 AS s, o.o_custkey * 2 AS c
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-), edges AS (
-  SELECT s AS src, c AS dst FROM le UNION ALL SELECT c, s FROM le
-), seeds AS (
+_BFS_SQL = f"""
+WITH RECURSIVE {_SUPP_CUST_EDGES_CTE}, seeds AS (
   SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_suppkey % 25 = 1
 ), walk AS (
   SELECT node, 0 AS d FROM seeds
