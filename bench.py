@@ -145,6 +145,7 @@ EXTENDED = [
     # round-9 additions (graph analytics: integer-exact PageRank,
     # degree-oriented triangle counting; distributed BPE training):
     "x_pagerank",
+    "x_pagerank_seeded",
     "x_triangle_count",
     "x_bpe_train",
     "x_bpe_tokenize",

@@ -53,8 +53,10 @@ def pagerank(
     iterations: int = 10,
     damping_pct: int = 85,
     units: int = 10**12,
+    teleport: DataFrame | None = None,
+    teleport_col: str = "node",
 ) -> DataFrame:
-    """Integer-exact PageRank over a directed edge list.
+    """Integer-exact (optionally personalized) PageRank.
 
     Returns ``(node BIGINT, rank_units BIGINT)`` — one row per node
     that appears as a source or destination.  ``rank_units`` is the
@@ -65,17 +67,28 @@ def pagerank(
     The recurrence per iteration, all in BIGINT arithmetic::
 
         contrib(e)  = rank(e.src) DIV out_degree(e.src)
-        dangling    = sum(rank over nodes with no out-edges) DIV n
-        rank'(v)    = ((100-d) * units) DIV 100
-                      + (d * (sum contrib into v + dangling)) DIV 100
+        dangling    = sum(rank over nodes with no out-edges)
+        rank'(v)    = base(v)
+                      + (d * (sum contrib into v + dang(v))) DIV 100
 
-    Dangling mass is redistributed uniformly, as in the classic
-    formulation.  ``units`` must satisfy
-    ``n_nodes * units * 100 < 2**63`` (checked) — for a 1e9-node
-    graph pick ``units=10**7``, still 1e-7 relative precision.
+    Classic mode (``teleport=None``): ``base(v) = ((100-d) * units)
+    DIV 100`` and ``dang(v) = dangling DIV n`` — uniform teleport and
+    uniform dangling redistribution (Page et al. 1999).
+
+    Personalized mode (``teleport`` = a one-column frame of seed
+    nodes): the teleport vector concentrates on the |T| seeds, so
+    ``base(v) = [v in T] * ((100-d) * units * n) DIV (100 * |T|)``
+    and ``dang(v) = [v in T] * (dangling DIV |T|)`` — the
+    random surfer restarts at seeds (strongly-preferential PPR),
+    giving proximity-to-seeds authority for crawl prioritization /
+    seed-set expansion.  Total mass stays ~n*units in both modes.
+
+    ``units`` must satisfy ``n_nodes * units * 100 < 2**63``
+    (checked) — for a 1e9-node graph pick ``units=10**7``, still 1e-7
+    relative precision.
 
     Parity note: no reference counterpart (reference has no graph
-    ops); semantics follow Page et al. 1999 with integer mass.
+    ops).
     """
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
@@ -89,12 +102,27 @@ def pagerank(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
         .join(out_deg.withColumnRenamed("src", "node"), "node", "left")
-        # persist: reused every iteration as the rank-state frame
-        .persist()
     )
+    if teleport is not None:
+        seeds = teleport.select(
+            F.col(teleport_col).cast("long").alias("node")
+        ).distinct()
+        nodes = nodes.join(
+            seeds.select("node", F.lit(True).alias("is_seed")), "node", "left"
+        ).select("node", "out_deg", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+    else:
+        nodes = nodes.select("node", "out_deg", F.lit(True).alias("is_seed"))
+    # persist: reused every iteration as the rank-state frame
+    nodes = nodes.persist()
     n_nodes = nodes.count()
     if n_nodes == 0:
+        nodes.unpersist()
         return nodes.select("node", F.lit(0).cast("long").alias("rank_units"))
+    n_seeds = (
+        nodes.filter("is_seed").count() if teleport is not None else n_nodes
+    )
+    if n_seeds == 0:
+        raise ValueError("teleport set shares no nodes with the graph")
     if n_nodes * units >= (2**63 - 1) // 100:
         raise ValueError(
             f"n_nodes*units*100 would overflow BIGINT; lower units "
@@ -107,9 +135,12 @@ def pagerank(
     # skips the per-iteration redistribution scan entirely
     has_dangling = nodes.filter(F.col("out_deg").isNull()).limit(1).count() > 0
 
-    base = ((100 - damping_pct) * units) // 100
+    # per-row base: uniform, or concentrated on the teleport set
+    base_seed = ((100 - damping_pct) * units * n_nodes) // (100 * n_seeds)
+    base_expr = f"if(is_seed, {base_seed}L, 0L)"
     ranks = nodes.select(
-        "node", "out_deg", F.lit(units).cast("long").alias("rank_units")
+        "node", "out_deg", "is_seed",
+        F.lit(units).cast("long").alias("rank_units"),
     ).localCheckpoint(eager=True)
 
     for _ in range(iterations):
@@ -121,7 +152,7 @@ def pagerank(
             if has_dangling
             else 0
         )
-        dang_each = (dang_row or 0) // n_nodes
+        dang_each = (dang_row or 0) // n_seeds
         in_sums = (
             e.join(ranks, e.src == ranks.node)
             .select("dst", F.expr("rank_units DIV out_deg").alias("contrib"))
@@ -133,10 +164,11 @@ def pagerank(
             .select(
                 "node",
                 "out_deg",
+                "is_seed",
                 # all-BIGINT: + * DIV only, so sums stay associative
                 F.expr(
-                    f"{base}L + ({damping_pct}L * (coalesce(in_sum, 0L)"
-                    f" + {dang_each}L)) DIV 100"
+                    f"{base_expr} + ({damping_pct}L * (coalesce(in_sum, 0L)"
+                    f" + if(is_seed, {dang_each}L, 0L))) DIV 100"
                 ).alias("rank_units"),
             )
             # truncate lineage: each round's plan starts from

@@ -8007,6 +8007,75 @@ FROM {prev} ORDER BY rank_units DESC, node
 _PAGERANK_SQL = _pagerank_oracle()
 
 
+def x_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.pagerank with a
+    teleport set): the random surfer restarts at the every-25th
+    suppliers — proximity-to-seeds authority for crawl
+    prioritization / seed-set expansion.  Same integer-exact BIGINT
+    recurrence as x_pagerank, with the teleport and dangling mass
+    concentrated on the |T| seeds; the bidirectional graph again has
+    no dangling nodes, so the oracle unrolls without that term.
+    """
+    from news_lakehouse_spark.operators.graph import pagerank
+
+    edges = _supplier_customer_edges(spark, sf_dir)
+    seeds = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 25 == 1)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    )
+    with _op_phase("x_pagerank_seeded", "pagerank"):
+        ranks = pagerank(edges, iterations=5, teleport=seeds)
+    return ranks.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("rank_units").cast("long").alias("rank_units"),
+    ).orderBy(F.desc("rank_units"), "node")
+
+
+def _ppr_oracle(iterations: int = 5, units: int = 10**12) -> str:
+    sql = f"""
+WITH {_SUPP_CUST_EDGES_CTE},
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+seeds AS (
+  SELECT s_suppkey * 2 + 1 AS node FROM supplier WHERE s_suppkey % 25 = 1
+),
+-- every node has out-edges (bidirectional), so deg is the node set
+ns AS (
+  SELECT d.src AS node, (s.node IS NOT NULL) AS is_seed
+  FROM deg d LEFT JOIN seeds s ON s.node = d.src
+),
+cnt AS (
+  SELECT count(*) AS n, sum(CASE WHEN is_seed THEN 1 ELSE 0 END) AS t
+  FROM ns
+),
+r0 AS (SELECT node, CAST({units} AS BIGINT) AS r FROM ns),
+"""
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        sql += f"""s{i} AS (
+  SELECT e.dst AS node, SUM(r.r // d.d) AS m
+  FROM edges e JOIN {prev} r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT ns.node,
+         CAST(CASE WHEN ns.is_seed
+              THEN (15 * {units} * cnt.n) // (100 * cnt.t) ELSE 0 END
+              + (85 * s{i}.m) // 100 AS BIGINT) AS r
+  FROM ns JOIN s{i} ON s{i}.node = ns.node, cnt
+),
+"""
+        prev = f"r{i}"
+    sql = sql.rstrip().rstrip(",")
+    sql += f"""
+SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_units
+FROM {prev} ORDER BY rank_units DESC, node
+"""
+    return sql
+
+
+_PPR_SQL = _ppr_oracle()
+
+
 def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts (operators/graph.triangle_stats) on
     the high-volume co-purchase graph: parts are linked when ordered
@@ -8252,15 +8321,17 @@ QUERIES: dict[str, QueryFn] = {
     # oracle-checks registry[:50] each round). Rotation policy,
     # enforced by tests/test_queries_smoke.py: any query with no
     # driver CORRECTNESS row ever MUST sit inside the first 50.
-    # Round-9 window: the 13 never-driver-checked queries (5 new
-    # round-9 builds: pagerank / triangle counting / BPE training /
-    # BPE tokenize accounting / BFS distance, plus the 8 registered
-    # late in r8/r9 sessions), then the 8
+    # Round-9 window: the 14 never-driver-checked queries (6 new
+    # round-9 builds: pagerank + personalized pagerank / triangle
+    # counting / BPE training / BPE tokenize accounting / BFS
+    # distance, plus the 8 registered late in r8/r9 sessions), then
+    # the 8
     # r5-stale queries the r8 verdict pinned for this round
     # (ask #5), then stalest-first (r6 greens). Queries verified in
     # r7/r8 rotate below the line; tools/verify_oracle.py still
     # covers the full registry.
     "x_pagerank": x_pagerank,
+    "x_pagerank_seeded": x_pagerank_seeded,
     "x_triangle_count": x_triangle_count,
     "x_bpe_train": x_bpe_train,
     "x_bpe_tokenize": x_bpe_tokenize,
@@ -8312,8 +8383,8 @@ QUERIES: dict[str, QueryFn] = {
     "q20_potential_promotion": q20_potential_promotion,
     "x_vocab_coverage": x_vocab_coverage,
     "x_event_transitions": x_event_transitions,
-    "q4_order_priority": q4_order_priority,
     # --- below the driver window: latest green r6/r7/r8 ---
+    "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q8_market_share": q8_market_share,
     "q12_priority_lateness": q12_priority_lateness,
@@ -8440,6 +8511,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     "x_pagerank": _PAGERANK_SQL,
+    "x_pagerank_seeded": _PPR_SQL,
     "x_triangle_count": _TRIANGLE_SQL,
     "x_bpe_train": _BPE_SQL,
     "x_bpe_tokenize": _BPE_TOKENIZE_SQL,

@@ -143,3 +143,51 @@ def test_bfs_distances_min_hop_and_early_stop(spark):
     seeds2 = spark.createDataFrame([(1,), (4,)], "node long")
     multi = {r["node"]: r["dist"] for r in bfs_distances(e, seeds2, max_hops=10).collect()}
     assert multi[4] == 0 and multi[1] == 0
+
+
+def _ppr_reference(edges, seeds, iterations, damping_pct=85, units=10**12):
+    nodes = sorted({u for e in edges for u in e})
+    n, t = len(nodes), len(set(seeds) & {u for e in edges for u in e})
+    out_deg: dict = {}
+    for u, _ in edges:
+        out_deg[u] = out_deg.get(u, 0) + 1
+    rank = {v: units for v in nodes}
+    base = ((100 - damping_pct) * units * n) // (100 * t)
+    for _ in range(iterations):
+        dang = sum(rank[v] for v in nodes if v not in out_deg)
+        in_sum = {v: 0 for v in nodes}
+        for u, v in edges:
+            in_sum[v] += rank[u] // out_deg[u]
+        rank = {
+            v: (base if v in seeds else 0)
+            + (damping_pct * (in_sum[v] + (dang // t if v in seeds else 0)))
+            // 100
+            for v in nodes
+        }
+    return rank
+
+
+def test_personalized_pagerank_matches_reference(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4), (2, 4), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["rank_units"]
+        for r in pagerank(df, iterations=6, teleport=seeds).collect()
+    }
+    assert got == _ppr_reference(edges, {1}, 6)
+    # seed-proximity: the seed outranks the node it can't reach back from
+    assert got[1] > got[4] or got[2] > 0  # structural sanity
+    # classic mode unchanged by the refactor
+    classic = {
+        r["node"]: r["rank_units"]
+        for r in pagerank(df, iterations=6).collect()
+    }
+    assert classic == _pagerank_reference(edges, 6)
+
+
+def test_personalized_pagerank_rejects_disjoint_seeds(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(99,)], "node long")
+    with pytest.raises(ValueError, match="teleport"):
+        pagerank(df, iterations=2, teleport=seeds)
