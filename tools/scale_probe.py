@@ -111,8 +111,10 @@ PROBES = {
     # join is bounded by degree orientation; BPE rounds scan the
     # corpus (20x chars -> ~linear per round, same #rounds)
     "x_pagerank": ("lineitem", 10),
+    "x_pagerank_seeded": ("lineitem", 10),
     "x_triangle_count": ("lineitem", 10),
     "x_bpe_train": ("documents", 20),
+    "x_bpe_tokenize": ("documents", 20),
     "x_bfs_distance": ("lineitem", 10),
 }
 
