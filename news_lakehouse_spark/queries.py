@@ -3778,13 +3778,18 @@ def x_table_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with _op_phase("x_table_clone", "clone_commit"):
         c = t.clone(os.path.join(base, "clone"))
-    # zero-copy: first shared file is one inode, two directory entries
-    rel = c._load_manifest(1)["files"][0]
+    # zero-copy: first shared file is one inode, two directory entries.
+    # The clone's first commit lands AT the source version (2) so the
+    # commit numbers embedded in carried file paths keep their
+    # MOR-fencing / epoch-attribution meaning.
+    cv = c.latest_version()
+    assert cv == 2, cv
+    rel = c._load_manifest(cv)["files"][0]
     st_s = os.stat(os.path.join(t.path, rel))
     st_c = os.stat(os.path.join(c.path, rel))
     assert (st_s.st_ino, st_s.st_dev) == (st_c.st_ino, st_c.st_dev)
     assert st_s.st_nlink >= 2
-    assert c.snapshot_properties(1)["clone_source_version"] == "2"
+    assert c.snapshot_properties(cv)["clone_source_version"] == "2"
 
     # diverge both sides, then destructively maintain the SOURCE
     t.merge(

@@ -2745,9 +2745,12 @@ class VersionedParquetTable:
         with STRONGER isolation): every live data file, merge-on-read
         tombstone parquet, and bloom sidecar of ``version`` HARDLINKS
         into the clone (same bytes on disk, no copy), and the clone
-        publishes them as its own version 1 — history, tags, and
-        future commits fully independent. At 100 TB a dev/test fork of
-        the production table costs O(files) metadata, not a data pass.
+        publishes them as its own first commit AT the source's version
+        number (commit numbers embedded in carried file paths keep
+        their MOR-fencing/epoch meaning; the clone's history continues
+        from there) — history, tags, and future commits fully
+        independent. At 100 TB a dev/test fork of the production table
+        costs O(files) metadata, not a data pass.
 
         Why hardlinks beat Delta's path-sharing shallow clone: Delta's
         clone references the SOURCE's files, so vacuuming the source
@@ -2813,7 +2816,19 @@ class VersionedParquetTable:
         manifest.pop("shards", None)
         manifest.update(
             {
-                "version": 1,
+                # publish at the SOURCE's version number, not 1: the
+                # engine derives semantics from the c{version:012d}
+                # embedded in carried file paths — MOR delete fencing
+                # (_apply_deletes: __f_v < entry version) and epoch
+                # attribution (_epoch_state: this-commit prefix skip).
+                # Restarting at 1 would make a clone commit at version
+                # N collide with carried data/cNNN- paths: carried
+                # tombstones would silently delete rows later written
+                # to the clone, and carried old-epoch files would be
+                # misread under the current epoch. Starting at v keeps
+                # every embedded number and fence consistent; the
+                # clone's own history continues from v+1.
+                "version": v,
                 "parent": None,
                 "operation": "clone",
                 "properties": {

@@ -2698,13 +2698,15 @@ def test_clone_zero_copy_and_fully_independent(spark, table, tmp_path):
     table.merge(_df(spark, [(4, "b", 40)]), ["k"])
     clone = table.clone(str(tmp_path / "clone"), properties={"who": "dev"})
     assert _rows(clone.read()) == _rows(table.read())
-    assert clone.latest_version() == 1 and len(clone.versions()) == 1
-    props = clone.snapshot_properties(1)
+    # first clone commit lands AT the source version (2), so commit
+    # numbers embedded in carried file paths keep their meaning
+    assert clone.latest_version() == 2 and len(clone.versions()) == 1
+    props = clone.snapshot_properties(2)
     assert props["who"] == "dev"
     assert props["clone_source_version"] == "2"
     assert clone.history()[0]["operation"] == "clone"
     # zero-copy: the shared file is ONE inode with two links
-    rel = clone._load_manifest(1)["files"][0]
+    rel = clone._load_manifest(2)["files"][0]
     src_st = os.stat(os.path.join(table.path, rel))
     dst_st = os.stat(os.path.join(clone.path, rel))
     assert (src_st.st_ino, src_st.st_dev) == (dst_st.st_ino, dst_st.st_dev)
@@ -2764,7 +2766,7 @@ def test_clone_of_sharded_manifest_reads_and_reshards(spark, table, tmp_path):
     assert "shards" in table._load_root(1)
     clone = table.clone(str(tmp_path / "cs"))
     # the clone must not reference the SOURCE's shard files
-    croot = clone._load_root(1)
+    croot = clone._load_root(clone.latest_version())
     assert _rows(clone.read()) == _rows(table.read())
     if "shards" in croot:  # resharded under the clone's own dir
         for s in croot["shards"]:
@@ -2773,3 +2775,43 @@ def test_clone_of_sharded_manifest_reads_and_reshards(spark, table, tmp_path):
             )
     # partition-filtered read works off the clone's own metadata
     assert len(clone.read(partition_filter={"d": "p1"}).collect()) == 2
+
+
+def test_clone_mor_fencing_survives_new_clone_commits(spark, table, tmp_path):
+    """Carried tombstones must never swallow rows committed AFTER the
+    clone. Tombstone fencing compares the commit number embedded in
+    each data file's path against the delete entry's version — if the
+    clone restarted numbering at 1, its second commit (c2) would sort
+    BEFORE a carried source tombstone from v3 and lose the fresh rows.
+    Partitioned on purpose: a partitioned merge CARRIES parent delete
+    entries (an unpartitioned merge rewrites every file and drops
+    them, which would mask the collision)."""
+    table.merge(
+        _df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"], partition_by=["d"]
+    )
+    table.merge(_df(spark, [(3, "a", 30)]), ["k"])           # v2
+    table.delete_keys(spark.createDataFrame([Row(k=1)]), ["k"])  # v3
+    clone = table.clone(str(tmp_path / "cf"))
+    assert _rows(clone.read()) == {(2, "b", 20), (3, "a", 30)}
+    # re-insert the tombstoned key in the CLONE: a later commit wins
+    clone.merge(_df(spark, [(1, "a", 99)]), ["k"])
+    assert (1, "a", 99) in _rows(clone.read())
+
+
+def test_clone_epoch_attribution_survives_new_clone_commits(spark, table, tmp_path):
+    """Carried old-epoch files must keep their file_sids mapping when
+    the clone commits. Epoch attribution skips only files written by
+    THIS commit (path prefix c{version}); with restarted numbering the
+    clone's commit 2 would claim the SOURCE's carried c2 files as its
+    own, dropping their mapping and misreading the renamed column.
+    Partitioned so the clone's merge (into partition c) carries the
+    source's old-epoch files in a and b instead of rewriting them."""
+    table.merge(_df(spark, [(1, "a", 10)]), ["k"], partition_by=["d"])
+    table.merge(_df(spark, [(2, "b", 20)]), ["k"])            # v2
+    table.rename_column("v", "val")                           # v3
+    clone = table.clone(str(tmp_path / "ce"))
+    clone.merge(spark.createDataFrame([Row(k=3, d="c", val=30)]), ["k"])
+    got = {
+        (r["k"], r["d"], r["val"]) for r in clone.read().collect()
+    }
+    assert got == {(1, "a", 10), (2, "b", 20), (3, "c", 30)}
