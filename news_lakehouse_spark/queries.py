@@ -96,6 +96,89 @@ def _op_phase(query: str, phase: str):
     dt = _time.perf_counter() - t0
     cur[phase] = round(min(cur.get(phase, float("inf")), dt), 3)
 
+
+def _tmp_table_path(prefix: str, sf_dir: str) -> str:
+    """Fresh, collision-proof scratch path for a query-built table.
+
+    pid + sf_dir hash keep the name greppable for forensics; the uuid
+    nonce guarantees two executions of the SAME query in the SAME
+    process can never share a path. That matters because every
+    table-building query returns a LAZY DataFrame over its scratch
+    table — the driver collects it after the function returns — so a
+    reused path plus the per-run rmtree is a silent wrong-values race
+    (the only mechanism consistent with the r8/r9 driver-only,
+    serially-unreproducible hash mismatches on the evolution queries).
+    """
+    import hashlib as _hl
+    import tempfile as _tf
+    import uuid as _uuid
+
+    return os.path.join(
+        _tf.gettempdir(),
+        f"nlh_{prefix}_{os.getpid()}_"
+        + _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+        + "_"
+        + _uuid.uuid4().hex[:8],
+    )
+
+
+def _session_snapshot(spark: SparkSession) -> dict:
+    """Session facts worth having in a diag file when a driver-run
+    divergence can't be reproduced locally (r9 verdict #1c): if a red
+    recurs, the diag names the environment delta instead of leaving
+    another anonymous hash mismatch."""
+    confs = [
+        "spark.master",
+        "spark.sql.ansi.enabled",
+        "spark.sql.session.timeZone",
+        "spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.execution.arrow.pyspark.enabled",
+        "spark.sql.parquet.enableVectorizedReader",
+        "spark.sql.files.maxPartitionBytes",
+        "spark.default.parallelism",
+    ]
+    snap = {"spark.version": spark.version}
+    for k in confs:
+        try:
+            snap[k] = spark.conf.get(k, None)
+        except Exception:  # noqa: BLE001 - diag must never fail a query
+            snap[k] = "<unreadable>"
+    return snap
+
+
+def _write_diag(name: str, payload: dict) -> None:
+    """Best-effort diag drop at a stable /tmp path (overwritten per
+    run) so even a transient driver-run divergence leaves evidence."""
+    import json as _json
+    import tempfile as _tf
+
+    try:
+        with open(
+            os.path.join(_tf.gettempdir(), f"nlh_{name}_diag.json"), "w"
+        ) as fh:
+            _json.dump(payload, fh, default=str)
+    except OSError:
+        pass
+
+
+def _read_fingerprint(df: DataFrame) -> dict:
+    """Order-insensitive multiset fingerprint of a DataFrame, one
+    collect: row count + sum of per-row xxhash64 over a canonical
+    JSON rendering (stable for nested arrays/structs)."""
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.xxhash64(
+                F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+            ).cast("decimal(38,0)")  # bigint sum overflows under ANSI
+        ).alias("h"),
+    ).collect()[0]
+    return {"rows": row["n"], "hash": str(row["h"])}
+
+
+
 # Shared normalization fragment for DuckDB oracles (mirrors
 # operators.dedupe.normalized_text):
 _NT = (
@@ -2469,12 +2552,7 @@ def x_pq_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_lakehouse_spark.sources.transaction import VersionedParquetTable
 
     emb = read_table(spark, sf_dir, "embeddings")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"nlh_pq_index_{os.getpid()}_"
-        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _tmp_table_path("pq_index", sf_dir)
     index = VersionedParquetTable(spark, base)
     is_b2 = F.pmod(F.xxhash64("vec_id", F.lit(3)), F.lit(5)) == 0
     books1 = pq_index_ingest(index, emb.filter(~is_b2))
@@ -2767,12 +2845,7 @@ def t_stream_table_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"nlh_tfeed_{os.getpid()}_"
-        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _tmp_table_path("tfeed", sf_dir)
     src = VersionedParquetTable(spark, os.path.join(base, "src"))
     rep = VersionedParquetTable(spark, os.path.join(base, "rep"))
     ckpt = os.path.join(base, "ckpt")
@@ -2855,12 +2928,7 @@ def t_feed_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"nlh_feeddrift_{os.getpid()}_"
-        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _tmp_table_path("feeddrift", sf_dir)
     src = VersionedParquetTable(spark, os.path.join(base, "src"))
     rep = VersionedParquetTable(spark, os.path.join(base, "rep"))
     ckpt = os.path.join(base, "ckpt")
@@ -2942,12 +3010,7 @@ def t_feed_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"nlh_feedcont_{os.getpid()}_"
-        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _tmp_table_path("feedcont", sf_dir)
     src = VersionedParquetTable(spark, os.path.join(base, "src"))
     rep = VersionedParquetTable(spark, os.path.join(base, "rep"))
     ckpt = os.path.join(base, "ckpt")
@@ -3040,12 +3103,7 @@ def x_rollback_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = read_table(spark, sf_dir, "orders")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"nlh_rbevo_{os.getpid()}_"
-        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _tmp_table_path("rbevo", sf_dir)
     t = VersionedParquetTable(spark, base)
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
 
@@ -3080,6 +3138,40 @@ def x_rollback_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the sid-reuse bug reads v5's epoch-z files under the wrong
         # physical name → NULL w on the delete side; adjudicate in-plan
         assert ch.filter(F.col("w").isNull()).isEmpty()
+        # r9 verdict #1b: the r9 driver red was hash-only with
+        # rows/schema green and unreproducible serially — adjudicate
+        # EVERY feed row, not just nullness: each key appears at most
+        # once per change side, and a double evaluation of the feed
+        # fingerprints identically (a nondeterministic read
+        # self-reports as a named assert, not an anonymous mismatch).
+        dup = (
+            ch.groupBy("o_orderkey", "_change_type")
+            .agg(F.count(F.lit(1)).alias("copies"))
+            .filter(F.col("copies") != 1)
+            .limit(5)
+            .collect()
+        )
+        fps = []
+        if not dup:
+            fps = [
+                _read_fingerprint(t.changes(5, 8)) for _ in range(2)
+            ]
+        _write_diag(
+            "rollback_evo",
+            {
+                "pid": os.getpid(),
+                "sf_dir": sf_dir,
+                "table": base,
+                "dup_feed_keys": [r.asDict() for r in dup],
+                "read_fingerprints": fps,
+                "versions": t.versions(),
+                "session": _session_snapshot(spark),
+            },
+        )
+        assert not dup, f"x_rollback_evolution: duplicated feed rows {dup}"
+        assert fps[0] == fps[1], (
+            f"x_rollback_evolution: double-read drift {fps}"
+        )
     return ch.groupBy("_change_type").agg(
         F.count("*").alias("cnt"), F.sum("w").alias("val_sum")
     )
@@ -3142,12 +3234,7 @@ def t_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"nlh_dss_{os.getpid()}_"
-        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _tmp_table_path("dss", sf_dir)
     src = VersionedParquetTable(spark, os.path.join(base, "src"))
     ckpt = os.path.join(base, "ckpt")
     sink = os.path.join(base, "sink")
@@ -3254,12 +3341,7 @@ def t_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"nlh_dsk_{os.getpid()}_"
-        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _tmp_table_path("dsk", sf_dir)
     tgt = VersionedParquetTable(spark, os.path.join(base, "tgt"))
     srcdir = os.path.join(base, "src")
     ckpt = os.path.join(base, "ckpt")
@@ -3536,11 +3618,7 @@ def x_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_lakehouse_spark.sources.transaction import VersionedParquetTable
 
     orders = read_table(spark, sf_dir, "orders")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"nlh_time_travel_{os.getpid()}_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _tmp_table_path("time_travel", sf_dir)
     t = VersionedParquetTable(spark, base)
     t.merge(
         orders.filter(F.col("o_orderkey") % 5 != 0).select(
@@ -3611,12 +3689,7 @@ def x_table_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_lakehouse_spark.sources.transaction import VersionedParquetTable
 
     orders = read_table(spark, sf_dir, "orders")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"nlh_table_meta_{os.getpid()}_"
-        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _tmp_table_path("table_meta", sf_dir)
     t = VersionedParquetTable(spark, base)
     cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
     t.merge(
@@ -3672,12 +3745,7 @@ def x_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_totalprice"))
         .alias("price_n"),
     )
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"nlh_meta_agg_{os.getpid()}_"
-        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _tmp_table_path("meta_agg", sf_dir)
     t = VersionedParquetTable(spark, base)
     t.merge(
         src.filter(F.col("o_orderkey") % 3 != 0),
@@ -3766,12 +3834,7 @@ def x_table_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"nlh_clone_{os.getpid()}_"
-        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _tmp_table_path("clone", sf_dir)
     t = VersionedParquetTable(spark, os.path.join(base, "src"))
     t.merge(orders.filter(F.col("o_orderkey") % 2 == 0), ["o_orderkey"])
     t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
@@ -3875,12 +3938,7 @@ def x_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_lakehouse_spark.sources.transaction import VersionedParquetTable
 
     orders = read_table(spark, sf_dir, "orders")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"nlh_part_evo_{os.getpid()}_"
-        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _tmp_table_path("part_evo", sf_dir)
     t = VersionedParquetTable(spark, base)
     cols = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
     t.merge(
@@ -3942,12 +4000,7 @@ def x_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_lakehouse_spark.sources.transaction import VersionedParquetTable
 
     orders = read_table(spark, sf_dir, "orders")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"nlh_schema_evo_{os.getpid()}_"
-        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _tmp_table_path("schema_evo", sf_dir)
     t = VersionedParquetTable(spark, base)
     sub = orders.filter(F.col("o_orderkey") % 3 == 0).select(
         "o_orderkey",
@@ -4030,12 +4083,7 @@ def x_nested_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_lakehouse_spark.sources.transaction import VersionedParquetTable
 
     orders = read_table(spark, sf_dir, "orders")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"nlh_nested_evo_{os.getpid()}_"
-        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _tmp_table_path("nested_evo", sf_dir)
     t = VersionedParquetTable(spark, base)
     sub = orders.filter(F.col("o_orderkey") % 3 == 0).select(
         "o_orderkey",
@@ -4079,24 +4127,33 @@ def x_nested_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.explode("info").alias("c")
     )
     if not os.environ.get("SPARK_GRAFT_BENCH_LEAN"):
-        # r8 driver red was hash-mismatch with rows/schema green and
-        # could not be reproduced locally; the ONLY data shape that
-        # produces exactly that is a stale pre-merge row surviving for
-        # a %9 key (or the same key double-counted). Adjudicate it
-        # in-query: a violation raises (self-explaining driver `err`)
-        # instead of surfacing as an anonymous hash mismatch, and the
-        # tiny per-run summary lands at a stable /tmp path so even a
-        # transient driver-run divergence leaves evidence (r8 verdict
-        # #1). One extra metadata-sized aggregation at sf0.01; skipped
-        # under bench timing.
+        # r8/r9 driver reds were hash-mismatch with rows/schema green
+        # and unreproducible serially; the on-disk table re-read
+        # oracle-exact afterwards (r9 forensics), so the divergence is
+        # in-flight. Adjudicate EVERY carried row in-query (r9 verdict
+        # #1b — the old %9-only assert missed the rewritten files'
+        # non-%9 passengers): copies == 1 for ALL %3 keys, flag set
+        # exactly on %9 keys; plus a double-read fingerprint so a
+        # nondeterministic read self-reports. A violation raises (a
+        # self-explaining driver `err`) and the per-run summary +
+        # session confs land at a stable /tmp path. Three extra
+        # metadata-sized aggregations at sf0.01; skipped under bench
+        # timing.
         bad = (
-            e.filter(F.col("o_orderkey") % 9 == 0)
-            .groupBy("o_orderkey")
+            e.groupBy("o_orderkey")
             .agg(
                 F.count("*").alias("copies"),
                 F.count(F.when(F.col("c.flag"), 1)).alias("flagged"),
             )
-            .filter((F.col("copies") != 1) | (F.col("flagged") != 1))
+            .filter(
+                (F.col("copies") != 1)
+                | (
+                    F.col("flagged")
+                    != F.when(
+                        F.col("o_orderkey") % 9 == 0, F.lit(1)
+                    ).otherwise(F.lit(0))
+                )
+            )
             .limit(5)
             .collect()
         )
@@ -4104,22 +4161,28 @@ def x_nested_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pid": os.getpid(),
             "sf_dir": sf_dir,
             "table": base,
-            "stale_or_dup_pct9_keys": [r.asDict() for r in bad],
+            "stale_or_dup_keys": [r.asDict() for r in bad],
             "versions": t.versions(),
+            "session": _session_snapshot(spark),
         }
-        try:
-            with open(
-                os.path.join(
-                    tempfile.gettempdir(), "nlh_nested_evo_diag.json"
-                ),
-                "w",
-            ) as fh:
-                json.dump(diag, fh, default=str)
-        except OSError:
-            pass
+        fps = []
+        if not bad:
+            for _ in range(2):
+                fps.append(
+                    _read_fingerprint(
+                        t.read().select(
+                            "o_orderkey", F.explode("info").alias("c")
+                        )
+                    )
+                )
+            diag["read_fingerprints"] = fps
+        _write_diag("nested_evo", diag)
         assert not bad, (
-            "x_nested_evolution: %9 keys with stale/duplicated rows "
-            f"after the post-evolution merge: {bad}"
+            "x_nested_evolution: carried keys with stale/duplicated "
+            f"rows after the post-evolution merge: {bad}"
+        )
+        assert fps[0] == fps[1], (
+            f"x_nested_evolution: double-read drift {fps}"
         )
     return (
         e.groupBy(F.col("c.status").alias("status"))
@@ -4185,12 +4248,7 @@ def x_partial_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"nlh_partial_cmp_{os.getpid()}_"
-        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _tmp_table_path("partial_cmp", sf_dir)
     t = VersionedParquetTable(spark, base)
     t.merge(orders, ["o_orderkey"], partition_by=["o_orderstatus"])
     # two more merges churn ONLY status F → small-file buildup there
@@ -4269,11 +4327,7 @@ def x_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_lakehouse_spark.sources.transaction import VersionedParquetTable
 
     orders = read_table(spark, sf_dir, "orders")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"nlh_changes_{os.getpid()}_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _tmp_table_path("changes", sf_dir)
     t = VersionedParquetTable(spark, base)
     t.merge(
         orders.filter(F.col("o_orderkey") % 5 != 0).select(
@@ -4353,11 +4407,7 @@ def x_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_lakehouse_spark.sources.transaction import VersionedParquetTable
 
     orders = read_table(spark, sf_dir, "orders")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"nlh_rollback_{os.getpid()}_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _tmp_table_path("rollback", sf_dir)
     t = VersionedParquetTable(spark, base)
     t.merge(
         orders.filter(F.col("o_orderkey") % 5 != 0).select(
@@ -4495,11 +4545,7 @@ def x_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_lakehouse_spark.operators.compact import compact_parquet_table
 
     orders = read_table(spark, sf_dir, "orders")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"nlh_compact_{os.getpid()}_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _tmp_table_path("compact", sf_dir)
     orders.repartition(48).write.parquet(base)
     stats = compact_parquet_table(spark, base)
     assert stats["files_after"] < stats["files_before"], stats
@@ -4559,12 +4605,7 @@ def x_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"nlh_stats_prune_{os.getpid()}_"
-        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _tmp_table_path("stats_prune", sf_dir)
     t = VersionedParquetTable(spark, base)
     t.write(orders.repartitionByRange(8, F.col("o_totalprice")))
     threshold = 300000.0
@@ -4624,12 +4665,7 @@ def x_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"nlh_zorder_{os.getpid()}_"
-        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _tmp_table_path("zorder", sf_dir)
     t = VersionedParquetTable(spark, base)
     day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
     # r8 verdict #2: SCALE each dimension into the bit budget first —
@@ -4716,12 +4752,7 @@ def x_changes_across_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"nlh_chg_compact_{os.getpid()}_"
-        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _tmp_table_path("chg_compact", sf_dir)
     t = VersionedParquetTable(spark, base)
     t.merge(
         orders.filter(F.col("o_orderkey") % 3 == 0),
@@ -4799,12 +4830,7 @@ def x_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"nlh_mor_del_{os.getpid()}_"
-        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _tmp_table_path("mor_del", sf_dir)
     t = VersionedParquetTable(spark, base)
     t.merge(
         orders.filter(F.col("o_orderkey") % 3 == 0),
@@ -4871,12 +4897,7 @@ def x_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"nlh_bloom_{os.getpid()}_"
-        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _tmp_table_path("bloom", sf_dir)
     t = VersionedParquetTable(spark, base)
     t.write(
         orders.orderBy(F.xxhash64("o_orderkey")).repartition(8),
@@ -4920,12 +4941,7 @@ def x_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"nlh_cdc_{os.getpid()}_"
-        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _tmp_table_path("cdc", sf_dir)
     src = VersionedParquetTable(spark, os.path.join(base, "src"))
     rep = VersionedParquetTable(spark, os.path.join(base, "rep"))
     src.merge(
@@ -5007,12 +5023,7 @@ def x_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"nlh_ivm_{os.getpid()}_"
-        + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    base = _tmp_table_path("ivm", sf_dir)
     src = VersionedParquetTable(spark, os.path.join(base, "src"))
     view = IncrementalAggView(
         spark,

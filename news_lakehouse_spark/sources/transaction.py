@@ -4379,7 +4379,11 @@ class VersionedParquetTable:
         total = sum(sizes.values())
         n_files = max(1, math.ceil(total / target_file_bytes))
         if cluster_by:
-            cols = [F.col(c) for c in cluster_by]
+            # Column entries may be arbitrary expressions over the
+            # snapshot (e.g. a scaled Morton key) — the Delta
+            # OPTIMIZE ZORDER BY shape: the cluster key is computed
+            # for the rewrite only, never materialized in the schema.
+            cols = [F.col(c) if isinstance(c, str) else c for c in cluster_by]
             out = df.repartitionByRange(n_files, *cols).sortWithinPartitions(
                 *cols
             )
@@ -4480,7 +4484,9 @@ class VersionedParquetTable:
             for frag, b in frag_bytes.items()
         }
         if cluster_by:
-            cols = [F.col(c) for c in spec] + [F.col(c) for c in cluster_by]
+            cols = [F.col(c) for c in spec] + [
+                F.col(c) if isinstance(c, str) else c for c in cluster_by
+            ]
             out = df.repartitionByRange(
                 max(sum(frag_n.values()), 1), *cols
             ).sortWithinPartitions(*cols)
