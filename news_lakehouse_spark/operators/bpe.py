@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from news_lakehouse_spark.operators.iterstate import truncate_lineage
+
 __all__ = ["train_bpe_merges", "apply_bpe"]
 
 _PUA_START = 0xE000
@@ -74,6 +76,71 @@ def _adjacent_pairs(work: DataFrame) -> DataFrame:
     )
 
 
+def _exact_batch(rows, want: int, min_freq: int, complete: bool) -> list:
+    """Greedy prefix of ``rows`` (pair-count rows sorted freq DESC,
+    pair ASC) that sequential Sennrich training is PROVABLY going to
+    pick in this order — the core of the batched-recount trick.
+
+    Acceptance rules, each load-bearing for exactness:
+
+    1. **Disjoint symbols, stop at first conflict.** A pair sharing
+       no symbol with any earlier accepted pair has its count
+       untouched by those merges (``replace`` inserts a marker, so
+       disjoint adjacencies are neither created nor destroyed), so
+       its this-round count IS its count at its sequential turn. The
+       scan STOPS (never skips) at the first conflicting pair: any
+       pair sorted above an accepted pair must itself be accepted, or
+       the proof below breaks.
+    2. **Tie-class eviction.** The only other candidates at pair j's
+       sequential turn are marker pairs created by earlier accepted
+       merges, and count(x·M_i) <= count0(x·left_i) — a CONFLICTING
+       original pair. Conflicting pairs sorted above the acceptance
+       boundary stopped the scan (rule 1), so a marker pair can only
+       beat accepted pair j on an exact frequency TIE with some
+       conflicting pair. Truncate the batch at the first accepted
+       pair whose freq equals any non-accepted candidate's freq that
+       conflicts with the accepted set.
+    3. **Completeness floor.** Rules 1–2 inspect every pair down to
+       the lowest accepted freq; when ``rows`` was LIMIT-truncated
+       (``complete=False``), pairs tying the truncation-boundary freq
+       may be unseen, so accepted pairs at freqs <= rows[-1].freq are
+       dropped too.
+
+    The first row is always accepted (k=1 is plain Sennrich), so the
+    loop makes progress every recount even on conflict-rich corpora.
+    """
+    floor = 0 if complete or not rows else int(rows[-1]["freq"])
+    used: set[str] = set()
+    batch: list = []
+    conflict_freqs: set[int] = set()
+    stopped = False
+    for r in rows:
+        freq = int(r["freq"])
+        if freq < min_freq:
+            break
+        a, b = r["pair"][0], r["pair"][1]
+        if used & {a, b}:
+            # rule 1: boundary found; accept nothing more, but keep
+            # scanning to record every conflicting freq for rule 2
+            stopped = True
+            conflict_freqs.add(freq)
+            continue
+        if (
+            not stopped
+            and len(batch) < want
+            and (not batch or freq > floor)
+        ):
+            batch.append(r)
+            used |= {a, b}
+    # rule 2: truncate at the FIRST accepted pair whose freq ties a
+    # conflicting candidate (everything after it would diverge too);
+    # batch[0] is the sequential winner by sort order — always safe
+    for j in range(1, len(batch)):
+        if int(batch[j]["freq"]) in conflict_freqs:
+            return batch[:j]
+    return batch
+
+
 def train_bpe_merges(
     df: DataFrame,
     text_col: str,
@@ -83,6 +150,8 @@ def train_bpe_merges(
     marker_start: int = _PUA_START,
     checkpoint_every: int = 4,
     sample_fraction: float | None = None,
+    recount_every: int = 1,
+    stats: dict | None = None,
 ) -> list[dict]:
     """Learn ``num_merges`` BPE merge rules from a text column.
 
@@ -93,7 +162,20 @@ def train_bpe_merges(
     ``token`` is the fully-expanded surface string the merge
     produces, and ``freq`` the sliding-window pair count that won the
     round.  Stops early when no pair reaches ``min_freq``.
+
+    ``recount_every=k`` (r9 verdict Next #5) applies up to k merges
+    per corpus scan: one pair count, then the greedy prefix of
+    top pairs that provably matches sequential training
+    (``_exact_batch`` — pairwise-disjoint, conflict-stopped,
+    tie-evicted), rewritten in ONE composed projection. A real 32k
+    vocabulary at k=64 costs ~500 corpus scans instead of 32k; the
+    merges are IDENTICAL to k=1 (pinned by tests on conflict-rich
+    fixtures), because conflicting pairs simply wait for the next
+    recount. ``stats`` (optional dict) receives ``count_rounds`` and
+    ``rewrite_scans`` for scan accounting.
     """
+    if recount_every < 1:
+        raise ValueError("recount_every must be >= 1")
     work = df.select(F.col(text_col).alias("t")).filter(F.col("t").isNotNull())
     # guard the FULL corpus, not the sample: an unsampled row holding
     # a marker char would still corrupt apply_bpe downstream
@@ -103,33 +185,50 @@ def train_bpe_merges(
 
     expand: dict[str, str] = {}
     merges: list[dict] = []
-    for k in range(num_merges):
-        top = (
+    count_rounds = 0
+    while len(merges) < num_merges:
+        want = min(recount_every, num_merges - len(merges))
+        # over-collect so tie-class eviction sees the conflicting
+        # pairs around the acceptance boundary (rule 3 floor-drops
+        # anything the LIMIT might have hidden)
+        limit_n = max(16, 8 * want)
+        rows = (
             _adjacent_pairs(work)
             .orderBy(F.desc("freq"), F.asc("pair"))
-            .limit(1)
+            .limit(limit_n)
             .collect()
         )
-        if not top or top[0]["freq"] < min_freq:
+        count_rounds += 1
+        if not rows or int(rows[0]["freq"]) < min_freq:
             break
-        pair, freq = top[0]["pair"], int(top[0]["freq"])
-        left, right = pair[0], pair[1]
-        marker = chr(marker_start + k)
-        token = expand.get(left, left) + expand.get(right, right)
-        expand[marker] = token
-        merges.append(
-            {
-                "rank": k + 1,
-                "left": left,
-                "right": right,
-                "token": token,
-                "freq": freq,
-                "marker": marker,
-            }
-        )
-        work = work.withColumn("t", F.replace("t", F.lit(pair), F.lit(marker)))
-        if (k + 1) % checkpoint_every == 0:
-            work = work.localCheckpoint(eager=True)
+        batch = _exact_batch(rows, want, min_freq, len(rows) < limit_n)
+        rewrite = work["t"]
+        for r in batch:
+            k = len(merges)
+            pair, freq = r["pair"], int(r["freq"])
+            left, right = pair[0], pair[1]
+            marker = chr(marker_start + k)
+            token = expand.get(left, left) + expand.get(right, right)
+            expand[marker] = token
+            merges.append(
+                {
+                    "rank": k + 1,
+                    "left": left,
+                    "right": right,
+                    "token": token,
+                    "freq": freq,
+                    "marker": marker,
+                }
+            )
+            # disjoint pairs: composing the replaces in one projection
+            # equals applying them sequentially — one scan for the batch
+            rewrite = F.replace(rewrite, F.lit(pair), F.lit(marker))
+        work = work.withColumn("t", rewrite)
+        if count_rounds % checkpoint_every == 0:
+            work = truncate_lineage(work)
+    if stats is not None:
+        stats["count_rounds"] = count_rounds
+        stats["rewrite_scans"] = count_rounds
     return merges
 
 

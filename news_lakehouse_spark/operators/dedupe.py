@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from news_lakehouse_spark.operators.iterstate import truncate_lineage
+
 # Deterministic affine-permutation parameters. p = 2^31-1 keeps
 # h (< p) * a (< p) + b below 2^62 — no int64 overflow in column math.
 _MERSENNE_P = (1 << 31) - 1
@@ -652,7 +654,7 @@ def connected_components(
     convergence is 2-3 rounds in practice — the regime where plain
     propagation beats the fancier alternatives. Each iteration is one
     join + one groupBy on the label frame (never an all-pairs
-    expansion), with localCheckpoint truncating the iterative lineage;
+    expansion), with iterstate.truncate_lineage cutting each round's plan
     the convergence check is a limit(1) probe.
 
     ``method="star"`` — alternating large-star/small-star (Kiveris et
@@ -697,7 +699,7 @@ def connected_components(
                 "id",
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
             )
-            .localCheckpoint(eager=True)  # truncate the iterative lineage
+            .transform(truncate_lineage)  # truncate the iterative lineage
         )
         changed = (
             new_labels.alias("n")
@@ -742,14 +744,14 @@ def _connected_components_star(
     converges to per-component stars centered on the component minimum
     in O(log^2 n) rounds. Convergence = the (count, xxhash64-sum)
     fingerprint of the edge set is stable across a full round — two
-    tiny aggregate actions per round; localCheckpoint truncates the
+    tiny aggregate actions per round; iterstate.truncate_lineage cuts the
     iterative lineage exactly as the propagation plan does.
     """
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
 
     def _bidir(e: DataFrame) -> DataFrame:
@@ -790,7 +792,7 @@ def _connected_components_star(
 
     fp = _fingerprint(edges)
     for _ in range(max_iters):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        edges = _small_star(_large_star(edges)).transform(truncate_lineage)
         new_fp = _fingerprint(edges)
         if new_fp == fp:
             break

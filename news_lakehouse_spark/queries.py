@@ -4652,14 +4652,9 @@ def x_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     on BOTH dimensions, which no single-column sort can do. Asserted
     in-plan: the box predicate reads strictly fewer files than the
     snapshot holds. At 100 TB the pruned fraction IS the scan cost."""
-    import hashlib
-    import shutil
-    import tempfile
+    import datetime as _dt2
 
-    from news_lakehouse_spark.operators.layout import (
-        column_bounds,
-        scaled_morton_key,
-    )
+    from news_lakehouse_spark.operators.layout import scaled_morton_key
     from news_lakehouse_spark.sources.transaction import VersionedParquetTable
 
     orders = read_table(spark, sf_dir, "orders").select(
@@ -4667,25 +4662,34 @@ def x_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = _tmp_table_path("zorder", sf_dir)
     t = VersionedParquetTable(spark, base)
-    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+    t.write(orders)
     # r8 verdict #2: SCALE each dimension into the bit budget first —
     # a raw morton_key(bits=16) masks custkey to its low 16 bits, a
     # no-op at sf0.1 (custkey <= 15k) but a silent pruning killer at
-    # sf1+ (custkey 150k+). Bounds are two scalars per dimension from
-    # one column-pruned agg.
-    dims = [F.col("o_custkey"), day]
-    t.write(
-        orders.withColumn(
-            "zkey",
-            scaled_morton_key(dims, column_bounds(orders, dims), bits=16),
-        )
-    )
+    # sf1+ (custkey 150k+). r9 verdict #2: the bounds come FREE from
+    # the just-written table's manifest stats (metadata_aggregate,
+    # zero data IO) instead of a second full scan of the input; the
+    # Morton key is a compact-time expression (cluster_by accepts
+    # Columns), never a physical column — the Delta OPTIMIZE ZORDER
+    # BY shape.
+    ma = t.metadata_aggregate(["o_custkey", "o_orderdate"])["columns"]
+    epoch = _dt2.date(1992, 1, 1)
+
+    def _day(v) -> int:  # manifest bounds carry dates as ISO strings
+        return (_dt2.date.fromisoformat(str(v)[:10]) - epoch).days
+
+    bounds = [
+        (int(ma["o_custkey"]["min"]), int(ma["o_custkey"]["max"])),
+        (_day(ma["o_orderdate"]["min"]), _day(ma["o_orderdate"]["max"])),
+    ]
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+    zkey = scaled_morton_key([F.col("o_custkey"), day], bounds, bits=16)
     # right-size the clustered rewrite to ~16 files at any SF
     man = t._load_manifest(t.latest_version())
     total = sum(t._file_sizes(man["files"]).values())
     with _op_phase("x_zorder_pruned_read", "clustered_compact"):
         t.compact(
-            target_file_bytes=max(total // 16, 1), cluster_by=["zkey"]
+            target_file_bytes=max(total // 16, 1), cluster_by=[zkey]
         )
     import datetime as _dt
 
@@ -8163,13 +8167,27 @@ def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy-LTR in both engines; tie-break = freq DESC, pair codepoint
     ASC).  min_freq never binds at this corpus size (winning pair
     frequencies are in the thousands), so early-stop can't desync
-    the unrolled oracle.
+    the unrolled oracle.  recount_every=4 exercises the batched
+    scan path (r9 Next #5): the learned sequence is provably
+    identical to sequential training (operators/bpe._exact_batch),
+    so the sequential-unrolled oracle still hash-matches while the
+    engine pays fewer corpus scans.
     """
     from news_lakehouse_spark.operators.bpe import train_bpe_merges
 
     d = read_table(spark, sf_dir, "documents").select("text")
     with _op_phase("x_bpe_train", "train_bpe_merges"):
-        merges = train_bpe_merges(d, "text", 4, min_freq=2)
+        merges = train_bpe_merges(
+            d, "text", 4, min_freq=2, recount_every=4
+        )
+    # enforce the documented assumption the oracle relies on: the
+    # unrolled SQL never early-stops, so if a smaller/changed corpus
+    # ever makes min_freq bind, fail HERE by name instead of as an
+    # anonymous row-count mismatch (r9 advice)
+    assert len(merges) == 4 and all(m["freq"] >= 2 for m in merges), (
+        f"min_freq bound at this corpus size — oracle would desync: "
+        f"{[(m['rank'], m['freq']) for m in merges]}"
+    )
     return spark.createDataFrame(
         [(m["rank"], m["token"], m["freq"]) for m in merges],
         "merge_rank int, token string, freq bigint",
@@ -8292,8 +8310,8 @@ _BPE_TOKENIZE_SQL = _bpe_tokenize_oracle()
 
 def x_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop distance (operators/graph.bfs_distances)
-    over the supplier<->customer graph, seeded at nation-0 suppliers,
-    capped at 3 hops — the crawl-depth / contamination-blast-radius
+    over the supplier<->customer graph, seeded at every 25th supplier
+    (s_suppkey % 25 == 1), capped at 3 hops — the crawl-depth / contamination-blast-radius
     primitive.  Frontier-based (each round expands only newly
     discovered nodes; one src-keyed join + anti-join per hop), exact
     integers end to end; the oracle is a deduplicating recursive CTE

@@ -2766,7 +2766,9 @@ class VersionedParquetTable:
         whose path predates the tombstone) carries over unchanged, and
         schema-epoch state (``schemas``/``file_sids``/``next_fid``)
         moves wholesale — old-epoch files project identically in the
-        clone. ``properties`` land on the clone's v1 alongside
+        clone. ``properties`` land on the clone's first commit
+        (published at the source's version number, so MOR fencing and
+        epoch paths stay consistent) alongside
         ``clone_source``/``clone_source_version`` provenance keys.
         """
         import shutil

@@ -191,3 +191,90 @@ def test_personalized_pagerank_rejects_disjoint_seeds(spark):
     seeds = spark.createDataFrame([(99,)], "node long")
     with pytest.raises(ValueError, match="teleport"):
         pagerank(df, iterations=2, teleport=seeds)
+
+
+def test_reliable_checkpoint_mode_bit_identical(spark, tmp_path):
+    """iterstate.truncate_lineage upgrades localCheckpoint to a
+    reliable checkpoint when the context has a checkpoint dir — the
+    fault-tolerant mode a multi-hour cluster run needs — and the
+    results are bit-identical across both modes."""
+    from news_lakehouse_spark.operators.dedupe import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4), (2, 4), (3, 4), (7, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long"
+    )
+
+    local_pr = sorted(
+        tuple(r) for r in pagerank(df, iterations=5).collect()
+    )
+    local_cc = sorted(
+        tuple(r)
+        for r in connected_components(pairs, method="star").collect()
+    )
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        rel_pr = sorted(
+            tuple(r) for r in pagerank(df, iterations=5).collect()
+        )
+        rel_cc = sorted(
+            tuple(r)
+            for r in connected_components(pairs, method="star").collect()
+        )
+        # the reliable mode actually wrote checkpoint state
+        import os
+
+        assert any(os.scandir(tmp_path / "ckpt"))
+    finally:
+        sc.setCheckpointDir(None)
+    assert rel_pr == local_pr
+    assert rel_cc == local_cc
+
+
+def test_bpe_batched_recount_identical_merges(spark):
+    """recount_every=k must learn EXACTLY the k=1 merge sequence —
+    the batch acceptance rule defers conflicting pairs to the next
+    recount rather than reordering them."""
+    import random
+
+    rng = random.Random(11)
+    # conflict-rich: tiny alphabet, so top pairs constantly share
+    # symbols and the greedy prefix must stop/defer almost every round
+    rich = [
+        ("".join(rng.choice("ab") for _ in range(rng.randint(3, 30))),)
+        for _ in range(60)
+    ]
+    # broader alphabet: batches actually pack several disjoint pairs
+    wide = [
+        ("".join(rng.choice("abcdefgh ") for _ in range(rng.randint(5, 40))),)
+        for _ in range(80)
+    ]
+    for docs in (rich, wide):
+        df = spark.createDataFrame(docs, "text string")
+        base = train_bpe_merges(df, "text", 6, min_freq=2)
+        for k in (2, 3, 6):
+            st: dict = {}
+            got = train_bpe_merges(
+                df, "text", 6, min_freq=2, recount_every=k, stats=st
+            )
+            assert got == base, (docs is rich, k)
+            assert st["count_rounds"] <= 6
+    # the wide corpus must actually have saved scans at k=6
+    st6: dict = {}
+    df = spark.createDataFrame(wide, "text string")
+    train_bpe_merges(df, "text", 6, min_freq=2, recount_every=6, stats=st6)
+    st1: dict = {}
+    train_bpe_merges(df, "text", 6, min_freq=2, recount_every=1, stats=st1)
+    assert st1["count_rounds"] == 6
+    assert st6["count_rounds"] < st1["count_rounds"]
+
+
+def test_bpe_batched_min_freq_and_validation(spark):
+    df = spark.createDataFrame([("xy",)], "text string")
+    assert train_bpe_merges(df, "text", 5, min_freq=2, recount_every=4) == []
+    with pytest.raises(ValueError, match="recount_every"):
+        train_bpe_merges(df, "text", 2, recount_every=0)
