@@ -58,18 +58,23 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
     if os.environ.get("SPARK_GRAFT_VANILLA"):
-        # driver-realism: plain session, ANSI on, no engine confs
+        # driver-replica leg (r9 verdict #7): local[32], DEFAULT
+        # shuffle partitions (200), ANSI at the Spark 4 default —
+        # the nearest local stand-in for the session the driver
+        # actually supplies; the engine must not depend on
+        # build_session() confs.
         from pyspark.sql import SparkSession
 
+        leg = "vanilla-local32-defaults"
         spark = (
-            SparkSession.builder.master("local[16]")
+            SparkSession.builder.master("local[32]")
             .config("spark.ui.enabled", "false")
-            .config("spark.sql.shuffle.partitions", "16")
             .getOrCreate()
         )
     else:
         from news_lakehouse_spark.session import build_session
 
+        leg = "build_session"
         spark = build_session("verify_oracle")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -164,6 +169,16 @@ def main() -> int:
     if out_path:
         import json
 
+        records["__session__"] = {
+            "leg": leg,
+            "spark_version": spark.version,
+            "master": spark.conf.get("spark.master", None),
+            "shuffle_partitions": spark.conf.get(
+                "spark.sql.shuffle.partitions", None
+            ),
+            "ansi": spark.conf.get("spark.sql.ansi.enabled", None),
+            "sf_dir": sf_dir,
+        }
         with open(out_path, "w") as fh:
             json.dump(records, fh, indent=2)
         print(f"wrote {len(records)} records to {out_path}")
