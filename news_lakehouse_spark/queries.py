@@ -4733,6 +4733,122 @@ GROUP BY month ORDER BY month
 """
 
 
+def x_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN partitioning — Iceberg partition transforms
+    (sources/partition_spec.py + VersionedParquetTable): the table
+    spec declares ``months(o_orderdate)`` + ``bucket(8, o_custkey)``,
+    writes derive the partition directories automatically, and scan
+    planning derives fragment pruning from predicates on the RAW
+    columns — the query never names a partition field. The reference
+    partitions its silver layer by a hand-derived date column
+    (gcs_bronze_to_silver.py partitionBy); hidden partitioning removes
+    the ``WHERE date(ts)=…`` full-scan footgun that layout invites.
+
+    Script: v1 = full merge under the transform spec; v2 = a merge
+    tripling one month's prices — asserted in-plan to rewrite ONLY
+    that month's fragments (transform merge locality: churn cost
+    follows the transform, not the table). The final read filters a
+    raw 3-month date range + a raw customer-key equality; asserted
+    in-plan: every surviving file sits inside the derived month range
+    AND a single hash bucket. At 100 TB the pruned fraction is the
+    scan — and the bucket dimension prunes point lookups that no
+    time-partitioning reaches."""
+    import datetime as _dt3
+
+    from news_lakehouse_spark.sources.partition_spec import (
+        parse_partition_spec,
+        spec_exprs,
+    )
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        # one year is enough table: 12 months x 8 buckets of real
+        # partitions demo the layout without toy-scale small-file
+        # overhead dominating the query's cost
+        .filter(F.col("o_orderdate").between("1995-01-01", "1995-12-31"))
+    )
+    base = _tmp_table_path("hidden_part", sf_dir)
+    t = VersionedParquetTable(spark, base)
+    spec = ["months(o_orderdate)", "bucket(8, o_custkey)"]
+    # cluster the initial load by the DERIVED partition values so each
+    # partition dir gets one file (the bulk-load layout discipline any
+    # lakehouse write wants; subsequent merges stay partition-local)
+    t.write(
+        orders.repartition(
+            *spec_exprs(orders, parse_partition_spec(spec))
+        ),
+        partition_by=spec,
+    )
+    before = set(t.files_for())
+    with _op_phase("x_hidden_partitioning", "localized_merge"):
+        t.merge(
+            orders.filter(
+                F.date_format("o_orderdate", "yyyy-MM") == "1995-06"
+            ).withColumn("o_totalprice", F.col("o_totalprice") * 3),
+            ["o_orderkey"],
+        )
+    rewritten = before - set(t.files_for())
+    assert rewritten and all(
+        "__p_o_orderdate_month=1995-06" in f for f in rewritten
+    ), "merge escaped its month partitions"
+    pred = [
+        (
+            "o_orderdate",
+            "between",
+            (_dt3.datetime(1995, 6, 1), _dt3.datetime(1995, 8, 31)),
+        ),
+        ("o_custkey", "in", [37, 74, 148]),
+    ]
+    kept = t.files_for(predicate=pred)
+    months_ok = all(
+        "__p_o_orderdate_month=1995-0" in f
+        and f.split("__p_o_orderdate_month=")[1][:7] in
+        ("1995-06", "1995-07", "1995-08")
+        for f in kept
+    )
+    buckets = {
+        f.split("__p_o_custkey_bucket=")[1].split("/")[0] for f in kept
+    }
+    assert months_ok and len(buckets) <= 3, (
+        f"hidden pruning failed: months_ok={months_ok} buckets={buckets}"
+    )
+    assert len(kept) < len(t.files_for()), "no files pruned"
+    return (
+        t.read(predicate=pred)
+        .filter(
+            F.col("o_orderdate").between("1995-06-01", "1995-08-31")
+            & F.col("o_custkey").isin(37, 74, 148)
+        )
+        .groupBy(
+            F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias(
+                "month"
+            )
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("month")
+    )
+
+
+_HIDDEN_PARTITIONING_SQL = """
+SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+       COUNT(*) AS cnt,
+       ROUND(SUM(CASE WHEN substr(CAST(o_orderdate AS VARCHAR), 1, 7)
+                           = '1995-06'
+                      THEN o_totalprice * 3 ELSE o_totalprice END),
+             2) AS total
+FROM orders
+WHERE o_custkey IN (37, 74, 148)
+  AND o_orderdate BETWEEN TIMESTAMP '1995-06-01'
+                      AND TIMESTAMP '1995-08-31'
+GROUP BY month ORDER BY month
+"""
+
+
 def x_changes_across_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change feed SPANNING a compaction commit
     (sources/transaction.py changes() + compact()): compaction rewrites
@@ -8495,6 +8611,7 @@ QUERIES: dict[str, QueryFn] = {
     "t_feed_schema_drift": t_feed_schema_drift,
     "x_stats_pruned_read": x_stats_pruned_read,
     "x_zorder_pruned_read": x_zorder_pruned_read,
+    "x_hidden_partitioning": x_hidden_partitioning,
     "x_changes_across_compact": x_changes_across_compact,
     "a4_rollup": a4_rollup,
     "a5_cube": a5_cube,
@@ -8715,5 +8832,6 @@ ORACLES: dict[str, str] = {
     "x_reservoir_sample": _RESERVOIR_SQL,
     "x_stats_pruned_read": _STATS_PRUNE_SQL,
     "x_zorder_pruned_read": _ZORDER_PRUNE_SQL,
+    "x_hidden_partitioning": _HIDDEN_PARTITIONING_SQL,
     "x_changes_across_compact": _CHANGES_COMPACT_SQL,
 }

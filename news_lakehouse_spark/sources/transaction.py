@@ -100,6 +100,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from news_lakehouse_spark.sources.partition_spec import (
+    fragment_tests,
+    parse_partition_spec,
+    spec_exprs,
+)
+
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
@@ -1554,9 +1560,14 @@ class VersionedParquetTable:
         out = df
         writer_partitions = None
         if partition_by:
-            writer_partitions = [f"__p_{c}" for c in partition_by]
-            for c in partition_by:
-                out = out.withColumn(f"__p_{c}", F.col(c))
+            # spec entries may be TRANSFORMS (hidden partitioning —
+            # days(ts), bucket(n, c), …): the derived value feeds the
+            # writer's directories; the raw source column stays in the
+            # file untouched.
+            fields = parse_partition_spec(partition_by)
+            writer_partitions = [f"__p_{f.name}" for f in fields]
+            for f, e in zip(fields, spec_exprs(out, fields)):
+                out = out.withColumn(f"__p_{f.name}", e)
         writer = out.write.mode("error")
         if writer_partitions:
             writer = writer.partitionBy(*writer_partitions)
@@ -1687,12 +1698,12 @@ class VersionedParquetTable:
             spec = root["partition_by"]
             names = {
                 f.name for f in StructType.fromJson(root["schema"]).fields
-            }
+            } | {f.name for f in parse_partition_spec(spec)}
             # Under spec evolution a filter column may be in an OLDER
             # spec only (prunes that era's files) or the current one
-            # (older files kept conservatively) — any schema column is
-            # legal; read() compensates with a row filter when pruning
-            # was inexact.
+            # (older files kept conservatively) — any schema column or
+            # current-spec transform FIELD name is legal; read()
+            # compensates with a row filter when pruning was inexact.
             unknown = [c for c in partition_filter if c not in names]
             if unknown:
                 raise ValueError(
@@ -1707,6 +1718,46 @@ class VersionedParquetTable:
                 for rel in files_list
                 if _frag_matches(_file_partition_fragment(rel), want)
             ]
+        if predicate and files_list:
+            # HIDDEN-partitioning pruning: a predicate on a transform's
+            # RAW source column derives a fragment test on the derived
+            # partition field (days/months/…: rendered-value range;
+            # bucket: Spark-typed hash equality) — the query never
+            # names the partition field, exactly Iceberg's contract.
+            # Conservative: files lacking the segment (older spec) or
+            # with underivable values are kept; stats pruning below
+            # still applies independently.
+            pfields = parse_partition_spec(root["partition_by"])
+            if any(f.transform != "identity" for f in pfields):
+                sch_fields = {
+                    f.name: f
+                    for f in StructType.fromJson(root["schema"]).fields
+                }
+                ftests = fragment_tests(
+                    pfields,
+                    predicate,
+                    lambda c, vals: self._spark_hashes(vals, sch_fields[c]),
+                )
+                if ftests:
+                    unesc = _unescape_fn(self.spark)
+
+                    def _keep(rel: str) -> bool:
+                        segs = _frag_columns(_file_partition_fragment(rel))
+                        for fname, test in ftests:
+                            seg = segs.get(f"__p_{fname}")
+                            if seg is None:
+                                continue
+                            val = seg.split("=", 1)[1]
+                            if val == "__HIVE_DEFAULT_PARTITION__":
+                                continue
+                            try:
+                                if not test(str(unesc(val))):
+                                    return False
+                            except (TypeError, ValueError):
+                                continue
+                        return True
+
+                    files_list = [rel for rel in files_list if _keep(rel)]
         if predicate:
             stat_types = root.get("stat_types", {})
             conds = []
@@ -1850,7 +1901,15 @@ class VersionedParquetTable:
             # carries the column; files written under an older
             # partition spec survive pruning conservatively, so apply
             # the row-level filter for those columns (pushed down to
-            # the scan — partition values are data columns).
+            # the scan — partition values are data columns). A filter
+            # key naming a transform FIELD of the current spec filters
+            # on the transform expression over the raw column.
+            cur = {
+                f.name: f
+                for f in parse_partition_spec(root["partition_by"])
+                if f.transform != "identity"
+            }
+            types = {f.name: f.dataType for f in schema.fields}
             for c, val in partition_filter.items():
                 key = f"__p_{c}"
                 if all(
@@ -1858,15 +1917,23 @@ class VersionedParquetTable:
                     for rel in files_list
                 ):
                     continue  # every kept file was path-pruned exactly
+                if c in cur:
+                    from news_lakehouse_spark.sources.partition_spec import (
+                        field_expr,
+                    )
+
+                    col = field_expr(cur[c], types.get(cur[c].source))
+                else:
+                    col = F.col(c)
                 vals = (
                     list(val)
                     if isinstance(val, (list, set, tuple))
                     else [val]
                 )
                 nn = [x for x in vals if x is not None]
-                cond = F.col(c).isin(nn) if nn else F.lit(False)
+                cond = col.isin(nn) if nn else F.lit(False)
                 if any(x is None for x in vals):
-                    cond = cond | F.col(c).isNull()
+                    cond = cond | col.isNull()
                 df = df.filter(cond)
         return df
 
@@ -3014,7 +3081,13 @@ class VersionedParquetTable:
             names = {
                 f.name for f in StructType.fromJson(man["schema"]).fields
             }
-            missing = [c for c in new if c not in names]
+            # entries may be transforms (hidden partitioning): validate
+            # the parse AND that every SOURCE column exists
+            missing = [
+                f.spec
+                for f in parse_partition_spec(new)
+                if f.source not in names
+            ]
             if missing:
                 raise ValueError(
                     f"partition spec columns {missing} are not in the "
@@ -3520,11 +3593,14 @@ class VersionedParquetTable:
             target = self.read(parent)
 
             if spec:
+                fields = parse_partition_spec(spec)
                 src_keys = source.dropna(subset=keys).select(*keys).distinct()
-                new_parts = source.select(*spec).distinct()
+                # transform specs: probe the DERIVED partition values
+                # (dict keys = field names, matching path fragments)
+                new_parts = source.select(*spec_exprs(source, fields)).distinct()
                 old_parts = (
                     target.join(F.broadcast(src_keys), on=keys, how="left_semi")
-                    .select(*spec)
+                    .select(*spec_exprs(target, fields))
                     .distinct()
                 )
                 parts = [
@@ -4282,7 +4358,7 @@ class VersionedParquetTable:
             frag = _file_partition_fragment(rel)
             frag_files[frag] = frag_files.get(frag, 0) + 1
             frag_bytes[frag] = frag_bytes.get(frag, 0) + sizes[rel]
-        spec_cols = set(spec)
+        spec_cols = {f.name for f in parse_partition_spec(spec)}
         out = []
         for frag, n in sorted(frag_files.items()):
             justified = max(1, math.ceil(frag_bytes[frag] / target_file_bytes))
@@ -4423,8 +4499,12 @@ class VersionedParquetTable:
         manifest bytes — no scan) by a deterministic row-hash salt, so
         a hot partition compacts to N right-sized files instead of one
         unsplittable giant written by one task."""
+        fields = parse_partition_spec(spec)
+        part_expr = {
+            f.name: e for f, e in zip(fields, spec_exprs(df, fields))
+        }
         if all(n == 1 for n in frag_n.values()):
-            return df.repartition(*[F.col(c) for c in spec])
+            return df.repartition(*part_expr.values())
         # Oversized partitions split by a deterministic salt: hash
         # every column so the split is stable and roughly even
         # regardless of value skew within the partition.
@@ -4437,17 +4517,18 @@ class VersionedParquetTable:
             for seg in frag.split("/"):
                 c, _, v = seg.partition("=")
                 c = c[len("__p_"):]
+                e = part_expr.get(c, F.col(c))
                 if v == "__HIVE_DEFAULT_PARTITION__":
-                    cond = cond & F.col(c).isNull()
+                    cond = cond & e.isNull()
                 else:
                     cond = cond & (
-                        F.col(c).cast("string") == str(unesc(v))
+                        e.cast("string") == str(unesc(v))
                     )
             n_col = F.when(cond, F.lit(n)).otherwise(n_col)
         salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), n_col)
         return df.repartition(
             max(sum(frag_n.values()), 1),
-            *[F.col(c) for c in spec],
+            *part_expr.values(),
             salt,
         )
 
@@ -4486,7 +4567,8 @@ class VersionedParquetTable:
             for frag, b in frag_bytes.items()
         }
         if cluster_by:
-            cols = [F.col(c) for c in spec] + [
+            sf = parse_partition_spec(spec)
+            cols = list(spec_exprs(df, sf)) + [
                 F.col(c) if isinstance(c, str) else c for c in cluster_by
             ]
             out = df.repartitionByRange(

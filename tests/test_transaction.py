@@ -2815,3 +2815,154 @@ def test_clone_epoch_attribution_survives_new_clone_commits(spark, table, tmp_pa
         (r["k"], r["d"], r["val"]) for r in clone.read().collect()
     }
     assert got == {(1, "a", 10), (2, "b", 20), (3, "c", 30)}
+
+
+# --- hidden partitioning: transform specs (partition_spec.py) -------------
+
+
+def _hp_df(spark, n=400):
+    import datetime as dt
+
+    return spark.createDataFrame(
+        [
+            Row(
+                k=i,
+                ts=dt.datetime(1995, 1 + (i * 7) % 12, 1 + i % 28, i % 24),
+                cust=i % 37,
+                tag=f"PRI{i % 5}-x{i}",
+                v=float(i),
+            )
+            for i in range(n)
+        ]
+    )
+
+
+def test_transform_spec_roundtrip_and_paths(spark, tmp_path):
+    t = VersionedParquetTable(spark, str(tmp_path / "hp"))
+    df = _hp_df(spark)
+    t.write(df, partition_by=["months(ts)", "bucket(4, cust)"])
+    # raw data untouched, derived values only in paths
+    assert _rows(t.read()) == _rows(df)
+    assert t.read().columns == df.columns
+    frags = {f for rel in t.files_for() for f in rel.split("/") if f.startswith("__p_")}
+    assert any(f.startswith("__p_ts_month=1995-0") for f in frags)
+    assert any(f.startswith("__p_cust_bucket=") for f in frags)
+
+
+def test_transform_parse_errors(spark):
+    from news_lakehouse_spark.sources.partition_spec import parse_partition_spec
+
+    with pytest.raises(ValueError, match="unknown partition transform"):
+        parse_partition_spec(["frobnicate(ts)"])
+    with pytest.raises(ValueError, match="needs a width"):
+        parse_partition_spec(["bucket(ts)"])
+    with pytest.raises(ValueError, match="one column argument"):
+        parse_partition_spec(["days(3, ts)"])
+    with pytest.raises(ValueError, match="duplicate"):
+        parse_partition_spec(["days(ts)", "day(ts)"])
+    # identity entries parse through untouched
+    [f] = parse_partition_spec(["plain_col"])
+    assert f.transform == "identity" and f.name == f.source == "plain_col"
+
+
+def test_hidden_pruning_from_raw_predicates(spark, tmp_path):
+    import datetime as dt
+
+    t = VersionedParquetTable(spark, str(tmp_path / "hp"))
+    t.write(_hp_df(spark), partition_by=["days(ts)", "bucket(4, cust)"])
+    all_f = t.files_for()
+    # raw timestamp range → day-fragment pruning, no field name needed
+    pred = [("ts", "between", (dt.datetime(1995, 2, 1), dt.datetime(1995, 2, 28, 23)))]
+    kept = t.files_for(predicate=pred)
+    assert 0 < len(kept) < len(all_f)
+    assert all("__p_ts_day=1995-02-" in rel for rel in kept)
+    # raw equality on the bucketed column → single-bucket pruning
+    kept_b = t.files_for(predicate=[("cust", "=", 7)])
+    buckets = {rel.split("__p_cust_bucket=")[1].split("/")[0] for rel in kept_b}
+    assert len(buckets) == 1
+    # rows still exact through read(predicate) + row filter
+    got = t.read(predicate=[("cust", "=", 7)]).filter(F.col("cust") == 7)
+    exp = _hp_df(spark).filter(F.col("cust") == 7)
+    assert _rows(got) == _rows(exp)
+
+
+def test_truncate_transform_int_and_string(spark, tmp_path):
+    t = VersionedParquetTable(spark, str(tmp_path / "hp"))
+    t.write(_hp_df(spark), partition_by=["truncate(100, k)", "truncate(4, tag)"])
+    assert _rows(t.read()) == _rows(_hp_df(spark))
+    kept = t.files_for(predicate=[("k", "between", (0, 99))])
+    assert {rel.split("__p_k_trunc=")[1].split("/")[0] for rel in kept} == {"0"}
+    kept_s = t.files_for(predicate=[("tag", "=", "PRI3-x8")])
+    assert {rel.split("__p_tag_trunc=")[1].split("/")[0] for rel in kept_s} == {"PRI3"}
+
+
+def test_transform_merge_locality(spark, tmp_path):
+    t = VersionedParquetTable(spark, str(tmp_path / "hp"))
+    df = _hp_df(spark)
+    t.merge(df, ["k"], partition_by=["months(ts)"])
+    before = set(t.files_for())
+    feb = df.filter(F.date_format("ts", "yyyy-MM") == "1995-02").withColumn(
+        "v", F.col("v") * 2
+    )
+    t.merge(feb, ["k"])
+    rewritten = before - set(t.files_for())
+    months = {
+        rel.split("__p_ts_month=")[1].split("/")[0] for rel in rewritten
+    }
+    assert months == {"1995-02"}
+    got = t.read()
+    exp = df.withColumn(
+        "v",
+        F.when(
+            F.date_format("ts", "yyyy-MM") == "1995-02", F.col("v") * 2
+        ).otherwise(F.col("v")),
+    )
+    assert _rows(got) == _rows(exp)
+
+
+def test_transform_partition_filter_and_metadata_agg(spark, tmp_path):
+    t = VersionedParquetTable(spark, str(tmp_path / "hp"))
+    df = _hp_df(spark)
+    t.write(df, partition_by=["months(ts)"])
+    got = t.read(partition_filter={"ts_month": "1995-03"})
+    exp = df.filter(F.date_format("ts", "yyyy-MM") == "1995-03")
+    assert _rows(got) == _rows(exp)
+    ma = t.metadata_aggregate(["v"], partition_filter={"ts_month": "1995-03"})
+    assert ma["count_rows"] == exp.count()
+    with pytest.raises(ValueError, match="not in the"):
+        t.files_for(partition_filter={"nope_month": "1995-03"})
+
+
+def test_transform_spec_evolution_and_compensation(spark, tmp_path):
+    t = VersionedParquetTable(spark, str(tmp_path / "hp"))
+    df = _hp_df(spark)
+    t.merge(df, ["k"], partition_by=["truncate(100, k)"])
+    t.set_partition_spec(["days(ts)"])
+    # old-spec files lack __p_ts_day → kept conservatively, read()
+    # compensates with the TRANSFORM row filter on the raw column
+    got = t.read(partition_filter={"ts_day": "1995-03-15"})
+    exp = df.filter(F.date_format("ts", "yyyy-MM-dd") == "1995-03-15")
+    assert _rows(got) == _rows(exp)
+    # a merge migrates only what it touches, into the new day layout
+    upd = exp.withColumn("v", F.col("v") + 1000)
+    t.merge(upd, ["k"])
+    day_files = t.files_for(partition_filter={"ts_day": "1995-03-15"})
+    assert any("__p_ts_day=1995-03-15" in rel for rel in day_files)
+    with pytest.raises(ValueError, match="not in the"):
+        t.set_partition_spec(["days(missing_col)"])
+
+
+def test_transform_partial_compaction_plan(spark, tmp_path):
+    t = VersionedParquetTable(spark, str(tmp_path / "hp"))
+    df = _hp_df(spark)
+    t.write(df, partition_by=["months(ts)"])
+    # small-file buildup in one month via appends
+    feb = df.filter(F.date_format("ts", "yyyy-MM") == "1995-02")
+    t.append(feb.withColumn("k", F.col("k") + 10_000))
+    t.append(feb.withColumn("k", F.col("k") + 20_000))
+    plan = t.plan_compaction(target_file_bytes=1 << 30)
+    assert plan and all(set(p) == {"ts_month"} for p in plan)
+    n_before = len(t.files_for())
+    t.compact(partitions=plan, target_file_bytes=1 << 30)
+    assert len(t.files_for()) < n_before
+    assert t.read().count() == df.count() + 2 * feb.count()
