@@ -224,3 +224,222 @@ class IncrementalAggView:
             cols.append(F.col(f"min_{c}"))
             cols.append(F.col(f"max_{c}"))
         return df.select(*cols)
+
+
+_SYNC_L = "ivm_synced_left"
+_SYNC_R = "ivm_synced_right"
+
+
+class IncrementalJoinAggView:
+    """A maintained ``GROUP BY`` aggregate over an INNER JOIN of two
+    source ``VersionedParquetTable``s, refreshed in O(churn) from BOTH
+    change feeds — the textbook join delta rule on the table layer's
+    time travel:
+
+        Δ(L ⋈ R) = ΔL ⋈ R_old  ∪  L_new ⋈ ΔR        (signed)
+
+    where ``R_old`` is the right table AT the last synced version and
+    ``L_new`` at the new one — both exact snapshots via time travel,
+    so the identity is algebraic, not approximate. Each joined delta
+    row carries the sign of its feed row (+1 insert / −1 delete;
+    updates arrive as the pair), and the per-group fold is the same
+    count/sum/avg maintenance as :class:`IncrementalAggView`.
+
+    Scale design: the expensive terms are churn ⋈ snapshot. The
+    snapshot side is scan-PRUNED at the manifest level before the join
+    — the churn's distinct join keys (collected driver-side, capped at
+    ``max_pushdown_keys``) become an ``IN`` predicate for
+    ``read(predicate=…)``, so column stats and bloom sidecars on the
+    join key drop non-matching files of a 100 TB snapshot before Spark
+    lists them; past the cap the predicate is skipped and the join is
+    a plain churn-vs-snapshot hash join (churn side broadcast by AQE
+    when small). Everything else is view-sized.
+
+    Crash safety: both synced versions land in the view commit's
+    properties; a replayed refresh recomputes the identical state rows
+    (state-based upsert) and the merge is idempotent. Retention: both
+    sources must retain the synced-to versions (same vacuum contract
+    as ``sync_from``). Non-join-key column names must be distinct
+    across the two sources (checked). ``min/max`` over a join would
+    need a joined rescan of delete-affected groups — count/sum/avg
+    only, by design.
+
+    No reference counterpart: the reference rebuilds its joined gold
+    aggregates from full silver scans every run
+    (gcs_silver_to_gold.py:347-352); this is that job as an O(churn)
+    maintained view.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        join_keys: list[str],
+        group_by: list[str],
+        sum_cols: list[str] | None = None,
+        partition_by: list[str] | None = None,
+        max_pushdown_keys: int = 5000,
+    ) -> None:
+        self.spark = spark
+        self.join_keys = list(join_keys)
+        self.group_by = list(group_by)
+        self.sum_cols = list(sum_cols or [])
+        self.partition_by = list(partition_by) if partition_by else None
+        self.max_pushdown_keys = max_pushdown_keys
+        self.table = VersionedParquetTable(spark, path)
+
+    # --- state -------------------------------------------------------
+
+    def _aggregate(self, joined: DataFrame) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("cnt")]
+        for c in self.sum_cols:
+            aggs.append(F.sum(c).alias(f"sum_{c}"))
+            aggs.append(F.count(c).alias(f"nn_{c}"))
+        return joined.groupBy(*self.group_by).agg(*aggs)
+
+    def synced_versions(self) -> tuple[int, int] | None:
+        if self.table.latest_version() is None:
+            return None
+        props = self.table.snapshot_properties()
+        return int(props[_SYNC_L]), int(props[_SYNC_R])
+
+    def _pruned_read(
+        self, table: VersionedParquetTable, version: int, keys_df: DataFrame
+    ) -> DataFrame:
+        """Snapshot read with the churn's join keys pushed into scan
+        planning when small enough to collect."""
+        jk = self.join_keys
+        keys = keys_df.select(*jk).distinct().limit(
+            self.max_pushdown_keys + 1
+        ).collect()
+        if 0 < len(keys) <= self.max_pushdown_keys and len(jk) == 1:
+            vals = [r[0] for r in keys if r[0] is not None]
+            if vals:
+                return table.read(
+                    version, predicate=[(jk[0], "in", vals)]
+                )
+        return table.read(version)
+
+    # --- refresh -----------------------------------------------------
+
+    def refresh(
+        self, left: VersionedParquetTable, right: VersionedParquetTable
+    ) -> tuple[int, int]:
+        """Bring the view to (left.latest, right.latest); returns the
+        version pair now reflected. First call full-builds."""
+        new_l, new_r = left.latest_version(), right.latest_version()
+        if new_l is None or new_r is None:
+            raise FileNotFoundError("both sources need at least one commit")
+        jk = set(self.join_keys)
+        l_cols = set(left.read(new_l).columns) - jk
+        r_cols = set(right.read(new_r).columns) - jk
+        clash = l_cols & r_cols
+        if clash:
+            raise ValueError(
+                f"non-join-key columns {sorted(clash)} exist on both "
+                "sides; rename before joining"
+            )
+        props = {
+            _SYNC_L: new_l, _SYNC_R: new_r,
+            _SRC_KEY: f"{left.path} JOIN {right.path}",
+        }
+        synced = self.synced_versions()
+        if synced is None:
+            joined = left.read(new_l).join(
+                right.read(new_r), on=self.join_keys, how="inner"
+            )
+            self.table.write(
+                self._aggregate(joined),
+                partition_by=self.partition_by,
+                operation="ivm-build",
+                properties=props,
+            )
+            return new_l, new_r
+        last_l, last_r = synced
+        if new_l <= last_l and new_r <= last_r:
+            return synced
+        sign = F.when(
+            F.col("_change_type") == "insert", F.lit(1)
+        ).otherwise(F.lit(-1))
+        parts = []
+        if new_l > last_l:
+            dl = left.changes(last_l, new_l).withColumn("_sign", sign)
+            dl = dl.persist()
+            parts.append(
+                dl.join(
+                    self._pruned_read(right, last_r, dl),
+                    on=self.join_keys,
+                    how="inner",
+                )
+            )
+        else:
+            dl = None
+        if new_r > last_r:
+            dr = right.changes(last_r, new_r).withColumn("_sign", sign)
+            dr = dr.persist()
+            parts.append(
+                self._pruned_read(left, new_l, dr).join(
+                    dr, on=self.join_keys, how="inner"
+                )
+            )
+        else:
+            dr = None
+        keep = self.group_by + self.sum_cols + ["_sign"]
+        delta = parts[0].select(*keep)
+        for p in parts[1:]:
+            delta = delta.unionByName(p.select(*keep))
+        try:
+            aggs = [F.sum("_sign").alias("_dcnt")]
+            for c in self.sum_cols:
+                aggs.append(
+                    F.sum(F.col("_sign") * F.col(c)).alias(f"_dsum_{c}")
+                )
+                aggs.append(
+                    F.sum(
+                        F.col("_sign") * F.col(c).isNotNull().cast("int")
+                    ).alias(f"_dnn_{c}")
+                )
+            d = delta.groupBy(*self.group_by).agg(*aggs)
+            old = self.table.read()
+            joined = d.join(old, on=self.group_by, how="left")
+            cnt_new = F.coalesce(F.col("cnt"), F.lit(0)) + F.col("_dcnt")
+            out = [F.col(c) for c in self.group_by] + [cnt_new.alias("cnt")]
+            alive = cnt_new > 0
+            for c in self.sum_cols:
+                nn = F.coalesce(F.col(f"nn_{c}"), F.lit(0)) + F.col(
+                    f"_dnn_{c}"
+                )
+                s = F.coalesce(F.col(f"sum_{c}"), F.lit(0)) + F.coalesce(
+                    F.col(f"_dsum_{c}"), F.lit(0)
+                )
+                out.append(F.when(nn > 0, s).alias(f"sum_{c}"))
+                out.append(
+                    F.when(alive, nn).otherwise(F.lit(0)).alias(f"nn_{c}")
+                )
+            updated = joined.select(*out).persist()
+            try:
+                self.table.merge(updated, self.group_by, properties=props)
+            finally:
+                updated.unpersist()
+        finally:
+            if dl is not None:
+                dl.unpersist()
+            if dr is not None:
+                dr.unpersist()
+        return new_l, new_r
+
+    # --- reads -------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Live view: group keys, ``cnt``, ``sum_*``/``avg_*``."""
+        df = self.table.read(version).filter(F.col("cnt") > 0)
+        cols = [F.col(c) for c in self.group_by] + [F.col("cnt")]
+        for c in self.sum_cols:
+            cols.append(F.col(f"sum_{c}"))
+            cols.append(
+                F.when(
+                    F.col(f"nn_{c}") > 0,
+                    F.col(f"sum_{c}") / F.col(f"nn_{c}"),
+                ).alias(f"avg_{c}")
+            )
+        return df.select(*cols)

@@ -5217,6 +5217,107 @@ FROM live GROUP BY o_orderstatus, o_orderpriority
 """
 
 
+def x_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance
+    (operators/matview.IncrementalJoinAggView): a GROUP BY over
+    orders INNER JOIN customer-dim, refreshed in O(churn) from BOTH
+    tables' change feeds via the join delta rule
+    dv = dL JOIN R_old + L_new JOIN dR (signed, snapshots by time
+    travel), with the churn's join keys pushed into the snapshot
+    side's manifest scan planning. The reference recomputes its
+    joined gold aggregates from full silver scans every run
+    (gcs_silver_to_gold.py:347-352); this is that job as a maintained
+    view. Script: v1 = orders %3!=0 + full customer dim, full build;
+    then churn BOTH sides — insert the %3 orders, triple cents of %7
+    keys, move %10 customers to segment MOVED — and ONE incremental
+    refresh covers it all. Asserted in-plan equal to a from-scratch
+    join+aggregate of the live snapshots."""
+    from news_lakehouse_spark.operators.matview import (
+        IncrementalJoinAggView,
+    )
+    from news_lakehouse_spark.sources.transaction import (
+        VersionedParquetTable,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    base = _tmp_table_path("join_ivm", sf_dir)
+    lt = VersionedParquetTable(spark, os.path.join(base, "orders"))
+    rt = VersionedParquetTable(spark, os.path.join(base, "dim"))
+    lt.merge(
+        orders.filter(F.col("o_orderkey") % 3 != 0).withColumnRenamed(
+            "o_custkey", "c_custkey"
+        ),
+        ["o_orderkey"],
+    )
+    rt.merge(cust, ["c_custkey"])
+    view = IncrementalJoinAggView(
+        spark,
+        os.path.join(base, "view"),
+        join_keys=["c_custkey"],
+        group_by=["seg"],
+        sum_cols=["cents"],
+    )
+    view.refresh(lt, rt)  # full build
+    lt.merge(
+        orders.filter(F.col("o_orderkey") % 3 == 0).withColumnRenamed(
+            "o_custkey", "c_custkey"
+        ),
+        ["o_orderkey"],
+    )
+    lt.merge(
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumnRenamed("o_custkey", "c_custkey")
+        .withColumn("cents", F.col("cents") * 3),
+        ["o_orderkey"],
+    )
+    rt.merge(
+        cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+            "seg", F.lit("MOVED")
+        ),
+        ["c_custkey"],
+    )
+    with _op_phase("x_join_ivm", "refresh_incremental"):
+        view.refresh(lt, rt)  # one refresh, both feeds
+    got = view.read().select("seg", "cnt", "sum_cents")
+    if not os.environ.get("SPARK_GRAFT_BENCH_LEAN"):
+        full = (
+            lt.read()
+            .join(rt.read(), on="c_custkey", how="inner")
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("cents").alias("sum_cents"),
+            )
+        )
+        assert got.exceptAll(full).isEmpty() and full.exceptAll(got).isEmpty()
+    return got.orderBy("seg")
+
+
+_JOIN_IVM_SQL = """
+WITH l AS (
+  SELECT o_custkey AS ck,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT)
+         * (CASE WHEN o_orderkey % 7 = 0 THEN 3 ELSE 1 END) AS cents
+  FROM orders
+), r AS (
+  SELECT c_custkey AS ck,
+         CASE WHEN c_custkey % 10 = 0 THEN 'MOVED'
+              ELSE c_mktsegment END AS seg
+  FROM customer
+)
+SELECT seg, COUNT(*) AS cnt, SUM(cents) AS sum_cents
+FROM l JOIN r USING (ck)
+GROUP BY seg ORDER BY seg
+"""
+
+
 def x_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-2-gram repetition signals (Gopher-style boilerplate flags)."""
     d = read_table(spark, sf_dir, "documents")
@@ -8523,6 +8624,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_bloom_point_lookup": x_bloom_point_lookup,
     "x_cdc_replicate": x_cdc_replicate,
     "x_ivm_refresh": x_ivm_refresh,
+    "x_join_ivm": x_join_ivm,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q9_product_type_profit": q9_product_type_profit,
     "q11_important_parts": q11_important_parts,
@@ -8782,6 +8884,7 @@ ORACLES: dict[str, str] = {
     "x_bloom_point_lookup": _BLOOM_LOOKUP_SQL,
     "x_cdc_replicate": _CDC_REPLICATE_SQL,
     "x_ivm_refresh": _IVM_REFRESH_SQL,
+    "x_join_ivm": _JOIN_IVM_SQL,
     "q3_shipping_priority": _Q3_SQL,
     "q5_local_supplier_volume": _Q5_SQL,
     "t_session_window": _SESSION_WINDOW_SQL,

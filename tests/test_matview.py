@@ -149,3 +149,109 @@ def test_view_is_itself_versioned(spark, pair):
     feed = view.table.changes(1)
     # only group 'a' changed between view versions
     assert {r["g"] for r in feed.collect()} == {"a"}
+
+
+# --- join IVM (IncrementalJoinAggView) ------------------------------------
+
+
+def _orders_df(spark, rows):
+    # (order key, customer key, price)
+    return spark.createDataFrame(
+        [Row(ok=ok, ck=ck, price=p) for ok, ck, p in rows],
+        schema="ok int, ck int, price int",
+    )
+
+
+def _cust_df(spark, rows):
+    return spark.createDataFrame(
+        [Row(ck=ck, seg=s) for ck, s in rows],
+        schema="ck int, seg string",
+    )
+
+
+def _join_full(l, r):
+    return (
+        l.join(r, on="ck", how="inner")
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("price").alias("sum_price"))
+    )
+
+
+def test_join_ivm_matches_full_recompute(spark, tmp_path):
+    from news_lakehouse_spark.operators.matview import IncrementalJoinAggView
+
+    orders = VersionedParquetTable(spark, str(tmp_path / "l"))
+    cust = VersionedParquetTable(spark, str(tmp_path / "r"))
+    orders.merge(
+        _orders_df(spark, [(i, i % 5, 10 * i) for i in range(1, 21)]), ["ok"]
+    )
+    cust.merge(
+        _cust_df(spark, [(c, "AB"[c % 2]) for c in range(5)]), ["ck"]
+    )
+    view = IncrementalJoinAggView(
+        spark, str(tmp_path / "v"), join_keys=["ck"], group_by=["seg"],
+        sum_cols=["price"],
+    )
+    view.refresh(orders, cust)
+    assert _rows(view.read().select("seg", "cnt", "sum_price")) == _rows(
+        _join_full(orders.read(), cust.read())
+    )
+
+    # churn BOTH sides: reprice some orders, move a customer's segment,
+    # add a new order for a new customer, delete an order
+    orders.merge(
+        _orders_df(spark, [(3, 3, 999), (21, 4, 777)]), ["ok"]
+    )
+    orders.delete_keys(_orders_df(spark, [(7, 2, 0)]).select("ok"), ["ok"])
+    cust.merge(_cust_df(spark, [(1, "MOVED")]), ["ck"])
+    view.refresh(orders, cust)
+    assert _rows(view.read().select("seg", "cnt", "sum_price")) == _rows(
+        _join_full(orders.read(), cust.read())
+    )
+    # refresh recorded both synced versions; a no-op refresh is a no-op
+    vv = view.synced_versions()
+    assert vv == (orders.latest_version(), cust.latest_version())
+    assert view.refresh(orders, cust) == vv
+
+
+def test_join_ivm_one_sided_churn_and_group_death(spark, tmp_path):
+    from news_lakehouse_spark.operators.matview import IncrementalJoinAggView
+
+    orders = VersionedParquetTable(spark, str(tmp_path / "l"))
+    cust = VersionedParquetTable(spark, str(tmp_path / "r"))
+    orders.merge(_orders_df(spark, [(1, 0, 100), (2, 1, 200)]), ["ok"])
+    cust.merge(_cust_df(spark, [(0, "X"), (1, "Y")]), ["ck"])
+    view = IncrementalJoinAggView(
+        spark, str(tmp_path / "v"), join_keys=["ck"], group_by=["seg"],
+        sum_cols=["price"],
+    )
+    view.refresh(orders, cust)
+    # delete the only Y order: group Y must disappear from read()
+    orders.delete_keys(_orders_df(spark, [(2, 1, 0)]).select("ok"), ["ok"])
+    view.refresh(orders, cust)
+    assert _rows(view.read().select("seg", "cnt", "sum_price")) == {
+        ("X", 1, 100)
+    }
+    # right-side-only churn next: move customer 0 into a new segment
+    cust.merge(_cust_df(spark, [(0, "Z")]), ["ck"])
+    view.refresh(orders, cust)
+    assert _rows(view.read().select("seg", "cnt", "sum_price")) == {
+        ("Z", 1, 100)
+    }
+
+
+def test_join_ivm_rejects_column_clash(spark, tmp_path):
+    from news_lakehouse_spark.operators.matview import IncrementalJoinAggView
+
+    l = VersionedParquetTable(spark, str(tmp_path / "l"))
+    r = VersionedParquetTable(spark, str(tmp_path / "r"))
+    l.merge(_orders_df(spark, [(1, 0, 1)]), ["ok"])
+    r.merge(
+        spark.createDataFrame([Row(ck=0, price=5)], "ck int, price int"),
+        ["ck"],
+    )
+    view = IncrementalJoinAggView(
+        spark, str(tmp_path / "v"), join_keys=["ck"], group_by=["price"],
+    )
+    with pytest.raises(ValueError, match="both sides"):
+        view.refresh(l, r)
