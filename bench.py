@@ -150,6 +150,10 @@ EXTENDED = [
     "x_bpe_train",
     "x_bpe_tokenize",
     "x_bfs_distance",
+    # round-10 additions (hidden partitioning via transform specs;
+    # incremental join-view maintenance over two change feeds):
+    "x_hidden_partitioning",
+    "x_join_ivm",
 ]
 
 

@@ -336,6 +336,11 @@ class ConcurrentCommitError(RuntimeError):
     """Another writer published this version first; re-derive and retry."""
 
 
+class ConstraintViolationError(ValueError):
+    """Incoming rows violate a table CHECK constraint; nothing was
+    committed. Carries up to 3 sample rows per message."""
+
+
 def _escape_fn(spark: SparkSession):
     """Spark's own partition-path escaping, so manifest partition
     fragments match the directory names Spark wrote."""
@@ -2496,6 +2501,12 @@ class VersionedParquetTable:
         properties: dict | None = None,
     ) -> int:
         version = (parent or 0) + 1
+        # CHECK constraints ride every commit (Delta table-constraint
+        # analog): inherit the parent's set; add/drop are their own
+        # metadata-only commits.
+        cons = {}
+        if parent is not None:
+            cons = self._load_root(parent).get("constraints") or {}
         stats, stat_types = self._collect_stats(files, df.schema, prior_stats)
         bloom = None
         if bloom_cfg and bloom_cfg.get("columns"):
@@ -2520,6 +2531,7 @@ class VersionedParquetTable:
             "stat_types": stat_types,
             "delete_files": delete_files or [],
             "bloom": bloom,
+            "constraints": cons,
             "properties": properties or {},
         }
         manifest.update(self._epoch_state(df.schema.jsonValue(), parent, files, version))
@@ -2689,6 +2701,7 @@ class VersionedParquetTable:
                         }
                     ],
                     "bloom": man.get("bloom"),
+                    "constraints": man.get("constraints") or {},
                     "properties": properties or {},
                     **self._carry_epochs(man),
                 }
@@ -2729,6 +2742,8 @@ class VersionedParquetTable:
                 "bits": bloom_bits,
                 "k": bloom_k,
             }
+        if parent is not None:
+            self._enforce_constraints(df, context="write")
         version = (parent or 0) + 1
         files = self._write_commit(df, version, partition_by)
         return self._commit(
@@ -2759,6 +2774,7 @@ class VersionedParquetTable:
         Creates the table when it doesn't exist yet."""
         if self.latest_version() is None:
             return self.write(df, operation="append", properties=properties)
+        self._enforce_constraints(df, context="append")
         last_err: Exception | None = None
         for _attempt in range(3):
             parent = self.latest_version()
@@ -2968,6 +2984,22 @@ class VersionedParquetTable:
         file_schemas = {
             p: from_arrow_schema(pq.read_schema(p)) for p in paths
         }
+        # CHECK constraints: validate the incoming files' rows ONCE,
+        # before the retry loop moves them into a commit dir (a retry
+        # could no longer re-read the original paths). Session-less
+        # DataSource sink workers skip — documented in
+        # add_check_constraint.
+        if self.spark is not None:
+            root0 = self._load_root(self.latest_version())
+            cons0 = root0.get("constraints") or {}
+            if cons0:
+                self._enforce_constraints(
+                    self.spark.read.schema(
+                        StructType.fromJson(root0["schema"])
+                    ).parquet(*paths),
+                    cons0,
+                    context="add_files",
+                )
         cur_dir: str | None = None
         last_err: Exception | None = None
         for _attempt in range(3):
@@ -3108,6 +3140,7 @@ class VersionedParquetTable:
                     "stat_types": man.get("stat_types", {}),
                     "delete_files": man.get("delete_files") or [],
                     "bloom": man.get("bloom"),
+                    "constraints": man.get("constraints") or {},
                     "properties": properties or {},
                     **self._carry_epochs(man),
                 }
@@ -3115,6 +3148,169 @@ class VersionedParquetTable:
             return parent + 1
 
         return self._retry_commit(once)
+
+    # --- CHECK constraints (Delta ADD CONSTRAINT analog) -------------------
+
+    def constraints(self) -> dict[str, str]:
+        """{name: sql_expr} in force at the latest version."""
+        v = self.latest_version()
+        if v is None:
+            return {}
+        return dict(self._load_root(v).get("constraints") or {})
+
+    def add_check_constraint(
+        self, name: str, expr: str, validate: bool = True
+    ) -> int:
+        """Add a table-wide CHECK constraint as a METADATA-ONLY commit
+        (Delta ``ALTER TABLE ... ADD CONSTRAINT`` analog): every later
+        ``write``/``append``/``merge``/``add_files`` validates its
+        INCOMING rows against the expression before anything publishes
+        — a violation raises :class:`ConstraintViolationError` with
+        sample rows and nothing commits. SQL CHECK semantics: a row
+        fails only when the expression is FALSE (NULL passes — put
+        ``IS NOT NULL`` in the expression to forbid nulls).
+
+        ``validate=True`` (default, Delta's behavior) scans the
+        CURRENT snapshot once and refuses to add a constraint existing
+        rows already violate; ``validate=False`` skips that O(table)
+        scan — the constraint then only guards future writes.
+        Enforcement note: session-less ``add_files`` (DataSource sink
+        workers) cannot run the validation scan and skips it — gate
+        that path upstream when constraints must be airtight."""
+
+        def once() -> int:
+            parent = self.latest_version()
+            if parent is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.path}"
+                )
+            man = self._load_manifest(parent)
+            cons = dict(man.get("constraints") or {})
+            if name in cons:
+                raise ValueError(
+                    f"constraint {name!r} already exists "
+                    f"({cons[name]!r}); drop_check_constraint first"
+                )
+            # force expression ANALYSIS against the table schema so an
+            # unparseable/unresolvable expr fails HERE, not on the
+            # next write
+            empty = self.spark.createDataFrame(
+                [], StructType.fromJson(man["schema"])
+            )
+            empty.filter(F.expr(expr)).columns  # analysis only
+            if validate:
+                self._enforce_constraints(
+                    self.read(parent), {name: expr},
+                    context="add_check_constraint (existing rows)",
+                )
+            self._publish(
+                {
+                    "version": parent + 1,
+                    "parent": parent,
+                    "operation": "add-constraint",
+                    "partition_by": man["partition_by"],
+                    "schema": man["schema"],
+                    "files": man["files"],
+                    "num_files": man["num_files"],
+                    "stats": man.get("stats", {}),
+                    "stat_types": man.get("stat_types", {}),
+                    "delete_files": man.get("delete_files") or [],
+                    "bloom": man.get("bloom"),
+                    "constraints": {**cons, name: expr},
+                    "properties": {"constraint_added": name},
+                    **self._carry_epochs(man),
+                }
+            )
+            return parent + 1
+
+        return self._retry_commit(once)
+
+    def drop_check_constraint(self, name: str) -> int:
+        """Remove a CHECK constraint (metadata-only commit)."""
+
+        def once() -> int:
+            parent = self.latest_version()
+            if parent is None:
+                raise FileNotFoundError(
+                    f"no committed version at {self.path}"
+                )
+            man = self._load_manifest(parent)
+            cons = dict(man.get("constraints") or {})
+            if name not in cons:
+                raise ValueError(
+                    f"no constraint named {name!r}; have {sorted(cons)}"
+                )
+            cons.pop(name)
+            self._publish(
+                {
+                    "version": parent + 1,
+                    "parent": parent,
+                    "operation": "drop-constraint",
+                    "partition_by": man["partition_by"],
+                    "schema": man["schema"],
+                    "files": man["files"],
+                    "num_files": man["num_files"],
+                    "stats": man.get("stats", {}),
+                    "stat_types": man.get("stat_types", {}),
+                    "delete_files": man.get("delete_files") or [],
+                    "bloom": man.get("bloom"),
+                    "constraints": cons,
+                    "properties": {"constraint_dropped": name},
+                    **self._carry_epochs(man),
+                }
+            )
+            return parent + 1
+
+        return self._retry_commit(once)
+
+    def _enforce_constraints(
+        self,
+        df: DataFrame,
+        cons: dict[str, str] | None = None,
+        context: str = "write",
+    ) -> None:
+        """Raise ConstraintViolationError when any row of ``df`` fails
+        a CHECK constraint (expression FALSE; NULL passes). ONE scan
+        for all constraints; no-op (no job) when none are defined."""
+        if cons is None:
+            v = self.latest_version()
+            cons = (
+                (self._load_root(v).get("constraints") or {})
+                if v is not None
+                else {}
+            )
+        if not cons:
+            return
+        marks = F.array_compact(
+            F.array(
+                *[
+                    F.when(
+                        ~F.coalesce(F.expr(e), F.lit(True)), F.lit(n)
+                    )
+                    for n, e in sorted(cons.items())
+                ]
+            )
+        )
+        bad = (
+            df.select(
+                marks.alias("_violated"),
+                F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias(
+                    "_row"
+                ),
+            )
+            .filter(F.size("_violated") > 0)
+            .limit(3)
+            .collect()
+        )
+        if bad:
+            detail = "; ".join(
+                f"{list(r['_violated'])}: {r['_row'][:200]}" for r in bad
+            )
+            raise ConstraintViolationError(
+                f"{context}: rows violate CHECK constraint(s) "
+                f"{sorted({n for r in bad for n in r['_violated']})} "
+                f"(nothing committed). Samples: {detail}"
+            )
 
     # --- schema evolution (metadata-only; see module notes) ---------------
 
@@ -3256,6 +3452,7 @@ class VersionedParquetTable:
                     "delete_files", man.get("delete_files") or []
                 ),
                 "bloom": man.get("bloom"),
+                "constraints": man.get("constraints") or {},
                 "properties": properties or {},
             }
         )
@@ -3558,6 +3755,7 @@ class VersionedParquetTable:
             merge_upsert,
         )
 
+        self._enforce_constraints(source, context="merge")
         last_err: Exception | None = None
         for _attempt in range(retries + 1):
             parent = self.latest_version()
@@ -4213,6 +4411,7 @@ class VersionedParquetTable:
                     "stat_types": man.get("stat_types", {}),
                     "delete_files": man.get("delete_files") or [],
                     "bloom": man.get("bloom"),
+                    "constraints": man.get("constraints") or {},
                     "properties": {"sync_from_version": upstream},
                     **self._carry_epochs(man),
                 }
@@ -4293,6 +4492,7 @@ class VersionedParquetTable:
                 "stat_types": old.get("stat_types", {}),
                 "delete_files": old.get("delete_files") or [],
                 "bloom": old.get("bloom"),
+                "constraints": cur_root.get("constraints") or {},
                 "properties": {"rollback_of": target},
                 **{
                     **self._carry_epochs(old),

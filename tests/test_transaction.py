@@ -2966,3 +2966,89 @@ def test_transform_partial_compaction_plan(spark, tmp_path):
     t.compact(partitions=plan, target_file_bytes=1 << 30)
     assert len(t.files_for()) < n_before
     assert t.read().count() == df.count() + 2 * feb.count()
+
+
+# --- CHECK constraints (Delta ADD CONSTRAINT analog) -----------------------
+
+
+def test_check_constraint_enforced_on_all_write_paths(spark, tmp_path):
+    from news_lakehouse_spark.sources.transaction import (
+        ConstraintViolationError,
+    )
+
+    t = VersionedParquetTable(spark, str(tmp_path / "t"))
+    t.merge(_df(spark, [(1, "a", 10), (2, "b", 20)]), ["k"])
+    v = t.add_check_constraint("v_positive", "v > 0")
+    assert t.constraints() == {"v_positive": "v > 0"}
+    assert set(t.files_for()) == set(t.files_for(v - 1))  # metadata-only
+
+    # merge / append / write all refuse violating rows, atomically
+    before = t.latest_version()
+    with pytest.raises(ConstraintViolationError, match="v_positive"):
+        t.merge(_df(spark, [(3, "c", -5)]), ["k"])
+    with pytest.raises(ConstraintViolationError, match="v_positive"):
+        t.append(_df(spark, [(4, "d", 0)]))
+    with pytest.raises(ConstraintViolationError, match="v_positive"):
+        t.write(_df(spark, [(5, "e", -1)]))
+    assert t.latest_version() == before
+    assert _rows(t.read()) == {(1, "a", 10), (2, "b", 20)}
+
+    # passing rows commit; NULL passes (SQL CHECK semantics)
+    t.merge(
+        spark.createDataFrame(
+            [Row(k=6, d="f", v=None)], "k int, d string, v int"
+        ),
+        ["k"],
+    )
+    assert t.read().count() == 3
+
+    # constraints survive unrelated commits and rollback
+    t.append(_df(spark, [(7, "g", 70)]))
+    t.rollback(t.latest_version() - 1)
+    assert t.constraints() == {"v_positive": "v > 0"}
+
+    # drop lifts enforcement
+    t.drop_check_constraint("v_positive")
+    t.append(_df(spark, [(9, "i", -9)]))
+    with pytest.raises(ValueError, match="no constraint"):
+        t.drop_check_constraint("v_positive")
+
+
+def test_check_constraint_add_validates_existing_and_parses(spark, tmp_path):
+    from news_lakehouse_spark.sources.transaction import (
+        ConstraintViolationError,
+    )
+
+    t = VersionedParquetTable(spark, str(tmp_path / "t"))
+    t.merge(_df(spark, [(1, "a", -10)]), ["k"])
+    with pytest.raises(ConstraintViolationError, match="existing rows"):
+        t.add_check_constraint("v_positive", "v > 0")
+    # validate=False skips the snapshot scan: future writes still guard
+    t.add_check_constraint("v_positive", "v > 0", validate=False)
+    with pytest.raises(ConstraintViolationError):
+        t.append(_df(spark, [(2, "b", -1)]))
+    # duplicate name and unresolvable expression both fail fast
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_check_constraint("v_positive", "v >= 0")
+    with pytest.raises(Exception, match="nope|resolve|RESOLVED"):
+        t.add_check_constraint("bad", "nope_col > 0")
+
+
+def test_check_constraint_guards_add_files(spark, tmp_path):
+    from news_lakehouse_spark.sources.transaction import (
+        ConstraintViolationError,
+    )
+
+    t = VersionedParquetTable(spark, str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a", 10)]))
+    t.add_check_constraint("v_positive", "v > 0")
+    staged = str(tmp_path / "ext")
+    _df(spark, [(2, "b", -2)]).coalesce(1).write.parquet(staged)
+    parquets = [
+        os.path.join(staged, n)
+        for n in os.listdir(staged)
+        if n.endswith(".parquet")
+    ]
+    with pytest.raises(ConstraintViolationError, match="add_files"):
+        t.add_files(parquets)
+    assert t.read().count() == 1
