@@ -113,6 +113,7 @@ def _tmp_table_path(prefix: str, sf_dir: str) -> str:
     import tempfile as _tf
     import uuid as _uuid
 
+    _gc_dead_scratch_tables()
     return os.path.join(
         _tf.gettempdir(),
         f"nlh_{prefix}_{os.getpid()}_"
@@ -120,6 +121,40 @@ def _tmp_table_path(prefix: str, sf_dir: str) -> str:
         + "_"
         + _uuid.uuid4().hex[:8],
     )
+
+
+_GC_DONE = False
+
+
+def _gc_dead_scratch_tables() -> None:
+    """Once per process: reap nlh_* scratch tables whose creating pid
+    is gone (the uuid nonce makes every run's tables garbage after the
+    process exits; live pids are never touched, so a concurrent
+    driver's in-flight lazy reads stay safe)."""
+    global _GC_DONE
+    if _GC_DONE:
+        return
+    _GC_DONE = True
+    import re as _re
+    import shutil as _sh
+    import tempfile as _tf
+
+    tmp = _tf.gettempdir()
+    pat = _re.compile(r"^nlh_.+_(\d+)_[0-9a-f]{10}(_[0-9a-f]{8})?$")
+    try:
+        names = os.listdir(tmp)
+    except OSError:
+        return
+    for name in names:
+        m = pat.match(name)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)
+        except ProcessLookupError:
+            _sh.rmtree(os.path.join(tmp, name), ignore_errors=True)
+        except PermissionError:
+            continue  # pid alive under another user
 
 
 def _session_snapshot(spark: SparkSession) -> dict:
