@@ -151,9 +151,11 @@ EXTENDED = [
     "x_bpe_tokenize",
     "x_bfs_distance",
     # round-10 additions (hidden partitioning via transform specs;
-    # incremental join-view maintenance over two change feeds):
+    # incremental join-view maintenance over two change feeds; CHECK
+    # constraints):
     "x_hidden_partitioning",
     "x_join_ivm",
+    "x_check_constraints",
 ]
 
 

@@ -5353,6 +5353,86 @@ GROUP BY seg ORDER BY seg
 """
 
 
+def x_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table CHECK constraints (transaction.py add_check_constraint —
+    the Delta ``ALTER TABLE ... ADD CONSTRAINT`` analog; no reference
+    counterpart, Iceberg doesn\'t have them either). Script: build a
+    priced-orders table, add ``cents_positive`` (metadata-only commit,
+    asserted to touch zero files); a merge smuggling negative-cents
+    rows must raise ConstraintViolationError ATOMICALLY (version
+    unchanged — asserted in-query); a clean merge commits; NULL cents
+    pass (SQL CHECK semantics). The returned aggregate reflects only
+    the committed data, which the oracle recomputes from raw orders.
+    At 100 TB the constraint is the difference between a bad batch
+    failing at its own write and a quiet poison spreading to every
+    downstream consumer."""
+    from news_lakehouse_spark.sources.transaction import (
+        ConstraintViolationError,
+        VersionedParquetTable,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base = _tmp_table_path("checkcon", sf_dir)
+    t = VersionedParquetTable(spark, base)
+    t.merge(orders.filter(F.col("o_orderkey") % 3 == 0), ["o_orderkey"])
+    files_v1 = set(t.files_for())
+    v = t.add_check_constraint("cents_positive", "cents > 0")
+    assert set(t.files_for(v)) == files_v1  # metadata-only
+    # a poisoned batch (every %5 key negated) must refuse atomically
+    before = t.latest_version()
+    try:
+        t.merge(
+            orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+                "cents", -F.col("cents")
+            ),
+            ["o_orderkey"],
+        )
+        raise AssertionError("negative cents slipped past the constraint")
+    except ConstraintViolationError:
+        pass
+    assert t.latest_version() == before  # nothing committed
+    # clean batch commits; NULL passes (SQL CHECK semantics)
+    t.merge(
+        orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+            "cents",
+            F.when(F.col("o_orderkey") % 25 == 0, F.lit(None)).otherwise(
+                F.col("cents") * 2
+            ),
+        ),
+        ["o_orderkey"],
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("cents").alias("sum_cents"),
+            F.count(F.when(F.col("cents").isNull(), 1)).alias("null_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_CHECK_CONSTRAINTS_SQL = """
+WITH live AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey % 25 = 0 THEN NULL
+              WHEN o_orderkey % 5 = 0
+              THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) * 2
+              ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents
+  FROM orders
+  WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+)
+SELECT o_orderstatus, COUNT(*) AS cnt, SUM(cents) AS sum_cents,
+       COUNT(CASE WHEN cents IS NULL THEN 1 END) AS null_cents
+FROM live GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def x_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-2-gram repetition signals (Gopher-style boilerplate flags)."""
     d = read_table(spark, sf_dir, "documents")
@@ -8660,6 +8740,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_cdc_replicate": x_cdc_replicate,
     "x_ivm_refresh": x_ivm_refresh,
     "x_join_ivm": x_join_ivm,
+    "x_check_constraints": x_check_constraints,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q9_product_type_profit": q9_product_type_profit,
     "q11_important_parts": q11_important_parts,
@@ -8920,6 +9001,7 @@ ORACLES: dict[str, str] = {
     "x_cdc_replicate": _CDC_REPLICATE_SQL,
     "x_ivm_refresh": _IVM_REFRESH_SQL,
     "x_join_ivm": _JOIN_IVM_SQL,
+    "x_check_constraints": _CHECK_CONSTRAINTS_SQL,
     "q3_shipping_priority": _Q3_SQL,
     "q5_local_supplier_volume": _Q5_SQL,
     "t_session_window": _SESSION_WINDOW_SQL,
