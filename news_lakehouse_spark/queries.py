@@ -3229,7 +3229,8 @@ WITH base AS (
   UNION ALL
   SELECT 'insert' AS _change_type, s8 AS w FROM st WHERE s5 <> s8
 )
-SELECT _change_type, COUNT(*) AS cnt, SUM(w) AS val_sum
+SELECT _change_type, COUNT(*) AS cnt,
+       CAST(SUM(w) AS BIGINT) AS val_sum
 FROM delta GROUP BY _change_type
 """
 
@@ -4241,7 +4242,8 @@ WITH live AS (
          (o_orderkey % 9 = 0) AS flag
   FROM orders WHERE o_orderkey % 3 = 0
 )
-SELECT status, COUNT(*) AS cnt, SUM(cents) AS sum_cents,
+SELECT status, COUNT(*) AS cnt,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
        COUNT(CASE WHEN flag THEN 1 END) AS flagged
 FROM live GROUP BY status ORDER BY status
 """
@@ -5347,7 +5349,8 @@ WITH l AS (
               ELSE c_mktsegment END AS seg
   FROM customer
 )
-SELECT seg, COUNT(*) AS cnt, SUM(cents) AS sum_cents
+SELECT seg, COUNT(*) AS cnt,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
 FROM l JOIN r USING (ck)
 GROUP BY seg ORDER BY seg
 """
@@ -5427,7 +5430,8 @@ WITH live AS (
   FROM orders
   WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
 )
-SELECT o_orderstatus, COUNT(*) AS cnt, SUM(cents) AS sum_cents,
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
        COUNT(CASE WHEN cents IS NULL THEN 1 END) AS null_cents
 FROM live GROUP BY o_orderstatus ORDER BY o_orderstatus
 """

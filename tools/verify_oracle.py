@@ -52,6 +52,62 @@ def table_hash(rows, colnames) -> str:
     return h.hexdigest()
 
 
+#: DuckDB output types that stringify differently from Spark's LongType
+#: in the driver's pandas/Arrow fetch path (r10 verdict forensics:
+#: HUGEINT -> float64 '1999000000000.0' or Decimal repr, vs Spark's
+#: int '1999000000000').  A bare SUM(BIGINT) in DuckDB yields HUGEINT;
+#: every integral oracle aggregate must CAST(... AS BIGINT).
+_BANNED_DUCK_TYPES = ("HUGEINT", "UHUGEINT")
+
+_INTEGRAL_SPARK = ("long", "integer", "short", "byte")
+
+
+def lint_oracle_types(con, oracles: dict, only=None) -> list:
+    """DESCRIBE every oracle in DuckDB and flag output columns whose
+    type will hash-diverge from the Spark twin in the driver's fetch
+    path: HUGEINT/UHUGEINT and DECIMAL(38,0) (the int128 promotions).
+
+    Returns [(query_name, 'col: TYPE'), ...] — empty means clean.
+    This is the guard the r10 verdict asked for (Next #2): the class
+    cost three rounds of misdirected race forensics.
+    """
+    bad = []
+    for name, sql in oracles.items():
+        if only and name not in only:
+            continue
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:  # a broken oracle fails the main loop too
+            bad.append((name, f"DESCRIBE failed: {str(e)[:120]}"))
+            continue
+        for row in desc:
+            colname, coltype = row[0], str(row[1]).upper()
+            if coltype in _BANNED_DUCK_TYPES or coltype.startswith(
+                "DECIMAL(38,0"
+            ):
+                bad.append((name, f"{colname}: {coltype}"))
+    return bad
+
+
+def cross_type_problems(spark_schema, duck_desc) -> list:
+    """Per-query Spark-vs-oracle type cross-check: a DOUBLE/FLOAT
+    oracle column whose same-named Spark twin is integral stringifies
+    as '123.0' vs '123' in the driver's fetch path — exactly the
+    hash-only-red signature.  Returns ['col: DOUBLE vs long', ...]."""
+    spark_types = {f.name: f.dataType.typeName() for f in spark_schema}
+    probs = []
+    for row in duck_desc:
+        colname, coltype = row[0], str(row[1]).upper()
+        st = spark_types.get(colname)
+        if st in _INTEGRAL_SPARK and coltype in ("DOUBLE", "FLOAT", "REAL"):
+            probs.append(f"type-lint {colname}: oracle {coltype} vs spark {st}")
+        if st == "double" and (
+            coltype in _BANNED_DUCK_TYPES or coltype.startswith("DECIMAL")
+        ):
+            probs.append(f"type-lint {colname}: oracle {coltype} vs spark {st}")
+    return probs
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -89,6 +145,18 @@ def main() -> int:
         )
 
     failures = []
+
+    # ---- oracle type lint (runs by default on every leg) ----------
+    lint_bad = lint_oracle_types(con, oracles, only or None)
+    for qname, detail in lint_bad:
+        print(f"LINT  {qname}: {detail}")
+        failures.append(f"{qname} [type-lint]")
+    if lint_bad:
+        print(f"type lint: {len(lint_bad)} violations")
+    else:
+        n_linted = len([n for n in oracles if not only or n in only])
+        print(f"type lint: {n_linted} oracles clean")
+
     # CORRECTNESS_r{N}.json-shaped record per query, written when
     # $SPARK_GRAFT_VERIFY_JSON names an output path — gives the judge a
     # machine-readable full-registry replica of the driver's 50-query gate.
@@ -130,6 +198,11 @@ def main() -> int:
             print(f"FAIL  {name}: oracle error: {str(e)[:200]}")
             continue
         problems = []
+        try:
+            duck_desc = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            problems.extend(cross_type_problems(df.schema, duck_desc))
+        except Exception:
+            pass  # a DESCRIBE failure already surfaced in the lint pass
         if sorted(cols) != sorted(ocols):
             problems.append(f"cols {sorted(cols)} vs {sorted(ocols)}")
         if len(rows) != len(orows):
