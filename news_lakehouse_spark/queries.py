@@ -4846,7 +4846,7 @@ def x_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
         for f in kept
     )
     buckets = {
-        f.split("__p_o_custkey_bucket=")[1].split("/")[0] for f in kept
+        f.split("__p_o_custkey_bucket8=")[1].split("/")[0] for f in kept
     }
     assert months_ok and len(buckets) <= 3, (
         f"hidden pruning failed: months_ok={months_ok} buckets={buckets}"

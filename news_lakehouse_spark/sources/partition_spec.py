@@ -27,9 +27,15 @@ spec entry       partition field name    value
 ``months(c)``    ``c_month``             ``'yyyy-MM'`` string
 ``days(c)``      ``c_day``               ``'yyyy-MM-dd'`` string
 ``hours(c)``     ``c_hour``              ``'yyyy-MM-dd-HH'`` string
-``bucket(n,c)``  ``c_bucket``            ``pmod(xxhash64(c), n)``
-``truncate(w,c)``  ``c_trunc``           ints: ``c - pmod(c, w)``;
+``bucket(n,c)``  ``c_bucket<n>``         ``pmod(xxhash64(c), n)``
+``truncate(w,c)``  ``c_trunc<w>``        ints: ``c - pmod(c, w)``;
                                          strings: ``substring(c,1,w)``
+
+Parameterized transforms carry the param in the field name so that a
+``set_partition_spec`` changing only the param (``bucket(8,c)`` →
+``bucket(16,c)``) can never alias old-param path segments into
+new-param fragment tests — files written under a different param keep
+a differently-named segment and are pruned conservatively (kept).
 ===============  ======================  ==========================
 
 ``bucket`` uses Spark's ``xxhash64`` (not Iceberg's murmur3): values
@@ -111,9 +117,19 @@ def parse_partition_spec(spec: list[str] | None) -> list[PartitionField]:
                 raise ValueError(f"{t} width/count must be >= 1: {s!r}")
         elif param is not None:
             raise ValueError(f"{m.group(1)} takes one column argument: {s!r}")
+        # Parameterized transforms encode the param in the field name
+        # (bucket(8,c) -> c_bucket8, truncate(100,k) -> k_trunc100):
+        # after a set_partition_spec that changes only the param, old
+        # files keep segments derived under the OLD param, and a
+        # same-named segment would let fragment tests compare new-param
+        # test values against old-param derivations (silent wrong
+        # pruning / missed merge overlap).  Distinct names make the
+        # fragment matcher treat old-spec files conservatively (absent
+        # segment = keep), which is always correct.
+        suffix = _SUFFIX[t] + (param or "")
         fields.append(
             PartitionField(
-                s, f"{col}_{_SUFFIX[t]}", col, t,
+                s, f"{col}_{suffix}", col, t,
                 int(param) if param else None,
             )
         )

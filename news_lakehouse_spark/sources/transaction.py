@@ -2774,10 +2774,21 @@ class VersionedParquetTable:
         Creates the table when it doesn't exist yet."""
         if self.latest_version() is None:
             return self.write(df, operation="append", properties=properties)
-        self._enforce_constraints(df, context="append")
+        cons_checked = self._constraints_at(self.latest_version())
+        self._enforce_constraints(df, cons_checked, context="append")
         last_err: Exception | None = None
         for _attempt in range(3):
             parent = self.latest_version()
+            # A concurrent add_check_constraint may have committed
+            # since validation; revalidate against the winner's set so
+            # violating rows can't slip in through the retry path.
+            cons_now = self._constraints_at(parent)
+            if cons_now != cons_checked:
+                self._enforce_constraints(
+                    df, cons_now,
+                    context="append (constraints changed concurrently)",
+                )
+                cons_checked = cons_now
             man = self._load_manifest(parent)
             tgt = StructType.fromJson(man["schema"])
             want = [f.name for f in tgt.fields]
@@ -3000,10 +3011,22 @@ class VersionedParquetTable:
                     cons0,
                     context="add_files",
                 )
+        cons_checked = self._constraints_at(self.latest_version())
         cur_dir: str | None = None
         last_err: Exception | None = None
         for _attempt in range(3):
             parent = self.latest_version()
+            # The incoming files may already have been moved into a
+            # commit dir by a lost attempt, so rows can't reliably be
+            # revalidated here — when a concurrent constraint change
+            # won the race, FAIL the commit instead (Delta's metadata-
+            # conflict behavior); the caller re-reads and retries.
+            if self._constraints_at(parent) != cons_checked:
+                raise ConcurrentCommitError(
+                    "add_files: CHECK constraints changed concurrently "
+                    "between validation and publish; re-run add_files "
+                    "so the rows are validated against the new set"
+                )
             man = self._load_manifest(parent)
             if man["partition_by"]:
                 raise ValueError(
@@ -3262,6 +3285,16 @@ class VersionedParquetTable:
             return parent + 1
 
         return self._retry_commit(once)
+
+    def _constraints_at(self, version: int | None) -> dict[str, str]:
+        """The committed CHECK-constraint set as of ``version`` ({} for
+        an absent table). Used by the optimistic retry loops to detect
+        a concurrent add/drop_check_constraint between validation and
+        publish — Delta's commit protocol flags this as a metadata
+        conflict; we revalidate against the winner's set instead."""
+        if version is None:
+            return {}
+        return dict(self._load_root(version).get("constraints") or {})
 
     def _enforce_constraints(
         self,
@@ -3755,10 +3788,20 @@ class VersionedParquetTable:
             merge_upsert,
         )
 
-        self._enforce_constraints(source, context="merge")
+        cons_checked = self._constraints_at(self.latest_version())
+        self._enforce_constraints(source, cons_checked, context="merge")
         last_err: Exception | None = None
         for _attempt in range(retries + 1):
             parent = self.latest_version()
+            # Revalidate when a concurrent add/drop_check_constraint
+            # won the race (same metadata-conflict rule as append).
+            cons_now = self._constraints_at(parent)
+            if cons_now != cons_checked:
+                self._enforce_constraints(
+                    source, cons_now,
+                    context="merge (constraints changed concurrently)",
+                )
+                cons_checked = cons_now
             if parent is None:
                 merged = _guard_source(source, keys, order_by)
                 version = 1

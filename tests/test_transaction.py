@@ -2846,7 +2846,7 @@ def test_transform_spec_roundtrip_and_paths(spark, tmp_path):
     assert t.read().columns == df.columns
     frags = {f for rel in t.files_for() for f in rel.split("/") if f.startswith("__p_")}
     assert any(f.startswith("__p_ts_month=1995-0") for f in frags)
-    assert any(f.startswith("__p_cust_bucket=") for f in frags)
+    assert any(f.startswith("__p_cust_bucket4=") for f in frags)
 
 
 def test_transform_parse_errors(spark):
@@ -2878,7 +2878,7 @@ def test_hidden_pruning_from_raw_predicates(spark, tmp_path):
     assert all("__p_ts_day=1995-02-" in rel for rel in kept)
     # raw equality on the bucketed column → single-bucket pruning
     kept_b = t.files_for(predicate=[("cust", "=", 7)])
-    buckets = {rel.split("__p_cust_bucket=")[1].split("/")[0] for rel in kept_b}
+    buckets = {rel.split("__p_cust_bucket4=")[1].split("/")[0] for rel in kept_b}
     assert len(buckets) == 1
     # rows still exact through read(predicate) + row filter
     got = t.read(predicate=[("cust", "=", 7)]).filter(F.col("cust") == 7)
@@ -2891,9 +2891,9 @@ def test_truncate_transform_int_and_string(spark, tmp_path):
     t.write(_hp_df(spark), partition_by=["truncate(100, k)", "truncate(4, tag)"])
     assert _rows(t.read()) == _rows(_hp_df(spark))
     kept = t.files_for(predicate=[("k", "between", (0, 99))])
-    assert {rel.split("__p_k_trunc=")[1].split("/")[0] for rel in kept} == {"0"}
+    assert {rel.split("__p_k_trunc100=")[1].split("/")[0] for rel in kept} == {"0"}
     kept_s = t.files_for(predicate=[("tag", "=", "PRI3-x8")])
-    assert {rel.split("__p_tag_trunc=")[1].split("/")[0] for rel in kept_s} == {"PRI3"}
+    assert {rel.split("__p_tag_trunc4=")[1].split("/")[0] for rel in kept_s} == {"PRI3"}
 
 
 def test_transform_merge_locality(spark, tmp_path):
@@ -2950,6 +2950,44 @@ def test_transform_spec_evolution_and_compensation(spark, tmp_path):
     assert any("__p_ts_day=1995-03-15" in rel for rel in day_files)
     with pytest.raises(ValueError, match="not in the"):
         t.set_partition_spec(["days(missing_col)"])
+
+
+def test_bucket_param_respec_no_stale_pruning(spark, tmp_path):
+    """ADVICE r10 (high): respec bucket(4,cust) -> bucket(8,cust) must
+    not let fragment tests compare new-param bucket values against
+    old-param path segments.  Param-in-field-name (cust_bucket4 vs
+    cust_bucket8) makes old files segment-absent for the new field, so
+    pruning keeps them conservatively and merges still see overlaps."""
+    t = VersionedParquetTable(spark, str(tmp_path / "hp"))
+    df = _hp_df(spark)
+    t.merge(df, ["k"], partition_by=["bucket(4, cust)"])
+    old_files = set(t.files_for())
+    t.set_partition_spec(["bucket(8, cust)"])
+    # point lookup on the raw column: every old-spec file lacks
+    # __p_cust_bucket8 → all kept (conservative), rows exact
+    kept = t.files_for(predicate=[("cust", "=", 7)])
+    assert old_files <= set(kept)
+    got = t.read(predicate=[("cust", "=", 7)]).filter(F.col("cust") == 7)
+    assert _rows(got) == _rows(df.filter(F.col("cust") == 7))
+    # an upsert touching keys spread across old-spec files must not
+    # leave duplicate keys (merge overlap selection sees old files)
+    upd = df.filter(F.col("cust") == 7).withColumn("v", F.col("v") + 1e6)
+    t.merge(upd, ["k"])
+    out = t.read()
+    assert out.count() == out.select("k").distinct().count()
+    exp = df.withColumn(
+        "v",
+        F.when(F.col("cust") == 7, F.col("v") + 1e6).otherwise(F.col("v")),
+    )
+    assert _rows(out) == _rows(exp)
+    # new-spec files carry the param-encoded segment
+    new_frags = {
+        seg
+        for rel in t.files_for()
+        for seg in rel.split("/")
+        if seg.startswith("__p_cust_bucket8=")
+    }
+    assert new_frags
 
 
 def test_transform_partial_compaction_plan(spark, tmp_path):
@@ -3032,6 +3070,54 @@ def test_check_constraint_add_validates_existing_and_parses(spark, tmp_path):
         t.add_check_constraint("v_positive", "v >= 0")
     with pytest.raises(Exception, match="nope|resolve|RESOLVED"):
         t.add_check_constraint("bad", "nope_col > 0")
+
+
+def test_constraint_added_concurrently_revalidated_in_retry(spark, tmp_path):
+    """ADVICE r10: a concurrent add_check_constraint committing between
+    a writer's validation and its publish must not let violating rows
+    through the optimistic retry path (Delta treats this as a metadata
+    conflict). append/merge revalidate against the winner's set."""
+    from news_lakehouse_spark.sources.transaction import (
+        ConstraintViolationError,
+    )
+
+    path = str(tmp_path / "t")
+    a = VersionedParquetTable(spark, path)
+    a.merge(_df(spark, [(1, "a", 10)]), ["k"])
+    b = VersionedParquetTable(spark, path)
+
+    def inject_constraint_once(orig):
+        state = {"done": False}
+
+        def hook(*args, **kw):
+            if not state["done"]:
+                state["done"] = True
+                b.add_check_constraint("v_pos", "v > 0")
+            return orig(*args, **kw)
+
+        return hook
+
+    # append: A validates against {} (no constraints), B's constraint
+    # commit wins the race during A's file write, A's publish loses and
+    # the retry must re-validate -> atomic refusal, nothing committed
+    a._write_commit = inject_constraint_once(a._write_commit)
+    before = b.latest_version()
+    with pytest.raises(ConstraintViolationError, match="concurrently"):
+        a.append(_df(spark, [(2, "b", -5)]))
+    assert b.latest_version() == before + 1  # only the constraint commit
+    assert _rows(b.read()) == {(1, "a", 10)}
+
+    # merge: same interleaving through the merge retry loop
+    b.drop_check_constraint("v_pos")
+    c = VersionedParquetTable(spark, path)
+    c._write_commit = inject_constraint_once(c._write_commit)
+    with pytest.raises(ConstraintViolationError, match="concurrently"):
+        c.merge(_df(spark, [(3, "c", -7)]), ["k"])
+    assert _rows(b.read()) == {(1, "a", 10)}
+    # a clean writer with passing rows still commits under the new set
+    b2 = VersionedParquetTable(spark, path)
+    b2.append(_df(spark, [(4, "d", 40)]))
+    assert _rows(b2.read()) == {(1, "a", 10), (4, "d", 40)}
 
 
 def test_check_constraint_guards_add_files(spark, tmp_path):
