@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from news_lakehouse_spark.operators.iterstate import truncate_lineage
+from news_lakehouse_spark.operators.iterstate import LineageTruncator
 
 __all__ = ["train_bpe_merges", "apply_bpe"]
 
@@ -176,6 +176,7 @@ def train_bpe_merges(
     """
     if recount_every < 1:
         raise ValueError("recount_every must be >= 1")
+    _ckpt = LineageTruncator()  # bounded checkpoint retention per run
     work = df.select(F.col(text_col).alias("t")).filter(F.col("t").isNotNull())
     # guard the FULL corpus, not the sample: an unsampled row holding
     # a marker char would still corrupt apply_bpe downstream
@@ -225,7 +226,7 @@ def train_bpe_merges(
             rewrite = F.replace(rewrite, F.lit(pair), F.lit(marker))
         work = work.withColumn("t", rewrite)
         if count_rounds % checkpoint_every == 0:
-            work = truncate_lineage(work)
+            work = _ckpt(work)
     if stats is not None:
         stats["count_rounds"] = count_rounds
         stats["rewrite_scans"] = count_rounds

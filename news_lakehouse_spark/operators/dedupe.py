@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from news_lakehouse_spark.operators.iterstate import truncate_lineage
+from news_lakehouse_spark.operators.iterstate import LineageTruncator
 
 # Deterministic affine-permutation parameters. p = 2^31-1 keeps
 # h (< p) * a (< p) + b below 2^62 — no int64 overflow in column math.
@@ -686,6 +686,9 @@ def connected_components(
     # label = current best-known component min per node
     labels = edges.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("lbl"))
     labels = labels.select(F.col("a").alias("id"), F.least("lbl", "id").alias("lbl"))
+    # keeps the 2 newest round checkpoints (the convergence test below
+    # reads rounds n and n-1 together), deletes older — bounded ckpt FS
+    _ckpt = LineageTruncator()
     for _ in range(max_iters):
         # propagate: node's new label = min(own, min over neighbors' labels)
         nbr_min = (
@@ -699,7 +702,7 @@ def connected_components(
                 "id",
                 F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
             )
-            .transform(truncate_lineage)  # truncate the iterative lineage
+            .transform(_ckpt)  # truncate the iterative lineage
         )
         changed = (
             new_labels.alias("n")
@@ -747,11 +750,12 @@ def _connected_components_star(
     tiny aggregate actions per round; iterstate.truncate_lineage cuts the
     iterative lineage exactly as the propagation plan does.
     """
+    _ckpt = LineageTruncator()  # bounded checkpoint retention
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .transform(truncate_lineage)
+        .transform(_ckpt)
     )
 
     def _bidir(e: DataFrame) -> DataFrame:
@@ -792,7 +796,7 @@ def _connected_components_star(
 
     fp = _fingerprint(edges)
     for _ in range(max_iters):
-        edges = _small_star(_large_star(edges)).transform(truncate_lineage)
+        edges = _small_star(_large_star(edges)).transform(_ckpt)
         new_fp = _fingerprint(edges)
         if new_fp == fp:
             break

@@ -42,7 +42,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from news_lakehouse_spark.operators.iterstate import truncate_lineage
+from news_lakehouse_spark.operators.iterstate import (
+    LineageTruncator,
+    truncate_lineage,
+)
 
 __all__ = ["bfs_distances", "pagerank", "triangle_stats"]
 
@@ -140,10 +143,13 @@ def pagerank(
     # per-row base: uniform, or concentrated on the teleport set
     base_seed = ((100 - damping_pct) * units * n_nodes) // (100 * n_seeds)
     base_expr = f"if(is_seed, {base_seed}L, 0L)"
+    # per-loop truncator: deletes round n-2's reliable checkpoint once
+    # round n lands, so a long run holds <=2 x state on the ckpt FS
+    _ckpt = LineageTruncator()
     ranks = nodes.select(
         "node", "out_deg", "is_seed",
         F.lit(units).cast("long").alias("rank_units"),
-    ).transform(truncate_lineage)
+    ).transform(_ckpt)
 
     for _ in range(iterations):
         # dangling mass: one metadata-sized scalar per iteration
@@ -175,7 +181,7 @@ def pagerank(
             )
             # truncate lineage: each round's plan starts from
             # materialized state, not the whole iteration chain
-            .transform(truncate_lineage)
+            .transform(_ckpt)
         )
     # the returned frame is checkpointed — the cached inputs are dead
     # weight once the loop ends
@@ -297,6 +303,9 @@ def bfs_distances(
         seeds.select(F.col(seed_col).cast("long").alias("node"))
         .distinct()
         .select("node", F.lit(0).cast("int").alias("dist"))
+        # stateless truncation on purpose: visited below unions EVERY
+        # hop's frontier, so no hop's checkpoint is dead until the
+        # caller finishes — LineageTruncator's delete would be wrong
         .transform(truncate_lineage)
     )
     # visited = lazy union of per-hop checkpointed frontiers: each

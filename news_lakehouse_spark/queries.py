@@ -114,13 +114,37 @@ def _tmp_table_path(prefix: str, sf_dir: str) -> str:
     import uuid as _uuid
 
     _gc_dead_scratch_tables()
-    return os.path.join(
+    path = os.path.join(
         _tf.gettempdir(),
         f"nlh_{prefix}_{os.getpid()}_"
         + _hl.sha1(sf_dir.encode()).hexdigest()[:10]
         + "_"
         + _uuid.uuid4().hex[:8],
     )
+    _register_scratch_atexit(path)
+    return path
+
+
+_SCRATCH_PATHS: list[str] = []
+
+
+def _register_scratch_atexit(path: str) -> None:
+    """Reclaim scratch tables at creating-process exit (ADVICE r10):
+    without this an r-run bench accumulates r copies per table-building
+    query for the life of the process, and a dead pid recycled to a
+    live process would keep its garbage past the pid-liveness GC.
+    Safe at exit: the returned DataFrames' lazy reads have completed by
+    then (the driver collects within the same process)."""
+    if not _SCRATCH_PATHS:
+        import atexit as _ax
+        import shutil as _sh
+
+        def _reap() -> None:
+            for p in _SCRATCH_PATHS:
+                _sh.rmtree(p, ignore_errors=True)
+
+        _ax.register(_reap)
+    _SCRATCH_PATHS.append(path)
 
 
 _GC_DONE = False
@@ -130,7 +154,12 @@ def _gc_dead_scratch_tables() -> None:
     """Once per process: reap nlh_* scratch tables whose creating pid
     is gone (the uuid nonce makes every run's tables garbage after the
     process exits; live pids are never touched, so a concurrent
-    driver's in-flight lazy reads stay safe)."""
+    driver's in-flight lazy reads stay safe). Only dirs owned by the
+    CURRENT user are touched (ADVICE r10): in a shared /tmp another
+    user's nlh_* dir may belong to a pid namespace we can't probe, and
+    removing someone else's live scratch data is never ours to do.
+    The creating process also reaps its own paths at exit
+    (_register_scratch_atexit), so this is the crash-recovery path."""
     global _GC_DONE
     if _GC_DONE:
         return
@@ -143,16 +172,23 @@ def _gc_dead_scratch_tables() -> None:
     pat = _re.compile(r"^nlh_.+_(\d+)_[0-9a-f]{10}(_[0-9a-f]{8})?$")
     try:
         names = os.listdir(tmp)
-    except OSError:
+        me = os.geteuid()
+    except (OSError, AttributeError):
         return
     for name in names:
         m = pat.match(name)
         if not m or int(m.group(1)) == os.getpid():
             continue
+        full = os.path.join(tmp, name)
+        try:
+            if os.lstat(full).st_uid != me:
+                continue
+        except OSError:
+            continue
         try:
             os.kill(int(m.group(1)), 0)
         except ProcessLookupError:
-            _sh.rmtree(os.path.join(tmp, name), ignore_errors=True)
+            _sh.rmtree(full, ignore_errors=True)
         except PermissionError:
             continue  # pid alive under another user
 

@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from news_lakehouse_spark.operators.bpe import apply_bpe, train_bpe_merges
 from news_lakehouse_spark.operators.graph import pagerank, triangle_stats
@@ -233,6 +234,51 @@ def test_reliable_checkpoint_mode_bit_identical(spark, tmp_path):
         sc.setCheckpointDir(None)
     assert rel_pr == local_pr
     assert rel_cc == local_cc
+
+
+def test_truncator_bounds_checkpoint_storage(spark, tmp_path):
+    """ADVICE r10: reliable mode must not accumulate O(iterations x
+    state) on the checkpoint FS. LineageTruncator deletes round n-2's
+    rdd-* dir once round n lands (keep-2: the newest round plus its
+    parent, so convergence tests comparing consecutive rounds stay
+    readable), and the surviving frame still collects correctly."""
+    import os
+
+    from news_lakehouse_spark.operators.iterstate import LineageTruncator
+
+    def rdd_dirs(root):
+        out = []
+        for dirpath, dirnames, _ in os.walk(root):
+            out += [d for d in dirnames if d.startswith("rdd-")]
+        return out
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        # direct: 6 chained rounds leave <=2 rdd dirs, last two rounds
+        # both remain readable
+        t = LineageTruncator()
+        df = spark.range(100).withColumnRenamed("id", "v")
+        prev = None
+        for i in range(6):
+            df, prev = t(df.withColumn("v", F.col("v") + 1)), df
+        assert len(rdd_dirs(tmp_path / "ckpt")) <= 2
+        assert df.agg(F.sum("v")).collect()[0][0] == sum(range(100)) + 600
+        assert prev.agg(F.sum("v")).collect()[0][0] == sum(range(100)) + 500
+
+        # through an operator: pagerank's loop uses the truncator and
+        # matches local mode exactly while leaving <=2 dirs + the
+        # stateless init/triangle checkpoints (bounded, not O(iters))
+        edges = [(1, 2), (2, 3), (3, 1), (1, 4), (2, 4), (3, 4), (7, 8)]
+        g = spark.createDataFrame(edges, "src long, dst long")
+        rel = sorted(tuple(r) for r in pagerank(g, iterations=12).collect())
+        n_dirs = len(rdd_dirs(tmp_path / "ckpt"))
+        assert n_dirs <= 4, f"checkpoint dirs grew with iterations: {n_dirs}"
+    finally:
+        sc.setCheckpointDir(None)
+    loc = sorted(tuple(r) for r in pagerank(g, iterations=12).collect())
+    assert rel == loc
 
 
 def test_bpe_batched_recount_identical_merges(spark):
