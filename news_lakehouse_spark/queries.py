@@ -4922,6 +4922,81 @@ GROUP BY month ORDER BY month
 """
 
 
+def x_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-partitioned join (operators/spj.py): two versioned
+    tables sharing ``bucket(8, custkey)`` join with ZERO shuffle
+    exchanges — per-bucket file groups are planned from the two
+    manifests and joined one task per bucket (Iceberg SPJ /
+    SPARK-37377 analog). The reference's merge-key joins
+    (spark_jobs/silver_to_gold.py) are plain shuffled equi-joins; at
+    100 TB the shuffle of two co-bucketed tables is pure waste, and
+    this is the layout-aware path that removes it.
+
+    Script: orders(1995) bucketed by o_custkey and customer bucketed
+    by c_custkey, both bucket(8); the SPJ inner-join on the key pair
+    is asserted in-plan to (a) take the fast path (stats) and (b)
+    contain NO Exchange node anywhere in the executed plan — the only
+    distributed rows are the 8 bucket ids. Filters/projection on top
+    stay exchange-free. Falls back transparently when specs diverge
+    (tested in tests/test_spj.py); the oracle recomputes the join from
+    the raw tables."""
+    from news_lakehouse_spark.operators.spj import (
+        storage_partitioned_join,
+    )
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").between("1995-01-01", "1995-12-31"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    ot = VersionedParquetTable(spark, _tmp_table_path("spj_orders", sf_dir))
+    ct = VersionedParquetTable(spark, _tmp_table_path("spj_cust", sf_dir))
+    ot.write(orders, partition_by=["bucket(8, o_custkey)"])
+    ct.write(cust, partition_by=["bucket(8, c_custkey)"])
+    st: dict = {}
+    with _op_phase("x_bucket_join", "spj_join"):
+        joined = storage_partitioned_join(
+            ot,
+            ct,
+            [("o_custkey", "c_custkey")],
+            left_columns=["o_orderkey", "o_custkey", "o_totalprice"],
+            right_columns=["c_name", "c_acctbal"],
+            stats=st,
+        )
+        out = (
+            joined.filter(
+                (F.col("o_totalprice") > 150000) & (F.col("c_acctbal") < 0)
+            )
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                F.round("o_totalprice", 2).alias("price"),
+                "c_name",
+                F.round("c_acctbal", 2).alias("acctbal"),
+            )
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    assert st.get("strategy") == "spj", f"SPJ fast path not taken: {st}"
+    assert "Exchange" not in plan, (
+        "storage-partitioned join plan contains a shuffle:\n" + plan
+    )
+    return out
+
+
+_BUCKET_JOIN_SQL = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price,
+       c_name, ROUND(c_acctbal, 2) AS acctbal
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                      AND TIMESTAMP '1995-12-31'
+  AND o_totalprice > 150000 AND c_acctbal < 0
+"""
+
+
 def x_changes_across_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change feed SPANNING a compaction commit
     (sources/transaction.py changes() + compact()): compaction rewrites
@@ -8870,6 +8945,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_stats_pruned_read": x_stats_pruned_read,
     "x_zorder_pruned_read": x_zorder_pruned_read,
     "x_hidden_partitioning": x_hidden_partitioning,
+    "x_bucket_join": x_bucket_join,
     "x_changes_across_compact": x_changes_across_compact,
     "a4_rollup": a4_rollup,
     "a5_cube": a5_cube,
@@ -9093,5 +9169,6 @@ ORACLES: dict[str, str] = {
     "x_stats_pruned_read": _STATS_PRUNE_SQL,
     "x_zorder_pruned_read": _ZORDER_PRUNE_SQL,
     "x_hidden_partitioning": _HIDDEN_PARTITIONING_SQL,
+    "x_bucket_join": _BUCKET_JOIN_SQL,
     "x_changes_across_compact": _CHANGES_COMPACT_SQL,
 }
