@@ -156,6 +156,9 @@ EXTENDED = [
     "x_hidden_partitioning",
     "x_join_ivm",
     "x_check_constraints",
+    # round-11 additions (storage-partitioned join on shared bucket
+    # specs — zero-shuffle manifest-aligned join):
+    "x_bucket_join",
 ]
 
 
@@ -269,6 +272,57 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     extended = time_queries(EXTENDED)
 
+    # Outlier auto-rerun (r10 verdict Next #7): the host shows a
+    # recurring transient-stall class that concentrates on one query
+    # family per invocation (r9/r10: stateful streaming 1.5-3x slow in
+    # one run, normal the next, canaries fast throughout) — previously
+    # adjudicated by hand-merging two full invocations. Mechanized:
+    # when a query's min exceeds its last committed round value >1.5x
+    # while the cpu canary moved <1.2x (so the host, not the plan, is
+    # the only suspect), rerun that query once and keep the overall
+    # min. A REAL regression reproduces on the rerun and stays visible.
+    rerun_note: dict[str, dict] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        prior_rounds = sorted(
+            int(f[len("BENCH_LOCAL_r"):-len(".json")])
+            for f in os.listdir(here)
+            if f.startswith("BENCH_LOCAL_r") and f.endswith(".json")
+        )
+        with open(
+            os.path.join(here, f"BENCH_LOCAL_r{prior_rounds[-1]}.json")
+        ) as fh:
+            prior = json.load(fh)
+        prior_q = {**prior.get("queries", {}), **prior.get("extended", {})}
+        prior_cpu = prior.get("host_canaries", {}).get(
+            "cpu", prior.get("host_canary_sec")
+        )
+    except (IndexError, OSError, ValueError, KeyError):
+        prior_q, prior_cpu = {}, None
+    cpu_ok = (
+        prior_cpu is not None
+        and canaries["cpu"] < 1.2 * float(prior_cpu)
+    )
+    if cpu_ok:
+        for book in (timings, extended):
+            for name, sec in list(book.items()):
+                p = prior_q.get(name)
+                if p is None or sec <= 1.5 * float(p):
+                    continue
+                again = time_queries([name])[name]
+                book[name] = min(sec, again)
+                rerun_note[name] = {
+                    "first_min": sec,
+                    "rerun_min": again,
+                    "prior_round": float(p),
+                }
+                print(
+                    f"# outlier rerun {name}: {sec:.3f} -> "
+                    f"{book[name]:.3f} (prior {p})",
+                    file=sys.stderr,
+                )
+        total = round(sum(timings.values()), 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -290,6 +344,10 @@ def main() -> None:
         # driver_meta model the IO- and metadata-bound query classes
         # the cpu canary proved blind to (r9 bisect, PLANS.md)
         "host_canaries": canaries,
+        # queries auto-rerun after tripping the >1.5x-vs-prior-round
+        # check with a <1.2x cpu canary (transient host stalls; see
+        # comment at the rerun loop). Empty = nothing tripped.
+        "rerun_note": rerun_note,
         # operator-only spans for the multi-commit table-layer queries
         # (min across this process's runs): their bench rows carry
         # O(setup-commits) fixture noise; a regression in
