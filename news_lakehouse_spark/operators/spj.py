@@ -86,6 +86,53 @@ def _norm_on(on) -> list[tuple[str, str]]:
     return out
 
 
+_ARROW_OPS = {"=", "<", "<=", ">", ">=", "in", "between"}
+
+
+def _pred_to_arrow(pred):
+    """files_for-grammar predicate -> pyarrow.parquet filters
+    conjunction (row-group pruning + row filtering in the scan)."""
+    out = []
+    for c, op, v in pred:
+        if op == "=":
+            out.append((c, "==", v))
+        elif op == "in":
+            out.append((c, "in", list(v)))
+        elif op == "between":
+            lo, hi = v
+            out.append((c, ">=", lo))
+            out.append((c, "<=", hi))
+        else:
+            out.append((c, op, v))
+    return out or None
+
+
+def _pred_to_column(pred):
+    """files_for-grammar predicate -> Spark Column (the row filter the
+    fallback join applies so both paths return identical rows)."""
+    cond = None
+    for c, op, v in pred:
+        col = F.col(c)
+        if op == "=":
+            e = col == v
+        elif op == "<":
+            e = col < v
+        elif op == "<=":
+            e = col <= v
+        elif op == ">":
+            e = col > v
+        elif op == ">=":
+            e = col >= v
+        elif op == "in":
+            e = col.isin(list(v))
+        elif op == "between":
+            e = col.between(v[0], v[1])
+        else:  # pragma: no cover - guarded by _ARROW_OPS check
+            raise ValueError(f"unsupported predicate op {op!r}")
+        cond = e if cond is None else (cond & e)
+    return cond
+
+
 def _bucket_field(root: dict, keys: set[str]):
     """The bucket PartitionField of the CURRENT spec whose source is a
     join key, or None."""
@@ -96,7 +143,10 @@ def _bucket_field(root: dict, keys: set[str]):
 
 
 def _spj_plan(
-    table: VersionedParquetTable, version: int | None, keys: set[str]
+    table: VersionedParquetTable,
+    version: int | None,
+    keys: set[str],
+    predicate=None,
 ):
     """(root, files, schema, bucket_field, reason) — reason is None
     when this side is SPJ-eligible."""
@@ -106,7 +156,7 @@ def _spj_plan(
         raise FileNotFoundError(f"no committed version at {table.path}")
     root = table._load_root(v)
     schema = StructType.fromJson(root["schema"])
-    files = table.files_for(v)
+    files = table.files_for(v, predicate=predicate)
     bf = _bucket_field(root, keys)
     if bf is None:
         return root, files, schema, None, "no bucket(n, join_key) in spec"
@@ -149,6 +199,8 @@ def storage_partitioned_join(
     how: str = "inner",
     left_columns: Sequence[str] | None = None,
     right_columns: Sequence[str] | None = None,
+    left_predicate: Sequence[tuple] | None = None,
+    right_predicate: Sequence[tuple] | None = None,
     version_left: int | None = None,
     version_right: int | None = None,
     stats: dict | None = None,
@@ -162,8 +214,17 @@ def storage_partitioned_join(
     key for the fast path). Output columns = selected left columns
     then selected right columns minus the right-side join keys
     (Spark's ``join(..., on="k")`` shape). ``how``: ``inner`` or
-    ``left``. ``stats`` (optional dict) receives ``strategy``
-    (``"spj"`` | ``"shuffle"``), ``reason`` on fallback, and
+    ``left``. ``left_predicate`` / ``right_predicate`` (files_for
+    grammar: ``[(col, op, value), ...]`` ANDed, ops ``= < <= > >= in
+    between``) filter each side BEFORE the join on both paths; on the
+    fast path they additionally prune whole files through the
+    manifest's bounds/transform tests and reach the pyarrow scan as
+    row-group filters — predicate pushdown all the way down, exactly
+    what a 100 TB probe needs. A ``right_predicate`` under
+    ``how="left"`` filters the right side first (rows failing it
+    null-fill), matching ``read().filter(...).join(..., "left")``.
+    ``stats`` (optional dict) receives ``strategy`` (``"spj"`` |
+    ``"shuffle"``), ``reason`` on fallback, and
     ``n_buckets``/``n_tasks`` on the fast path.
     """
     if how not in ("inner", "left"):
@@ -172,12 +233,19 @@ def storage_partitioned_join(
     lkeys = [p[0] for p in pairs]
     rkeys = [p[1] for p in pairs]
     spark: SparkSession = left.spark
+    for pred in (left_predicate, right_predicate):
+        bad = [op for _c, op, _v in (pred or []) if op not in _ARROW_OPS]
+        if bad:
+            raise ValueError(
+                f"unsupported predicate op(s) {bad!r}; "
+                f"supported: {sorted(_ARROW_OPS)}"
+            )
 
     lroot, lfiles, lschema, lbf, lwhy = _spj_plan(
-        left, version_left, set(lkeys)
+        left, version_left, set(lkeys), left_predicate
     )
     rroot, rfiles, rschema, rbf, rwhy = _spj_plan(
-        right, version_right, set(rkeys)
+        right, version_right, set(rkeys), right_predicate
     )
 
     lcols = list(left_columns) if left_columns else [f.name for f in lschema]
@@ -229,8 +297,14 @@ def storage_partitioned_join(
         if stats is not None:
             stats.update({"strategy": "shuffle", "reason": reason})
         cond = None
-        ldf = left.read(version_left).select(*lcols).alias("l")
-        rdf = right.read(version_right).select(*rcols).alias("r")
+        ldf = left.read(version_left, predicate=left_predicate)
+        if left_predicate:
+            ldf = ldf.filter(_pred_to_column(left_predicate))
+        rdf = right.read(version_right, predicate=right_predicate)
+        if right_predicate:
+            rdf = rdf.filter(_pred_to_column(right_predicate))
+        ldf = ldf.select(*lcols).alias("l")
+        rdf = rdf.select(*rcols).alias("r")
         for lc, rc in pairs:
             c = F.col(f"l.{lc}") == F.col(f"r.{rc}")
             cond = c if cond is None else (cond & c)
@@ -277,6 +351,11 @@ def storage_partitioned_join(
     lkeys_c, rkeys_c, how_c, r_out_c = (
         list(lkeys), list(rkeys), how, list(r_out),
     )
+    # predicate columns must be read even when not selected, then
+    # dropped post-filter — pyarrow applies filters only over the
+    # requested columns' dataset scan
+    lfilt = _pred_to_arrow(list(left_predicate or []))
+    rfilt = _pred_to_arrow(list(right_predicate or []))
     try:
         from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -291,8 +370,8 @@ def storage_partitioned_join(
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        def read_cols(path, cols):
-            t = pq.read_table(path, columns=cols)
+        def read_cols(path, cols, filt):
+            t = pq.read_table(path, columns=cols, filters=filt)
             return t.select(cols)
 
         for pdf in batches:
@@ -300,12 +379,15 @@ def storage_partitioned_join(
                 probe_paths, build_paths = plan[int(b)]
                 if build_paths:
                     build = pa.concat_tables(
-                        [read_cols(p, build_cols) for p in build_paths]
+                        [
+                            read_cols(p, build_cols, rfilt)
+                            for p in build_paths
+                        ]
                     ).to_pandas(types_mapper=pd.ArrowDtype)
                 else:
                     build = None
                 for path in probe_paths:
-                    probe = read_cols(path, probe_cols).to_pandas(
+                    probe = read_cols(path, probe_cols, lfilt).to_pandas(
                         types_mapper=pd.ArrowDtype
                     )
                     if build is None or not len(build):

@@ -4959,25 +4959,25 @@ def x_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct.write(cust, partition_by=["bucket(8, c_custkey)"])
     st: dict = {}
     with _op_phase("x_bucket_join", "spj_join"):
+        # the filters ride the SPJ predicate path: manifest bounds
+        # prune whole files, pyarrow prunes row groups, and the rows
+        # that survive never shuffle — pushdown all the way down
         joined = storage_partitioned_join(
             ot,
             ct,
             [("o_custkey", "c_custkey")],
             left_columns=["o_orderkey", "o_custkey", "o_totalprice"],
             right_columns=["c_name", "c_acctbal"],
+            left_predicate=[("o_totalprice", ">", 150000.0)],
+            right_predicate=[("c_acctbal", "<", 0.0)],
             stats=st,
         )
-        out = (
-            joined.filter(
-                (F.col("o_totalprice") > 150000) & (F.col("c_acctbal") < 0)
-            )
-            .select(
-                "o_orderkey",
-                "o_custkey",
-                F.round("o_totalprice", 2).alias("price"),
-                "c_name",
-                F.round("c_acctbal", 2).alias("acctbal"),
-            )
+        out = joined.select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("price"),
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
     assert st.get("strategy") == "spj", f"SPJ fast path not taken: {st}"

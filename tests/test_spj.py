@@ -173,6 +173,61 @@ def test_spj_fallbacks_keep_semantics(spark, tmp_path):
     )
 
 
+def test_spj_predicate_pushdown_both_paths(spark, tables):
+    lt, rt = tables
+    lp = [("price", ">", 300.0)]
+    rp = [("segment", "in", [1, 3]), ("ck", "between", (5, 35))]
+    exp = (
+        _orders(spark)
+        .filter(F.col("price") > 300.0)
+        .join(
+            _custs(spark).filter(
+                F.col("segment").isin(1, 3) & F.col("ck").between(5, 35)
+            ),
+            "ck",
+        )
+        .select("ok", "ck", "price", "name", "segment")
+    )
+    st = {}
+    out = storage_partitioned_join(
+        lt, rt, "ck", left_predicate=lp, right_predicate=rp, stats=st
+    )
+    assert st["strategy"] == "spj"
+    got = out.select("ok", "ck", "price", "name", "segment")
+    assert _rows(got) == _rows(exp)
+    assert _no_exchange(out)
+
+    # left join: the right predicate filters BEFORE the join, so rows
+    # matching the key but failing the predicate null-fill
+    st = {}
+    outl = storage_partitioned_join(
+        lt, rt, "ck", how="left", right_predicate=rp, stats=st
+    )
+    expl = _orders(spark).join(
+        _custs(spark).filter(
+            F.col("segment").isin(1, 3) & F.col("ck").between(5, 35)
+        ),
+        "ck",
+        "left",
+    ).select(*outl.columns)
+    assert _rows(outl) == _rows(expl)
+
+    # same predicates through the fallback path match too
+    rt8 = VersionedParquetTable(spark, rt.path + "_n8")
+    rt8.write(_custs(spark), partition_by=["bucket(8, ck)"])
+    st = {}
+    outf = storage_partitioned_join(
+        lt, rt8, "ck", left_predicate=lp, right_predicate=rp, stats=st
+    )
+    assert st["strategy"] == "shuffle"
+    assert _rows(outf.select("ok", "ck", "price", "name", "segment")) == _rows(exp)
+
+    with pytest.raises(ValueError, match="unsupported predicate"):
+        storage_partitioned_join(
+            lt, rt, "ck", left_predicate=[("price", "like", "x")]
+        )
+
+
 def test_spj_rejects_ambiguous_and_bad_args(spark, tables):
     lt, rt = tables
     with pytest.raises(ValueError, match="how"):
