@@ -156,9 +156,10 @@ EXTENDED = [
     "x_hidden_partitioning",
     "x_join_ivm",
     "x_check_constraints",
-    # round-11 additions (storage-partitioned join on shared bucket
-    # specs — zero-shuffle manifest-aligned join):
+    # round-11 additions (storage-partitioned join + aggregation on
+    # bucket specs — zero-shuffle manifest-aligned plans):
     "x_bucket_join",
+    "x_bucket_agg",
 ]
 
 

@@ -67,7 +67,7 @@ from news_lakehouse_spark.sources.transaction import (
     _frag_columns,
 )
 
-__all__ = ["storage_partitioned_join"]
+__all__ = ["storage_partitioned_join", "storage_partitioned_agg"]
 
 
 def _norm_on(on) -> list[tuple[str, str]]:
@@ -429,3 +429,164 @@ def storage_partitioned_join(
     )
     spec_df = spark.createDataFrame(spec_rdd, "bucket int")
     return spec_df.mapInPandas(_join_bucket, schema=out_schema)
+
+
+_AGG_FNS = {"sum", "count", "min", "max", "avg"}
+
+
+def storage_partitioned_agg(
+    table: VersionedParquetTable,
+    group_by: Sequence[str],
+    aggs: dict,
+    *,
+    predicate: Sequence[tuple] | None = None,
+    version: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """GROUP BY with zero shuffle when the table is bucketed on a
+    grouping column (the storage-partitioned AGGREGATION analog of
+    :func:`storage_partitioned_join` — Spark 3.4's SPJ work extends to
+    exactly this pushdown for v2 sources, SPARK-40086).
+
+    Every row with the same value of the bucketed column lives in one
+    bucket (``pmod(xxhash64(col), n)`` is a function of the value), so
+    when that column is in ``group_by`` NO group spans buckets and a
+    per-bucket aggregation is already final: one task per bucket
+    computes its groups from aligned manifest file groups and the plan
+    carries no Exchange. A generic Catalyst ``groupBy`` must shuffle
+    one partial-aggregate row per (group, partition) — at 100 TB with
+    a high-cardinality key (per-customer, per-document rollups) that
+    shuffle IS the query; here it is zero.
+
+    ``aggs``: ``{out_name: (col, fn)}`` with fn in sum | count | min |
+    max | avg (count counts non-nulls, Spark's ``F.count(col)``;
+    ``(None, "count")`` counts rows). ``predicate`` filters rows
+    before aggregation on both paths (files_for grammar — manifest
+    file pruning + pyarrow row-group filters on the fast path).
+    Falls back to the ordinary Catalyst aggregation under the same
+    metadata conditions as the join (``stats["strategy"]`` tells
+    which path ran).
+    """
+    from pyspark.sql.types import DoubleType, LongType, StructField
+
+    group_by = list(group_by)
+    if not group_by:
+        raise ValueError("group_by must name at least one column")
+    for name, (col, fn) in aggs.items():
+        if fn not in _AGG_FNS:
+            raise ValueError(
+                f"agg {name!r}: fn must be one of {sorted(_AGG_FNS)}"
+            )
+        if col is None and fn != "count":
+            raise ValueError(f"agg {name!r}: col=None only valid for count")
+    bad = [op for _c, op, _v in (predicate or []) if op not in _ARROW_OPS]
+    if bad:
+        raise ValueError(
+            f"unsupported predicate op(s) {bad!r}; "
+            f"supported: {sorted(_ARROW_OPS)}"
+        )
+    spark: SparkSession = table.spark
+
+    root, files, schema, bf, why = _spj_plan(
+        table, version, set(group_by), predicate
+    )
+    names = schema.fieldNames()
+    missing = [c for c in group_by if c not in names] + [
+        c for (c, _f) in aggs.values() if c is not None and c not in names
+    ]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    types = {f.name: f for f in schema.fields}
+
+    def _agg_field(name: str, col: str | None, fn: str) -> StructField:
+        if fn == "count":
+            return StructField(name, LongType(), False)
+        if fn == "avg":
+            return StructField(name, DoubleType(), True)
+        src = types[col].dataType
+        if fn == "sum" and src.simpleString() in (
+            "tinyint", "smallint", "int", "bigint"
+        ):
+            return StructField(name, LongType(), True)
+        return StructField(name, src, True)
+
+    out_schema = StructType(
+        [types[c] for c in group_by]
+        + [_agg_field(n, c, f) for n, (c, f) in aggs.items()]
+    )
+    out_names = [f.name for f in out_schema.fields]
+
+    if why is not None:
+        if stats is not None:
+            stats.update({"strategy": "shuffle", "reason": why})
+        df = table.read(version, predicate=predicate)
+        if predicate:
+            df = df.filter(_pred_to_column(predicate))
+        exprs = []
+        for n, (c, f) in aggs.items():
+            if f == "count":
+                e = F.count(F.lit(1)) if c is None else F.count(F.col(c))
+            else:
+                e = getattr(F, f)(F.col(c))
+            exprs.append(e.cast(out_schema[n].dataType).alias(n))
+        return df.groupBy(*group_by).agg(*exprs).select(*out_names)
+
+    buckets = _buckets_of(table.path, files, bf.name)
+    bucket_ids = sorted(buckets)
+    if stats is not None:
+        stats.update(
+            {
+                "strategy": "spa",
+                "n_buckets": int(bf.param),
+                "n_tasks": len(bucket_ids),
+            }
+        )
+    if not bucket_ids:
+        return spark.createDataFrame([], out_schema)
+
+    need = sorted(
+        set(group_by)
+        | {c for (c, _f) in aggs.values() if c is not None}
+    )
+    filt = _pred_to_arrow(list(predicate or []))
+    plan = dict(buckets)
+    gcols = list(group_by)
+    agg_items = [(n, c, f) for n, (c, f) in aggs.items()]
+
+    def _agg_bucket(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for b in pdf["bucket"].tolist():
+                tbl = pa.concat_tables(
+                    [
+                        pq.read_table(p, columns=need, filters=filt)
+                        .select(need)
+                        for p in plan[int(b)]
+                    ]
+                )
+                df = tbl.to_pandas(types_mapper=pd.ArrowDtype)
+                if not len(df):
+                    continue
+                # dropna=False: Spark keeps null grouping keys
+                g = df.groupby(gcols, dropna=False, sort=False)
+                cols = {}
+                for n, c, f in agg_items:
+                    if f == "count":
+                        cols[n] = (
+                            g.size() if c is None else g[c].count()
+                        )
+                    elif f == "avg":
+                        cols[n] = g[c].mean()
+                    else:
+                        cols[n] = getattr(g[c], f)()
+                out = pd.DataFrame(cols).reset_index()
+                yield out[out_names]
+
+    spec_rdd = spark.sparkContext.parallelize(
+        [(b,) for b in bucket_ids], len(bucket_ids)
+    )
+    spec_df = spark.createDataFrame(spec_rdd, "bucket int")
+    return spec_df.mapInPandas(_agg_bucket, schema=out_schema)

@@ -4987,6 +4987,78 @@ def x_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def x_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-partitioned AGGREGATION (operators/spj.py
+    storage_partitioned_agg): GROUP BY on a bucketed column with ZERO
+    shuffle — every row with the same key value lives in one bucket
+    (``pmod(xxhash64(key), n)`` is a function of the value), so no
+    group spans buckets and one task per bucket computes FINAL
+    aggregates from manifest-aligned file groups (the SPARK-40086
+    SPJ-aggregate pushdown shape). A Catalyst groupBy must shuffle one
+    partial row per (group, partition); with a high-cardinality key
+    (per-customer rollups — this query) that shuffle IS the cost at
+    100 TB, and here it is zero.
+
+    Script: the 1995 orders slice bucketed by o_custkey (8 buckets);
+    per-customer count/sum/max/avg over a pushed predicate
+    (o_totalprice > 50000 — pruned at manifest bounds AND pyarrow
+    row groups). Asserted in-plan: the fast path ran and the executed
+    plan holds no Exchange node. Oracle recomputes the GROUP BY from
+    the raw table."""
+    from news_lakehouse_spark.operators.spj import (
+        storage_partitioned_agg,
+    )
+    from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").between("1995-01-01", "1995-12-31"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    t = VersionedParquetTable(spark, _tmp_table_path("spa_orders", sf_dir))
+    t.write(orders, partition_by=["bucket(8, o_custkey)"])
+    st: dict = {}
+    with _op_phase("x_bucket_agg", "spa_groupby"):
+        agg = storage_partitioned_agg(
+            t,
+            ["o_custkey"],
+            {
+                "cnt": (None, "count"),
+                "total_price": ("o_totalprice", "sum"),
+                "max_price": ("o_totalprice", "max"),
+                "avg_price": ("o_totalprice", "avg"),
+            },
+            predicate=[("o_totalprice", ">", 50000.0)],
+            stats=st,
+        )
+        out = agg.select(
+            "o_custkey",
+            "cnt",
+            F.round("total_price", 2).alias("total_price"),
+            F.round("max_price", 2).alias("max_price"),
+            F.round("avg_price", 6).alias("avg_price"),
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    assert st.get("strategy") == "spa", f"SPA fast path not taken: {st}"
+    assert "Exchange" not in plan, (
+        "storage-partitioned aggregation plan contains a shuffle:\n" + plan
+    )
+    return out
+
+
+_BUCKET_AGG_SQL = """
+SELECT o_custkey, COUNT(*) AS cnt,
+       ROUND(SUM(o_totalprice), 2) AS total_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price,
+       ROUND(AVG(o_totalprice), 6) AS avg_price
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                      AND TIMESTAMP '1995-12-31'
+  AND o_totalprice > 50000
+GROUP BY o_custkey
+"""
+
+
 _BUCKET_JOIN_SQL = """
 SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price,
        c_name, ROUND(c_acctbal, 2) AS acctbal
@@ -8946,6 +9018,7 @@ QUERIES: dict[str, QueryFn] = {
     "x_zorder_pruned_read": x_zorder_pruned_read,
     "x_hidden_partitioning": x_hidden_partitioning,
     "x_bucket_join": x_bucket_join,
+    "x_bucket_agg": x_bucket_agg,
     "x_changes_across_compact": x_changes_across_compact,
     "a4_rollup": a4_rollup,
     "a5_cube": a5_cube,
@@ -9170,5 +9243,6 @@ ORACLES: dict[str, str] = {
     "x_zorder_pruned_read": _ZORDER_PRUNE_SQL,
     "x_hidden_partitioning": _HIDDEN_PARTITIONING_SQL,
     "x_bucket_join": _BUCKET_JOIN_SQL,
+    "x_bucket_agg": _BUCKET_AGG_SQL,
     "x_changes_across_compact": _CHANGES_COMPACT_SQL,
 }

@@ -12,7 +12,10 @@ from news_lakehouse_spark.sources.transaction import VersionedParquetTable
 
 
 def _rows(df):
-    return sorted(tuple(r) for r in df.collect())
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
 
 
 def _orders(spark, n=200):
@@ -239,3 +242,89 @@ def test_spj_rejects_ambiguous_and_bad_args(spark, tables):
         # both sides carry a non-key overlapping name when joining a
         # table to itself without column selections
         storage_partitioned_join(lt2, lt2, "ck")
+
+
+def test_spa_matches_catalyst_and_never_shuffles(spark, tmp_path):
+    from news_lakehouse_spark.operators.spj import storage_partitioned_agg
+
+    t = VersionedParquetTable(spark, str(tmp_path / "t"))
+    df = _orders(spark).withColumn(
+        # null prices + a null grouping key: Spark keeps null groups,
+        # counts must skip null values
+        "price",
+        F.when(F.col("ok") % 7 == 0, None).otherwise(F.col("price")),
+    ).withColumn(
+        "ck", F.when(F.col("ok") % 31 == 0, None).otherwise(F.col("ck"))
+    )
+    t.write(df, partition_by=["bucket(4, ck)"])
+    st = {}
+    out = storage_partitioned_agg(
+        t,
+        ["ck"],
+        {
+            "n": (None, "count"),
+            "n_price": ("price", "count"),
+            "total": ("price", "sum"),
+            "hi": ("price", "max"),
+            "lo": ("price", "min"),
+            "mean": ("price", "avg"),
+        },
+        stats=st,
+    )
+    assert st["strategy"] == "spa" and st["n_buckets"] == 4
+    exp = df.groupBy("ck").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("price").alias("n_price"),
+        F.sum("price").alias("total"),
+        F.max("price").alias("hi"),
+        F.min("price").alias("lo"),
+        F.avg("price").alias("mean"),
+    )
+    r = lambda d: sorted(
+        (
+            (x[0], x[1], x[2], None if x[3] is None else round(x[3], 6),
+             x[4], x[5], None if x[6] is None else round(x[6], 6))
+            for x in (tuple(row) for row in d.collect())
+        ),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
+    assert r(out) == r(exp)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    # multi-column grouping (bucket col + another) stays bucket-local
+    st = {}
+    out2 = storage_partitioned_agg(
+        t, ["ck", "ok"], {"n": (None, "count")}, stats=st
+    )
+    assert st["strategy"] == "spa"
+    exp2 = df.groupBy("ck", "ok").agg(F.count(F.lit(1)).alias("n"))
+    assert _rows(out2) == _rows(exp2)
+
+    # predicate filters before aggregation on both paths
+    st = {}
+    out3 = storage_partitioned_agg(
+        t, ["ck"], {"total": ("price", "sum")},
+        predicate=[("price", ">", 100.0)], stats=st,
+    )
+    assert st["strategy"] == "spa"
+    exp3 = (
+        df.filter(F.col("price") > 100.0)
+        .groupBy("ck").agg(F.sum("price").alias("total"))
+    )
+    assert _rows(out3) == _rows(exp3)
+
+    # fallback: grouping on a non-bucketed column
+    st = {}
+    out4 = storage_partitioned_agg(
+        t, ["ok"], {"n": (None, "count")}, stats=st
+    )
+    assert st["strategy"] == "shuffle"
+    assert _rows(out4) == _rows(
+        df.groupBy("ok").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    with pytest.raises(ValueError, match="fn must be"):
+        storage_partitioned_agg(t, ["ck"], {"x": ("price", "median")})
+    with pytest.raises(ValueError, match="unknown"):
+        storage_partitioned_agg(t, ["nope"], {"n": (None, "count")})
