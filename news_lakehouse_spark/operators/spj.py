@@ -431,7 +431,7 @@ def storage_partitioned_join(
     return spec_df.mapInPandas(_join_bucket, schema=out_schema)
 
 
-_AGG_FNS = {"sum", "count", "min", "max", "avg"}
+_AGG_FNS = {"sum", "count", "min", "max", "avg", "count_distinct"}
 
 
 def storage_partitioned_agg(
@@ -459,8 +459,11 @@ def storage_partitioned_agg(
     shuffle IS the query; here it is zero.
 
     ``aggs``: ``{out_name: (col, fn)}`` with fn in sum | count | min |
-    max | avg (count counts non-nulls, Spark's ``F.count(col)``;
-    ``(None, "count")`` counts rows). ``predicate`` filters rows
+    max | avg | count_distinct (count counts non-nulls, Spark's
+    ``F.count(col)``; ``(None, "count")`` counts rows;
+    count_distinct is EXACT here — a group never spans buckets, so
+    per-bucket distinct is global distinct, with none of the
+    two-phase distinct-aggregate expansion Catalyst pays). ``predicate`` filters rows
     before aggregation on both paths (files_for grammar — manifest
     file pruning + pyarrow row-group filters on the fast path).
     Falls back to the ordinary Catalyst aggregation under the same
@@ -479,6 +482,8 @@ def storage_partitioned_agg(
             )
         if col is None and fn != "count":
             raise ValueError(f"agg {name!r}: col=None only valid for count")
+        if col is None and fn == "count_distinct":
+            raise ValueError(f"agg {name!r}: count_distinct needs a column")
     bad = [op for _c, op, _v in (predicate or []) if op not in _ARROW_OPS]
     if bad:
         raise ValueError(
@@ -499,7 +504,7 @@ def storage_partitioned_agg(
     types = {f.name: f for f in schema.fields}
 
     def _agg_field(name: str, col: str | None, fn: str) -> StructField:
-        if fn == "count":
+        if fn in ("count", "count_distinct"):
             return StructField(name, LongType(), False)
         if fn == "avg":
             return StructField(name, DoubleType(), True)
@@ -526,6 +531,8 @@ def storage_partitioned_agg(
         for n, (c, f) in aggs.items():
             if f == "count":
                 e = F.count(F.lit(1)) if c is None else F.count(F.col(c))
+            elif f == "count_distinct":
+                e = F.count_distinct(F.col(c))
             else:
                 e = getattr(F, f)(F.col(c))
             exprs.append(e.cast(out_schema[n].dataType).alias(n))
@@ -578,6 +585,8 @@ def storage_partitioned_agg(
                         cols[n] = (
                             g.size() if c is None else g[c].count()
                         )
+                    elif f == "count_distinct":
+                        cols[n] = g[c].nunique()
                     elif f == "avg":
                         cols[n] = g[c].mean()
                     else:

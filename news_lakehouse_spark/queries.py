@@ -5024,6 +5024,7 @@ def x_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["o_custkey"],
             {
                 "cnt": (None, "count"),
+                "n_price_levels": ("o_totalprice", "count_distinct"),
                 "total_price": ("o_totalprice", "sum"),
                 "max_price": ("o_totalprice", "max"),
                 "avg_price": ("o_totalprice", "avg"),
@@ -5034,6 +5035,7 @@ def x_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = agg.select(
             "o_custkey",
             "cnt",
+            "n_price_levels",
             F.round("total_price", 2).alias("total_price"),
             F.round("max_price", 2).alias("max_price"),
             F.round("avg_price", 6).alias("avg_price"),
@@ -5048,6 +5050,7 @@ def x_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BUCKET_AGG_SQL = """
 SELECT o_custkey, COUNT(*) AS cnt,
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_price_levels,
        ROUND(SUM(o_totalprice), 2) AS total_price,
        ROUND(MAX(o_totalprice), 2) AS max_price,
        ROUND(AVG(o_totalprice), 6) AS avg_price

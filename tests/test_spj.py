@@ -280,6 +280,16 @@ def test_spa_matches_catalyst_and_never_shuffles(spark, tmp_path):
         F.min("price").alias("lo"),
         F.avg("price").alias("mean"),
     )
+    # count_distinct: exact per bucket (groups never span buckets) and
+    # null-excluding, matching F.count_distinct
+    std = {}
+    outd = storage_partitioned_agg(
+        t, ["ck"], {"d": ("price", "count_distinct")}, stats=std
+    )
+    assert std["strategy"] == "spa"
+    assert _rows(outd) == _rows(
+        df.groupBy("ck").agg(F.count_distinct("price").alias("d"))
+    )
     r = lambda d: sorted(
         (
             (x[0], x[1], x[2], None if x[3] is None else round(x[3], 6),
