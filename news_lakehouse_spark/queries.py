@@ -3296,6 +3296,7 @@ def t_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from news_lakehouse_spark.sources.datasource import (
+        await_drain,
         register_versioned_table_source,
     )
     from news_lakehouse_spark.sources.transaction import (
@@ -3312,20 +3313,25 @@ def t_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = os.path.join(base, "sink")
 
     def drain(skip: bool = False) -> None:
-        r = spark.readStream.format("versioned_table").option(
-            "path", src.path
-        )
-        if skip:
-            r = r.option("skipChangeCommits", "true")
-        q = (
-            r.load()
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        def start():
+            r = spark.readStream.format("versioned_table").option(
+                "path", src.path
+            )
+            if skip:
+                r = r.option("skipChangeCommits", "true")
+            return (
+                r.load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        # retry the hardcoded 10 s python-worker connect-back window
+        # (sources/datasource.await_drain) — checkpoint-resumed, so
+        # exactly-once is unaffected
+        await_drain(start, timeout=300)
 
     src.append(orders.filter(F.col("o_orderkey") % 3 == 0))
     with _op_phase("t_datasource_stream", "stream_drains"):
@@ -3403,6 +3409,7 @@ def t_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from news_lakehouse_spark.sources.datasource import (
+        await_drain,
         register_versioned_table_source,
     )
     from news_lakehouse_spark.sources.transaction import (
@@ -3420,18 +3427,22 @@ def t_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt.append(orders.filter(F.col("o_orderkey") % 3 == 0))
 
     def drain() -> None:
-        q = (
-            spark.readStream.schema(
-                "o_orderkey long, o_orderstatus string, o_totalprice double"
+        def start():
+            return (
+                spark.readStream.schema(
+                    "o_orderkey long, o_orderstatus string, o_totalprice double"
+                )
+                .parquet(srcdir)
+                .writeStream.format("versioned_table")
+                .option("path", tgt.path)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-            .parquet(srcdir)
-            .writeStream.format("versioned_table")
-            .option("path", tgt.path)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+
+        # python-worker connect-back retry; (sinkId, batchId)
+        # idempotence makes the restart exactly-once
+        await_drain(start, timeout=300)
 
     orders.filter(F.col("o_orderkey") % 3 == 1).write.mode(
         "append"
@@ -8765,7 +8776,11 @@ def x_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (learned tokens are single PUA markers), so the token count is
     just ``length(rewritten)`` — the whole application path stays in
     codegen'd string expressions.  The oracle re-derives the same 4
-    merges and applies the same replace chain.
+    merges and applies the same replace chain.  recount_every=4 takes
+    the batched scan path (same as x_bpe_train): the learned merges
+    are provably identical to sequential training
+    (operators/bpe._exact_batch), so the sequential-unrolled oracle
+    still hash-matches while training pays ~4x fewer corpus scans.
     """
     from news_lakehouse_spark.operators.bpe import train_bpe_merges
 
@@ -8775,7 +8790,7 @@ def x_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("text").isNotNull())
     )
     with _op_phase("x_bpe_tokenize", "train_bpe_merges"):
-        merges = train_bpe_merges(d, "text", 4, min_freq=2)
+        merges = train_bpe_merges(d, "text", 4, min_freq=2, recount_every=4)
     col = F.col("text")
     for m in merges:
         col = F.replace(col, F.lit(m["left"] + m["right"]), F.lit(m["marker"]))

@@ -587,3 +587,38 @@ class VersionedTableDataSource(DataSource):
 def register_versioned_table_source(spark) -> None:
     """Idempotent session-level registration."""
     spark.dataSource.register(VersionedTableDataSource)
+
+
+def await_drain(start, timeout: int | None = None, retries: int = 2) -> None:
+    """Start a streaming query over the Python DataSource and await
+    termination, retrying a loaded-host cold-start failure.
+
+    Spark 4.1 hardcodes a 10 s connect-back window for the driver-side
+    Python planner worker (``PythonWorkerFactory.createSimpleWorker``,
+    verified against the shipped spark-core jar — not configurable);
+    on a contended host the very first Python-DataSource stream of a
+    process can miss it and the query dies in PLANNING with
+    ``SocketTimeoutException: Timed out while waiting for the Python
+    worker to connect back`` — before any micro-batch commits.
+    Restarting resumes from the checkpoint, so a bounded retry is
+    exactly-once-safe for every sink this engine drains into (parquet
+    sink commit log; versioned_table sink (sinkId, batchId)
+    idempotence).  ``start`` is a zero-arg callable returning a
+    STARTED StreamingQuery (so each retry re-plans from scratch).
+    Anything other than the connect-back signature re-raises
+    immediately.
+    """
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    for attempt in range(retries + 1):
+        q = start()
+        try:
+            if timeout is None:
+                q.awaitTermination()
+            else:
+                q.awaitTermination(timeout)
+            return
+        except StreamingQueryException as e:
+            if attempt < retries and "connect back" in str(e):
+                continue
+            raise

@@ -20,6 +20,7 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from news_lakehouse_spark.sources.datasource import (
+    await_drain,
     register_versioned_table_source,
 )
 from news_lakehouse_spark.sources.transaction import VersionedParquetTable
@@ -42,18 +43,22 @@ def table(spark, tmp_path):
 
 
 def _drain(spark, t, ckpt, out, skip=False):
-    r = spark.readStream.format("versioned_table").option("path", t.path)
-    if skip:
-        r = r.option("skipChangeCommits", "true")
-    q = (
-        r.load()
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    def start():
+        r = spark.readStream.format("versioned_table").option("path", t.path)
+        if skip:
+            r = r.option("skipChangeCommits", "true")
+        return (
+            r.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # loaded-host python-worker connect-back retry (exactly-once via
+    # the checkpoint; see sources/datasource.await_drain)
+    await_drain(start, timeout=120)
 
 
 def test_stream_snapshot_then_appends_exactly_once(spark, table, tmp_path):
@@ -122,20 +127,20 @@ def test_starting_version_tails_only(spark, table, tmp_path):
     v = table.latest_version()
     table.append(spark.createDataFrame([Row(k=3, d="c", v=30)]))
     ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
-    r = (
-        spark.readStream.format("versioned_table")
-        .option("path", table.path)
-        .option("startingVersion", str(v))
-        .load()
+    await_drain(
+        lambda: (
+            spark.readStream.format("versioned_table")
+            .option("path", table.path)
+            .option("startingVersion", str(v))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        ),
+        timeout=120,
     )
-    q = (
-        r.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
     assert _rows(spark.read.parquet(out)) == {(3, "c", 30)}
 
 
@@ -216,16 +221,18 @@ def test_stream_sink_appends_exactly_once(spark, table, tmp_path):
     spark.createDataFrame([Row(k=5, d="e", v=50)]).write.parquet(src)
 
     def run():
-        q = (
-            spark.readStream.schema("k long, d string, v long")
-            .parquet(src)
-            .writeStream.format("versioned_table")
-            .option("path", table.path)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+        await_drain(
+            lambda: (
+                spark.readStream.schema("k long, d string, v long")
+                .parquet(src)
+                .writeStream.format("versioned_table")
+                .option("path", table.path)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            ),
+            timeout=120,
         )
-        q.awaitTermination(120)
 
     run()
     assert (5, "e", 50) in _rows(table.read())
@@ -333,18 +340,20 @@ def test_table_to_table_streaming_pipeline(spark, table, tmp_path):
     ckpt = str(tmp_path / "ck")
 
     def drain():
-        q = (
-            spark.readStream.format("versioned_table")
-            .option("path", table.path)
-            .load()
-            .withColumn("v", (2 * F.col("v")).cast("long"))
-            .writeStream.format("versioned_table")
-            .option("path", tgt.path)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+        await_drain(
+            lambda: (
+                spark.readStream.format("versioned_table")
+                .option("path", table.path)
+                .load()
+                .withColumn("v", (2 * F.col("v")).cast("long"))
+                .writeStream.format("versioned_table")
+                .option("path", tgt.path)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            ),
+            timeout=120,
         )
-        q.awaitTermination(120)
 
     drain()  # snapshot batch: k=1,2 doubled
     assert _rows(tgt.read()) == {(1, "a", 20), (2, "b", 40)}
@@ -363,16 +372,18 @@ def test_stream_sink_fails_loud_on_mid_stream_evolution(spark, table, tmp_path):
     spark.createDataFrame([Row(k=10, d="x", v=100)]).write.parquet(src)
 
     def drain():
-        q = (
-            spark.readStream.schema("k long, d string, v long")
-            .parquet(src)
-            .writeStream.format("versioned_table")
-            .option("path", table.path)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+        await_drain(
+            lambda: (
+                spark.readStream.schema("k long, d string, v long")
+                .parquet(src)
+                .writeStream.format("versioned_table")
+                .option("path", table.path)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            ),
+            timeout=120,
         )
-        q.awaitTermination(120)
 
     drain()
     assert (10, "x", 100) in _rows(table.read())
