@@ -2322,12 +2322,40 @@ class VersionedParquetTable:
                 return out
 
             added, removed = union_all(adds), union_all(rems)
-        return (
-            added.exceptAll(removed)
-            .withColumn("_change_type", F.lit("insert"))
+        # Both multiset differences in ONE aggregation: tag each side
+        # with a +1/-1 sign, sum per distinct row, and replicate |net|
+        # times. Catalyst rewrites each exceptAll into exactly this
+        # union+aggregate+generate shape (RewriteExceptAll), so the
+        # prior added.exceptAll(removed) / removed.exceptAll(added)
+        # pair aggregated the SAME union twice; one signed pass halves
+        # the feed's shuffle and aggregation work with identical
+        # multiset semantics (net > 0 -> that many inserts, net < 0 ->
+        # that many deletes, net = 0 -> rewritten-but-unchanged row,
+        # dropped — same null/NaN row equality, it is the same
+        # Aggregate machinery).
+        cols = [f.name for f in schema.fields]
+        tagged = (
+            added.select(*cols)
+            .withColumn("__sign", F.lit(1).cast("long"))
             .unionByName(
-                removed.exceptAll(added).withColumn("_change_type", F.lit("delete"))
+                removed.select(*cols).withColumn(
+                    "__sign", F.lit(-1).cast("long")
+                )
             )
+        )
+        net = tagged.groupBy(*cols).agg(F.sum("__sign").alias("__net"))
+        return (
+            net.filter(F.col("__net") != 0)
+            .select(
+                *cols,
+                F.when(F.col("__net") > 0, F.lit("insert"))
+                .otherwise(F.lit("delete"))
+                .alias("_change_type"),
+                F.explode(
+                    F.sequence(F.lit(1).cast("long"), F.abs(F.col("__net")))
+                ).alias("__i"),
+            )
+            .drop("__i")
         )
 
     # --- commits ---------------------------------------------------------
@@ -4333,8 +4361,16 @@ class VersionedParquetTable:
                 .distinct()
                 .join(inserts.select(*keys).distinct(), keys, "left_anti")
             )
-            has_inserts = not inserts.isEmpty()
-            has_dead = not dead.isEmpty()
+            # ONE pass over the (persisted) feed decides both branches;
+            # the dead-key anti-join probe only runs when the feed has
+            # deletes at all (pure-upsert feeds — the common CDC case —
+            # skip that whole job)
+            kinds = {
+                r[0]
+                for r in feed.select("_change_type").distinct().collect()
+            }
+            has_inserts = "insert" in kinds
+            has_dead = "delete" in kinds and not dead.isEmpty()
             version = self.latest_version()
             if has_inserts:
                 version = self.merge(

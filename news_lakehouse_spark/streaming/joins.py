@@ -87,15 +87,34 @@ def run_interval_join_over_dir(
         interval=within,
         how=how,
     )
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    # Size the state-store partition count from the input like AQE
+    # would size a batch shuffle (streaming/statesize.py): a
+    # stream-stream join runs FOUR store instances per partition and
+    # every micro-batch pays a fixed commit cost per instance, so a
+    # session-core-count default overpays ~core/n_adaptive x on small
+    # drains while a TB-scale stream still gets the session ceiling.
+    # Results are partition-count-invariant (oracle-pinned); restarts
+    # keep the checkpoint's original count by Spark's own contract.
+    from news_lakehouse_spark.streaming.statesize import (
+        adaptive_state_partitions,
     )
-    q.awaitTermination()
+
+    n_parts = adaptive_state_partitions(spark, parquet_path, scans=2)
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, str(n_parts))
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prior)
     return spark.table(query_name)
 
 
@@ -147,13 +166,25 @@ def run_stream_dedup_over_dir(
     deduped = dedupe_stream_within_watermark(
         doubled, ["event_id"], ts_col="ts", watermark=watermark
     )
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    # input-adaptive state partitions (see run_interval_join_over_dir)
+    from news_lakehouse_spark.streaming.statesize import (
+        adaptive_state_partitions,
     )
-    q.awaitTermination()
+
+    n_parts = adaptive_state_partitions(spark, parquet_path, scans=2)
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, str(n_parts))
+    try:
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prior)
     return spark.table(query_name)

@@ -130,15 +130,28 @@ def run_user_stats_over_dir(
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
     stats = running_user_stats(stream)
-    q = (
-        stats.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    # input-adaptive state partitions (streaming/statesize.py; see
+    # joins.run_interval_join_over_dir for rationale)
+    from news_lakehouse_spark.streaming.statesize import (
+        adaptive_state_partitions,
     )
-    q.awaitTermination()
+
+    n_parts = adaptive_state_partitions(spark, parquet_path)
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, str(n_parts))
+    try:
+        q = (
+            stats.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prior)
 
     from pyspark.sql.window import Window as W
 
