@@ -45,10 +45,39 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _attempt_guard(c: Column, fmt: str) -> Column | None:
+    """A NECESSARY condition for ``fmt`` to parse ``c`` — a cheap
+    contains() on a literal the pattern requires verbatim. When the
+    guard is false the parse attempt *provably* returns NULL, so
+    skipping it is result-identical; when true the attempt runs
+    unchanged. This turns the 12-branch cascade's worst case (a row
+    paying every failed DateTimeFormatter parse) into at most the
+    attempts whose separator family matches the string."""
+    if "'T'" in fmt:
+        return c.contains("T")  # literal 'T' must appear in the input
+    if "/" in fmt:
+        return c.contains("/")  # literal '/' must appear
+    if "-" in fmt:
+        return c.contains("-")  # literal '-' must appear
+    return None
+
+
 def parse_timestamp_formats(col: Column | str, formats: tuple[str, ...] = TS_FORMATS) -> Column:
-    """D1: first format that parses wins; bare to_timestamp as fallback."""
+    """D1: first format that parses wins; bare to_timestamp as fallback.
+
+    Each attempt is wrapped in a literal-separator guard
+    (:func:`_attempt_guard`): a false guard yields NULL exactly like
+    the failed parse it replaces, so the coalesce result is
+    bit-identical while a typical dirty row now runs 1-6 real parse
+    attempts instead of up to 12 (tests/test_timestamps.py pins
+    cascade semantics; the D1 oracle pins it end-to-end).
+    """
     c = _c(col)
-    attempts = [F.try_to_timestamp(c, F.lit(f)) for f in formats]
+    attempts = []
+    for f in formats:
+        att = F.try_to_timestamp(c, F.lit(f))
+        g = _attempt_guard(c, f)
+        attempts.append(F.when(g, att) if g is not None else att)
     attempts.append(F.try_to_timestamp(c))
     return F.coalesce(*attempts)
 
@@ -134,4 +163,9 @@ def parse_timestamp_any(col: Column | str) -> Column:
     Vietnamese normalizer, then the multi-format cascade.
     """
     c = _c(col)
-    return F.coalesce(parse_epoch(c), parse_vn_datetime(c), parse_timestamp_formats(c))
+    # The VN normalizer's match requires a d/M/yyyy group, so a string
+    # without '/' can never produce a non-NULL parse — guard the whole
+    # 6-regex branch behind one contains() (result-identical: NULL
+    # either way; the GMT strip replaces with ' ', never inserts '/').
+    vn = F.when(c.contains("/"), parse_vn_datetime(c))
+    return F.coalesce(parse_epoch(c), vn, parse_timestamp_formats(c))

@@ -152,31 +152,38 @@ def pagerank(
     ).transform(_ckpt)
 
     for _ in range(iterations):
-        # dangling mass: one metadata-sized scalar per iteration
-        dang_row = (
-            ranks.filter(F.col("out_deg").isNull())
-            .agg(F.sum("rank_units"))
-            .collect()[0][0]
-            if has_dangling
-            else 0
-        )
-        dang_each = (dang_row or 0) // n_seeds
         in_sums = (
             e.join(ranks, e.src == ranks.node)
             .select("dst", F.expr("rank_units DIV out_deg").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("in_sum"))
         )
+        joined = nodes.join(in_sums, nodes.node == in_sums.dst, "left")
+        if has_dangling:
+            # dangling mass: a one-row broadcast aggregate INSIDE the
+            # iteration plan (crossJoin of a scalar) instead of a
+            # separate collect() — one Spark job per iteration, not
+            # two, and the checkpointed rank state is scanned within
+            # the same job. Integer semantics identical: sum is exact
+            # BIGINT, DIV on non-negative mass == the prior Python //.
+            dang = ranks.filter(F.col("out_deg").isNull()).agg(
+                F.coalesce(F.sum("rank_units"), F.lit(0).cast("long")).alias(
+                    "__dang"
+                )
+            )
+            joined = joined.crossJoin(F.broadcast(dang))
+            dang_each = f"(__dang DIV {n_seeds}L)"
+        else:
+            dang_each = "0L"
         ranks = (
-            nodes.join(in_sums, nodes.node == in_sums.dst, "left")
-            .select(
+            joined.select(
                 "node",
                 "out_deg",
                 "is_seed",
                 # all-BIGINT: + * DIV only, so sums stay associative
                 F.expr(
                     f"{base_expr} + ({damping_pct}L * (coalesce(in_sum, 0L)"
-                    f" + if(is_seed, {dang_each}L, 0L))) DIV 100"
+                    f" + if(is_seed, {dang_each}, 0L))) DIV 100"
                 ).alias("rank_units"),
             )
             # truncate lineage: each round's plan starts from

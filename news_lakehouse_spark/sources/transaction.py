@@ -125,7 +125,8 @@ _SHARD_THRESHOLD = 512
 
 # Collect commit stats with a Spark job instead of a serial driver
 # loop once a commit writes at least this many new files.
-_DIST_STATS_THRESHOLD = 64
+_DIST_STATS_THRESHOLD = 512
+_THREADED_STATS_THRESHOLD = 8
 
 _PRED_OPS = (
     "=", "==", "<", "<=", ">", ">=", "in", "between",
@@ -1599,11 +1600,14 @@ class VersionedParquetTable:
         Files present in ``prior`` (a parent manifest's stats) carry
         their stats by reference — a merge re-reads footers only for
         the files it wrote. Small commits read footers on the driver
-        (metadata-sized, a few KB each); a commit writing >=
-        ``_DIST_STATS_THRESHOLD`` new files (a compact of a big table)
-        fans the footer reads out as ONE Spark job — commit stat time
-        stays flat in file count instead of a serial driver loop
-        (r5 ask #3). Both paths feed the same ``_footer_raw_stats`` /
+        (metadata-sized, a few KB each); medium commits (>=
+        ``_THREADED_STATS_THRESHOLD`` files — a multi-partition load)
+        read them on a driver thread pool (pyarrow releases the GIL,
+        so 16 threads ≈ 16× the serial loop at zero job overhead); a
+        commit writing >= ``_DIST_STATS_THRESHOLD`` new files (a
+        compact of a big table) fans the footer reads out as ONE
+        Spark job — commit stat time stays flat in file count
+        (r5 ask #3, r11 threaded tier). Both paths feed the same ``_footer_raw_stats`` /
         ``_json_bound`` functions, so manifests are byte-identical
         whichever path ran. Bound serialization is per-column guarded:
         an unexpected footer representation drops THAT column's stats
@@ -1637,6 +1641,27 @@ class VersionedParquetTable:
                 )
                 .collect()
             )
+        elif len(fresh) >= _THREADED_STATS_THRESHOLD:
+            # medium commits (a multi-partition load/compact below the
+            # distributed threshold): footer reads are independent
+            # metadata-sized IO and pyarrow releases the GIL, so a
+            # driver thread pool cuts the serial loop ~#threads× while
+            # producing the IDENTICAL raw map (same pure function per
+            # file; dict order restored by the `files` loop below)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                raw = dict(
+                    zip(
+                        fresh,
+                        pool.map(
+                            lambda rel: _footer_raw_stats(
+                                os.path.join(self.path, rel), stat_cols
+                            ),
+                            fresh,
+                        ),
+                    )
+                )
         else:
             for rel in fresh:
                 raw[rel] = _footer_raw_stats(
