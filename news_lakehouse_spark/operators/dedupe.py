@@ -389,9 +389,16 @@ def minhash_near_duplicates(
         candidates.join(a, "id_a")
         .join(b, "id_b")
         .withColumn(
+            # |A∪B| = |A|+|B|−|A∩B| on the DISTINCT shingle arrays
+            # (hashed_shingles_of_words applies array_distinct), so the
+            # union array is never materialized — one set pass per
+            # candidate pair instead of two, same double to the bit
+            "__inter", F.size(F.array_intersect("sh_a", "sh_b"))
+        )
+        .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+            F.col("__inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("__inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -796,7 +803,11 @@ def _connected_components_star(
 
     fp = _fingerprint(edges)
     for _ in range(max_iters):
-        edges = _small_star(_large_star(edges)).transform(_ckpt)
+        # lazy local checkpoint: the fingerprint aggregate right below
+        # touches every partition, so IT materializes the round's edge
+        # set — one job per round instead of checkpoint-then-agg (the
+        # reliable/cluster mode stays eager inside the truncator)
+        edges = _ckpt(_small_star(_large_star(edges)), eager=False)
         new_fp = _fingerprint(edges)
         if new_fp == fp:
             break
@@ -1152,9 +1163,14 @@ def incremental_minhash_dedupe(
         return (
             cands.join(left, a)
             .join(right, b)
+            # |A∪B| = |A|+|B|−|A∩B| on distinct arrays — skip
+            # materializing the union (see minhash_near_duplicates)
+            .withColumn(
+                "__inter", F.size(F.array_intersect("__sa", "__sb"))
+            )
             .filter(
-                F.size(F.array_intersect("__sa", "__sb"))
-                / F.size(F.array_union("__sa", "__sb"))
+                F.col("__inter")
+                / (F.size("__sa") + F.size("__sb") - F.col("__inter"))
                 >= threshold
             )
             .select(a, b)

@@ -117,15 +117,21 @@ def pagerank(
         ).select("node", "out_deg", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
     else:
         nodes = nodes.select("node", "out_deg", F.lit(True).alias("is_seed"))
-    # persist: reused every iteration as the rank-state frame
+    # persist: reused every iteration as the rank-state frame.
+    # ONE probe job (materializing the cache) replaces the former
+    # three setup actions — node count, seed count, dangling probe —
+    # identical values, a third of the fixed setup cost.
     nodes = nodes.persist()
-    n_nodes = nodes.count()
+    probe = nodes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("is_seed"), 1)).alias("ns"),
+        F.max(F.col("out_deg").isNull().cast("int")).alias("dang"),
+    ).collect()[0]
+    n_nodes = probe["n"]
     if n_nodes == 0:
         nodes.unpersist()
         return nodes.select("node", F.lit(0).cast("long").alias("rank_units"))
-    n_seeds = (
-        nodes.filter("is_seed").count() if teleport is not None else n_nodes
-    )
+    n_seeds = probe["ns"] if teleport is not None else n_nodes
     if n_seeds == 0:
         raise ValueError("teleport set shares no nodes with the graph")
     if n_nodes * units >= (2**63 - 1) // 100:
@@ -137,8 +143,8 @@ def pagerank(
     # reuses the same layout instead of re-shuffling the edge table
     e = e.repartition("src").persist()
     # checked once: a dangling-free graph (every node has out-edges)
-    # skips the per-iteration redistribution scan entirely
-    has_dangling = nodes.filter(F.col("out_deg").isNull()).limit(1).count() > 0
+    # skips the per-iteration redistribution aggregate entirely
+    has_dangling = bool(probe["dang"])
 
     # per-row base: uniform, or concentrated on the teleport set
     base_seed = ((100 - damping_pct) * units * n_nodes) // (100 * n_seeds)

@@ -59,16 +59,25 @@ from pyspark.sql import DataFrame
 __all__ = ["truncate_lineage", "LineageTruncator"]
 
 
-def truncate_lineage(df: DataFrame) -> DataFrame:
+def truncate_lineage(df: DataFrame, *, eager: bool = True) -> DataFrame:
     """Materialize ``df`` and truncate its lineage: reliable
     ``checkpoint`` when the SparkContext has a checkpoint dir,
     ``localCheckpoint`` otherwise (see module docstring).  Stateless —
     never deletes prior checkpoints; loops whose per-round state dies
-    with the next round should prefer :class:`LineageTruncator`."""
+    with the next round should prefer :class:`LineageTruncator`.
+
+    ``eager=False`` (honored in LOCAL mode only) skips the dedicated
+    materialization job when the caller's very next action consumes
+    the frame anyway — that action computes the partitions once and
+    Spark's post-job ``doCheckpoint`` completes the truncation, so a
+    convergence-probe loop pays ONE job per round instead of two.
+    Reliable mode always materializes eagerly: the checkpoint-file
+    bookkeeping (and bounded deletion) needs the files on stable
+    storage before the round is declared done."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    return df.localCheckpoint(eager=eager)
 
 
 def _checkpoint_file(df: DataFrame) -> str | None:
@@ -103,10 +112,12 @@ class LineageTruncator:
     def __init__(self) -> None:
         self._paths: list[str] = []
 
-    def __call__(self, df: DataFrame) -> DataFrame:
+    def __call__(self, df: DataFrame, *, eager: bool = True) -> DataFrame:
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
-            return df.localCheckpoint(eager=True)
+            # eager=False: see truncate_lineage — local mode may defer
+            # materialization to the caller's immediate next action
+            return df.localCheckpoint(eager=eager)
         out = df.checkpoint(eager=True)  # eager: materialized on return
         path = _checkpoint_file(out)
         if path is not None:

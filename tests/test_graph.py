@@ -324,3 +324,36 @@ def test_bpe_batched_min_freq_and_validation(spark):
     assert train_bpe_merges(df, "text", 5, min_freq=2, recount_every=4) == []
     with pytest.raises(ValueError, match="recount_every"):
         train_bpe_merges(df, "text", 2, recount_every=0)
+
+
+def test_bpe_pair_counts_index_by_codepoint(spark):
+    """The array-windowed pair counter (split + element_at) must see
+    the exact pair multiset the positional substring form defines —
+    including supplementary-plane chars (surrogate pairs stay one
+    symbol), PUA markers, diacritics and whitespace."""
+    from pyspark.sql import functions as F
+
+    from news_lakehouse_spark.operators.bpe import _adjacent_pairs
+
+    rows = [
+        ("ab",), ("a",), ("",), ("abc\U0001F600def",),
+        ("\U0001F600\U0001F600",), ("a\U0001F600",),
+        ("x",), ("xăâđy",), ("a b  c",),
+        ("tab\tnl\n",), ("\U0001D518\U0001D52B\U0001D526",),
+    ]
+    d = spark.createDataFrame(rows, "t string")
+    got = {
+        (r["pair"], r["freq"])
+        for r in _adjacent_pairs(d).collect()
+    }
+    ref = (
+        d.filter(F.length("t") >= 2)
+        .select(
+            F.explode(F.expr("sequence(1, length(t) - 1)")).alias("i"), "t"
+        )
+        .select(F.expr("substring(t, i, 2)").alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("freq"))
+    )
+    want = {(r["pair"], r["freq"]) for r in ref.collect()}
+    assert got == want
