@@ -79,21 +79,46 @@ def exact_dedupe_deterministic(
     )
 
 
+def _shifted_zip(ws: Column, n: int) -> Column:
+    """``arrays_zip`` of the words array against its n−1 shifted
+    copies: element i is the struct (w_i, …, w_{i+n−1}); length
+    ``size(ws) − n + 1`` (arrays_zip null-pads the shorter slices,
+    but every slice here has exactly that length).
+
+    WHY this shape: a lambda that reaches OUT of its higher-order
+    function to index ``ws`` (``element_at(ws, i+j)`` / ``slice(ws,
+    i+1, n)``) re-evaluates whatever expression ``ws`` resolves to on
+    EVERY lambda call — and Catalyst's projection collapsing happily
+    inlines the upstream ``split(normalize(text))`` into ``ws`` when
+    the alias ends up referenced once (exactly what the
+    explode-the-shingles consumers produce), turning an O(L) shingle
+    pass into O(L²) regex work per document (measured: 34 s for the
+    sf0.1 decontamination explode vs 0.7 s un-exploded). Zipping
+    shifted slices references ``ws`` only OUTSIDE the lambda — at
+    most n slice evaluations per row even when fully inlined — and
+    the lambda touches nothing but its own variable."""
+    cnt = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    return F.arrays_zip(
+        *[F.slice(ws, j + 1, cnt).alias(f"w{j}") for j in range(n)]
+    )
+
+
 def shingles_of_words(words: Column | str, n: int) -> Column:
     """Distinct n-gram shingles of an ALREADY-MATERIALIZED words array.
 
-    ``words`` must be a plain column attribute, not an expression tree:
-    higher-order functions are interpreted (not codegen'd), and the
-    lambda body re-evaluates its subtree per element — an inline
-    normalize+split chain would re-run its regexes once per shingle
-    index (~50× per row on typical documents).
+    Safe against projection inlining (see ``_shifted_zip``): the
+    shingle lambda reads only its zip-struct argument, so even a
+    collapsed plan evaluates the upstream words expression at most
+    n times per row, never per shingle.
     """
     ws = F.col(words) if isinstance(words, str) else words
     if n == 1:
         return F.array_distinct(ws)
-    idx = F.sequence(F.lit(0), F.size(ws) - n)
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)))
+        F.transform(
+            _shifted_zip(ws, n),
+            lambda x: F.concat_ws(" ", *[x[f"w{j}"] for j in range(n)]),
+        )
     )
 
 
@@ -158,11 +183,13 @@ def hashed_shingles_of_words(words: Column | str, n: int) -> Column:
     ws = F.col(words) if isinstance(words, str) else words
     if n == 1:
         return F.array_distinct(F.transform(ws, lambda w: F.xxhash64(w)))
-    idx = F.sequence(F.lit(0), F.size(ws) - n)
+    # zip-of-shifted-slices, NOT element_at(ws, i+j) from inside the
+    # lambda — the outer-reference form re-evaluates ws's (possibly
+    # inlined split+normalize) subtree per element; see _shifted_zip
     return F.array_distinct(
         F.transform(
-            idx,
-            lambda i: F.xxhash64(*[F.element_at(ws, i + j + 1) for j in range(n)]),
+            _shifted_zip(ws, n),
+            lambda x: F.xxhash64(*[x[f"w{j}"] for j in range(n)]),
         )
     )
 
@@ -943,6 +970,13 @@ def _kgram_span_frames(
     idx = F.when(
         F.col("n_tokens") >= k, F.sequence(F.lit(0), F.col("n_tokens") - k)
     ).otherwise(F.array().cast("array<int>"))
+    # NOTE (r11 A/B): rewriting this as posexplode over a pre-built
+    # gram-string array (the _shifted_zip shape) measured ~50% SLOWER
+    # here — the per-row concat_ws(slice(__ws, pos+1, k)) below runs
+    # in a codegen'd Project, while the gram array builds through an
+    # interpreted higher-order transform; and this plan is not exposed
+    # to the projection-inlining blowup because __ws is a materialized
+    # column of the generate input, not an inlined expression.
     spans = words.select(
         F.col(id_col),
         F.explode(idx).alias("pos"),

@@ -136,17 +136,22 @@ def repetition_metrics(
     on repetitive documents (the interesting ones) that is the
     compressed representation.
     """
+    from news_lakehouse_spark.operators.dedupe import _shifted_zip
+
     words = df.select(
         F.col(id_col), F.split(normalized_text(text_col), " ").alias("__ws")
     ).filter(F.size("__ws") >= n)
-    idx = F.sequence(F.lit(0), F.size("__ws") - n)
+    # zip-of-shifted-slices, not element_at(__ws, i+j) from inside the
+    # lambda: under the explode consumer Catalyst inlines __ws's
+    # split+normalize subtree into the lambda and re-evaluates it per
+    # element (see dedupe._shifted_zip)
     grams = words.select(
         F.col(id_col),
         F.explode(
             F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at("__ws", i + j + 1) for j in range(n)]
+                _shifted_zip(F.col("__ws"), n),
+                lambda x: F.concat_ws(
+                    " ", *[x[f"w{j}"] for j in range(n)]
                 ),
             )
         ).alias("__gram"),
@@ -314,29 +319,48 @@ def char_trigram_logprob(
     explode → broadcast-join → per-doc avg for scoring. The corpus
     shuffles only on (doc, trigram) aggregation keys.
     """
+    from news_lakehouse_spark.operators.dedupe import _shifted_zip
+
     norm = df.select(F.col(id_col), normalized_text(text_col).alias("__t")).filter(
         F.length("__t") >= 3
     )
+    # split to the codepoint array once and window it (zip of 3
+    # shifted slices): the previous substr(__t, i, 3) lambda both
+    # re-scanned the string from byte 0 per window (O(len²)/doc in
+    # UTF8String) and referenced the outer __t from inside the lambda
+    # (the projection-inlining trap — see dedupe._shifted_zip). Same
+    # trigrams: split/substr/length all index by code point.
     tri = norm.select(
         F.col(id_col),
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.length("__t") - 2),
-                lambda i: F.col("__t").substr(i, F.lit(3)),
+                _shifted_zip(F.split("__t", ""), 3),
+                lambda x: F.concat(x["w0"], x["w1"], x["w2"]),
             )
         ).alias("tg"),
     )
-    counts = tri.groupBy("tg").agg(F.count("*").alias("c"))
+    # Aggregate BEFORE the shuffle (one explode, not two): per-doc
+    # trigram counts feed both the model (summed per trigram) and the
+    # scoring join, so the corpus explodes once and the shuffle
+    # carries one row per distinct (doc, trigram) instead of per
+    # occurrence. avg(lp) over occurrences == sum(c·lp)/sum(c); the
+    # double's addition order changes, but Spark's avg order was
+    # already partition-nondeterministic and the contract is the
+    # round-6 value (oracle-verified at sf0.001/0.01/0.1).
+    doc_tg = tri.groupBy(id_col, "tg").agg(F.count("*").alias("dc"))
+    counts = doc_tg.groupBy("tg").agg(F.sum("dc").alias("c"))
     total = counts.agg(F.sum("c").alias("n"))
     model = counts.join(F.broadcast(total)).select(
         "tg", F.log(F.col("c") / F.col("n")).alias("lp")
     )
     return (
-        tri.join(F.broadcast(model), "tg")
+        doc_tg.join(F.broadcast(model), "tg")
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_trigrams"),
-            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+            F.sum("dc").cast("long").alias("n_trigrams"),
+            F.round(
+                F.sum(F.col("dc") * F.col("lp")) / F.sum("dc"), 6
+            ).alias("avg_logprob"),
         )
     )
 
@@ -610,11 +634,19 @@ def ngram_diversity(
     if n == 1:
         grams = words.select(group_col, F.explode("__ws").alias("__gram"))
     else:
-        idx = F.sequence(F.lit(0), F.size("__ws") - n)
+        from news_lakehouse_spark.operators.dedupe import _shifted_zip
+
+        # zip-of-shifted-slices, not slice(__ws, i+1, n) from inside
+        # the lambda — see dedupe._shifted_zip for why
         grams = words.select(
             F.col(group_col),
             F.explode(
-                F.transform(idx, lambda i: F.concat_ws(" ", F.slice("__ws", i + 1, n)))
+                F.transform(
+                    _shifted_zip(F.col("__ws"), n),
+                    lambda x: F.concat_ws(
+                        " ", *[x[f"w{j}"] for j in range(n)]
+                    ),
+                )
             ).alias("__gram"),
         )
     per_gram = grams.groupBy(group_col, "__gram").agg(F.count("*").alias("__c"))

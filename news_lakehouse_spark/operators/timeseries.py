@@ -42,36 +42,40 @@ def sliding_window_topk(
     by (ts, id). Output: (user_col, win_start 1-based, dist round-6),
     ranked by (dist, user, start) for a deterministic k-set.
     """
+    from news_lakehouse_spark.operators.dedupe import _shifted_zip
+
     m = len(query)
-    q = F.array(*[F.lit(float(v)) for v in query])
     series = events.groupBy(user_col).agg(
         F.array_sort(
             F.collect_list(F.struct(ts_col, id_col, val_col))
         ).alias("__pts")
     )
-    arr = F.transform("__pts", lambda p: p[val_col])
-    dist = lambda i: F.aggregate(  # noqa: E731
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + F.pow(F.element_at(arr, (i + j).cast("int")) - F.element_at(q, (j + 1).cast("int")), 2),
-    )
-    wins = series.filter(F.size("__pts") >= m).select(
+    # Window rows come from ONE posexplode of the zip of m shifted
+    # slices of the value series — the previous form indexed the
+    # values array from INSIDE nested lambdas (element_at(arr, i+j)
+    # where arr was itself a transform over __pts), which interpreted
+    # HOF evaluation re-runs per (window, offset) term: O(len·m·len)
+    # per user. Here the series expression evaluates once per user
+    # row, each window row carries only its m doubles, and the
+    # distance is a plain codegen'd expression per row.
+    vals = series.filter(F.size("__pts") >= m).select(
         user_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("__pts") - m + 1),
-                lambda i: F.struct(
-                    i.cast("int").alias("win_start"), dist(i).alias("__d")
-                ),
-            )
-        ).alias("w"),
+        F.transform("__pts", lambda p: p[val_col]).alias("__vals"),
     )
+    wins = vals.select(
+        user_col,
+        F.posexplode(_shifted_zip(F.col("__vals"), m)).alias("__i", "__w"),
+    )
+    # identical fold order to the previous F.aggregate (0.0 + t0 + t1
+    # + …), so the double — and its round(6) — is bit-identical
+    d = F.lit(0.0)
+    for j in range(m):
+        d = d + F.pow(F.col("__w")[f"w{j}"] - F.lit(float(query[j])), 2)
     return (
         wins.select(
             user_col,
-            F.col("w.win_start").alias("win_start"),
-            F.round("w.__d", 6).alias("dist"),
+            (F.col("__i") + 1).cast("int").alias("win_start"),
+            F.round(d, 6).alias("dist"),
         )
         .orderBy("dist", user_col, "win_start")
         .limit(k)
