@@ -333,6 +333,13 @@ def main() -> None:
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
+        # resolved parallelism evidence (r11 verdict #2): session.py
+        # honors $SPARK_GRAFT_CPUS but the JSON never proved it, so the
+        # driver's scaling check had to flag suspect_cpus_ignored —
+        # echo the ACTUAL master and defaultParallelism the bench ran
+        # with, straight from the live SparkContext.
+        "cpus": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
         "queries": timings,
         "sf": sf_val,
         "runs_per_query": runs,
@@ -358,7 +365,11 @@ def main() -> None:
             "news_lakehouse_spark.queries", fromlist=["PHASE_TIMINGS"]
         ).PHASE_TIMINGS,
     }
-    print(json.dumps(payload))
+    # the contract line is the FIRST and ONLY stdout of this process,
+    # flushed immediately (r11 verdict #2: BENCH_r10's stored stdout
+    # tail truncated the line and killed the round-over-round PERF
+    # comparison — nothing may precede or follow it on stdout)
+    print(json.dumps(payload), flush=True)
     # Also persist the FULL JSON in-repo: the driver records only the
     # last 2000 chars of stdout, which truncated BENCH_r06's headline
     # block — committed BENCH_LOCAL_r{N}.json keeps every round's

@@ -52,7 +52,15 @@ def _attempt_guard(c: Column, fmt: str) -> Column | None:
     skipping it is result-identical; when true the attempt runs
     unchanged. This turns the 12-branch cascade's worst case (a row
     paying every failed DateTimeFormatter parse) into at most the
-    attempts whose separator family matches the string."""
+    attempts whose separator family matches the string.
+
+    Guard soundness assumption (advice r11): every quoted ``'T'`` and
+    every bare ``/`` or ``-`` separator appearing in a pattern is
+    treated as MANDATORY in the input — true for all of Spark's
+    current datetime pattern grammar (separators outside [a-zA-Z] are
+    literal and never optional). A caller-supplied format whose
+    separator could legally be absent from a parseable input (no such
+    pattern exists today) must not be routed through this guard."""
     if "'T'" in fmt:
         return c.contains("T")  # literal 'T' must appear in the input
     if "/" in fmt:

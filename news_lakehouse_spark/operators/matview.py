@@ -45,7 +45,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from news_lakehouse_spark.sources.transaction import VersionedParquetTable
+from news_lakehouse_spark.sources.transaction import (
+    VersionedParquetTable,
+    _materialize_churn,
+)
 
 _SYNC_KEY = "ivm_synced_to"
 _SRC_KEY = "ivm_source"
@@ -118,18 +121,22 @@ class IncrementalAggView:
         # The feed plan (per-commit manifest diffs + exceptAll) appears
         # twice in the delta plan (signed agg + delete-group rescan
         # semi-join) and merge() evaluates ITS source several times
-        # (key sets, affected partitions, the rewrite) — persist both
-        # the O(churn) feed and the view-sized delta so neither plan
-        # re-derives the feed from table history per evaluation.
-        feed = source.changes(last, src_v).persist()
+        # (key sets, affected partitions, the rewrite) — materialize
+        # both the O(churn) feed and the view-sized delta so neither
+        # plan re-derives the feed from table history per evaluation
+        # (lineage-truncated in local mode, recomputable persist on
+        # clusters — see transaction._materialize_churn).
+        feed, rel_feed = _materialize_churn(source.changes(last, src_v))
         try:
-            updated = self._apply_delta(feed, source, src_v).persist()
+            updated, rel_upd = _materialize_churn(
+                self._apply_delta(feed, source, src_v)
+            )
             try:
                 self.table.merge(updated, self.group_by, properties=props)
             finally:
-                updated.unpersist()
+                rel_upd()
         finally:
-            feed.unpersist()
+            rel_feed()
         return src_v
 
     def _apply_delta(
@@ -362,9 +369,11 @@ class IncrementalJoinAggView:
             F.col("_change_type") == "insert", F.lit(1)
         ).otherwise(F.lit(-1))
         parts = []
+        rel_l = rel_r = None
         if new_l > last_l:
-            dl = left.changes(last_l, new_l).withColumn("_sign", sign)
-            dl = dl.persist()
+            dl, rel_l = _materialize_churn(
+                left.changes(last_l, new_l).withColumn("_sign", sign)
+            )
             parts.append(
                 dl.join(
                     self._pruned_read(right, last_r, dl),
@@ -375,8 +384,9 @@ class IncrementalJoinAggView:
         else:
             dl = None
         if new_r > last_r:
-            dr = right.changes(last_r, new_r).withColumn("_sign", sign)
-            dr = dr.persist()
+            dr, rel_r = _materialize_churn(
+                right.changes(last_r, new_r).withColumn("_sign", sign)
+            )
             parts.append(
                 self._pruned_read(left, new_l, dr).join(
                     dr, on=self.join_keys, how="inner"
@@ -416,16 +426,16 @@ class IncrementalJoinAggView:
                 out.append(
                     F.when(alive, nn).otherwise(F.lit(0)).alias(f"nn_{c}")
                 )
-            updated = joined.select(*out).persist()
+            updated, rel_upd = _materialize_churn(joined.select(*out))
             try:
                 self.table.merge(updated, self.group_by, properties=props)
             finally:
-                updated.unpersist()
+                rel_upd()
         finally:
-            if dl is not None:
-                dl.unpersist()
-            if dr is not None:
-                dr.unpersist()
+            if rel_l is not None:
+                rel_l()
+            if rel_r is not None:
+                rel_r()
         return new_l, new_r
 
     # --- reads -------------------------------------------------------

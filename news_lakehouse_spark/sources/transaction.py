@@ -333,6 +333,26 @@ def _footer_raw_stats(abs_path: str, stat_cols: tuple) -> dict:
     return per_col
 
 
+def _materialize_churn(df: DataFrame):
+    """Materialize an O(churn) frame that several downstream actions
+    will consume; returns ``(frame, release)``.
+
+    Local mode (no checkpoint dir): ``localCheckpoint(eager=True)`` —
+    one job materializes the churn AND truncates its lineage, so every
+    later action (emptiness probes, merge key sets, the rewrite job)
+    plans against a flat in-memory RDD scan instead of re-analyzing
+    the full feed plan and re-running its AQE stage jobs. Cluster mode
+    (checkpoint dir configured, the 100 TB posture): a plain
+    recomputable ``persist`` — localCheckpoint blocks are pinned to
+    executors and one executor loss would fail the whole application,
+    the same trade :mod:`operators.iterstate` documents."""
+    if df.sparkSession.sparkContext.getCheckpointDir() is None:
+        out = df.localCheckpoint(eager=True)
+        return out, (lambda: None)  # blocks reclaimed by ContextCleaner
+    out = df.persist()
+    return out, out.unpersist
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer published this version first; re-derive and retry."""
 
@@ -1626,7 +1646,9 @@ class VersionedParquetTable:
         stat_cols = tuple(stat_types)
         raw: dict[str, dict] = {}
         # session-less handles (DataSource driver workers via
-        # add_files) always stat serially — footers are metadata-sized
+        # add_files) skip only the distributed (Spark job) tier; the
+        # thread-pool tier below applies to them too (_footer_raw_stats
+        # is pure and thread-safe — footers are metadata-sized)
         if self.spark is not None and len(fresh) >= _DIST_STATS_THRESHOLD:
             root = self.path
             raw = dict(
@@ -3825,6 +3847,7 @@ class VersionedParquetTable:
         evolve_schema: bool = False,
         retries: int = 2,
         properties: dict | None = None,
+        churn_covers_partitions: DataFrame | None = None,
     ) -> int:
         """Atomic MERGE commit (S8/S9 semantics from operators/merge.py).
 
@@ -3834,6 +3857,22 @@ class VersionedParquetTable:
         partition emptied by keys moving out simply has no file in the
         new manifest (no directory deletion needed, unlike the in-place
         emulation). Returns the committed version.
+
+        ``churn_covers_partitions`` (the apply_changes fast path): a
+        frame whose rows are guaranteed to cover every partition value
+        this merge may touch — both where each source key is GOING and
+        where it CURRENTLY lives in the target. When given, affected
+        partitions are derived from it alone (one O(churn) distinct),
+        skipping the O(target) semi-join probe that otherwise locates
+        the source keys' current partitions. A change feed satisfies
+        the guarantee against any replica maintained through the feed
+        protocol: a changed key's pre-image (its old partition value
+        included) rides the feed as the delete half of the update pair,
+        and a replayed feed only ever ADDS already-rewritten partitions
+        (a harmless superset). Callers whose target may hold source
+        keys in partitions the frame does not mention (e.g. a replica
+        manually rewritten outside the feed protocol) must not pass it:
+        a missed partition would leave a duplicate key behind.
         """
         from news_lakehouse_spark.operators.merge import (
             _guard_source,
@@ -3888,19 +3927,41 @@ class VersionedParquetTable:
 
             if spec:
                 fields = parse_partition_spec(spec)
-                src_keys = source.dropna(subset=keys).select(*keys).distinct()
-                # transform specs: probe the DERIVED partition values
-                # (dict keys = field names, matching path fragments)
-                new_parts = source.select(*spec_exprs(source, fields)).distinct()
-                old_parts = (
-                    target.join(F.broadcast(src_keys), on=keys, how="left_semi")
-                    .select(*spec_exprs(target, fields))
-                    .distinct()
-                )
-                parts = [
-                    r.asDict()
-                    for r in new_parts.unionByName(old_parts).distinct().collect()
-                ]
+                if churn_covers_partitions is not None:
+                    # the caller's churn frame covers every affected
+                    # partition (see docstring): ONE O(churn) distinct,
+                    # no target scan
+                    parts = [
+                        r.asDict()
+                        for r in churn_covers_partitions.select(
+                            *spec_exprs(churn_covers_partitions, fields)
+                        )
+                        .distinct()
+                        .collect()
+                    ]
+                else:
+                    src_keys = (
+                        source.dropna(subset=keys).select(*keys).distinct()
+                    )
+                    # transform specs: probe the DERIVED partition
+                    # values (dict keys = field names, matching path
+                    # fragments)
+                    new_parts = source.select(
+                        *spec_exprs(source, fields)
+                    ).distinct()
+                    old_parts = (
+                        target.join(
+                            F.broadcast(src_keys), on=keys, how="left_semi"
+                        )
+                        .select(*spec_exprs(target, fields))
+                        .distinct()
+                    )
+                    parts = [
+                        r.asDict()
+                        for r in new_parts.unionByName(old_parts)
+                        .distinct()
+                        .collect()
+                    ]
                 # Affected files by fragment overlap: current-spec
                 # files match their partition tuple exactly; old-spec
                 # files (evolution) rewrite into the current spec when
@@ -4372,30 +4433,49 @@ class VersionedParquetTable:
         # which alone evaluates its source several times (key sets,
         # affected partitions, the rewrite). The feed is O(churn) by
         # construction, so materializing it once is always cheaper
-        # than re-deriving it from the table's history.
-        feed = feed.persist()
+        # than re-deriving it from the table's history — and in local
+        # mode the materialization also TRUNCATES LINEAGE
+        # (localCheckpoint): every downstream action plans against a
+        # flat RDD scan instead of re-analyzing (and re-running AQE
+        # stage jobs over) the whole feed plan, which the r12 job
+        # profile showed costing more than the feed itself. Cluster
+        # mode keeps a recomputable persist: executor loss then
+        # recomputes the feed instead of failing the application.
+        feed, release = _materialize_churn(feed)
         try:
             inserts = feed.filter(F.col("_change_type") == "insert").drop(
                 "_change_type"
             )
-            deletes = feed.filter(F.col("_change_type") == "delete").drop(
-                "_change_type"
+            # Per-key change kinds in ONE shuffle: a key is DEAD when
+            # the span deletes it without re-inserting it (tombstone),
+            # every other delete is half of an upsert pair. This
+            # replaces the former distinct+distinct+anti-join dead-key
+            # derivation (three shuffles) with one aggregation, and the
+            # probe below folds the former two driver actions (change-
+            # kind collect + dead-emptiness probe) into one job.
+            is_ins = (F.col("_change_type") == "insert").cast("int")
+            keyed = feed.groupBy(*keys).agg(
+                F.max(is_ins).alias("__has_ins"),
+                F.max(1 - is_ins).alias("__has_del"),
             )
             dead = (
-                deletes.select(*keys)
-                .distinct()
-                .join(inserts.select(*keys).distinct(), keys, "left_anti")
+                keyed.filter(
+                    (F.col("__has_del") == 1) & (F.col("__has_ins") == 0)
+                )
+                .select(*keys)
             )
-            # ONE pass over the (persisted) feed decides both branches;
-            # the dead-key anti-join probe only runs when the feed has
-            # deletes at all (pure-upsert feeds — the common CDC case —
-            # skip that whole job)
-            kinds = {
-                r[0]
-                for r in feed.select("_change_type").distinct().collect()
-            }
-            has_inserts = "insert" in kinds
-            has_dead = "delete" in kinds and not dead.isEmpty()
+            probe = keyed.agg(
+                F.max("__has_ins").alias("any_ins"),
+                F.max(
+                    F.when(
+                        (F.col("__has_del") == 1)
+                        & (F.col("__has_ins") == 0),
+                        1,
+                    ).otherwise(0)
+                ).alias("any_dead"),
+            ).collect()[0]
+            has_inserts = probe["any_ins"] == 1
+            has_dead = probe["any_dead"] == 1
             version = self.latest_version()
             if has_inserts:
                 version = self.merge(
@@ -4403,6 +4483,12 @@ class VersionedParquetTable:
                     keys,
                     order_by=order_by,
                     properties=None if has_dead else properties,
+                    # O(churn) affected-partition derivation: a changed
+                    # key's pre-image rides the feed as its delete row,
+                    # so the feed's own rows (inserts AND deletes)
+                    # cover every partition this merge must rewrite —
+                    # no O(table) target probe (see merge()).
+                    churn_covers_partitions=feed,
                 )
             if has_dead:
                 version = self.delete_keys(dead, keys, properties=properties)
@@ -4412,7 +4498,7 @@ class VersionedParquetTable:
                 )
             return version
         finally:
-            feed.unpersist()
+            release()
 
     def sync_from(
         self,

@@ -1069,3 +1069,32 @@ def test_connected_components_rejects_unknown_method(spark):
     pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
     with pytest.raises(ValueError, match="propagate | star"):
         connected_components(pairs, method="bogus")
+
+
+def test_shingle_builders_return_empty_below_n(spark):
+    """_shifted_zip's r11 rewrite made short inputs TOTAL: size(ws) < n
+    now yields an empty shingle array (the old sequence(0, size-n) form
+    produced garbage there and relied on callers pre-filtering). Pin
+    the widened behavior so it stays intentional (advice r11)."""
+    from news_lakehouse_spark.operators.dedupe import (
+        hashed_shingles_of_words,
+        shingles_of_words,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["a"]), (2, ["a", "b"]), (3, []), (4, ["a", "b", "c"])],
+        ["id", "ws"],
+    )
+    got = {
+        r["id"]: (r["s"], r["h"])
+        for r in df.select(
+            "id",
+            shingles_of_words(F.col("ws"), 3).alias("s"),
+            hashed_shingles_of_words(F.col("ws"), 3).alias("h"),
+        ).collect()
+    }
+    assert got[1] == ([], [])
+    assert got[2] == ([], [])
+    assert got[3] == ([], [])
+    assert got[4][0] == ["a b c"]
+    assert len(got[4][1]) == 1

@@ -758,3 +758,42 @@ def test_stream_runner_does_not_leak_session_conf(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prior)
+
+
+def test_adaptive_state_partitions_fails_toward_ceiling(spark, tmp_path):
+    """Unresolvable input sizes must keep the SESSION partition count,
+    never clamp to 1 (r11 verdict #1): the state-store count is pinned
+    into the checkpoint at first run, so a bad probe on an s3:// path
+    would permanently serialize a production stream's state through
+    one partition."""
+    from news_lakehouse_spark.streaming.statesize import (
+        adaptive_state_partitions,
+        input_bytes,
+    )
+
+    ceiling = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # remote URIs: size unknown -> probe None -> ceiling
+    assert input_bytes("s3://bucket/events/") is None
+    assert input_bytes(["hdfs://nn/events", "gs://b/x"]) is None
+    assert adaptive_state_partitions(spark, "s3://bucket/events/") == ceiling
+    # one remote path poisons a mixed list too
+    assert (
+        adaptive_state_partitions(
+            spark, [str(tmp_path), "s3://bucket/events/"]
+        )
+        == ceiling
+    )
+
+    # an empty/missing local dir resolves to 0 bytes: still no
+    # evidence the input is small -> ceiling, not 1
+    assert input_bytes(str(tmp_path / "nope")) == 0
+    assert adaptive_state_partitions(spark, str(tmp_path / "nope")) == ceiling
+
+    # a measured small local input still downsizes (the r11 behavior)
+    f = tmp_path / "tiny.bin"
+    f.write_bytes(b"x" * 1024)
+    assert input_bytes(str(f)) == 1024
+    assert adaptive_state_partitions(spark, str(f)) == 1
+    # file:// URIs stat like plain paths
+    assert input_bytes(f"file://{f}") == 1024

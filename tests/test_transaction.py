@@ -1017,6 +1017,41 @@ def test_apply_changes_replicates_table(spark, tmp_path):
     assert feed.count() == 0
 
 
+def test_apply_changes_partition_move_rewrites_old_partition(
+    spark, tmp_path
+):
+    """The r12 fast path derives the merge's affected partitions from
+    the FEED alone (delete rows carry each changed key's pre-image
+    partition) instead of probing the target. A key that MOVES
+    partition across the span must still get its old partition
+    rewritten — the old row must not survive anywhere — and untouched
+    partitions must still carry over by reference."""
+    src = VersionedParquetTable(spark, str(tmp_path / "src"))
+    rep = VersionedParquetTable(spark, str(tmp_path / "rep"))
+    src.merge(
+        _df(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)]),
+        ["k"],
+        partition_by=["d"],
+    )
+    rep.write(src.read(version=1), partition_by=["d"])
+    # key 1 moves partition a -> z; key 2 updates in place; c untouched
+    src.merge(_df(spark, [(1, "z", 111), (2, "b", 222)]), ["k"])
+    rep.apply_changes(src.changes(1), ["k"])
+    assert _rows(rep.read()) == _rows(src.read())
+    # no ghost of key 1 in the raw files of the new replica manifest
+    man = rep._load_manifest(rep.latest_version())
+    raw = spark.read.parquet(
+        *[os.path.join(rep.path, f) for f in man["files"]]
+    )
+    assert raw.filter((F.col("k") == 1) & (F.col("d") == "a")).count() == 0
+    # partition c was untouched: its file carried over by reference
+    carried = [f for f in man["files"] if "c000000000001-" in f]
+    assert any("__p_d=c" in f for f in carried)
+    # replayed feed (replica already converged) stays convergent
+    rep.apply_changes(src.changes(1), ["k"])
+    assert _rows(rep.read()) == _rows(src.read())
+
+
 def test_rollback_restores_snapshot_metadata_only(spark, table):
     """rollback(v) commits a NEW version whose content equals the old
     snapshot without reading or rewriting any data (Iceberg rollback /

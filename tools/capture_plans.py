@@ -1,9 +1,9 @@
-"""Capture `.explain("formatted")` for named queries into plans/r11/.
+"""Capture `.explain("formatted")` for named queries into plans/r12/ (default).
 
 Usage:
     python tools/capture_plans.py <suffix> <query> [<query> ...]
 
-Writes plans/r11/<query>_<suffix>.txt (suffix = "before" | "after").
+Writes plans/r12/<query>_<suffix>.txt (suffix = "before" | "after").
 Each query is executed first so the captured plan is the AQE FINAL
 plan (same convention as tools/explain_audit.py / PLANS.md).
 
@@ -29,7 +29,7 @@ def main() -> None:
     out_dir = os.environ.get(
         "SPARK_GRAFT_PLANS_DIR",
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     "plans", "r11"),
+                     "plans", "r12"),
     )
     os.makedirs(out_dir, exist_ok=True)
     from news_lakehouse_spark.session import build_session
