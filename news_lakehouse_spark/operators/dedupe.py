@@ -31,7 +31,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from news_lakehouse_spark.operators.iterstate import LineageTruncator
+from news_lakehouse_spark.operators.iterstate import (
+    LineageTruncator,
+    truncate_lineage,
+)
 
 # Deterministic affine-permutation parameters. p = 2^31-1 keeps
 # h (< p) * a (< p) + b below 2^62 — no int64 overflow in column math.
@@ -380,9 +383,19 @@ def minhash_near_duplicates(
         sh_cached = sh_cached.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = _signatures_from_shingles(sh_cached, id_col, num_hashes, seed)
     band_entries = _band_entries(sigs, id_col, bands, rows_per_band)
-    # NOTE: both sides of the self-join share this subplan; exchange
-    # reuse (AQE) computes the signature aggregation once — persisting
-    # here measures ~2× slower than letting ReusedExchange handle it.
+    # Materialize the band table ONCE (r12). The historical NOTE here
+    # said persisting was ~2× slower because AQE's ReusedExchange
+    # already dedup'd the two self-join sides — that was true of the
+    # explode+groupBy signature path, whose aggregation exchange both
+    # sides shared. The ARROW signature kernel is a shuffle-free map:
+    # no exchange exists to reuse, and the r11 AQE-final plan shows
+    # the bucket filter and both self-join sides each re-running the
+    # Python kernel (4 ArrowEvalPython evaluations of the same
+    # subtree). One lineage-truncating materialization of the
+    # O(docs × bands) key table (24-byte rows — tiny next to the
+    # corpus) runs the kernel once; reliable mode checkpoints to the
+    # configured FS, local mode holds executor blocks.
+    band_entries = truncate_lineage(band_entries)
     if max_bucket_size is not None:
         # bucket-size filter shares the self-join's shuffle key
         # (band, band_hash): the exchange is reused, the count is a
@@ -1190,6 +1203,13 @@ def incremental_minhash_dedupe(
         _signatures_from_shingles(sh_b, id_col, num_hashes, seed),
         id_col, bands, rows_per_band,
     ).select(F.col(id_col).alias("__bid"), "band", "band_hash")
+    # the batch band index is consumed three times (corpus probe +
+    # both within-batch self-join sides) and its arrow signature
+    # kernel is a shuffle-free map with nothing for AQE to reuse —
+    # materialize the O(batch × bands) key table once (see the same
+    # note in minhash_near_duplicates); be_c is consumed once and
+    # stays lazy
+    be_b = truncate_lineage(be_b)
 
     def _verify(cands: DataFrame, a: str, b: str, sh_a: DataFrame, sh_b_: DataFrame):
         left = sh_a.select(F.col(id_col).alias(a), F.col("shingles").alias("__sa"))

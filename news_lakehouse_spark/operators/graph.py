@@ -150,14 +150,25 @@ def pagerank(
     base_seed = ((100 - damping_pct) * units * n_nodes) // (100 * n_seeds)
     base_expr = f"if(is_seed, {base_seed}L, 0L)"
     # per-loop truncator: deletes round n-2's reliable checkpoint once
-    # round n lands, so a long run holds <=2 x state on the ckpt FS
+    # round n lands, so a long run holds <=2 x state on the ckpt FS.
+    # LOCAL mode defers materialization (eager=False) for every round
+    # but the LAST: each round's state is referenced only by the next
+    # round's plan (dangling-free graphs) or by its dang broadcast
+    # first (full-coverage filter+agg), so the deferred checkpoints
+    # cascade-materialize inside the consumer's own job — one job for
+    # the whole loop instead of one per iteration (guide §5: fewer
+    # driver actions; r11's lazy-ckpt plumbing, now applied to the
+    # pagerank loop per r12 verdict item 6). The FINAL round stays
+    # eager so the cached nodes/edge frames are still live when the
+    # chain actually computes (the triangle_stats unpersist trap).
+    # Reliable (cluster) mode is unchanged: always-eager checkpoints.
     _ckpt = LineageTruncator()
     ranks = nodes.select(
         "node", "out_deg", "is_seed",
         F.lit(units).cast("long").alias("rank_units"),
-    ).transform(_ckpt)
+    ).transform(lambda d: _ckpt(d, eager=(iterations == 0)))
 
-    for _ in range(iterations):
+    for _it in range(iterations):
         in_sums = (
             e.join(ranks, e.src == ranks.node)
             .select("dst", F.expr("rank_units DIV out_deg").alias("contrib"))
@@ -194,7 +205,13 @@ def pagerank(
             )
             # truncate lineage: each round's plan starts from
             # materialized state, not the whole iteration chain
-            .transform(_ckpt)
+            # (deferred until a consumer computes it, except the
+            # final round — see the loop-head comment)
+            .transform(
+                lambda d, _last=(_it == iterations - 1): _ckpt(
+                    d, eager=_last
+                )
+            )
         )
     # the returned frame is checkpointed — the cached inputs are dead
     # weight once the loop ends
