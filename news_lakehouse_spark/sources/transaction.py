@@ -333,6 +333,12 @@ def _footer_raw_stats(abs_path: str, stat_cols: tuple) -> dict:
     return per_col
 
 
+# (type-json, value) -> xxhash64 — see VersionedParquetTable._spark_hashes.
+# A pure-function memo (hash of a literal), NOT result caching: entries
+# are deterministic values independent of any table's data.
+_SPARK_HASH_MEMO: dict = {}
+
+
 def _materialize_churn(df: DataFrame):
     """Materialize an O(churn) frame that several downstream actions
     will consume; returns ``(frame, release)``.
@@ -2554,12 +2560,34 @@ class VersionedParquetTable:
     def _spark_hashes(self, values: list, field) -> list[int]:
         """xxhash64 of probe values THROUGH SPARK with the column's
         exact type, so driver-side probes hash identically to the
-        commit job (a Python reimplementation could diverge per type)."""
+        commit job (a Python reimplementation could diverge per type).
+
+        Memoized per (type, value): xxhash64 is a pure deterministic
+        function, yet each probe formerly paid a ~0.3 s Spark job for
+        a handful of literals — and scan planning hashes the same
+        predicate values on every read (the r12 job profile showed two
+        such jobs per bucket-pruned query). Only values NOT yet seen
+        go through a (single) Spark job."""
         from pyspark.sql.types import StructField, StructType as _ST
 
-        schema = _ST([StructField("v", field.dataType, True)])
-        df = self.spark.createDataFrame([(v,) for v in values], schema)
-        return [r[0] for r in df.select(F.xxhash64("v")).collect()]
+        tkey = field.dataType.json()
+        try:
+            missing = [
+                v for v in values if (tkey, v) not in _SPARK_HASH_MEMO
+            ]
+        except TypeError:  # unhashable probe value: skip memoization
+            schema = _ST([StructField("v", field.dataType, True)])
+            df = self.spark.createDataFrame([(v,) for v in values], schema)
+            return [r[0] for r in df.select(F.xxhash64("v")).collect()]
+        if missing:
+            schema = _ST([StructField("v", field.dataType, True)])
+            df = self.spark.createDataFrame(
+                [(v,) for v in missing], schema
+            )
+            hashes = [r[0] for r in df.select(F.xxhash64("v")).collect()]
+            for v, h in zip(missing, hashes):
+                _SPARK_HASH_MEMO[(tkey, v)] = h
+        return [_SPARK_HASH_MEMO[(tkey, v)] for v in values]
 
     def _commit(
         self,
