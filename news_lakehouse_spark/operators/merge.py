@@ -386,14 +386,15 @@ def upsert_parquet_table(
         # neither do we. Both collects are bounded by partition count
         # (dates), never row count.
         src_keys = source.dropna(subset=keys).select(*keys).distinct()
-        new_parts = source.select(*partition_by).distinct()
-        old_parts = (
-            target.join(F.broadcast(src_keys), on=keys, how="left_semi")
-            .select(*partition_by)
-            .distinct()
-        )
+        # one distinct over the union (not per side + union again):
+        # same set, two fewer aggregation stages per merge
+        new_parts = source.select(*partition_by)
+        old_parts = target.join(
+            F.broadcast(src_keys), on=keys, how="left_semi"
+        ).select(*partition_by)
         parts = [
-            r.asDict() for r in new_parts.unionByName(old_parts).distinct().collect()
+            r.asDict()
+            for r in new_parts.unionByName(old_parts).distinct().collect()
         ]
         cond = None
         for p in parts:

@@ -3973,17 +3973,15 @@ class VersionedParquetTable:
                     )
                     # transform specs: probe the DERIVED partition
                     # values (dict keys = field names, matching path
-                    # fragments)
-                    new_parts = source.select(
-                        *spec_exprs(source, fields)
-                    ).distinct()
-                    old_parts = (
-                        target.join(
-                            F.broadcast(src_keys), on=keys, how="left_semi"
-                        )
-                        .select(*spec_exprs(target, fields))
-                        .distinct()
-                    )
+                    # fragments). ONE distinct over the union — the
+                    # former per-side distincts fed a third
+                    # union-level distinct, paying two extra
+                    # aggregation stages per partitioned merge for
+                    # the same set (r12, guide §2.4).
+                    new_parts = source.select(*spec_exprs(source, fields))
+                    old_parts = target.join(
+                        F.broadcast(src_keys), on=keys, how="left_semi"
+                    ).select(*spec_exprs(target, fields))
                     parts = [
                         r.asDict()
                         for r in new_parts.unionByName(old_parts)
