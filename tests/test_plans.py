@@ -58,10 +58,15 @@ def test_python_only_at_arrow_boundaries(spark, sf_dir):
         assert a["python_ops"] == 0, name
     a, _ = _audit(spark, sf_dir, "x_multimodal_bytes")
     assert a["python_ops"] == 1
-    # minhash: exactly one Arrow boundary — the vectorized signature
-    # kernel (shuffle-free numpy minhash); everything else stays JVM-side
-    a, _ = _audit(spark, sf_dir, "x_dedup_minhash_lsh")
-    assert a["python_ops"] == 1
+    # minhash: the vectorized signature kernel (shuffle-free numpy
+    # minhash) runs ONCE inside the band-table materialization (r12:
+    # truncate_lineage — a shuffle-free Arrow subtree has no exchange
+    # for AQE to reuse, so every consumer used to re-run the kernel);
+    # the FINAL plan therefore shows no Python boundary at all and
+    # reads the materialized band table instead
+    a, plan = _audit(spark, sf_dir, "x_dedup_minhash_lsh")
+    assert a["python_ops"] == 0
+    assert "ExistingRDD" in plan  # the checkpointed band table
 
 
 def test_salted_agg_is_two_stage(spark, sf_dir):
